@@ -1,0 +1,148 @@
+"""Vectorized decode: raw HDU bytes → pyarrow arrays.
+
+This replaces the reference's element-at-a-time ``ByteBuffer`` decode
+(``FitsHdu.scala:124-235``, ``getElementFromBuffer``; per-task throughput
+note "32 MB ≈ 2 s" at ``FitsRecordReader.scala:379``) with a single numpy
+structured-dtype view over the partition's byte range plus column-wise
+conversion to Arrow. Semantics preserved:
+
+- ``L`` decodes ASCII ``'T'`` → True, anything else → False
+  (``FitsHdu.scala:209-213``).
+- ``nA`` strings are trimmed like Java ``String.trim`` (both ends)
+  (``FitsHdu.scala:222-226``).
+- ``B`` bytes are interpreted signed (``FitsHdu.scala:214-217``).
+- ``nX`` bit fields surface as a one-element array of the raw bytes
+  (``FitsHdu.scala:218-221`` returns ``List(subbuf)``).
+- unknown TFORMs decode to string ``"0"`` (``FitsHdu.scala:227-233``).
+- image rows get an ``ImgIndex`` z-plane index
+  (``FitsRecordReader.scala:377-389``).
+
+Pure numpy + pyarrow; no Spark/JVM dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from spark_fits_spark.fitscore.file import HduInfo
+from spark_fits_spark.fitscore.types import TFormInfo, parse_tform
+
+
+def build_row_dtype(hdu: HduInfo, col_indices: list[int]) -> np.dtype:
+    """Structured dtype over one row, with fields only for the selected
+    columns (offsets from splitLocations — unselected byte ranges are
+    never decoded, the vectorized version of the reference's ``columns``
+    option, ``FitsHduBintable.scala:306-325``)."""
+    locations = hdu.split_locations
+    infos = hdu.tform_infos
+    names, formats, offsets = [], [], []
+    for pos, ci in enumerate(col_indices):
+        info = infos[ci]
+        if info.byte_width == 0:
+            continue  # unknown TFORM: no bytes to read
+        names.append(f"f{pos}")
+        formats.append(info.numpy_dtype)
+        offsets.append(locations[ci])
+    return np.dtype({
+        "names": names, "formats": formats, "offsets": offsets,
+        "itemsize": hdu.row_bytes,
+    })
+
+
+def _strings_to_arrow(col: np.ndarray) -> pa.Array:
+    """Fixed-width FITS strings → Arrow string array, Java-trim semantics."""
+    stripped = np.char.strip(np.char.rstrip(col, b"\x00"))
+    return pa.array(np.char.decode(stripped, "ascii", "replace"))
+
+
+def _column_to_arrow(col: np.ndarray, info: TFormInfo) -> pa.Array:
+    letter = info.letter
+    if letter == "A":
+        return _strings_to_arrow(col)
+    if letter == "L":
+        if info.repeat == 1:
+            return pa.array(col == b"T")
+        flat = col.reshape(-1) == b"T"
+        offsets = np.arange(0, flat.size + 1, info.repeat, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+    if letter == "X":
+        nbytes = info.byte_width
+        raw = col.tobytes()
+        values = pa.array(
+            [raw[i * nbytes : (i + 1) * nbytes] for i in range(len(col))],
+            type=pa.binary(),
+        )
+        offsets = np.arange(0, len(col) + 1, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets), values)
+    if letter in ("B", "I", "J", "K", "E", "D"):
+        native = col.astype(col.dtype.newbyteorder("="), copy=False)
+        if info.repeat == 1:
+            return pa.array(native)
+        flat = native.reshape(-1)
+        offsets = np.arange(0, flat.size + 1, info.repeat, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat))
+    # unknown TFORM → "0" per row (FitsHdu.scala:227-233)
+    return pa.array(["0"] * len(col))
+
+
+def decode_bintable(
+    buf: bytes | memoryview,
+    hdu: HduInfo,
+    col_indices: list[int],
+    arrow_schema: pa.Schema,
+) -> pa.RecordBatch:
+    """Decode ``len(buf) / row_bytes`` bintable rows into a RecordBatch
+    with exactly the columns in ``col_indices`` (schema-ordered)."""
+    n_rows = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
+    dtype = build_row_dtype(hdu, col_indices)
+    rows = np.frombuffer(buf, dtype=dtype, count=n_rows)
+    infos = hdu.tform_infos
+    arrays = []
+    for pos, ci in enumerate(col_indices):
+        info = infos[ci]
+        if info.byte_width == 0:
+            arr = pa.array(["0"] * n_rows)
+        else:
+            arr = _column_to_arrow(rows[f"f{pos}"], info)
+        field = arrow_schema.field(pos)
+        if arr.type != field.type:
+            arr = arr.cast(field.type)
+        arrays.append(arr)
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+def decode_image(
+    buf: bytes | memoryview,
+    hdu: HduInfo,
+    row_offset: int,
+    arrow_schema: pa.Schema,
+) -> pa.RecordBatch:
+    """Decode image rows (NAXIS1 pixels each) starting at global row
+    ``row_offset`` into (Image: array<elem>, ImgIndex: long) rows.
+
+    ``ImgIndex`` = z-plane index of the row: for a (NAXIS1 × NAXIS2 ×
+    NAXIS3...) cube, row *i* belongs to plane ``i // NAXIS2``
+    (``FitsRecordReader.scala:377-389``; 73×31×5 cube → 155 rows, planes
+    0..4, ``ReadFitsTest.scala:108-115``)."""
+    width = hdu.naxis[0] if hdu.naxis else 0
+    n_rows = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
+    info = parse_tform(f"{width}{hdu.image_tform}" if width != 1 else hdu.image_tform)
+    flat = np.frombuffer(buf, dtype=np.dtype(info.numpy_dtype).base, count=n_rows * width)
+    if hdu.image_tform == "L":
+        values = pa.array(flat == b"T")
+    else:
+        values = pa.array(flat.astype(flat.dtype.newbyteorder("="), copy=False))
+    offsets = np.arange(0, n_rows * width + 1, width, dtype=np.int32)
+    image = pa.ListArray.from_arrays(pa.array(offsets), values)
+
+    plane_height = hdu.naxis[1] if len(hdu.naxis) >= 2 else 1
+    idx = (np.arange(row_offset, row_offset + n_rows, dtype=np.int64)) // max(plane_height, 1)
+    arrays = [image, pa.array(idx)]
+    out = []
+    for pos, arr in enumerate(arrays):
+        field = arrow_schema.field(pos)
+        if arr.type != field.type:
+            arr = arr.cast(field.type)
+        out.append(arr)
+    return pa.RecordBatch.from_arrays(out, schema=arrow_schema)

@@ -1,0 +1,210 @@
+"""HDU boundary walking and per-HDU metadata.
+
+Parity targets:
+- block boundaries per HDU (headerStart, dataStart, dataStop, blockStop):
+  reference ``FitsLib.scala:274-336`` (``getBlockBoundaries``) and
+  ``FitsLib.scala:65-91`` (``FitsBlockBoundaries``).
+- data length = |BITPIX|/8 × Π NAXISi, rounded up to 2880:
+  ``FitsLib.scala:399-417`` (``getDataLen``).
+- HDU count by full-file walk: ``FitsLib.scala:425-475`` (``getNHDU``).
+- HDU type dispatch via XTENSION / SIMPLE, with the "non-empty HDU 0 with
+  no declared type is an image" rule: ``FitsLib.scala:345-389``; ASCII
+  TABLE is recognized but unimplemented (empty scan), ``FitsLib.scala:218``.
+- bintable metadata (NAXIS1 row bytes, NAXIS2 rows, TFIELDS, TTYPEn,
+  TFORMn, per-column byte offsets a.k.a. splitLocations):
+  ``FitsHduBintable.scala:60-64, 86-118, 150-175, 212-294``.
+- image metadata (BITPIX element type, NAXISn, row count = Π NAXISn for
+  n≥2): ``FitsHduImage.scala:63-65, 100-136``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import BinaryIO
+
+from spark_fits_spark.fitscore.constants import FITS_BLOCK_SIZE
+from spark_fits_spark.fitscore.header import (
+    header_value,
+    parse_cards,
+    read_header,
+)
+from spark_fits_spark.fitscore.types import TFormInfo, bitpix_to_tform, parse_tform
+
+HDU_TYPE_BINTABLE = "bintable"
+HDU_TYPE_IMAGE = "image"
+HDU_TYPE_TABLE = "table"   # ASCII table — recognized, not implemented
+HDU_TYPE_EMPTY = "empty"
+
+
+@dataclass(frozen=True)
+class BlockBoundaries:
+    """Byte boundaries of one HDU (``FitsLib.scala:65-91``)."""
+
+    header_start: int
+    data_start: int
+    data_stop: int
+    block_stop: int
+
+    @property
+    def data_len(self) -> int:
+        return self.data_stop - self.data_start
+
+
+def _data_len(header: dict[str, str]) -> int:
+    """|BITPIX|/8 × Π NAXISi (``FitsLib.scala:399-417``)."""
+    naxis = int(header.get("NAXIS", "0"))
+    if naxis == 0:
+        return 0
+    bitpix = abs(int(header.get("BITPIX", "0")))
+    total = bitpix // 8
+    for i in range(1, naxis + 1):
+        total *= int(header.get(f"NAXIS{i}", "0"))
+    return total
+
+
+def _round_block(n: int) -> int:
+    return ((n + FITS_BLOCK_SIZE - 1) // FITS_BLOCK_SIZE) * FITS_BLOCK_SIZE
+
+
+def walk_hdus(fobj: BinaryIO) -> list[tuple[BlockBoundaries, list[str]]]:
+    """Walk the whole file, returning (boundaries, header cards) per HDU."""
+    fobj.seek(0, 2)
+    file_len = fobj.tell()
+    out: list[tuple[BlockBoundaries, list[str]]] = []
+    pos = 0
+    while pos < file_len:
+        cards = read_header(fobj, pos)
+        data_start = fobj.tell()
+        header = parse_cards(cards)
+        dl = _data_len(header)
+        data_stop = data_start + dl
+        block_stop = _round_block(data_stop)
+        out.append((BlockBoundaries(pos, data_start, data_stop, block_stop), cards))
+        pos = block_stop
+    return out
+
+
+def get_n_hdu(fobj: BinaryIO) -> int:
+    """HDU count by full-file walk (``FitsLib.scala:425-475``)."""
+    return len(walk_hdus(fobj))
+
+
+def get_block_boundaries(fobj: BinaryIO, hdu_index: int) -> BlockBoundaries:
+    """Boundaries of HDU ``hdu_index`` (``FitsLib.scala:274-336``)."""
+    hdus = walk_hdus(fobj)
+    if hdu_index < 0 or hdu_index >= len(hdus):
+        raise ValueError(
+            f"HDU index {hdu_index} out of range: file has {len(hdus)} HDUs "
+            "(hdu must satisfy 0 <= hdu < nHDU)"
+        )
+    return hdus[hdu_index][0]
+
+
+def _hdu_type(header: dict[str, str], hdu_index: int, data_len: int) -> str:
+    """HDU type dispatch (``FitsLib.scala:345-389``)."""
+    xtension = header_value(header, "XTENSION")
+    if xtension is not None:
+        x = xtension.strip().upper()
+        if x == "BINTABLE":
+            return HDU_TYPE_BINTABLE
+        if x == "IMAGE":
+            return HDU_TYPE_IMAGE
+        if x == "TABLE":
+            return HDU_TYPE_TABLE
+        return HDU_TYPE_EMPTY
+    # primary HDU (SIMPLE): non-empty data with no declared type → image
+    if data_len > 0:
+        return HDU_TYPE_IMAGE
+    return HDU_TYPE_EMPTY
+
+
+@dataclass(frozen=True)
+class HduInfo:
+    """Everything a scan partition needs to decode one HDU.
+
+    Picklable: shipped inside InputPartition objects, replacing the
+    reference's Hadoop-conf broadcast channel (``FitsLib.scala:615-629``).
+    """
+
+    path: str
+    hdu_index: int
+    hdu_type: str
+    boundaries: BlockBoundaries
+    header: dict[str, str]
+    # bintable fields
+    row_bytes: int = 0                      # NAXIS1
+    n_rows: int = 0                         # NAXIS2 (bintable) or Π NAXISn,n≥2 (image)
+    col_names: tuple[str, ...] = ()
+    col_tforms: tuple[str, ...] = ()
+    # image fields
+    naxis: tuple[int, ...] = ()             # (NAXIS1, NAXIS2, ...)
+    image_tform: str = ""                   # element type letter from BITPIX
+
+    @property
+    def tform_infos(self) -> list[TFormInfo]:
+        return [parse_tform(t) for t in self.col_tforms]
+
+    @property
+    def split_locations(self) -> list[int]:
+        """Column byte offsets within a row, plus the row end — e.g.
+        ``[20A, E, E]`` → ``[0, 20, 24, 28]`` (``FitsHduBintable.scala:60-64``)."""
+        offs = [0]
+        for info in self.tform_infos:
+            offs.append(offs[-1] + info.byte_width)
+        return offs
+
+
+def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
+    """Locate HDU ``hdu_index``, parse its header, classify it, and pull
+    the metadata needed for decoding (the analog of ``new Fits(path,
+    conf, hduIndex)``, ``FitsLib.scala:173-238``)."""
+    hdus = walk_hdus(fobj)
+    if hdu_index < 0 or hdu_index >= len(hdus):
+        raise ValueError(
+            f"HDU index {hdu_index} out of range: file has {len(hdus)} HDUs "
+            "(hdu must satisfy 0 <= hdu < nHDU)"
+        )
+    boundaries, cards = hdus[hdu_index]
+    header = parse_cards(cards)
+    hdu_type = _hdu_type(header, hdu_index, boundaries.data_len)
+
+    if hdu_type == HDU_TYPE_BINTABLE:
+        row_bytes = int(header.get("NAXIS1", "0"))
+        n_rows = int(header.get("NAXIS2", "0"))
+        n_cols = int(header.get("TFIELDS", "0"))
+        names = []
+        tforms = []
+        for i in range(1, n_cols + 1):
+            names.append(header_value(header, f"TTYPE{i}", f"col{i}") or f"col{i}")
+            tforms.append(header_value(header, f"TFORM{i}", "") or "")
+        return HduInfo(
+            path=path, hdu_index=hdu_index, hdu_type=hdu_type,
+            boundaries=boundaries, header=header,
+            row_bytes=row_bytes, n_rows=n_rows,
+            col_names=tuple(names), col_tforms=tuple(tforms),
+        )
+
+    if hdu_type == HDU_TYPE_IMAGE:
+        n_axis = int(header.get("NAXIS", "0"))
+        naxis = tuple(int(header.get(f"NAXIS{i}", "0")) for i in range(1, n_axis + 1))
+        bitpix = int(header.get("BITPIX", "0"))
+        tform = bitpix_to_tform(bitpix)
+        elem_width = abs(bitpix) // 8
+        row_bytes = (naxis[0] if naxis else 0) * elem_width
+        n_rows = 1
+        for n in naxis[1:]:
+            n_rows *= n
+        if not naxis:
+            n_rows = 0
+        return HduInfo(
+            path=path, hdu_index=hdu_index, hdu_type=hdu_type,
+            boundaries=boundaries, header=header,
+            row_bytes=row_bytes, n_rows=n_rows,
+            naxis=naxis, image_tform=tform,
+        )
+
+    # empty / ascii-table HDUs carry no scannable data
+    return HduInfo(
+        path=path, hdu_index=hdu_index, hdu_type=hdu_type,
+        boundaries=boundaries, header=header,
+    )

@@ -1,0 +1,122 @@
+"""TFORM / BITPIX → (numpy dtype, Spark type) mapping.
+
+Parity targets:
+- TFORM → Spark type table: reference ``FitsSchema.scala:42-77``
+  (``ReadMyType``); byte widths ``FitsHduBintable.scala:232-294``; element
+  decode semantics ``FitsHdu.scala:124-235``.
+- 1-element vectors collapse to scalars (``1J`` ≡ ``J``):
+  ``FitsSchemaTest.scala:59-70``, ``ReadFitsTest.scala:177-216``.
+- ``B`` (FITS unsigned byte) maps to *signed* ByteType — intentionally
+  bug-compatible with the reference (``FitsSchema.scala:67``,
+  ``FitsHdu.scala:214-217``; see SURVEY.md §7 "Hard parts").
+- ``nX`` bit arrays surface as ``array<binary>`` holding the raw bytes
+  (``FitsSchema.scala:68``, ``FitsHdu.scala:218-221``).
+- unknown TFORM → StringType fallback, zero width, decodes to ``"0"``
+  (``FitsSchema.scala:70-75``, ``FitsHdu.scala:227-233``).
+- image BITPIX → element type, incl. the BITPIX=8 → logical quirk:
+  ``FitsHduImage.scala:100-117``.
+
+Pure Python: imports only ``pyspark.sql.types`` (no JVM needed) + numpy.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
+# letter → (numpy base dtype string, element byte width, Spark scalar type)
+_SCALAR_MAP: dict[str, tuple[str, int, DataType]] = {
+    "L": ("S1", 1, BooleanType()),     # ASCII 'T'/'F'  (FitsHdu.scala:209-213)
+    "B": ("i1", 1, ByteType()),        # signed on purpose (FitsSchema.scala:67)
+    "I": (">i2", 2, ShortType()),
+    "J": (">i4", 4, IntegerType()),
+    "K": (">i8", 8, LongType()),
+    "E": (">f4", 4, FloatType()),
+    "D": (">f8", 8, DoubleType()),
+}
+
+_TFORM_RE = re.compile(r"^\s*(\d*)\s*([A-Z])")
+
+
+@dataclass(frozen=True)
+class TFormInfo:
+    """Parsed TFORM: repeat count, type letter, byte width of the whole
+    field, numpy dtype (as a ``(str, shape)`` pair usable in a structured
+    dtype), and the Spark DataType."""
+
+    tform: str
+    letter: str
+    repeat: int
+    byte_width: int
+    numpy_dtype: object  # str or (str, (n,))
+    spark_type: DataType
+
+    @property
+    def is_array(self) -> bool:
+        return isinstance(self.spark_type, ArrayType) and self.letter != "X"
+
+
+def parse_tform(tform: str) -> TFormInfo:
+    """Parse a TFORM value like ``'10A'``, ``'1J'``, ``'E'``, ``'3I'``.
+
+    Unknown letters fall back to StringType with zero width and a
+    warning, matching ``FitsSchema.scala:70-75``.
+    """
+    m = _TFORM_RE.match(tform.strip())
+    if not m:
+        return TFormInfo(tform, "?", 1, 0, "S0", StringType())
+    repeat = int(m.group(1)) if m.group(1) else 1
+    letter = m.group(2)
+
+    if letter == "A":
+        # fixed-width string of `repeat` chars; never an array
+        return TFormInfo(tform, "A", repeat, repeat, f"S{repeat}", StringType())
+    if letter == "X":
+        nbytes = max(1, (repeat + 7) // 8)
+        return TFormInfo(tform, "X", repeat, nbytes, f"V{nbytes}", ArrayType(BinaryType(), True))
+    if letter in _SCALAR_MAP:
+        np_base, width, spark_scalar = _SCALAR_MAP[letter]
+        if repeat == 1:
+            return TFormInfo(tform, letter, 1, width, np_base, spark_scalar)
+        return TFormInfo(
+            tform, letter, repeat, width * repeat, (np_base, (repeat,)),
+            ArrayType(spark_scalar, True),
+        )
+    # unknown TFORM (e.g. P/Q var-length, C/M complex): StringType fallback,
+    # zero byte width, decodes to "0" (FitsSchema.scala:70-75)
+    import warnings
+
+    warnings.warn(f"Unknown TFORM {tform!r}: falling back to StringType with 0 width")
+    return TFormInfo(tform, letter, repeat, 0, "S0", StringType())
+
+
+def tform_to_spark_type(tform: str) -> DataType:
+    return parse_tform(tform).spark_type
+
+
+_BITPIX_TO_TFORM = {8: "L", 16: "I", 32: "J", 64: "K", -32: "E", -64: "D"}
+
+
+def bitpix_to_tform(bitpix: int) -> str:
+    """Image element type letter from BITPIX (``FitsHduImage.scala:100-117``).
+
+    Note BITPIX=8 → ``'L'`` (boolean) is a reference quirk we preserve.
+    """
+    try:
+        return _BITPIX_TO_TFORM[int(bitpix)]
+    except KeyError:
+        raise ValueError(f"Cannot infer image element type from BITPIX={bitpix}")

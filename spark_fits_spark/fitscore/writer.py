@@ -1,0 +1,162 @@
+"""Minimal FITS writer — used only to generate test fixtures.
+
+Writes standard-conformant primary, BINTABLE, and IMAGE HDUs from numpy
+arrays. This is the new-engine analog of the reference's fixture
+generators (``src/test/resources/create_test_fits.py`` /
+``create_big_fits.py``, which used astropy; astropy is not available
+here, so we write the container format directly — it is ~100 lines of
+public FITS 4.0 standard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_fits_spark.fitscore.constants import FITS_BLOCK_SIZE, FITS_CARD_SIZE
+
+
+def _card(keyword: str, value, comment: str | None = None) -> bytes:
+    kw = f"{keyword:<8}"
+    if value is None:
+        body = kw + (f"  {comment}" if comment else "")
+    else:
+        if isinstance(value, bool):
+            v = "T" if value else "F"
+            vstr = f"{v:>20}"
+        elif isinstance(value, (int, np.integer)):
+            vstr = f"{value:>20d}"
+        elif isinstance(value, float):
+            vstr = f"{value:>20G}"
+        else:
+            s = str(value).replace("'", "''")
+            vstr = f"'{s:<8}'"
+        body = f"{kw}= {vstr}"
+        if comment:
+            body += f" / {comment}"
+    card = body.encode("ascii")
+    if len(card) > FITS_CARD_SIZE:
+        card = card[:FITS_CARD_SIZE]
+    return card.ljust(FITS_CARD_SIZE)
+
+
+def _header_block(cards: list[bytes]) -> bytes:
+    raw = b"".join(cards) + _card("END", None)
+    pad = (-len(raw)) % FITS_BLOCK_SIZE
+    return raw + b" " * pad
+
+
+def _pad_data(raw: bytes) -> bytes:
+    pad = (-len(raw)) % FITS_BLOCK_SIZE
+    return raw + b"\x00" * pad
+
+
+def primary_hdu(extra_cards: list[bytes] | None = None) -> bytes:
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 0),
+        _card("EXTEND", True),
+    ]
+    cards.extend(extra_cards or [])
+    return _header_block(cards)
+
+
+_TFORM_NUMPY = {
+    "L": ("S1", 1), "B": ("i1", 1), "I": (">i2", 2), "J": (">i4", 4),
+    "K": (">i8", 8), "E": (">f4", 4), "D": (">f8", 8),
+}
+
+
+def bintable_hdu(
+    columns: list[tuple[str, str, np.ndarray]],
+    extra_cards: list[bytes] | None = None,
+) -> bytes:
+    """Build one BINTABLE HDU from (name, tform, values) columns.
+
+    tform like '10A', 'E', '1J', '3I'. Values: 1-D arrays (or 2-D for
+    vector columns; str/bytes arrays for 'A').
+    """
+    import re
+
+    n_rows = len(columns[0][2])
+    fields = []
+    row_bytes = 0
+    for name, tform, vals in columns:
+        m = re.match(r"^(\d*)([A-Z])$", tform)
+        repeat = int(m.group(1)) if m.group(1) else 1
+        letter = m.group(2)
+        if letter == "A":
+            fields.append((name, f"S{repeat}", vals, repeat))
+            row_bytes += repeat
+        elif letter == "X":
+            nbytes = (repeat + 7) // 8
+            fields.append((name, f"V{nbytes}", vals, nbytes))
+            row_bytes += nbytes
+        else:
+            base, w = _TFORM_NUMPY[letter]
+            shape = (repeat,) if repeat > 1 else ()
+            fields.append((name, (base, shape) if shape else base, vals, w * repeat))
+            row_bytes += w * repeat
+
+    dtype = np.dtype([(f"f{i}", f[1]) for i, f in enumerate(fields)])
+    assert dtype.itemsize == row_bytes
+    rec = np.zeros(n_rows, dtype=dtype)
+    for i, (name, fmt, vals, _) in enumerate(fields):
+        col = columns[i]
+        letter = re.match(r"^(\d*)([A-Z])$", col[1]).group(2)
+        if letter == "L":
+            rec[f"f{i}"] = np.where(np.asarray(vals, dtype=bool), b"T", b"F")
+        elif letter == "A":
+            rec[f"f{i}"] = np.asarray(vals, dtype=f"S{int(col[1][:-1] or 1)}")
+        else:
+            rec[f"f{i}"] = vals
+
+    cards = [
+        _card("XTENSION", "BINTABLE", "binary table extension"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 2),
+        _card("NAXIS1", row_bytes, "length of dimension 1"),
+        _card("NAXIS2", n_rows, "length of dimension 2"),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+        _card("TFIELDS", len(columns)),
+    ]
+    for i, (name, tform, _vals) in enumerate(columns, start=1):
+        cards.append(_card(f"TTYPE{i}", name))
+        cards.append(_card(f"TFORM{i}", tform))
+    cards.extend(extra_cards or [])
+    return _header_block(cards) + _pad_data(rec.tobytes())
+
+
+def image_hdu(data: np.ndarray, primary: bool = False) -> bytes:
+    """Build an IMAGE HDU (or a primary-with-data HDU) from an ndarray.
+
+    dtype must be one of i2/i4/i8/f4/f8/u1; stored big-endian. The array
+    is written C-order, so ``data.shape == (NAXIS_n, ..., NAXIS2,
+    NAXIS1)`` reversed into the header per FITS convention.
+    """
+    kind_map = {"i2": 16, "i4": 32, "i8": 64, "f4": -32, "f8": -64, "u1": 8, "i1": 8}
+    key = f"{data.dtype.kind}{data.dtype.itemsize}"
+    bitpix = kind_map[key]
+    big = data.astype(data.dtype.newbyteorder(">"), copy=False)
+    cards = []
+    if primary:
+        cards.append(_card("SIMPLE", True))
+    else:
+        cards.append(_card("XTENSION", "IMAGE", "image extension"))
+    cards.append(_card("BITPIX", bitpix))
+    cards.append(_card("NAXIS", data.ndim))
+    for i, n in enumerate(reversed(data.shape), start=1):
+        cards.append(_card(f"NAXIS{i}", n))
+    if not primary:
+        cards.append(_card("PCOUNT", 0))
+        cards.append(_card("GCOUNT", 1))
+    return _header_block(cards) + _pad_data(big.tobytes())
+
+
+def write_fits(path: str, hdus: list[bytes], include_primary: bool = True) -> None:
+    with open(path, "wb") as f:
+        if include_primary:
+            f.write(primary_hdu())
+        for h in hdus:
+            f.write(h)

@@ -1,0 +1,256 @@
+"""Unit tests for fitscore — ports of the reference's FitsLibTest /
+FitsSchemaTest golden values (run against the reference's own fixture
+files, read-only) plus round-trips through our own writer."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spark_fits_spark.fitscore import (
+    get_block_boundaries,
+    get_n_hdu,
+    open_hdu,
+    parse_cards,
+    parse_tform,
+    short_string_value,
+)
+from spark_fits_spark.fitscore.decode import decode_bintable, decode_image
+from spark_fits_spark.fitscore.file import walk_hdus
+from spark_fits_spark.fitscore.header import split_card
+from spark_fits_spark.fitscore import writer
+
+REF = "/root/reference/src/test/resources"
+
+
+# ---------- golden values from the reference fixtures (FitsLibTest) ----------
+
+def test_block_boundaries_golden():
+    # FitsLibTest.scala:97-101 — HDU 1 of test_file.fits
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        b = get_block_boundaries(f, 1)
+    assert (b.header_start, b.data_start, b.data_stop, b.block_stop) == (
+        2880, 5760, 685760, 688320)
+
+
+def test_n_hdu_golden():
+    # FitsLibTest.scala:104-108
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        assert get_n_hdu(f) == 3
+
+
+def test_bintable_metadata_golden():
+    # FIXTURES.md F1: HDU1 NAXIS1=34, NAXIS2=20000, TFIELDS=5
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        hdu = open_hdu(f, "test_file.fits", 1)
+    assert hdu.hdu_type == "bintable"
+    assert hdu.row_bytes == 34
+    assert hdu.n_rows == 20000
+    assert hdu.col_names == ("target", "RA", "Dec", "Index", "RunId")
+    assert hdu.col_tforms == ("10A", "E", "D", "K", "J")
+    # splitLocations analog: [10A,E,D,K,J] → [0,10,14,22,30,34]
+    assert hdu.split_locations == [0, 10, 14, 22, 30, 34]
+
+
+def test_first_rows_golden():
+    # FitsLibTest.scala:154-210 / packageTest.scala:248-253:
+    # first row of the file is NGC0000000, Index 0..n continuous
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        hdu = open_hdu(f, "test_file.fits", 1)
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.row_bytes * 10)
+    schema = pa.schema([
+        ("target", pa.string()), ("RA", pa.float32()), ("Dec", pa.float64()),
+        ("Index", pa.int64()), ("RunId", pa.int32())])
+    batch = decode_bintable(buf, hdu, [0, 1, 2, 3, 4], schema)
+    d = batch.to_pydict()
+    assert d["target"][0] == "NGC0000000"
+    assert d["target"][9] == "NGC0000009"
+    assert d["Index"] == list(range(10))
+    assert all(r == 1 for r in d["RunId"])
+    assert all(0.0 <= ra <= 2 * np.pi for ra in d["RA"])
+
+
+def test_full_decode_sum_golden():
+    # packageTest.scala:112-121 — sum(Index) == 199990000 over 20000 rows
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        hdu = open_hdu(f, "test_file.fits", 1)
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.boundaries.data_len)
+    schema = pa.schema([("Index", pa.int64())])
+    batch = decode_bintable(buf, hdu, [3], schema)
+    assert batch.num_rows == 20000
+    assert sum(batch.column(0).to_pylist()) == 199990000
+
+
+def test_longheader_golden():
+    # FitsLibTest.scala:139-144 — header spans >1 block (409 cards)
+    with open(f"{REF}/test_longheader_file.fits", "rb") as f:
+        hdu = open_hdu(f, "x", 1)
+    assert hdu.hdu_type == "bintable"
+    assert hdu.n_rows == 100
+    assert hdu.boundaries.data_start - hdu.boundaries.header_start > 2880
+
+
+def test_slash_colnames_golden():
+    # packageTest.scala:256-262 — quoted TTYPE values containing '/'
+    with open(f"{REF}/colnames_with_slash.fits", "rb") as f:
+        hdu = open_hdu(f, "x", 1)
+    assert hdu.col_names == (
+        "lsst/u_MEAN", "lsst/g_MEAN", "euclid/VIS_MEAN", "euclid/Y_MEAN")
+
+
+def test_hdu_types_golden():
+    # tst0009.fits: HDU1 = ASCII TABLE (stub), HDU2 = IMAGE 73x31x5
+    with open(f"{REF}/toTest/tst0009.fits", "rb") as f:
+        t1 = open_hdu(f, "x", 1)
+        t2 = open_hdu(f, "x", 2)
+    assert t1.hdu_type == "table"
+    assert t2.hdu_type == "image"
+    assert t2.naxis == (73, 31, 5)
+    assert t2.n_rows == 31 * 5  # ReadFitsTest.scala:108-115 → 155 rows
+    assert t2.image_tform == "I"  # BITPIX=16
+
+
+def test_image_decode_imgindex():
+    with open(f"{REF}/toTest/tst0009.fits", "rb") as f:
+        hdu = open_hdu(f, "x", 2)
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.boundaries.data_len)
+    schema = pa.schema([("Image", pa.list_(pa.int16())), ("ImgIndex", pa.int64())])
+    batch = decode_image(buf, hdu, 0, schema)
+    assert batch.num_rows == 155
+    d = batch.to_pydict()
+    assert all(len(row) == 73 for row in d["Image"])
+    assert d["ImgIndex"][0] == 0 and d["ImgIndex"][154] == 4
+    assert sorted(set(d["ImgIndex"])) == [0, 1, 2, 3, 4]
+
+
+def test_empty_and_out_of_range():
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        h0 = open_hdu(f, "x", 0)
+        assert h0.hdu_type == "empty"
+        with pytest.raises(ValueError, match="out of range"):
+            open_hdu(f, "x", 3)
+
+
+# ---------- card / header parsing ----------
+
+def test_split_card_variants():
+    c = "NAXIS1  =                   34 / length of dimension 1                          "
+    assert split_card(c) == ("NAXIS1", "34", "length of dimension 1")
+    c2 = "TTYPE1  = 'lsst/u_MEAN'       / label for field                                "
+    kw, v, com = split_card(c2)
+    assert kw == "TTYPE1" and short_string_value(v) == "lsst/u_MEAN"
+    c3 = "COMMENT this is a comment                                                       "
+    assert split_card(c3)[1] is None
+
+
+def test_short_string_value():
+    assert short_string_value("'NGC0000001'") == "NGC0000001"
+    assert short_string_value("'padded    '") == "padded"
+    assert short_string_value("'it''s'") == "it's"
+    assert short_string_value("42") == "42"
+
+
+# ---------- TFORM mapping (FitsSchemaTest ports) ----------
+
+@pytest.mark.parametrize("tform,spark_name,width", [
+    ("L", "boolean", 1), ("B", "byte", 1), ("I", "short", 2),
+    ("J", "integer", 4), ("K", "long", 8), ("E", "float", 4),
+    ("D", "double", 8), ("10A", "string", 10),
+    ("1J", "integer", 4), ("1E", "float", 4), ("1K", "long", 8),
+])
+def test_tform_scalars(tform, spark_name, width):
+    info = parse_tform(tform)
+    assert info.spark_type.typeName() == spark_name
+    assert info.byte_width == width
+    assert not info.is_array
+
+
+@pytest.mark.parametrize("tform,elem,width", [
+    ("2E", "float", 8), ("3D", "double", 24), ("7K", "long", 56),
+    ("3I", "short", 6), ("2J", "integer", 8),
+])
+def test_tform_arrays(tform, elem, width):
+    info = parse_tform(tform)
+    assert info.is_array
+    assert info.spark_type.elementType.typeName() == elem
+    assert info.byte_width == width
+
+
+def test_tform_bit_and_unknown():
+    x = parse_tform("16X")
+    assert x.byte_width == 2 and x.spark_type.typeName() == "array"
+    with pytest.warns(UserWarning):
+        u = parse_tform("P")  # var-length descriptor: unsupported
+    assert u.byte_width == 0 and u.spark_type.typeName() == "string"
+
+
+# ---------- writer round-trip ----------
+
+def test_writer_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    n = 1000
+    cols = [
+        ("target", "10A", np.array([f"NGC{i:07d}" for i in range(n)])),
+        ("RA", "E", rng.uniform(0, 2 * np.pi, n).astype(">f4")),
+        ("Dec", "D", rng.uniform(-np.pi / 2, np.pi / 2, n)),
+        ("Index", "K", np.arange(n, dtype=">i8")),
+        ("RunId", "J", np.ones(n, dtype=">i4")),
+        ("Flag", "L", rng.rand(n) > 0.5),
+        ("Vec", "3I", rng.randint(-100, 100, size=(n, 3)).astype(">i2")),
+    ]
+    path = str(tmp_path / "rt.fits")
+    writer.write_fits(path, [writer.bintable_hdu(cols)])
+    with open(path, "rb") as f:
+        assert get_n_hdu(f) == 2
+        hdu = open_hdu(f, path, 1)
+        assert hdu.n_rows == n
+        assert hdu.col_names == ("target", "RA", "Dec", "Index", "RunId", "Flag", "Vec")
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.boundaries.data_len)
+    schema = pa.schema([
+        ("target", pa.string()), ("RA", pa.float32()), ("Dec", pa.float64()),
+        ("Index", pa.int64()), ("RunId", pa.int32()), ("Flag", pa.bool_()),
+        ("Vec", pa.list_(pa.int16()))])
+    batch = decode_bintable(buf, hdu, list(range(7)), schema)
+    d = batch.to_pydict()
+    assert d["target"][:3] == ["NGC0000000", "NGC0000001", "NGC0000002"]
+    assert d["Index"] == list(range(n))
+    np.testing.assert_allclose(d["Dec"], cols[2][2])
+    assert d["Flag"] == list(cols[5][2])
+    np.testing.assert_array_equal(np.array(d["Vec"]), cols[6][2].astype("i2"))
+
+
+def test_writer_image_roundtrip(tmp_path):
+    img = (np.arange(5 * 4 * 3).reshape(5, 4, 3) * 7 % 251).astype("f8")
+    path = str(tmp_path / "im.fits")
+    writer.write_fits(path, [writer.image_hdu(img)])
+    with open(path, "rb") as f:
+        hdu = open_hdu(f, path, 1)
+        assert hdu.hdu_type == "image"
+        assert hdu.naxis == (3, 4, 5)
+        assert hdu.n_rows == 20
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.boundaries.data_len)
+    schema = pa.schema([("Image", pa.list_(pa.float64())), ("ImgIndex", pa.int64())])
+    batch = decode_image(buf, hdu, 0, schema)
+    d = batch.to_pydict()
+    np.testing.assert_array_equal(np.array(d["Image"]).reshape(5, 4, 3), img)
+    assert d["ImgIndex"] == [i // 4 for i in range(20)]
+
+
+def test_decode_partial_range_column_pruning():
+    # decode a middle slice of rows with only 2 of 5 columns selected
+    with open(f"{REF}/test_file.fits", "rb") as f:
+        hdu = open_hdu(f, "x", 1)
+        start = hdu.boundaries.data_start + 100 * hdu.row_bytes
+        f.seek(start)
+        buf = f.read(50 * hdu.row_bytes)
+    schema = pa.schema([("target", pa.string()), ("Index", pa.int64())])
+    batch = decode_bintable(buf, hdu, [0, 3], schema)
+    d = batch.to_pydict()
+    assert d["target"][0] == "NGC0000100"
+    assert d["Index"] == list(range(100, 150))
