@@ -1,0 +1,69 @@
+"""Session construction with scale-appropriate defaults.
+
+These settings are what we would run with on a 1000-executor cluster
+reading ~100 TB; locally they also give the best local[N] behavior:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy switching (broadcast when a side turns out
+  small).
+- ``spark.sql.python.filterPushdown.enabled``: required for the `fits`
+  datasource's pushFilters path (off by default in Spark 4.1).
+- Arrow enabled for pandas UDF paths used by the operators library.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def tuned_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.python.filterPushdown.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return conf
+
+
+def build_session(app_name: str = "spark-fits-spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict[str, str] | None = None):
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    # Make this package importable in executor Python workers: the
+    # datasource/UDF closures are pickled by reference to the module. In
+    # local mode the workers inherit the driver JVM's environment, so
+    # extending PYTHONPATH before JVM launch suffices; on a real cluster
+    # ship the package with --py-files / spark.submit.pyFiles instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
+
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]")
+    builder = builder.config("spark.executorEnv.PYTHONPATH",
+                             os.environ["PYTHONPATH"])
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    for k, v in tuned_conf(shuffle_partitions).items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    return spark

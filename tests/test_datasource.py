@@ -1,0 +1,238 @@
+"""DataFrame-level tests of the `fits` datasource — ports of the
+reference's ReadFitsTest / packageTest invariants."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+REF = "/root/reference/src/test/resources"
+
+
+def read_fits(spark, path, hdu=1, **opts):
+    r = spark.read.format("fits").option("hdu", hdu)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+# ---------- single-file bintable (reference fixture) ----------
+
+def test_count_golden(spark):
+    # packageTest.scala:105-110
+    df = read_fits(spark, f"{REF}/test_file.fits")
+    assert df.count() == 20000
+
+
+def test_schema_inference(spark):
+    df = read_fits(spark, f"{REF}/test_file.fits")
+    assert [f.name for f in df.schema.fields] == ["target", "RA", "Dec", "Index", "RunId"]
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "string", "float", "double", "long", "integer"]
+
+
+def test_select_count(spark):
+    # ReadFitsTest.scala:128-133
+    df = read_fits(spark, f"{REF}/test_file.fits")
+    assert df.select("RA").count() == 20000
+
+
+def test_sum_index_golden(spark):
+    # packageTest.scala:112-121
+    df = read_fits(spark, f"{REF}/test_file.fits")
+    assert df.agg(F.sum("Index")).first()[0] == 199990000
+
+
+def test_no_duplicates_across_partitions(spark):
+    # packageTest.scala:123-133 — small partitions force many boundaries
+    df = read_fits(spark, f"{REF}/test_file.fits", partitionbytes=10000)
+    assert df.rdd.getNumPartitions() > 10
+    assert df.count() == 20000
+    assert df.distinct().count() == 20000
+
+
+def test_ordering_first_row(spark):
+    # packageTest.scala:248-253 — first row of file == first row of DF
+    df = read_fits(spark, f"{REF}/test_file.fits", partitionbytes=50000)
+    assert df.first()["target"] == "NGC0000000"
+
+
+def test_second_hdu(spark):
+    # FIXTURES.md F1 HDU 2: (target 20A, Index 1J→int collapse, Discovery L)
+    df = read_fits(spark, f"{REF}/test_file.fits", hdu=2)
+    assert df.count() == 20000
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "string", "integer", "boolean"]
+
+
+def test_columns_option(spark):
+    # ReadFitsTest.scala:144-159 — source-side pruning, case-insensitive
+    df = read_fits(spark, f"{REF}/test_file.fits", columns="target,ra")
+    assert [f.name for f in df.schema.fields] == ["target", "RA"]
+    assert df.count() == 20000
+
+
+def test_user_schema_rename(spark):
+    # packageTest.scala:85-102 — user schema renames columns
+    schema = StructType([
+        StructField("name", StringType()), StructField("alpha", FloatType()),
+        StructField("delta", DoubleType()), StructField("idx", LongType()),
+        StructField("run", IntegerType())])
+    df = (spark.read.format("fits").option("hdu", 1).schema(schema)
+          .load(f"{REF}/test_file.fits"))
+    assert df.columns == ["name", "alpha", "delta", "idx", "run"]
+    assert df.select(F.sum("idx")).first()[0] == 199990000
+
+
+def test_array_columns(spark):
+    # FIXTURES.md F2 — vector TFORMs → array columns
+    df = read_fits(spark, f"{REF}/test_file_array.fits")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "target": "string", "RA": "array<float>", "Dec": "array<double>",
+        "Index": "array<bigint>", "RunId": "smallint",
+        "RunIdArray": "array<smallint>"}
+    row = df.first()
+    assert len(row["RA"]) == 2 and len(row["Dec"]) == 3 and len(row["Index"]) == 7
+
+
+def test_one_element_collapse(spark):
+    # FIXTURES.md F3 — 1E/1D/1K/1I collapse to scalars
+    df = read_fits(spark, f"{REF}/test_file_one-element.fits")
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "string", "float", "double", "long", "short"]
+    assert df.count() == 100
+
+
+def test_unsigned_byte_fixture(spark):
+    # FIXTURES.md F4 — B → signed ByteType (bug-compatible), col name w/ space
+    df = read_fits(spark, f"{REF}/test_file_ub.fits")
+    assert df.schema.fields[0].dataType.typeName() == "byte"
+    assert df.count() == 20000
+
+
+def test_slash_colnames(spark):
+    # packageTest.scala:256-262
+    df = read_fits(spark, f"{REF}/colnames_with_slash.fits")
+    assert df.columns == ["lsst/u_MEAN", "lsst/g_MEAN", "euclid/VIS_MEAN",
+                          "euclid/Y_MEAN"]
+    assert df.count() == 10
+
+
+def test_longheader(spark):
+    # ReadFitsTest.scala:77-83
+    df = read_fits(spark, f"{REF}/test_longheader_file.fits")
+    assert df.count() == 100
+
+
+def test_empty_hdu(spark):
+    # ReadFitsTest.scala:103-106 — HDU 0 is empty → empty DF, dummy schema
+    df = read_fits(spark, f"{REF}/test_file.fits", hdu=0)
+    assert df.count() == 0
+    assert df.columns == ["empty"]
+
+
+def test_ascii_table_stub(spark):
+    # ReadFitsTest.scala:118-125 — TABLE HDU → empty DF
+    df = read_fits(spark, f"{REF}/toTest/tst0009.fits", hdu=1)
+    assert df.count() == 0
+
+
+def test_image_hdu(spark):
+    # ReadFitsTest.scala:108-115 — 73x31x5 cube → 155 rows
+    df = read_fits(spark, f"{REF}/toTest/tst0009.fits", hdu=2)
+    assert df.count() == 155
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"Image": "array<smallint>", "ImgIndex": "bigint"}
+    idx = sorted(r[0] for r in df.select("ImgIndex").distinct().collect())
+    assert idx == [0, 1, 2, 3, 4]
+    assert df.where(F.size("Image") == 73).count() == 155
+
+
+# ---------- option validation errors ----------
+
+def test_missing_hdu_option_errors(spark):
+    # ReadFitsTest.scala:86-92
+    with pytest.raises(Exception, match="HDU"):
+        spark.read.format("fits").load(f"{REF}/test_file.fits").count()
+
+
+def test_hdu_out_of_range_errors(spark):
+    # FitsLib.scala:179-191 bounds check
+    with pytest.raises(Exception, match="out of range"):
+        read_fits(spark, f"{REF}/test_file.fits", hdu=9).count()
+
+
+def test_recordlength_too_small_errors(spark):
+    # ReadFitsTest.scala:65-74 via FitsLib.scala:225-238
+    with pytest.raises(Exception, match="recordlength"):
+        read_fits(spark, f"{REF}/test_longheader_file.fits",
+                  recordlength=10).count()
+
+
+def test_missing_file_errors(spark):
+    # packageTest.scala:233-245
+    with pytest.raises(Exception, match="(not found|No FITS)"):
+        read_fits(spark, "/no/such/file.fits").count()
+
+
+# ---------- multi-file (own writer fixtures) ----------
+
+def test_dir_read(spark, fits_dir):
+    # packageTest.scala:145-176 — 20000 + 7000 = 27000; decoy .txt ignored
+    df = read_fits(spark, fits_dir)
+    assert df.count() == 27100  # +100 from withempty/0_notempty.fits
+    # note: dir walk is recursive like the reference's searchFitsFile
+
+
+def test_glob_read(spark, fits_dir):
+    df = read_fits(spark, os.path.join(fits_dir, "cat*.fits"))
+    assert df.count() == 27000
+
+
+def test_comma_list_read(spark, fits_dir):
+    path = f"{fits_dir}/cat1.fits,{fits_dir}/cat2.fits"
+    df = read_fits(spark, path)
+    assert df.count() == 27000
+
+
+def test_permissive_skips_empty(spark, fits_dir):
+    # packageTest.scala:193-215 analog — PERMISSIVE drops the empty file
+    df = read_fits(spark, os.path.join(fits_dir, "withempty"))
+    assert df.count() == 100
+
+
+def test_failfast_raises_on_empty(spark, fits_dir):
+    # packageTest.scala:217-231 analog
+    with pytest.raises(Exception):
+        read_fits(spark, os.path.join(fits_dir, "withempty"),
+                  mode="FAILFAST").count()
+
+
+# ---------- filter pushdown (beyond-reference capability) ----------
+
+def test_filter_pushdown_results(spark):
+    df = read_fits(spark, f"{REF}/test_file.fits", partitionbytes=100000)
+    assert df.filter(F.col("Index") < 100).count() == 100
+    assert df.filter(F.col("Index") >= 19990).count() == 10
+    assert df.filter(F.col("target") == "NGC0000042").count() == 1
+    assert df.filter(F.col("target").startswith("NGC000000")).count() == 10
+    assert df.filter(
+        (F.col("Index") < 1000) & (F.col("RunId") == 1)).count() == 1000
+    assert df.filter(F.col("Index").isin(1, 5, 99999)).count() == 2
+
+
+def test_filter_pushdown_in_plan(spark):
+    df = read_fits(spark, f"{REF}/test_file.fits")
+    plan = df.filter(F.col("Index") < 100)._jdf.queryExecution().optimizedPlan().toString()
+    # the pushed predicate should no longer appear as a post-scan Filter
+    assert "PushedFilters" in plan or "Filter" not in plan.split("RelationV2")[0]
