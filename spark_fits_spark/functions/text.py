@@ -1,0 +1,161 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Everything here is a composition of built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen friendly) — **no Python UDFs in the hot
+path**. Each builder returns a Column usable in select/filter, so
+Catalyst can push/prune/fold around them. At 100 TB these run inside the
+scan stage with zero extra shuffles.
+
+Determinism: all functions are pure; hashing is md5-based so results are
+identical across engines (the DuckDB oracles in the test suite replicate
+them in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small language-marker sets for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "une", "et", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+#: BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+#: non-space symbol — a cheap standin for byte-pair pretokenization.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (single-space split; matches the oracle's
+    ``string_split(text, ' ')``)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).alias("token_count")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex pretokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (rounded 4)."""
+    t = tokens(col)
+    return F.round(F.size(F.array_distinct(t)) / F.size(t), 4)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.round(hits / F.size(t), 4)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total / F.size(t), 4)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / all chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs,
+    lexical diversity, and a sane stopword rate. Deterministic and
+    SQL-replicable (see the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = F.size(tokens(c))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    div_score = F.size(F.array_distinct(tokens(c))) / n_tok
+    stop_score = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return F.round((len_score + div_score + stop_score) / 3, 4)
+
+
+def quality_bucket(col: Column | str) -> Column:
+    q = quality_score(col)
+    return (
+        F.when(q >= 0.7, F.lit("good"))
+        .when(q >= 0.45, F.lit("ok"))
+        .otherwise(F.lit("low"))
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Language-ID heuristic: argmax of language-marker hit counts; all
+    zero → 'und'. Ties broken by fixed language order (en,es,de,fr)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(scores)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (a cheap document sketch — docs that are token
+    permutations of each other collide)."""
+    t = F.array_sort(F.array_distinct(tokens(col)))
+    return F.md5(F.concat_ws(" ", t))
+
+
+def minhash_expr(shingles: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5('<seed>|'+shingle).
+    String-min keeps Spark and the SQL oracle bit-identical."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def add_simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash signature (``bits`` wide, default 16).
+
+    Token hash = first 4 hex chars of md5 → int; each bit position
+    accumulates +1/−1 over tokens; the signature sets bits with positive
+    sums. Pure DataFrame ops: one explode + one groupBy (map-side
+    partial agg keeps the shuffle small: ≤ one row per doc)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
+    tok = tok.select(id_col, h.alias("_h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

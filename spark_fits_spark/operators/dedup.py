@@ -1,0 +1,203 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators are shuffle-conscious DataFrame compositions (no Python
+UDFs, no driver collects) designed for the 100 TB regime:
+
+- exact dedup: one hash-groupBy (map-side partial agg).
+- MinHash + LSH: shingle → per-seed min-hash → band keys → bucket
+  self-join. The join key is (band, band_key), so only docs sharing a
+  bucket meet — never a cross join. Skewed buckets (boilerplate docs)
+  are handled by AQE skew-join splitting.
+- n-gram Jaccard: exact pairwise similarity *within blocks* (caller
+  supplies a blocking column) — quadratic only inside a block.
+- embedding near-dup: cosine threshold pairs, brute-force within the
+  (broadcastable) side or blocked; for full-scale ANN see
+  ``operators.similarity``.
+
+Hashing is md5-based end to end so DuckDB oracles can replicate results
+bit-for-bit (string-min over hex digests instead of integer min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_fits_spark.functions.text import (
+    content_fingerprint,
+    md5_fingerprint,
+    minhash_expr,
+    tokens,
+)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str,
+                       normalized: bool = False) -> DataFrame:
+    """Exact duplicate groups: (fingerprint, n_docs, keeper_id).
+
+    ``normalized=True`` fingerprints the sorted distinct token set
+    (permutation-insensitive) instead of the raw text. One groupBy —
+    map-side combine makes the shuffle ~one row per distinct doc."""
+    fp = content_fingerprint(text_col) if normalized else md5_fingerprint(text_col)
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles per doc."""
+    w = tokens(text_col)
+    if n == 1:
+        sh = F.array_distinct(w)
+    else:
+        sh = F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    return df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+
+
+def _jaccard(a, b):  # rounded exact Jaccard over distinct shingle arrays
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(inter / union, 4)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 1,
+    n_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with
+    exact Jaccard ≥ ``threshold``.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Candidate
+    generation is a self-join on (band index, band key) — the classic
+    shingle→minhash→band→bucket-join pipeline; at scale the bucket join
+    shuffles only (band, key, id) tuples, and exact verification joins
+    shingle sets back by id."""
+    rows = n_hashes // bands
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n)
+
+    sig_cols = [minhash_expr(F.col("_shingles"), s).alias(f"_h{s}") for s in range(n_hashes)]
+    sig = sets_df.select("_id", "_shingles", *sig_cols)
+
+    band_entries = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"_h{b * rows + r}") for r in range(rows)])
+        band_entries.append(
+            sig.select(F.col("_id"), F.lit(b).alias("_band"), key.alias("_key"))
+        )
+    bands_df = band_entries[0]
+    for e in band_entries[1:]:
+        bands_df = bands_df.unionAll(e)
+
+    left = bands_df.alias("l")
+    right = bands_df.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+        .distinct()
+    )
+
+    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_shingles").alias("_sa"))
+    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_shingles").alias("_sb"))
+    return (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            _jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    *,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair *within a block* (e.g. same
+    source). Returns (block, doc_a, doc_b, jaccard). Quadratic inside a
+    block only — choose blocks accordingly."""
+    sets_df = (
+        shingle_sets(df, text_col, id_col, shingle_n)
+        .join(df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")), "_id")
+    )
+    a = sets_df.select(
+        F.col("_blk"), F.col("_id").alias("_ida"), F.col("_shingles").alias("_sa"))
+    b = sets_df.select(
+        F.col("_blk"), F.col("_id").alias("_idb"), F.col("_shingles").alias("_sb"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_blk").alias("block"),
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            _jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a, doc_b, cosine ≥
+    threshold), all-JVM (zip_with/aggregate — no Python UDF).
+
+    Brute-force O(n²) pairing: correct baseline for ≤ ~10⁵ vectors; at
+    100 TB use LSH bucketing (``similarity.hyperplane_lsh_topk``) to cut
+    the candidate set first."""
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select("_id", "_v", norm.alias("_n"))
+    a = base.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            (dot / (F.col("_na") * F.col("_nb"))).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cos", 4).alias("cosine"))
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns.
+
+Two tiers:
+
+- :func:`cosine_topk` — brute-force exact top-k. The query side is tiny
+  and **broadcast**, so the plan is a single pass over the corpus with
+  no shuffle until the final per-query top-k (a groupBy over k·|Q| rows).
+  This is the correctness baseline and is already the right plan for
+  |Q| small — even at 100 TB the corpus is scanned once.
+- :func:`hyperplane_lsh_topk` — approximate: random-hyperplane signature
+  buckets cut candidates to ~corpus/2^bits per query, then exact cosine
+  re-rank inside buckets. The hyperplanes are seeded → deterministic.
+
+All math is JVM-side (``zip_with``/``aggregate``); no Python UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_norm(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"),
+        v.alias(f"{prefix}v"),
+    ).withColumn(f"{prefix}n", F.sqrt(_dot(F.col(f"{prefix}v"), F.col(f"{prefix}v"))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    ``queries`` is broadcast (small dim table); ties broken by vec_id
+    for determinism."""
+    c = _with_norm(corpus, vec_col, id_col, "_c")
+    q = _with_norm(queries, vec_col, id_col, "_q")
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.where(F.col("_cid") != F.col("_qid"))
+    scored = pairs.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
+def hyperplane_signature(vec_col, planes: np.ndarray):
+    """Signature int: bit b set iff vec·plane_b > 0. planes: (bits, dim)."""
+    sig = F.lit(0)
+    for b, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(vec_col, lits) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket by a ``bits``-bit random
+    hyperplane signature, exact re-rank within the bucket.
+
+    The bucket join key is the signature, so the corpus-side work per
+    query is ~|corpus| / 2^bits. Deterministic: hyperplanes come from a
+    seeded RNG; candidates missing from the query's bucket are simply
+    not returned (approximate by design)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bits, dim))
+
+    c = _with_norm(corpus, vec_col, id_col, "_c").withColumn(
+        "_sig", hyperplane_signature(F.col("_cv"), planes))
+    q = _with_norm(queries, vec_col, id_col, "_q").withColumn(
+        "_sig", hyperplane_signature(F.col("_qv"), planes))
+
+    pairs = c.join(F.broadcast(q), "_sig")
+    if not include_self:
+        pairs = pairs.where(F.col("_cid") != F.col("_qid"))
+    scored = pairs.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )

@@ -1,0 +1,705 @@
+"""The query suite: every operator exposed via ``__spark_entry__.py``.
+
+Each entry is a pair: a PySpark DataFrame program and (where
+SQL-expressible) an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables. The driver hash-compares their results, so both
+sides are written for **bit-deterministic** output:
+
+- Double sums are computed as integer-scaled sums (cents / 1e-4 units):
+  integer addition is order-independent, so partial aggregation order
+  (Spark) vs single-threaded order (DuckDB) cannot diverge.
+- Ratios/cosines divide identical operands and round to 4 decimals.
+- Orderings always carry a unique tie-break key.
+- Hashing (fingerprints, MinHash, SimHash) is md5-based: identical hex
+  in both engines; MinHash takes lexicographic min of digests.
+
+Query inventory mirrors SURVEY.md §2.3 (the relational surface the
+reference delegates to Spark) plus the training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal) built in
+``spark_fits_spark.operators`` and ``.functions``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_fits_spark.functions import text as T
+from spark_fits_spark.operators import dedup, multimodal, similarity
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Query] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and convert (truncate) to a
+        # micros timestamp. The driver's DuckDB oracle reads nanos
+        # natively — the testdata carries micro precision, so both see
+        # identical instants.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _cents(col) -> F.Column:
+    """double money → exact bigint cents (order-independent summation)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _e4(col) -> F.Column:
+    """double → exact bigint 1e-4 units."""
+    return F.round(col * 10000, 0).cast("long")
+
+
+# =====================================================================
+# Relational surface (SURVEY.md §2.3 — the operators the reference
+# delegates to Spark; zero custom engine code, exercised for parity)
+# =====================================================================
+
+@query("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS sum_disc_e4,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS sum_charge_e6,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: scan→filter→hash agg. Filter + projection push to
+    the parquet scan; sums are map-side partial-aggregated."""
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "2000-09-02")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_e4"),
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax")) * 1000000, 0).cast("long")).alias("sum_charge_e6"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query("q02_filter_project", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount > 0.05 AND l_quantity < 25
+""")
+def q02_filter_project(spark, sf):
+    """Predicate + projection pushdown showcase (PushedFilters +
+    pruned ReadSchema reach the parquet scan)."""
+    l = _t(spark, sf, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query("q03_top_building_orders", """
+SELECT o_orderkey, SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_e4
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+""")
+def q03_top_building_orders(spark, sf):
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is broadcast; only lineitem shuffles (on l_orderkey)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q05_supplier_nation_revenue", """
+SELECT n_name, SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q05_supplier_nation_revenue(spark, sf):
+    """Fact⋈dim⋈dim with both dims broadcast → no shuffle until the
+    final (tiny) groupBy on n_name."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_e4(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_e4"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query("q07_region_rollup", """
+SELECT r_name, n_name,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def q07_region_rollup(spark, sf):
+    """Hierarchical rollup (grouping sets) over a 3-dim star join."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("q08_window_running", """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS running_spend_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q08_window_running(spark, sf):
+    """Per-customer running aggregates (window shuffles once on
+    o_custkey; integer cents keep the running sum exact)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_spend_cents"),
+    )
+
+
+@query("q09_window_events_lag", """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS seq,
+       LAG(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q09_window_events_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@query("q10_distinct_agg", """
+SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments, COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+""")
+def q10_distinct_agg(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query("q11_set_ops", """
+SELECT 'active_rich' AS tag, k FROM (
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'inactive_rich' AS tag, k FROM (
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey FROM orders)
+""")
+def q11_set_ops(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    buyers = o.select(F.col("o_custkey").alias("k"))
+    active = rich.intersect(buyers).select(F.lit("active_rich").alias("tag"), "k")
+    inactive = rich.subtract(buyers).select(F.lit("inactive_rich").alias("tag"), "k")
+    return active.unionAll(inactive)
+
+
+@query("q12_semi_anti", """
+SELECT
+  (SELECT COUNT(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+""")
+def q12_semi_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_with_orders"))
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_without_orders"))
+    return semi.crossJoin(anti)
+
+
+@query("q13_scalar_functions", """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 8)) AS name_pfx,
+       length(p_name) AS name_len,
+       p_size % 7 AS size_mod,
+       abs(p_size - 25) AS size_dev,
+       greatest(p_size, 10) AS size_floor10,
+       concat(p_brand, '#', p_type) AS brand_type
+FROM part
+""")
+def q13_scalar_functions(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query("q14_date_functions", """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""")
+def q14_date_functions(spark, sf):
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_95"),
+    )
+
+
+@query("q15_topk_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""")
+def q15_topk_orders(spark, sf):
+    """Top-k: Spark plans TakeOrderedAndProject — no global sort."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@query("q16_global_stats", """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+FROM lineitem
+""")
+def q16_global_stats(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+@query("q17_events_hourly", """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*10000) AS BIGINT)) AS sum_value_e4,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type, hour_start
+""")
+def q17_events_hourly(spark, sf):
+    """Tumbling-window aggregation (batch shape of the streaming
+    windowed agg in `streaming.events`)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_e4(F.col("value"))).alias("sum_value_e4"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events", "sum_value_e4", "n_users",
+        )
+    )
+
+
+@query("q18_events_json", """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / COUNT(*), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def q18_events_json(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count("*"), 4).alias("avg_k"),
+    )
+
+
+@query("q19_sessionize", """
+WITH seq AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         LAG(epoch_ms(ts)) OVER w AS prev_ms
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM seq
+), sessions AS (
+  SELECT user_id, event_id, ms,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ms) AS start_ms, MAX(ms) AS end_ms
+FROM sessions GROUP BY user_id, session_id
+""")
+def q19_sessionize(spark, sf):
+    """Sessionization (30-min gap) via window lag + running sum — the
+    classic stateful op expressed shuffle-once per user."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    flagged = e.select(
+        "user_id", "event_id", ms.alias("ms"),
+        F.when(
+            F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id").orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", "event_id", "ms",
+        F.sum("new_session").over(w2).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (beyond-reference; SURVEY.md §7 M7)
+# =====================================================================
+
+@query("q20_dedup_exact", """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY fingerprint
+""")
+def q20_dedup_exact(spark, sf):
+    return dedup.exact_dedup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+@query("q21_dedup_normalized", """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY fingerprint
+""")
+def q21_dedup_normalized(spark, sf):
+    return dedup.exact_dedup_groups(
+        _t(spark, sf, "documents"), "text", "doc_id", normalized=True)
+
+
+_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), sig AS (
+  SELECT doc_id, toks,
+         {sig_cols}
+  FROM tok
+), bands AS (
+  {band_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT ida AS doc_a, idb AS doc_b,
+       round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+             / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+FROM cand JOIN tok ta ON ta.doc_id = ida JOIN tok tb ON tb.doc_id = idb
+WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
+            / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.9
+""".format(
+    sig_cols=",\n         ".join(
+        f"list_min(list_transform(toks, t -> md5('{s}|' || t))) AS h{s}"
+        for s in range(8)
+    ),
+    band_union="\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3} AS bk FROM sig"
+        for b in range(2)
+    ),
+)
+
+
+@query("q22_dedup_minhash_lsh", _MINHASH_ORACLE)
+def q22_dedup_minhash_lsh(spark, sf):
+    """MinHash(8)+LSH(2 bands×4) candidates, verified at Jaccard ≥ 0.9."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        shingle_n=1, n_hashes=8, bands=2, threshold=0.9)
+
+
+@query("q23_dedup_ngram_jaccard", """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+           list_transform(range(1, len(string_split(text,' ')) - 1),
+                          i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+           ELSE [text] END) AS sh3
+  FROM documents
+)
+SELECT a.source AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh3, b.sh3))::DOUBLE
+             / len(list_distinct(list_concat(a.sh3, b.sh3))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+""")
+def q23_dedup_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard within source blocks (quadratic only inside
+    a block)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", "source", shingle_n=3)
+
+
+@query("q24_dedup_simhash", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) AS hv FROM tok
+), bitsum AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS b) bits GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id
+""")
+def q24_dedup_simhash(spark, sf):
+    return T.add_simhash(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
+
+
+@query("q25_embedding_near_dup", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+""")
+def q25_embedding_near_dup(spark, sf):
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.35)
+
+
+@query("q26_ann_cosine_topk", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(q.v, c.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+""")
+def q26_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline;
+    broadcast queries → single corpus pass)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        e, e.where(F.col("vec_id") < 5), "embedding", "vec_id", k=10)
+
+
+@query("q27_text_stats", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS token_count,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_token_count,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS distinct_ratio,
+       round(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       n_chars
+FROM documents
+""")
+def q27_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.tokens("text")).alias("token_count"),
+        T.bpe_token_count("text").alias("bpe_token_count"),
+        T.distinct_token_ratio("text").alias("distinct_ratio"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        "n_chars",
+    )
+
+
+_LANG_SQL_SCORES = {
+    lang: "len(list_filter(string_split(text, ' '), t -> t IN ({})))".format(
+        ",".join(f"'{w}'" for w in words))
+    for lang, words in T.LANG_MARKERS.items()
+}
+
+@query("q28_text_langid", f"""
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_LANG_SQL_SCORES['en']} AS s_en,
+         {_LANG_SQL_SCORES['es']} AS s_es,
+         {_LANG_SQL_SCORES['de']} AS s_de,
+         {_LANG_SQL_SCORES['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS predicted_lang
+FROM s
+""")
+def q28_text_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query("q29_text_quality", """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         round(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+               / len(string_split(text, ' ')), 4) AS stop_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         round((least(n_tok / 50.0, 1.0)
+                + n_distinct::DOUBLE / n_tok
+                + least(stop_ratio * 5, 1.0)) / 3, 4) AS quality
+  FROM m
+)
+SELECT doc_id, quality,
+       CASE WHEN quality >= 0.7 THEN 'good'
+            WHEN quality >= 0.45 THEN 'ok'
+            ELSE 'low' END AS bucket
+FROM q
+""")
+def q29_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.quality_bucket("text").alias("bucket"),
+    )
+
+
+@query("q30_multimodal_meta", """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST((length(text) * 7) % 64 + 1 AS INT) AS width,
+       CAST((length(text) * 13) % 64 + 1 AS INT) AS height,
+       3 AS channels,
+       'fake/raw' AS "format"
+FROM documents
+""")
+def q30_multimodal_meta(spark, sf):
+    """Binary-payload plumbing: text→binary column→mapInPandas decode
+    stub→typed metadata. The oracle replicates the stub arithmetic (the
+    decode itself is stubbed — no media libs in this environment)."""
+    d = _t(spark, sf, "documents")
+    payload = multimodal.with_payload(d, "text", "doc_id")
+    return multimodal.decode_image_meta(payload)
+
+
+# -- no-oracle queries (non-SQL-expressible / approximate by design) ----
+
+@query("q31_ann_lsh_topk")  # rows-only check: hyperplane LSH is approximate
+def q31_ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",
+        k=10, bits=4, dim=64, seed=7)
