@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: run the suite's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (foreach-noop action, so results
+are fully materialized but never collected to the driver) and timed
+wall-clock. A FITS-scan microbenchmark is included: it writes a ~64 MB
+bintable once to a temp dir and measures the vectorized scan+agg, to
+compare with the reference's ~16 MB/s/task decode note
+(FitsRecordReader.scala:379).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+# headline subset: every operator family, weighted toward the scan/join/
+# agg/window/dedup paths that dominate a 100 TB pipeline
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_building_orders",
+    "q05_supplier_nation_revenue",
+    "q07_region_rollup",
+    "q08_window_running",
+    "q17_events_hourly",
+    "q19_sessionize",
+    "q20_dedup_exact",
+    "q22_dedup_minhash_lsh",
+    "q23_dedup_ngram_jaccard",
+    "q24_dedup_simhash",
+    "q25_embedding_near_dup",
+    "q26_ann_cosine_topk",
+    "q27_text_stats",
+    "q29_text_quality",
+    "q30_multimodal_meta",
+]
+
+
+def _noop_consume(df) -> int:
+    """Materialize every row without driver collect."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def fits_scan_seconds(spark) -> tuple[float, float]:
+    """(seconds, MB) for a full vectorized scan+agg of a generated
+    bintable (~64 MB)."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    d = tempfile.mkdtemp(prefix="fitsbench")
+    path = os.path.join(d, "bench.fits")
+    n = 2_000_000  # 32 B/row → 64 MB
+    rng = np.random.RandomState(0)
+    cols = [
+        ("target", "10A", np.array([f"OBJ{i:07d}" for i in range(n)])),
+        ("RA", "E", rng.uniform(0, 6.28, n).astype(">f4")),
+        ("Dec", "D", rng.uniform(-1.57, 1.57, n)),
+        ("Index", "K", np.arange(n, dtype=">i8")),
+        ("RunId", "I", np.ones(n, dtype=">i2")),
+    ]
+    writer.write_fits(path, [writer.bintable_hdu(cols)])
+    mb = os.path.getsize(path) / 1e6
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("fits").option("hdu", 1)
+        .option("partitionbytes", 8 * 1024 * 1024).load(path)
+    )
+    df.count()  # warm-up: python workers + plan cache
+    t0 = time.perf_counter()
+    got = df.agg(F.sum("Index"), F.count("*")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert got[1] == n, got
+    try:
+        os.remove(path)
+        os.rmdir(d)
+    except OSError:
+        pass
+    return sec, mb
+
+
+def main() -> None:
+    from spark_fits_spark.plans import build_session
+    from spark_fits_spark.suite import QUERIES
+
+    spark = build_session(app_name="spark-fits-spark-bench",
+                          shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM/python-worker pool outside timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        _noop_consume(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    fits_sec, fits_mb = fits_scan_seconds(spark)
+    timings["fits_scan_64mb"] = round(fits_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "suite_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+        "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,24 @@ def build_row_dtype(hdu: HduInfo, col_indices: list[int]) -> np.dtype:
     })
 
 
+def _as_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
 def _strings_to_arrow(col: np.ndarray) -> pa.Array:
-    """Fixed-width FITS strings → Arrow string array, Java-trim semantics."""
-    stripped = np.char.strip(np.char.rstrip(col, b"\x00"))
-    return pa.array(np.char.decode(stripped, "ascii", "replace"))
+    """Fixed-width FITS strings → Arrow string array, Java-trim semantics
+    (both ends, all chars ≤ 0x20). Stays in Arrow C++ — no per-row
+    Python, no numpy unicode conversion."""
+    raw = _as_array(pa.array(col))
+    if not pa.types.is_string(raw.type):
+        if pa.types.is_fixed_size_binary(raw.type):
+            raw = raw.cast(pa.binary())
+        raw = raw.cast(pa.string())
+    import pyarrow.compute as pc
+
+    return _as_array(pc.ascii_trim(raw, characters=" \x00\t\n\r\x0b\x0c"))
 
 
 def _column_to_arrow(col: np.ndarray, info: TFormInfo) -> pa.Array:
@@ -107,7 +121,7 @@ def decode_bintable(
             arr = _column_to_arrow(rows[f"f{pos}"], info)
         field = arrow_schema.field(pos)
         if arr.type != field.type:
-            arr = arr.cast(field.type)
+            arr = _as_array(arr.cast(field.type))
         arrays.append(arr)
     return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 

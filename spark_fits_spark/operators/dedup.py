@@ -91,8 +91,13 @@ def minhash_lsh_pairs(
     shingle→minhash→band→bucket-join pipeline; at scale the bucket join
     shuffles only (band, key, id) tuples, and exact verification joins
     shingle sets back by id."""
+    from pyspark.storagelevel import StorageLevel
+
     rows = n_hashes // bands
-    sets_df = shingle_sets(df, text_col, id_col, shingle_n)
+    # the shingle table feeds signature generation AND both sides of the
+    # exact-verify join — persist it so it is computed once
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     sig_cols = [minhash_expr(F.col("_shingles"), s).alias(f"_h{s}") for s in range(n_hashes)]
     sig = sets_df.select("_id", "_shingles", *sig_cols)
@@ -173,31 +178,49 @@ def embedding_near_dup_pairs(
     threshold: float = 0.35,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a, doc_b, cosine ≥
-    threshold), all-JVM (zip_with/aggregate — no Python UDF).
+    threshold), doc_a < doc_b.
 
-    Brute-force O(n²) pairing: correct baseline for ≤ ~10⁵ vectors; at
-    100 TB use LSH bucketing (``similarity.hyperplane_lsh_topk``) to cut
-    the candidate set first."""
-    norm = F.sqrt(F.aggregate(
-        F.zip_with(F.col("_v"), F.col("_v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).select("_id", "_v", norm.alias("_n"))
-    a = base.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = base.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        a.crossJoin(b)
-        .where(F.col("_ida") < F.col("_idb"))
-        .select(
-            F.col("_ida").alias("doc_a"),
-            F.col("_idb").alias("doc_b"),
-            (dot / (F.col("_na") * F.col("_nb"))).alias("_cos"),
-        )
-        .where(F.col("_cos") >= threshold)
-        .select("doc_a", "doc_b", F.round("_cos", 4).alias("cosine"))
-    )
+    Execution: the corpus matrix is broadcast once; each partition
+    computes a vectorized ``batch × corpusᵀ`` GEMM in numpy (Arrow-batched
+    mapInPandas). That keeps the O(n²) comparison inside BLAS — ~100×
+    faster than per-pair JVM array ops — while the scan side stays fully
+    distributed. Valid for corpora whose matrix fits in a broadcast
+    (~10⁶ × 64 floats ≈ 512 MB); beyond that, bucket with
+    ``similarity.hyperplane_lsh_topk``-style LSH first so each bucket's
+    matrix is broadcastable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["_v"].to_numpy())
+    mat_n = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    out_schema = StructType([
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def gen(batches):
+        b_ids, b_mat = bc.value
+        for p in batches:
+            a_ids = p["_id"].to_numpy(dtype=np.int64)
+            a = np.stack(p["_v"].to_numpy())
+            a_n = a / np.sqrt((a * a).sum(axis=1))[:, None]
+            sims = a_n @ b_mat.T
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame({
+                "doc_a": a_ids[i],
+                "doc_b": b_ids[j],
+                "cosine": np.round(sims[i, j], 4),
+            })
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).cast("array<double>").alias("_v"))
+    return src.mapInPandas(gen, out_schema)
