@@ -1,0 +1,146 @@
+"""Structured Streaming operators over event streams.
+
+The reference is batch-only (no StreamSourceProvider anywhere — SURVEY.md
+§2.3), so this module is beyond-reference surface: the streaming shapes a
+training-data pipeline needs, built on Structured Streaming primitives:
+
+- :func:`read_events_stream` — file-based stream over the events table's
+  schema (drop parquet files into a directory → micro-batches).
+- :func:`hourly_counts` — watermarked tumbling-window aggregation
+  (late data handled by the watermark; state is bounded).
+- :func:`sessionize_stream` — custom stateful operator via
+  ``applyInPandasWithState`` (30-min-gap sessions, the streaming twin of
+  the batch ``q19_sessionize`` query).
+
+All transformations also work on a batch DataFrame of the same schema
+(except the stateful one, which is streaming-only by API), which is how
+the tests cross-check results against the batch suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream: each new parquet file in ``path`` becomes a
+    micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed aggregation per event_type with a
+    watermark bounding state for late data. Works on both streaming and
+    batch inputs (watermark is a no-op in batch)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("sum_value_e4"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type", "n_events", "sum_value_e4",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_ms", LongType()),
+    StructField("session_end_ms", LongType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("open_start_ms", LongType()),
+    StructField("open_end_ms", LongType()),
+    StructField("open_count", LongType()),
+])
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def sessionize_stream(events: DataFrame, timeout_minutes: int = 45) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``: per-user
+    state holds the open session; a 30-min event gap (or state timeout)
+    closes it and emits a session row.
+
+    State per key is three longs — bounded regardless of stream length;
+    the groupBy shuffles once on user_id."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, c = state.get
+                state.remove()
+                yield pd.DataFrame({
+                    "user_id": [user_id], "session_start_ms": [s],
+                    "session_end_ms": [e], "n_events": [c]})
+            return
+        ms_list = []
+        for pdf in pdfs:
+            ms_list.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+        ms_list.sort()
+        if state.exists:
+            start, end, count = state.get
+        else:
+            start = end = count = None
+        out = []
+        for ms in ms_list:
+            if start is None:
+                start, end, count = ms, ms, 1
+            elif ms - end > SESSION_GAP_MS:
+                out.append((start, end, count))
+                start, end, count = ms, ms, 1
+            else:
+                end = ms
+                count += 1
+        state.update((start, end, count))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(out),
+                "session_start_ms": [o[0] for o in out],
+                "session_end_ms": [o[1] for o in out],
+                "n_events": [o[2] for o in out]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
