@@ -1,0 +1,112 @@
+"""Standalone operator tests (beyond the oracle suite): algorithmic
+properties that a hash-match can't express."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fits_spark.functions import text as T
+from spark_fits_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base + " ok"), (2, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+    assert pairs[0]["jaccard"] >= 0.8
+
+
+def test_exact_dedup_counts(spark):
+    rows = [(0, "aa bb"), (1, "aa bb"), (2, "bb aa"), (3, "zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    raw = {r["keeper_id"]: r["n_docs"]
+           for r in dedup.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert raw == {0: 2, 2: 1, 3: 1}
+    norm = {r["keeper_id"]: r["n_docs"]
+            for r in dedup.exact_dedup_groups(df, "text", "doc_id", normalized=True).collect()}
+    assert norm == {0: 3, 3: 1}  # "bb aa" collapses with "aa bb"
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"] for r in T.add_simhash(df, "text", "doc_id").collect()}
+    d01 = bin(sig[0] ^ sig[1]).count("1")
+    d02 = bin(sig[0] ^ sig[2]).count("1")
+    assert d01 < d02, (sig, d01, d02)
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    got = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id", k=5).collect()
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    matn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = matn @ matn.T
+    for q in range(3):
+        order = [ids[i] for i in np.argsort(-sims[q]) if ids[i] != q][:5]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"])]
+        assert mine == order, (q, mine, order)
+
+
+def test_lsh_ann_subset_of_bucket_and_ranked(spark, emb):
+    got = similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, bits=4, dim=64, seed=7).collect()
+    assert len(got) > 0
+    for q in {r["query_id"] for r in got}:
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # determinism: second run identical
+    again = similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, bits=4, dim=64, seed=7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_multimodal_meta_deterministic(spark, docs):
+    payload = multimodal.with_payload(docs, "text", "doc_id")
+    meta = multimodal.decode_image_meta(payload)
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["width"] == (r["n_bytes"] * 7) % 64 + 1
+        assert r["height"] == (r["n_bytes"] * 13) % 64 + 1
+        assert r["channels"] == 3
+
+
+def test_lang_id_on_real_phrases(spark):
+    rows = [(0, "the cat is on a mat and of course"),
+            (1, "el gato es de la casa y es bueno"),
+            (2, "der hund ist und die katze das haus"),
+            (3, "xyzzy plugh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_quality_score_monotone(spark):
+    rows = [(0, "word " * 60 + "end"), (1, "spam spam spam spam")]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], ["doc_id", "text"])
+    got = {r["doc_id"]: r["q"] for r in
+           df.select("doc_id", T.quality_score("text").alias("q")).collect()}
+    assert 0 <= got[1] < got[0] <= 1
