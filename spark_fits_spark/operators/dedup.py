@@ -49,8 +49,16 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataFrame:
-    """(id, shingles) with distinct word n-gram shingles per doc."""
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1,
+                 hashed: bool = False) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles per doc.
+
+    ``hashed=True`` adds ``_hashes``: the shingles md5-hashed to int64
+    (first 15 hex digits). Set intersections over longs are ~2× cheaper
+    to shuffle and compare than over strings; Jaccard over the hashed
+    sets equals Jaccard over the raw sets (64-bit collisions are
+    negligible, and the SQL oracle applies the identical hash so both
+    engines agree exactly either way)."""
     w = tokens(text_col)
     if n == 1:
         sh = F.array_distinct(w)
@@ -64,7 +72,16 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1) -> DataF
                 )
             ),
         ).otherwise(F.array(F.concat_ws(" ", w)))
-    return df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+    out = df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+    if hashed:
+        out = out.withColumn(
+            "_hashes",
+            F.array_distinct(F.transform(
+                F.col("_shingles"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )),
+        )
+    return out
 
 
 def _jaccard(a, b):  # rounded exact Jaccard over distinct shingle arrays
@@ -96,7 +113,7 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     # the shingle table feeds signature generation AND both sides of the
     # exact-verify join — persist it so it is computed once
-    sets_df = shingle_sets(df, text_col, id_col, shingle_n).persist(
+    sets_df = shingle_sets(df, text_col, id_col, shingle_n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK)
 
     sig_cols = [minhash_expr(F.col("_shingles"), s).alias(f"_h{s}") for s in range(n_hashes)]
@@ -125,8 +142,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_shingles").alias("_sa"))
-    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_shingles").alias("_sb"))
+    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
+    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
     return (
         cand.join(sa, "_ida")
         .join(sb, "_idb")
@@ -151,13 +168,13 @@ def ngram_jaccard_pairs(
     source). Returns (block, doc_a, doc_b, jaccard). Quadratic inside a
     block only — choose blocks accordingly."""
     sets_df = (
-        shingle_sets(df, text_col, id_col, shingle_n)
+        shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
         .join(df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")), "_id")
     )
     a = sets_df.select(
-        F.col("_blk"), F.col("_id").alias("_ida"), F.col("_shingles").alias("_sa"))
+        F.col("_blk"), F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
     b = sets_df.select(
-        F.col("_blk"), F.col("_id").alias("_idb"), F.col("_shingles").alias("_sb"))
+        F.col("_blk"), F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
     return (
         a.join(b, "_blk")
         .where(F.col("_ida") < F.col("_idb"))

@@ -479,7 +479,10 @@ def q21_dedup_normalized(spark, sf):
 
 _MINHASH_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS hs
+  FROM documents
 ), sig AS (
   SELECT doc_id, toks,
          {sig_cols}
@@ -491,11 +494,11 @@ WITH tok AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
 )
 SELECT ida AS doc_a, idb AS doc_b,
-       round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-             / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+       round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
+             / len(list_distinct(list_concat(ta.hs, tb.hs))), 4) AS jaccard
 FROM cand JOIN tok ta ON ta.doc_id = ida JOIN tok tb ON tb.doc_id = idb
-WHERE round(len(list_intersect(ta.toks, tb.toks))::DOUBLE
-            / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.9
+WHERE round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
+            / len(list_distinct(list_concat(ta.hs, tb.hs))), 4) >= 0.9
 """.format(
     sig_cols=",\n         ".join(
         f"list_min(list_transform(toks, t -> md5('{s}|' || t))) AS h{s}"
@@ -519,10 +522,12 @@ def q22_dedup_minhash_lsh(spark, sf):
 @query("q23_dedup_ngram_jaccard", """
 WITH sh AS (
   SELECT doc_id, source,
-         list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
-           list_transform(range(1, len(string_split(text,' ')) - 1),
-                          i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
-           ELSE [text] END) AS sh3
+         list_distinct(list_transform(
+           list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_transform(range(1, len(string_split(text,' ')) - 1),
+                            i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+             ELSE [text] END),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh3
   FROM documents
 )
 SELECT a.source AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
