@@ -195,6 +195,19 @@ class FitsDataSource(DataSource):
             return _image_schema(hdu)
         return EMPTY_SCHEMA
 
+    def writer(self, schema: StructType, overwrite: bool):
+        """FITS sink (beyond-reference; see ``fits_writer``). Overwrite
+        clears previous part files driver-side before tasks run."""
+        from spark_fits_spark.sources.fits_writer import FitsArrowWriter
+
+        path = self._path()
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".fits"):
+                    os.remove(os.path.join(path, f))
+        os.makedirs(path, exist_ok=True)
+        return FitsArrowWriter(schema, path)
+
     def reader(self, schema: StructType) -> "FitsScanReader":
         return FitsScanReader(
             path=self._path(),
@@ -209,6 +222,13 @@ class FitsDataSource(DataSource):
             ),
             verbose=(self._opt("verbose", default="false") or "").lower() == "true",
         )
+
+    def streamReader(self, schema: StructType) -> "FitsStreamReader":
+        """Streaming FITS source (beyond-reference — the reference is
+        batch-only, SURVEY.md §2.3): watch a directory; every new
+        ``.fits`` file becomes part of the next micro-batch, scanned with
+        the same row-aligned distributed partitions as the batch path."""
+        return FitsStreamReader(self.reader(schema))
 
 
 def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
@@ -260,16 +280,34 @@ class FitsScanReader(DataSourceReader):
         files = search_fits_files(self.path)
         if self.verbose:
             logger.info("fits scan: %d file(s), hdu=%d", len(files), self.hdu_index)
+        return self.plan_for_files(files)
+
+    def plan_for_files(self, files: list[str]) -> list[FitsInputPartition]:
+
+        # open headers in parallel: planning cost is a few KB of reads per
+        # file, but serial latency would dominate with thousands of files
+        def _open(fp: str):
+            try:
+                with open(fp, "rb") as f:
+                    return open_hdu(f, fp, self.hdu_index)
+            except ValueError as e:
+                return e
+
+        if len(files) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+                opened = list(ex.map(_open, files))
+        else:
+            opened = [_open(fp) for fp in files]
 
         hdus: list[HduInfo] = []
         first_sig = None
         for i, fp in enumerate(files):
-            try:
-                with open(fp, "rb") as f:
-                    hdu = open_hdu(f, fp, self.hdu_index)
-            except ValueError:
+            hdu = opened[i]
+            if isinstance(hdu, ValueError):
                 if self.mode == "FAILFAST":
-                    raise
+                    raise hdu
                 if i == 0:
                     first_sig = ("empty",)
                 continue  # PERMISSIVE: HDU out of range → skip file
@@ -428,3 +466,44 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
     if isinstance(f, StringEndsWith):
         return pc.ends_with(col, f.value)
     raise AssertionError(f"unreachable: {f}")
+
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class FitsStreamReader(DataSourceStreamReader):
+    """Distributed streaming FITS reader: offsets are the sorted set of
+    files already ingested; each micro-batch plans row-aligned partitions
+    over the newly-arrived files only (implements the
+    ``DataSourceStreamReader`` protocol).
+
+    At scale the offset payload is a file list — fine for the
+    typical telescope-pipeline cadence (thousands of files/day); a
+    mtime-watermark offset would be the next step beyond that."""
+
+    def __init__(self, scan: FitsScanReader):
+        self._scan = scan
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        try:
+            return {"files": search_fits_files(self._scan.path)}
+        except FileNotFoundError:
+            return {"files": []}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        if not new:
+            return [FitsInputPartition(hdu=None, row_start=0, row_end=0)]  # type: ignore[arg-type]
+        return self._scan.plan_for_files(new)
+
+    def read(self, partition: FitsInputPartition):
+        return self._scan.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
