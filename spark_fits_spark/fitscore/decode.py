@@ -160,3 +160,71 @@ def decode_image(
             arr = arr.cast(field.type)
         out.append(arr)
     return pa.RecordBatch.from_arrays(out, schema=arrow_schema)
+
+
+# -- ASCII table decode (beyond-reference opt-in; reference stubs TABLE
+#    HDUs to empty DataFrames, FitsHdu.scala:242-267) -------------------
+
+import re as _re
+
+_ASCII_TFORM_RE = _re.compile(r"^\s*([AIFED])(\d+)(?:\.(\d+))?")
+
+
+def ascii_table_spark_type(tform: str):
+    """ASCII TFORM (Aw / Iw / Fw.d / Ew.d / Dw.d) → Spark type:
+    A→string, I→long, F/E/D→double."""
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    m = _ASCII_TFORM_RE.match(tform)
+    if not m:
+        return StringType()
+    return {"A": StringType(), "I": LongType()}.get(m.group(1), DoubleType())
+
+
+def decode_ascii_table(
+    buf: bytes | memoryview,
+    hdu: HduInfo,
+    col_indices: list[int],
+    arrow_schema: pa.Schema,
+) -> pa.RecordBatch:
+    """Decode fixed-width ASCII table rows: slice each field's character
+    range from a numpy S-view, then bulk-parse (numpy handles b'1.2E3';
+    Fortran 'D' exponents are rewritten to 'E')."""
+    n_rows = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
+    names, formats, offsets, codes = [], [], [], []
+    for pos, ci in enumerate(col_indices):
+        m = _ASCII_TFORM_RE.match(hdu.col_tforms[ci])
+        code = m.group(1) if m else "A"
+        width = int(m.group(2)) if m else 1
+        names.append(f"f{pos}")
+        formats.append(f"S{width}")
+        offsets.append(hdu.col_tbcols[ci] - 1)
+        codes.append(code)
+    dtype = np.dtype({"names": names, "formats": formats, "offsets": offsets,
+                      "itemsize": hdu.row_bytes})
+    rows = np.frombuffer(buf, dtype=dtype, count=n_rows)
+    arrays = []
+    for pos, code in enumerate(codes):
+        col = rows[f"f{pos}"]
+        if code == "A":
+            arr = _strings_to_arrow(col)
+        else:
+            # unparseable cells (null sentinels like '---.--', blanks)
+            # become SQL NULLs via vectorized coerce
+            import pandas as pd
+
+            stripped = np.char.strip(col)
+            cleaned = np.char.replace(
+                np.char.replace(stripped, b"D", b"E"), b"d", b"e")
+            vals = pd.to_numeric(
+                pd.Series(np.char.decode(cleaned, "ascii", "replace")),
+                errors="coerce")
+            if code == "I":
+                arr = pa.Array.from_pandas(vals.astype("Int64"))
+            else:
+                arr = pa.array(vals.to_numpy(dtype=np.float64), from_pandas=True)
+        field = arrow_schema.field(pos)
+        if arr.type != field.type:
+            arr = _as_array(arr.cast(field.type))
+        arrays.append(arr)
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)

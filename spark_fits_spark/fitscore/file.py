@@ -136,6 +136,8 @@ class HduInfo:
     n_rows: int = 0                         # NAXIS2 (bintable) or Π NAXISn,n≥2 (image)
     col_names: tuple[str, ...] = ()
     col_tforms: tuple[str, ...] = ()
+    # ascii-table fields (TBCOLn: 1-based start column per field)
+    col_tbcols: tuple[int, ...] = ()
     # image fields
     naxis: tuple[int, ...] = ()             # (NAXIS1, NAXIS2, ...)
     image_tform: str = ""                   # element type letter from BITPIX
@@ -203,7 +205,27 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
             naxis=naxis, image_tform=tform,
         )
 
-    # empty / ascii-table HDUs carry no scannable data
+    if hdu_type == HDU_TYPE_TABLE:
+        # ASCII table: recognized; metadata parsed so the opt-in reader
+        # (beyond-reference) can decode it. The default scan still
+        # returns an empty DataFrame for parity (FitsHdu.scala:242-267).
+        row_bytes = int(header.get("NAXIS1", "0"))
+        n_rows = int(header.get("NAXIS2", "0"))
+        n_cols = int(header.get("TFIELDS", "0"))
+        names, tforms, tbcols = [], [], []
+        for i in range(1, n_cols + 1):
+            names.append(header_value(header, f"TTYPE{i}", f"col{i}") or f"col{i}")
+            tforms.append(header_value(header, f"TFORM{i}", "") or "")
+            tbcols.append(int(header_value(header, f"TBCOL{i}", "1") or "1"))
+        return HduInfo(
+            path=path, hdu_index=hdu_index, hdu_type=hdu_type,
+            boundaries=boundaries, header=header,
+            row_bytes=row_bytes, n_rows=n_rows,
+            col_names=tuple(names), col_tforms=tuple(tforms),
+            col_tbcols=tuple(tbcols),
+        )
+
+    # empty HDUs carry no scannable data
     return HduInfo(
         path=path, hdu_index=hdu_index, hdu_type=hdu_type,
         boundaries=boundaries, header=header,

@@ -121,7 +121,15 @@ def minhash_lsh_pairs(
 
     band_entries = []
     for b in range(bands):
-        key = F.concat(*[F.col(f"_h{b * rows + r}") for r in range(rows)])
+        # compress the concatenated digests to an int64 bucket key
+        # (md5-prefix, mirrored exactly by the SQL oracle): the bucket
+        # self-join then shuffles 12-byte keys instead of 128-char strings
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat(*[F.col(f"_h{b * rows + r}") for r in range(rows)])),
+                1, 15),
+            16, 10,
+        ).cast("long")
         band_entries.append(
             sig.select(F.col("_id"), F.lit(b).alias("_band"), key.alias("_key"))
         )
@@ -144,6 +152,12 @@ def minhash_lsh_pairs(
 
     sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
     sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
+    # verify-join strategy: candidates are ~pairs² while the shingle table
+    # is ~docs — broadcast it when it fits (the count is free: sets_df is
+    # persisted and about to be materialized anyway), so the wide arrays
+    # never ride the shuffle. Beyond broadcast size, fall back to sort-merge.
+    if sets_df.count() <= 2_000_000:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         cand.join(sa, "_ida")
         .join(sb, "_idb")

@@ -66,6 +66,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from spark_fits_spark.fitscore.file import (
     HDU_TYPE_BINTABLE,
     HDU_TYPE_IMAGE,
+    HDU_TYPE_TABLE,
     HduInfo,
     open_hdu,
 )
@@ -140,6 +141,8 @@ def _schema_signature(hdu: HduInfo):
         return ("bintable", hdu.col_names, hdu.col_tforms)
     if hdu.hdu_type == HDU_TYPE_IMAGE:
         return ("image", hdu.naxis[:1], hdu.image_tform)
+    if hdu.hdu_type == HDU_TYPE_TABLE:
+        return ("table", hdu.col_names, hdu.col_tforms, hdu.col_tbcols)
     return ("empty",)
 
 
@@ -193,7 +196,25 @@ class FitsDataSource(DataSource):
             return schema
         if hdu.hdu_type == HDU_TYPE_IMAGE:
             return _image_schema(hdu)
+        if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
+            # beyond-reference: opt-in ASCII-table parsing (the default
+            # stays an empty DataFrame for parity, ReadFitsTest.scala:118-125)
+            from spark_fits_spark.fitscore.decode import ascii_table_spark_type
+
+            schema = StructType([
+                StructField(n, ascii_table_spark_type(t), True)
+                for n, t in zip(hdu.col_names, hdu.col_tforms)
+            ])
+            cols = self._opt("columns")
+            if cols:
+                schema = StructType(
+                    [schema[i] for i in _select_columns(hdu, cols)]
+                )
+            return schema
         return EMPTY_SCHEMA
+
+    def _ascii_enabled(self) -> bool:
+        return (self._opt("asciitable", default="false") or "").lower() == "true"
 
     def writer(self, schema: StructType, overwrite: bool):
         """FITS sink (beyond-reference; see ``fits_writer``). Overwrite
@@ -221,6 +242,7 @@ class FitsDataSource(DataSource):
                           default=str(DEFAULT_PARTITION_BYTES))
             ),
             verbose=(self._opt("verbose", default="false") or "").lower() == "true",
+            ascii_tables=self._ascii_enabled(),
         )
 
     def streamReader(self, schema: StructType) -> "FitsStreamReader":
@@ -253,7 +275,8 @@ def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
 
 class FitsScanReader(DataSourceReader):
     def __init__(self, path, hdu_index, schema, columns, recordlength, mode,
-                 partition_bytes, verbose):
+                 partition_bytes, verbose, ascii_tables=False):
+        self.ascii_tables = ascii_tables
         self.path = path
         self.hdu_index = hdu_index
         self.spark_schema = schema
@@ -312,10 +335,9 @@ class FitsScanReader(DataSourceReader):
                     first_sig = ("empty",)
                 continue  # PERMISSIVE: HDU out of range → skip file
             sig = _schema_signature(hdu)
-            scannable = (
-                hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE)
-                and hdu.n_rows > 0
-            )
+            scannable_types = (HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE) + (
+                (HDU_TYPE_TABLE,) if self.ascii_tables else ())
+            scannable = hdu.hdu_type in scannable_types and hdu.n_rows > 0
             if i == 0:
                 # the schema-defining file (schema() reads files[0] too, so
                 # planning and inference always agree)
@@ -354,7 +376,7 @@ class FitsScanReader(DataSourceReader):
         for hdu in hdus:
             col_indices = (
                 _select_columns(hdu, self.columns)
-                if hdu.hdu_type == HDU_TYPE_BINTABLE
+                if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE)
                 else []
             )
             data_len = hdu.n_rows * hdu.row_bytes
@@ -396,6 +418,10 @@ class FitsScanReader(DataSourceReader):
                 buf = f.read(n * hdu.row_bytes)
                 if hdu.hdu_type == HDU_TYPE_BINTABLE:
                     batch = decode_bintable(buf, hdu, partition.col_indices, arrow_schema)
+                elif hdu.hdu_type == HDU_TYPE_TABLE:
+                    from spark_fits_spark.fitscore.decode import decode_ascii_table
+
+                    batch = decode_ascii_table(buf, hdu, partition.col_indices, arrow_schema)
                 else:
                     batch = decode_image(buf, hdu, row, arrow_schema)
                 if self.pushed:

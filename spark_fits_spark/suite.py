@@ -505,7 +505,9 @@ WHERE round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
         for s in range(8)
     ),
     band_union="\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3} AS bk FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(('0x' || substr(md5(h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3}), 1, 15)) AS BIGINT) AS bk "
+        "FROM sig"
         for b in range(2)
     ),
 )
@@ -698,6 +700,74 @@ def q30_multimodal_meta(spark, sf):
     d = _t(spark, sf, "documents")
     payload = multimodal.with_payload(d, "text", "doc_id")
     return multimodal.decode_image_meta(payload)
+
+
+@query("q32_pivot_segments", """
+SELECT c_nationkey,
+       SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
+       SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS building,
+       SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS furniture,
+       SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS household,
+       SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS machinery
+FROM customer GROUP BY c_nationkey
+""")
+def q32_pivot_segments(spark, sf):
+    """Pivot (wide aggregation): explicit value list keeps it a single
+    hash-agg pass — no second job to discover pivot values."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = _t(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "c_nationkey",
+            *[F.col(s).cast("long").alias(s.lower()) for s in segs],
+        )
+    )
+
+
+@query("q33_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def q33_grouping_sets(spark, sf):
+    """Arbitrary grouping sets (not just rollup/cube)."""
+    o = _t(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+@query("q34_outer_joins", """
+SELECT n.n_name,
+       COUNT(c.c_custkey) AS n_customers,
+       COALESCE(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END), 0) AS n_positive
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q34_outer_joins(spark, sf):
+    """Left outer join keeping empty dims (COUNT(col) skips nulls)."""
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(
+                F.sum(F.when(F.col("c_acctbal") > 0, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_positive"),
+        )
+    )
 
 
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----

@@ -236,3 +236,26 @@ def test_filter_pushdown_in_plan(spark):
     plan = df.filter(F.col("Index") < 100)._jdf.queryExecution().optimizedPlan().toString()
     # the pushed predicate should no longer appear as a post-scan Filter
     assert "PushedFilters" in plan or "Filter" not in plan.split("RelationV2")[0]
+
+
+def test_ascii_table_optin(spark):
+    # beyond-reference: .option("asciitable", True) parses TABLE HDUs
+    # (tst0009 HDU1: IDENT A9, Mag F6.2, Channel I3, Dist E10.4,
+    #  Mass D20.15, Class A5, Type A1, Class_No I4 — FIXTURES.md F7)
+    df = read_fits(spark, f"{REF}/toTest/tst0009.fits", hdu=1, asciitable="true")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {
+        "IDENT": "string", "Mag": "double", "Channel": "bigint",
+        "Dist": "double", "Mass": "double", "Class": "string",
+        "Type": "string", "Class_No": "bigint"}
+    rows = df.collect()
+    assert len(rows) > 0
+    # the fixture contains deliberate null sentinels ('---.--') → NULL
+    assert sum(r["Mag"] is not None for r in rows) >= len(rows) * 0.8
+    assert any(r["Mag"] is None for r in rows)
+    assert any(abs(r["Mag"] - 6.32) < 1e-9 for r in rows if r["Mag"])
+    # pruning works on ascii tables too
+    sel = read_fits(spark, f"{REF}/toTest/tst0009.fits", hdu=1,
+                    asciitable="true", columns="IDENT,Channel")
+    assert sel.columns == ["IDENT", "Channel"]
+    assert sel.count() == len(rows)

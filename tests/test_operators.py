@@ -110,3 +110,33 @@ def test_quality_score_monotone(spark):
     got = {r["doc_id"]: r["q"] for r in
            df.select("doc_id", T.quality_score("text").alias("q")).collect()}
     assert 0 <= got[1] < got[0] <= 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from spark_fits_spark.operators import relational
+
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(5)], ["k", "name"])
+    got = relational.salted_join(big, small, "k", salts=4)
+    want = big.join(small, "k")
+    assert got.count() == want.count() == 2000
+    assert (
+        got.groupBy("k").count().orderBy("k").collect()
+        == want.groupBy("k").count().orderBy("k").collect()
+    )
+    # left join keeps unmatched big-side rows
+    small2 = small.filter(F.col("k") < 2)
+    left = relational.salted_join(big, small2, "k", salts=4, how="left")
+    assert left.count() == 2000
+    assert left.filter(F.col("name").isNull()).count() == 2000 * 3 // 5
+
+
+def test_two_phase_count_matches_groupby(spark):
+    from spark_fits_spark.operators import relational
+
+    df = spark.range(0, 3000).select((F.col("id") % 7).alias("k"))
+    got = {r["k"]: r["n"] for r in relational.two_phase_count(df, "k").collect()}
+    want = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
