@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "q08_window_running",
     "q17_events_hourly",
     "q19_sessionize",
+    "q35_asof_join",
+    "q36_range_join_pairs",
+    "q39_explode_tokens",
     "q20_dedup_exact",
     "q22_dedup_minhash_lsh",
     "q23_dedup_ngram_jaccard",

@@ -135,6 +135,35 @@ def minhash_expr(shingles: Column, seed: int) -> Column:
     )
 
 
+# Universal-hash coefficients for permutation MinHash: h_s(x) =
+# (A_s * (x mod 2^32) + B_s) mod (2^61 - 1). A_s odd and < 2^30 so the
+# product stays below 2^62 — exact in int64 for BOTH Spark and DuckDB
+# (the oracle mirrors the same arithmetic; no md5 per (seed, shingle)).
+MINHASH_PRIME = (1 << 61) - 1
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (541238917, 113), (908209037, 40503), (176862553, 9176),
+    (421412491, 278191), (721593323, 551707), (330251273, 726811),
+    (646558883, 90017), (259117471, 359321), (835292341, 144203),
+    (470881613, 621089), (997462823, 53267), (182838689, 415577),
+    (613550911, 238729), (350940523, 789431), (786491237, 102913),
+    (294718079, 667099),
+)
+
+
+def minhash_perm_expr(hashes: Column, seed_idx: int) -> Column:
+    """One MinHash value from pre-hashed int64 shingles: min of a
+    universal-hash permutation. Replaces per-seed md5 — one md5 per
+    shingle total (in ``shingle_sets``), then pure integer math."""
+    a, b = MINHASH_COEFFS[seed_idx]
+    return F.array_min(
+        F.transform(
+            hashes,
+            lambda h: (F.lit(a) * (h % F.lit(1 << 32)) + F.lit(b))
+            % F.lit(MINHASH_PRIME),
+        )
+    )
+
+
 def add_simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash signature (``bits`` wide, default 16).
 

@@ -27,6 +27,7 @@ from spark_fits_spark.functions.text import (
     content_fingerprint,
     md5_fingerprint,
     minhash_expr,
+    minhash_perm_expr,
     tokens,
 )
 
@@ -111,22 +112,35 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows = n_hashes // bands
-    # the shingle table feeds signature generation AND both sides of the
-    # exact-verify join — persist it so it is computed once
-    sets_df = shingle_sets(df, text_col, id_col, shingle_n, hashed=True).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # the hashed shingle table feeds signature generation AND both sides
+    # of the exact-verify join — persist it (ints only; the shingle
+    # strings are dropped before caching) so it is computed once
+    sets_df = (
+        shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
+        .select("_id", "_hashes")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    sig_cols = [minhash_expr(F.col("_shingles"), s).alias(f"_h{s}") for s in range(n_hashes)]
-    sig = sets_df.select("_id", "_shingles", *sig_cols)
+    # permutation MinHash over the int64 shingle hashes: ONE md5 per
+    # shingle total (inside shingle_sets), then integer min-hash math —
+    # vs the naive one-md5-per-(seed, shingle) (n_hashes+1 full passes)
+    sig_cols = [
+        minhash_perm_expr(F.col("_hashes"), s).alias(f"_h{s}")
+        for s in range(n_hashes)
+    ]
+    sig = sets_df.select("_id", *sig_cols)
 
     band_entries = []
     for b in range(bands):
-        # compress the concatenated digests to an int64 bucket key
-        # (md5-prefix, mirrored exactly by the SQL oracle): the bucket
-        # self-join then shuffles 12-byte keys instead of 128-char strings
+        # compress the band signature to an int64 bucket key (md5 of the
+        # '|'-joined values, mirrored exactly by the SQL oracle): one md5
+        # per doc per band, and the bucket self-join shuffles 8-byte keys
         key = F.conv(
             F.substring(
-                F.md5(F.concat(*[F.col(f"_h{b * rows + r}") for r in range(rows)])),
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"_h{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ])),
                 1, 15),
             16, 10,
         ).cast("long")

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_fits_spark.functions import text as T
-from spark_fits_spark.operators import dedup, multimodal, similarity
+from spark_fits_spark.operators import dedup, multimodal, relational, similarity
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -477,14 +477,24 @@ def q21_dedup_normalized(spark, sf):
         _t(spark, sf, "documents"), "text", "doc_id", normalized=True)
 
 
+from spark_fits_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
+
+# LSH banding tuned to the 0.9 verify threshold: with r rows/band the
+# candidate S-curve midpoint sits near (1/b)^(1/r); r=6, b=2 puts it at
+# ~0.89, collapsing mid-similarity (J 0.5-0.8) template collisions that
+# r=4 let through (7.7x candidate waste measured at sf0.1: 6.7M
+# candidates for 874k true pairs).
+_MH_N, _MH_B = 12, 2
+_MH_R = _MH_N // _MH_B
+
 _MINHASH_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+  SELECT doc_id,
          list_distinct(list_transform(list_distinct(string_split(text, ' ')),
              t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS hs
   FROM documents
 ), sig AS (
-  SELECT doc_id, toks,
+  SELECT doc_id,
          {sig_cols}
   FROM tok
 ), bands AS (
@@ -501,24 +511,26 @@ WHERE round(len(list_intersect(ta.hs, tb.hs))::DOUBLE
             / len(list_distinct(list_concat(ta.hs, tb.hs))), 4) >= 0.9
 """.format(
     sig_cols=",\n         ".join(
-        f"list_min(list_transform(toks, t -> md5('{s}|' || t))) AS h{s}"
-        for s in range(8)
+        f"list_min(list_transform(hs, h -> ({a} * (h % 4294967296) + {b})"
+        f" % {MINHASH_PRIME})) AS h{s}"
+        for s, (a, b) in enumerate(MINHASH_COEFFS[:_MH_N])
     ),
     band_union="\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"CAST(('0x' || substr(md5(h{b*4}||h{b*4+1}||h{b*4+2}||h{b*4+3}), 1, 15)) AS BIGINT) AS bk "
-        "FROM sig"
-        for b in range(2)
+        "CAST(('0x' || substr(md5("
+        + " || '|' || ".join(f"h{b*_MH_R+r}::VARCHAR" for r in range(_MH_R))
+        + "), 1, 15)) AS BIGINT) AS bk FROM sig"
+        for b in range(_MH_B)
     ),
 )
 
 
 @query("q22_dedup_minhash_lsh", _MINHASH_ORACLE)
 def q22_dedup_minhash_lsh(spark, sf):
-    """MinHash(8)+LSH(2 bands×4) candidates, verified at Jaccard ≥ 0.9."""
+    """MinHash(12)+LSH(2 bands×6) candidates, verified at Jaccard ≥ 0.9."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), "text", "doc_id",
-        shingle_n=1, n_hashes=8, bands=2, threshold=0.9)
+        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9)
 
 
 @query("q23_dedup_ngram_jaccard", """
@@ -768,6 +780,251 @@ def q34_outer_joins(spark, sf):
             ).cast("long").alias("n_positive"),
         )
     )
+
+
+@query("q35_asof_join", """
+WITH u AS (
+  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id,
+         CAST(round(value*10000) AS BIGINT) AS val_e4
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, epoch_ms(ts) AS ms, 1 AS side, event_id, NULL
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT user_id, ms, side, event_id,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS view_event_id,
+         last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS)
+           OVER w AS view_ms
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ms, side, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS click_event_id, ms AS click_ms,
+       view_event_id, ms - view_ms AS gap_ms
+FROM m WHERE side = 1
+""")
+def q35_asof_join(spark, sf):
+    """As-of join: each click matched to the user's latest view at or
+    before it (operators.relational.asof_join — shuffle-once union+window,
+    no range-join explosion)."""
+    e = _t(spark, sf, "events")
+    ms = F.unix_millis(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_event_id"), ms.alias("click_ms"))
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), ms.alias("view_ms"))
+    out = relational.asof_join(
+        clicks, views, "user_id",
+        left_ts="click_ms", right_ts="view_ms",
+        right_payload=["view_event_id", "view_ms"], tiebreak="view_event_id")
+    return out.select(
+        "user_id", "click_event_id", "click_ms", "view_event_id",
+        (F.col("click_ms") - F.col("view_ms")).alias("gap_ms"))
+
+
+@query("q36_range_join_pairs", """
+SELECT a.user_id,
+       a.event_id AS id_a, b.event_id AS id_b,
+       epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ms(b.ts) - epoch_ms(a.ts) BETWEEN 0 AND 60000
+ AND (epoch_ms(a.ts) < epoch_ms(b.ts)
+      OR (epoch_ms(a.ts) = epoch_ms(b.ts) AND a.event_id < b.event_id))
+""")
+def q36_range_join_pairs(spark, sf):
+    """Bounded range self-join (pairs of events by the same user within
+    60 s) via bucketed band join — equi-join on (key, time bucket)
+    instead of an O(n^2) inequality join."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ms"), "event_id")
+    return relational.range_join_pairs(
+        e, "user_id", "ms", "event_id", max_gap_ms=60000)
+
+
+@query("q37_percentiles", """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25)*20) AS BIGINT) AS p25_c20,
+       CAST(round(quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.50)*20) AS BIGINT) AS p50_c20,
+       CAST(round(quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75)*20) AS BIGINT) AS p75_c20,
+       CAST(round(quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.90)*20) AS BIGINT) AS p90_c20,
+       CAST(round(quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5)*10) AS BIGINT) AS med_qty_e1
+FROM lineitem GROUP BY l_returnflag
+""")
+def q37_percentiles(spark, sf):
+    """Exact percentiles (linear interpolation, same definition as
+    DuckDB quantile_cont), computed on integer cents and scaled so the
+    interpolated value is an exact integer (fractions of (n-1)*p for
+    p in {.25,.5,.75,.9} are multiples of 1/20) — float round-half
+    behavior can never diverge. At 100 TB swap percentile() for
+    percentile_approx (t-digest, mergeable partial agg)."""
+    l = _t(spark, sf, "lineitem")
+    pct = lambda p: F.round(F.expr(
+        f"percentile(cast(round(l_extendedprice*100) as bigint), {p})") * 20, 0
+    ).cast("long")
+    return l.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25_c20"), pct(0.50).alias("p50_c20"),
+        pct(0.75).alias("p75_c20"), pct(0.90).alias("p90_c20"),
+        F.round(F.expr(
+            "percentile(cast(round(l_quantity) as bigint), 0.5)") * 10, 0)
+        .cast("long").alias("med_qty_e1"),
+    )
+
+
+@query("q38_stats_moments", """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_quantity) AS HUGEINT) * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT) * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy,
+         SUM(CAST(round(l_quantity) AS HUGEINT) * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy
+  FROM lineitem
+)
+SELECT n,
+       round(CAST(sx AS DOUBLE) / n, 4) AS mean_qty,
+       round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1)), 4) AS std_qty,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)), 4) AS corr_qty_price
+FROM m
+""")
+def q38_stats_moments(spark, sf):
+    """Mean / stddev / correlation from exact integer moment sums
+    (decimal accumulation): order-independent partial aggregation, so
+    Spark's parallel agg and DuckDB's serial agg agree bit-for-bit.
+    The naive corr()/stddev() would drift in the last float digits."""
+    l = _t(spark, sf, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("decimal(38,0)")
+    y = _cents(F.col("l_extendedprice")).cast("decimal(38,0)")
+    m = l.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        n,
+        F.round(sx / n, 4).alias("mean_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("std_qty"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4,
+        ).alias("corr_qty_price"),
+    )
+
+
+@query("q39_explode_tokens", """
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""")
+def q39_explode_tokens(spark, sf):
+    """Lateral explode (UDTF shape): flatten documents to tokens, top-20
+    by frequency. The explode runs map-side; only (token, partial count)
+    rides the shuffle."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok")).limit(20)
+    )
+
+
+@query("q40_cube", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""")
+def q40_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+@query("q41_above_cust_avg", """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey) AS sum_cents,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_above
+FROM w WHERE cents * n > sum_cents
+GROUP BY o_custkey
+""")
+def q41_above_cust_avg(spark, sf):
+    """Correlated-subquery shape (orders above the customer's average),
+    decorrelated to one window pass; the comparison is integer
+    cross-multiplied so no float division is compared."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = _cents(F.col("o_totalprice"))
+    enriched = o.select(
+        "o_custkey", cents.alias("cents"),
+        F.sum(cents).over(w).alias("sum_cents"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        enriched.filter(F.col("cents") * F.col("n") > F.col("sum_cents"))
+        .groupBy("o_custkey").agg(F.count("*").alias("n_above"))
+    )
+
+
+@query("q42_grouped_zscore", """
+WITH s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(round(value*10000) AS HUGEINT)) AS sv,
+         SUM(CAST(round(value*10000) AS HUGEINT) * CAST(round(value*10000) AS HUGEINT)) AS svv
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN s.n > 1
+              AND (CAST(s.svv AS DOUBLE) - CAST(s.sv AS DOUBLE)*CAST(s.sv AS DOUBLE)/s.n) > 0
+            THEN round((CAST(round(e.value*10000) AS DOUBLE) - CAST(s.sv AS DOUBLE)/s.n)
+                       / sqrt((CAST(s.svv AS DOUBLE) - CAST(s.sv AS DOUBLE)*CAST(s.sv AS DOUBLE)/s.n)
+                              / (s.n - 1)), 4)
+            ELSE NULL END AS z
+FROM events e JOIN s USING (user_id)
+""")
+def q42_grouped_zscore(spark, sf):
+    """Grouped-map custom operator via applyInPandas: per-user z-score
+    of event value. The pandas UDF computes from exact integer moment
+    sums (same arithmetic as the SQL oracle) so results match
+    bit-for-bit. Arrow-batched; one shuffle on user_id."""
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["v4"].to_numpy()
+        n = len(v)
+        sv = int(v.sum())
+        svv = int((v.astype(object) * v.astype(object)).sum())
+        out = pd.DataFrame({
+            "event_id": pdf["event_id"], "user_id": pdf["user_id"]})
+        var_num = float(svv) - float(sv) * float(sv) / n
+        if n > 1 and var_num > 0:
+            std = (var_num / (n - 1)) ** 0.5
+            z = (v.astype("float64") - float(sv) / n) / std
+            out["z"] = (z * 10000).round() / 10000
+        else:
+            out["z"] = None
+        return out
+
+    return e.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double")
 
 
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
