@@ -100,14 +100,62 @@ def _column_to_arrow(col: np.ndarray, info: TFormInfo) -> pa.Array:
     return pa.array(["0"] * len(col))
 
 
+def _scaled_column_to_arrow(
+    col: np.ndarray, info, tscal: float, tzero: float, tnull: int | None
+) -> pa.Array:
+    """Physical-value decode: ``raw * TSCAL + TZERO`` with TNULL raw
+    sentinels as nulls. Vectorized numpy throughout; exact integer paths
+    where the scale factors are integral (see ``scaled_spark_type``)."""
+    native = col.astype(col.dtype.newbyteorder("="), copy=False)
+    if info.letter == "B":
+        # scaling mode reads B as the standard's unsigned byte
+        native = native.view(np.uint8)
+    flat = native.reshape(-1) if info.repeat > 1 else native
+    mask = None
+    if tnull is not None and info.letter in ("B", "I", "J", "K"):
+        mask = flat == tnull
+    if tscal == 1.0 and tzero == 0.0:
+        values = flat
+    elif (
+        info.letter == "K"
+        and tscal == 1.0 and tzero == 9223372036854775808.0
+    ):
+        # unsigned-int64 convention: flip the sign bit → uint64
+        values = flat.view(np.uint64) ^ np.uint64(1 << 63)
+    elif (
+        info.letter in ("B", "I", "J")
+        and float(tscal).is_integer() and float(tzero).is_integer()
+    ):
+        values = flat.astype(np.int64) * int(tscal) + int(tzero)
+    else:
+        values = flat.astype(np.float64) * tscal + tzero
+    if values.dtype == np.uint64:
+        # Arrow's uint64→decimal cast clamps at int64 max; build the
+        # decimal array from exact Python ints (K-unsigned is rare)
+        objs = [
+            None if (mask is not None and m) else int(v)
+            for v, m in zip(
+                values, mask if mask is not None else np.zeros(len(values), bool))
+        ]
+        out = pa.array(objs, type=pa.decimal128(20, 0))
+    else:
+        out = pa.array(values, mask=mask)
+    if info.repeat > 1:
+        offsets = np.arange(0, flat.size + 1, info.repeat, dtype=np.int32)
+        return pa.ListArray.from_arrays(pa.array(offsets), out)
+    return out
+
+
 def decode_bintable(
     buf: bytes | memoryview,
     hdu: HduInfo,
     col_indices: list[int],
     arrow_schema: pa.Schema,
+    scaling: bool = False,
 ) -> pa.RecordBatch:
     """Decode ``len(buf) / row_bytes`` bintable rows into a RecordBatch
-    with exactly the columns in ``col_indices`` (schema-ordered)."""
+    with exactly the columns in ``col_indices`` (schema-ordered). With
+    ``scaling`` decode physical values (TSCAL/TZERO/TNULL)."""
     n_rows = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
     dtype = build_row_dtype(hdu, col_indices)
     rows = np.frombuffer(buf, dtype=dtype, count=n_rows)
@@ -117,6 +165,13 @@ def decode_bintable(
         info = infos[ci]
         if info.byte_width == 0:
             arr = pa.array(["0"] * n_rows)
+        elif scaling and info.letter in ("B", "I", "J", "K", "E", "D"):
+            arr = _scaled_column_to_arrow(
+                rows[f"f{pos}"], info,
+                hdu.col_tscal[ci] if hdu.col_tscal else 1.0,
+                hdu.col_tzero[ci] if hdu.col_tzero else 0.0,
+                hdu.col_tnull[ci] if hdu.col_tnull else None,
+            )
         else:
             arr = _column_to_arrow(rows[f"f{pos}"], info)
         field = arrow_schema.field(pos)

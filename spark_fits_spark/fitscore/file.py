@@ -138,6 +138,11 @@ class HduInfo:
     col_tforms: tuple[str, ...] = ()
     # ascii-table fields (TBCOLn: 1-based start column per field)
     col_tbcols: tuple[int, ...] = ()
+    # physical-value scaling (TSCALn/TZEROn/TNULLn; opt-in — the
+    # reference ignores these, SURVEY.md §1.2 "Not supported")
+    col_tscal: tuple[float, ...] = ()
+    col_tzero: tuple[float, ...] = ()
+    col_tnull: tuple[int | None, ...] = ()
     # image fields
     naxis: tuple[int, ...] = ()             # (NAXIS1, NAXIS2, ...)
     image_tform: str = ""                   # element type letter from BITPIX
@@ -176,14 +181,21 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
         n_cols = int(header.get("TFIELDS", "0"))
         names = []
         tforms = []
+        tscal, tzero, tnull = [], [], []
         for i in range(1, n_cols + 1):
             names.append(header_value(header, f"TTYPE{i}", f"col{i}") or f"col{i}")
             tforms.append(header_value(header, f"TFORM{i}", "") or "")
+            tscal.append(float(header_value(header, f"TSCAL{i}", "1") or "1"))
+            tzero.append(float(header_value(header, f"TZERO{i}", "0") or "0"))
+            nv = header_value(header, f"TNULL{i}", None)
+            tnull.append(int(float(nv)) if nv is not None else None)
         return HduInfo(
             path=path, hdu_index=hdu_index, hdu_type=hdu_type,
             boundaries=boundaries, header=header,
             row_bytes=row_bytes, n_rows=n_rows,
             col_names=tuple(names), col_tforms=tuple(tforms),
+            col_tscal=tuple(tscal), col_tzero=tuple(tzero),
+            col_tnull=tuple(tnull),
         )
 
     if hdu_type == HDU_TYPE_IMAGE:

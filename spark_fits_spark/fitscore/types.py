@@ -120,3 +120,57 @@ def bitpix_to_tform(bitpix: int) -> str:
         return _BITPIX_TO_TFORM[int(bitpix)]
     except KeyError:
         raise ValueError(f"Cannot infer image element type from BITPIX={bitpix}")
+
+
+# -- TSCAL/TZERO physical-value typing (opt-in scaling mode) ------------
+#
+# The reference ignores TSCALn/TZEROn/TNULLn entirely (SURVEY.md §1.2
+# "Not supported"); with .option("scaling", True) we decode physical
+# values per the FITS standard: physical = raw * TSCAL + TZERO, with
+# TNULL raw sentinels becoming SQL NULLs.
+
+_INT_LETTERS = ("B", "I", "J", "K")
+# the standard unsigned-int convention: TSCAL=1 and TZERO=2^(bits-1)
+# (for B the convention is inverted — raw is unsigned, TZERO=-128 makes
+# it signed; raw B is decoded unsigned in scaling mode)
+_UNSIGNED_TZERO = {"I": 32768.0, "J": 2147483648.0, "K": 9223372036854775808.0}
+
+
+def scaled_spark_type(info: TFormInfo, tscal: float, tzero: float) -> DataType:
+    """Spark type of the physical (scaled) value of a column.
+
+    - identity scaling → the parity type, except B which widens to
+      ShortType (raw FITS bytes are unsigned 0..255)
+    - unsigned-convention integers (TSCAL=1, TZERO=2^(bits-1)) →
+      next-wider signed type (K → Decimal(20,0): uint64 range)
+    - integral TSCAL/TZERO on integer columns → LongType (exact)
+    - anything else → DoubleType
+    """
+    from pyspark.sql.types import DecimalType
+
+    def elem(spark_scalar: DataType) -> DataType:
+        if info.repeat > 1 and info.letter != "A":
+            return ArrayType(spark_scalar, True)
+        return spark_scalar
+
+    if info.letter not in _INT_LETTERS and info.letter not in ("E", "D"):
+        return info.spark_type  # L/A/X/unknown: scaling not applicable
+    if tscal == 1.0 and tzero == 0.0:
+        if info.letter == "B":
+            return elem(ShortType())  # true unsigned byte range
+        return info.spark_type
+    if info.letter in _INT_LETTERS and tscal == 1.0:
+        if info.letter == "B" and tzero == -128.0:
+            return elem(ByteType())
+        if tzero == _UNSIGNED_TZERO.get(info.letter):
+            return elem({
+                "I": IntegerType(), "J": LongType(),
+                "K": DecimalType(20, 0),
+            }[info.letter])
+    if (
+        info.letter in _INT_LETTERS
+        and info.letter != "K"
+        and float(tscal).is_integer() and float(tzero).is_integer()
+    ):
+        return elem(LongType())
+    return elem(DoubleType())

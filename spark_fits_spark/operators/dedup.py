@@ -195,14 +195,28 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for every pair *within a block* (e.g. same
     source). Returns (block, doc_a, doc_b, jaccard). Quadratic inside a
     block only — choose blocks accordingly."""
+    from pyspark.storagelevel import StorageLevel
+
     sets_df = (
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
         .join(df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")), "_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets_df.select(
         F.col("_blk"), F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
     b = sets_df.select(
         F.col("_blk"), F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
+    # a shuffle join on _blk collapses parallelism to n_blocks reducers
+    # (blocks are few by construction) and ships the shingle arrays;
+    # broadcasting the build side keeps probe-side parallelism and makes
+    # the pair generation map-side. Falls back to shuffle when the
+    # shingle table outgrows broadcast range.
+    if sets_df.count() <= 2_000_000:
+        b = F.broadcast(b)
+        # pair generation is map-side after the broadcast, so its
+        # parallelism = probe-side partitions; docs are few but pairs are
+        # quadratic — spread the probe rows across the cluster first
+        a = a.repartition(a.sparkSession.sparkContext.defaultParallelism)
     return (
         a.join(b, "_blk")
         .where(F.col("_ida") < F.col("_idb"))

@@ -119,10 +119,21 @@ class FitsInputPartition(InputPartition):
     col_indices: list[int] = field(default_factory=list)
 
 
-def _bintable_schema(hdu: HduInfo) -> StructType:
+def _bintable_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
+    from spark_fits_spark.fitscore.types import scaled_spark_type
+
     fields = []
-    for name, tform in zip(hdu.col_names, hdu.col_tforms):
-        fields.append(StructField(name, parse_tform(tform).spark_type, True))
+    for i, (name, tform) in enumerate(zip(hdu.col_names, hdu.col_tforms)):
+        info = parse_tform(tform)
+        dtype = (
+            scaled_spark_type(
+                info,
+                hdu.col_tscal[i] if hdu.col_tscal else 1.0,
+                hdu.col_tzero[i] if hdu.col_tzero else 0.0,
+            )
+            if scaling else info.spark_type
+        )
+        fields.append(StructField(name, dtype, True))
     return StructType(fields)
 
 
@@ -187,7 +198,7 @@ class FitsDataSource(DataSource):
         here (case-insensitive match, ``FitsHduBintable.scala:306-325``)."""
         hdu = self._first_hdu()
         if hdu.hdu_type == HDU_TYPE_BINTABLE:
-            schema = _bintable_schema(hdu)
+            schema = _bintable_schema(hdu, scaling=self._scaling_enabled())
             cols = self._opt("columns")
             if cols:
                 schema = StructType(
@@ -216,6 +227,12 @@ class FitsDataSource(DataSource):
     def _ascii_enabled(self) -> bool:
         return (self._opt("asciitable", default="false") or "").lower() == "true"
 
+    def _scaling_enabled(self) -> bool:
+        """Beyond-reference: .option("scaling", True) decodes physical
+        values (raw*TSCAL+TZERO, TNULL→NULL; SURVEY.md §1.2 lists these
+        as unsupported in the reference)."""
+        return (self._opt("scaling", default="false") or "").lower() == "true"
+
     def writer(self, schema: StructType, overwrite: bool):
         """FITS sink (beyond-reference; see ``fits_writer``). Overwrite
         clears previous part files driver-side before tasks run."""
@@ -243,6 +260,7 @@ class FitsDataSource(DataSource):
             ),
             verbose=(self._opt("verbose", default="false") or "").lower() == "true",
             ascii_tables=self._ascii_enabled(),
+            scaling=self._scaling_enabled(),
         )
 
     def streamReader(self, schema: StructType) -> "FitsStreamReader":
@@ -275,8 +293,9 @@ def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
 
 class FitsScanReader(DataSourceReader):
     def __init__(self, path, hdu_index, schema, columns, recordlength, mode,
-                 partition_bytes, verbose, ascii_tables=False):
+                 partition_bytes, verbose, ascii_tables=False, scaling=False):
         self.ascii_tables = ascii_tables
+        self.scaling = scaling
         self.path = path
         self.hdu_index = hdu_index
         self.spark_schema = schema
@@ -417,7 +436,9 @@ class FitsScanReader(DataSourceReader):
                 f.seek(hdu.boundaries.data_start + row * hdu.row_bytes)
                 buf = f.read(n * hdu.row_bytes)
                 if hdu.hdu_type == HDU_TYPE_BINTABLE:
-                    batch = decode_bintable(buf, hdu, partition.col_indices, arrow_schema)
+                    batch = decode_bintable(
+                        buf, hdu, partition.col_indices, arrow_schema,
+                        scaling=self.scaling)
                 elif hdu.hdu_type == HDU_TYPE_TABLE:
                     from spark_fits_spark.fitscore.decode import decode_ascii_table
 

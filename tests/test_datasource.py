@@ -259,3 +259,68 @@ def test_ascii_table_optin(spark):
                     asciitable="true", columns="IDENT,Channel")
     assert sel.columns == ["IDENT", "Channel"]
     assert sel.count() == len(rows)
+
+
+def test_scaling_optin(spark, tmp_path):
+    # beyond-reference: .option("scaling", True) applies TSCAL/TZERO and
+    # maps TNULL sentinels to SQL NULL (the reference ignores all three,
+    # SURVEY.md §1.2)
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    cols = [
+        ("counts", "J", np.array([0, 100, -999, 50], dtype=">i4")),
+        ("gain", "I", np.array([-32768, 0, 32767, 1], dtype=">i2")),
+        ("temp", "I", np.array([0, 100, 200, 300], dtype=">i2")),
+        ("ubyte", "B", np.array([0, -1, 127, -128], dtype="i1")),  # raw 0,255,127,128
+    ]
+    extra = [
+        writer._card("TNULL1", -999),
+        writer._card("TZERO2", 32768),     # unsigned-short convention
+        writer._card("TSCAL3", 0.5),       # physical = raw * 0.5 + 10
+        writer._card("TZERO3", 10.0),
+    ]
+    path = tmp_path / "scaled.fits"
+    path.write_bytes(writer.primary_hdu() + writer.bintable_hdu(cols, extra_cards=extra))
+
+    df = read_fits(spark, str(path), hdu=1, scaling="true")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"counts": "int", "gain": "int", "temp": "double",
+                     "ubyte": "smallint"}
+    rows = df.orderBy("temp").collect()
+    assert [r["counts"] for r in rows] == [0, 100, None, 50]
+    assert [r["gain"] for r in rows] == [0, 32768, 65535, 32769]
+    assert [r["temp"] for r in rows] == [10.0, 60.0, 110.0, 160.0]
+    assert [r["ubyte"] for r in rows] == [0, 255, 127, 128]
+
+    # parity default: same file without the option keeps raw values
+    raw = read_fits(spark, str(path), hdu=1).orderBy("temp").collect()
+    assert [r["counts"] for r in raw] == [0, 100, -999, 50]
+    assert [r["temp"] for r in raw] == [0, 100, 200, 300]
+
+
+def test_scaling_uint64_and_vector(spark, tmp_path):
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    big = np.array([-9223372036854775808, 9223372036854775807, 0, 42], dtype=">i8")
+    vec = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]], dtype=">i2")
+    cols = [("bigid", "K", big), ("v", "3I", vec)]
+    extra = [
+        writer._card("TZERO1", 9223372036854775808),  # unsigned-long convention
+        writer._card("TSCAL2", 2), writer._card("TZERO2", -1),
+    ]
+    path = tmp_path / "scaled64.fits"
+    path.write_bytes(writer.primary_hdu() + writer.bintable_hdu(cols, extra_cards=extra))
+
+    df = read_fits(spark, str(path), hdu=1, scaling="true")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"bigid": "decimal(20,0)", "v": "array<bigint>"}
+    rows = df.orderBy("bigid").collect()
+    assert [int(r["bigid"]) for r in rows] == [
+        0, 9223372036854775808, 9223372036854775850, 18446744073709551615]
+    # raw + 2^63: [-2^63, 2^63-1, 0, 42] -> [0, 2^64-1, 2^63, 2^63+42]
+    assert sorted(tuple(r["v"]) for r in rows) == [
+        (-1, 1, 3), (5, 7, 9), (11, 13, 15), (17, 19, 21)]
