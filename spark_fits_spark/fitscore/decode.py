@@ -146,12 +146,61 @@ def _scaled_column_to_arrow(
     return out
 
 
+_VAR_ELEM_WIDTH = {"A": 1, "L": 1, "X": 1, "B": 1, "I": 2, "J": 4,
+                   "K": 8, "E": 4, "D": 8, "C": 8, "M": 16}
+_VAR_ELEM_DTYPE = {"B": "i1", "I": ">i2", "J": ">i4", "K": ">i8",
+                   "E": ">f4", "D": ">f8", "C": ">f4", "M": ">f8"}
+
+
+def _varlen_column_to_arrow(
+    desc: np.ndarray,
+    info,
+    heap_read,
+) -> pa.Array:
+    """Variable-length (P/Q) column: ``desc`` is the (n_rows, 2) array of
+    (element count, heap offset) descriptors; elements are sliced out of
+    one contiguous heap window per batch (single seek+read, not one I/O
+    per row). Complex C/M elements decode as interleaved (re, im)."""
+    counts = desc[:, 0].astype(np.int64)
+    offsets = desc[:, 1].astype(np.int64)
+    w = _VAR_ELEM_WIDTH.get(info.var_letter, 1)
+    lengths = counts * w
+    nz = counts > 0
+    if not nz.any():
+        window, lo = b"", 0
+    else:
+        lo = int(offsets[nz].min())
+        hi = int((offsets[nz] + lengths[nz]).max())
+        window = heap_read(lo, hi - lo)
+    chunks = [
+        bytes(window[offsets[i] - lo : offsets[i] - lo + lengths[i]])
+        if counts[i] > 0 else b""
+        for i in range(len(counts))
+    ]
+    flat = b"".join(chunks)
+    if info.var_letter == "A":
+        return _strings_to_arrow(np.array(
+            [c for c in chunks], dtype=object))
+    arrow_offsets = pa.array(
+        np.concatenate([[0], np.cumsum(counts * (2 if info.var_letter in "CM" else 1))])
+        .astype(np.int32))
+    if info.var_letter == "L":
+        values = pa.array(np.frombuffer(flat, dtype="S1") == b"T")
+    elif info.var_letter == "X":
+        values = pa.array([flat[i:i+1] for i in range(len(flat))], type=pa.binary())
+    else:
+        elem = np.frombuffer(flat, dtype=_VAR_ELEM_DTYPE[info.var_letter])
+        values = pa.array(elem.astype(elem.dtype.newbyteorder("="), copy=False))
+    return pa.ListArray.from_arrays(arrow_offsets, values)
+
+
 def decode_bintable(
     buf: bytes | memoryview,
     hdu: HduInfo,
     col_indices: list[int],
     arrow_schema: pa.Schema,
     scaling: bool = False,
+    heap_read=None,
 ) -> pa.RecordBatch:
     """Decode ``len(buf) / row_bytes`` bintable rows into a RecordBatch
     with exactly the columns in ``col_indices`` (schema-ordered). With
@@ -165,6 +214,12 @@ def decode_bintable(
         info = infos[ci]
         if info.byte_width == 0:
             arr = pa.array(["0"] * n_rows)
+        elif info.is_varlen:
+            if heap_read is None:
+                raise ValueError(
+                    f"column {hdu.col_names[ci]!r} is variable-length "
+                    f"({info.tform!r}) but no heap reader was provided")
+            arr = _varlen_column_to_arrow(rows[f"f{pos}"], info, heap_read)
         elif scaling and info.letter in ("B", "I", "J", "K", "E", "D"):
             arr = _scaled_column_to_arrow(
                 rows[f"f{pos}"], info,

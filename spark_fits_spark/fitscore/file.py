@@ -51,7 +51,12 @@ class BlockBoundaries:
 
 
 def _data_len(header: dict[str, str]) -> int:
-    """|BITPIX|/8 × Π NAXISi (``FitsLib.scala:399-417``)."""
+    """|BITPIX|/8 × GCOUNT × (PCOUNT + Π NAXISi), per the FITS standard.
+
+    The reference's version (``FitsLib.scala:399-417``) omits
+    GCOUNT/PCOUNT, so any file with a heap (variable-length arrays, e.g.
+    its own untested ``varitab.fits``) derails its HDU walk; including
+    them is a strict improvement — PCOUNT=0/GCOUNT=1 everywhere else."""
     naxis = int(header.get("NAXIS", "0"))
     if naxis == 0:
         return 0
@@ -59,6 +64,9 @@ def _data_len(header: dict[str, str]) -> int:
     total = bitpix // 8
     for i in range(1, naxis + 1):
         total *= int(header.get(f"NAXIS{i}", "0"))
+    if total:
+        total += (abs(bitpix) // 8) * int(header.get("PCOUNT", "0") or "0")
+        total *= int(header.get("GCOUNT", "1") or "1")
     return total
 
 
@@ -143,6 +151,8 @@ class HduInfo:
     col_tscal: tuple[float, ...] = ()
     col_tzero: tuple[float, ...] = ()
     col_tnull: tuple[int | None, ...] = ()
+    # heap offset from data_start for variable-length (P/Q) columns
+    theap: int = 0
     # image fields
     naxis: tuple[int, ...] = ()             # (NAXIS1, NAXIS2, ...)
     image_tform: str = ""                   # element type letter from BITPIX
@@ -196,6 +206,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
             col_names=tuple(names), col_tforms=tuple(tforms),
             col_tscal=tuple(tscal), col_tzero=tuple(tzero),
             col_tnull=tuple(tnull),
+            theap=int(header.get("THEAP", str(row_bytes * n_rows))
+                      or str(row_bytes * n_rows)),
         )
 
     if hdu_type == HDU_TYPE_IMAGE:

@@ -64,10 +64,17 @@ class TFormInfo:
     byte_width: int
     numpy_dtype: object  # str or (str, (n,))
     spark_type: DataType
+    # variable-length array columns (P/Q descriptors): the element type
+    # letter; None for ordinary fixed-width columns
+    var_letter: str | None = None
 
     @property
     def is_array(self) -> bool:
         return isinstance(self.spark_type, ArrayType) and self.letter != "X"
+
+    @property
+    def is_varlen(self) -> bool:
+        return self.var_letter is not None
 
 
 def parse_tform(tform: str) -> TFormInfo:
@@ -96,7 +103,34 @@ def parse_tform(tform: str) -> TFormInfo:
             tform, letter, repeat, width * repeat, (np_base, (repeat,)),
             ArrayType(spark_scalar, True),
         )
-    # unknown TFORM (e.g. P/Q var-length, C/M complex): StringType fallback,
+    if letter in ("P", "Q"):
+        # variable-length array descriptor: rPt(emax) — r∈{0,1}; the row
+        # stores (count, heap offset) as 2×int32 (P) or 2×int64 (Q).
+        # Beyond-reference: the reference has no VLA support at all (its
+        # own varitab.fits fixture sits untested; unknown TFORMs fall to
+        # string "0"s, FitsSchema.scala:70-75). Elements decode from the
+        # heap with fixed-width semantics; C/M complex surface as
+        # interleaved (re, im) float arrays.
+        vm = re.match(r"^\s*\d*\s*[PQ]([A-Z])", tform.strip())
+        var_letter = vm.group(1) if vm else "B"
+        if letter == "P":
+            width, np_desc = 8, (">i4", (2,))
+        else:
+            width, np_desc = 16, (">i8", (2,))
+        if var_letter == "A":
+            spark = StringType()
+        elif var_letter in _SCALAR_MAP:
+            spark = ArrayType(_SCALAR_MAP[var_letter][2], True)
+        elif var_letter == "X":
+            spark = ArrayType(BinaryType(), True)
+        elif var_letter == "C":
+            spark = ArrayType(FloatType(), True)
+        elif var_letter == "M":
+            spark = ArrayType(DoubleType(), True)
+        else:
+            spark = ArrayType(ByteType(), True)
+        return TFormInfo(tform, letter, repeat, width, np_desc, spark, var_letter)
+    # unknown TFORM (e.g. C/M complex scalars): StringType fallback,
     # zero byte width, decodes to "0" (FitsSchema.scala:70-75)
     import warnings
 

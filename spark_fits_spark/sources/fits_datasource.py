@@ -430,6 +430,14 @@ class FitsScanReader(DataSourceReader):
         rows_per_batch = max(1, batch_bytes // max(hdu.row_bytes, 1))
 
         with open(hdu.path, "rb") as f:
+
+            def heap_read(off: int, length: int) -> bytes:
+                # variable-length (P/Q) heap access: one window per
+                # column per batch (the decode computes [min, max) over
+                # the batch's descriptors — a single seek+read)
+                f.seek(hdu.boundaries.data_start + hdu.theap + off)
+                return f.read(length)
+
             row = partition.row_start
             while row < partition.row_end:
                 n = min(rows_per_batch, partition.row_end - row)
@@ -438,7 +446,7 @@ class FitsScanReader(DataSourceReader):
                 if hdu.hdu_type == HDU_TYPE_BINTABLE:
                     batch = decode_bintable(
                         buf, hdu, partition.col_indices, arrow_schema,
-                        scaling=self.scaling)
+                        scaling=self.scaling, heap_read=heap_read)
                 elif hdu.hdu_type == HDU_TYPE_TABLE:
                     from spark_fits_spark.fitscore.decode import decode_ascii_table
 

@@ -184,8 +184,17 @@ def test_tform_bit_and_unknown():
     x = parse_tform("16X")
     assert x.byte_width == 2 and x.spark_type.typeName() == "array"
     with pytest.warns(UserWarning):
-        u = parse_tform("P")  # var-length descriptor: unsupported
+        u = parse_tform("C")  # complex scalar: unsupported fallback
     assert u.byte_width == 0 and u.spark_type.typeName() == "string"
+    # var-length descriptors are first-class (beyond-reference)
+    p = parse_tform("1PJ(20)")
+    assert p.is_varlen and p.byte_width == 8 and p.var_letter == "J"
+    assert p.spark_type.simpleString() == "array<int>"
+    q = parse_tform("QD(7)")
+    assert q.is_varlen and q.byte_width == 16
+    assert q.spark_type.simpleString() == "array<double>"
+    pa_ = parse_tform("1PA(20)")
+    assert pa_.spark_type.typeName() == "string"
 
 
 # ---------- writer round-trip ----------
