@@ -144,3 +144,31 @@ def sessionize_stream(events: DataFrame, timeout_minutes: int = 45) -> DataFrame
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only within
+    the watermark horizon — bounded state, unlike a plain
+    ``dropDuplicates`` on a stream which grows forever. The batch analog
+    of this operator is ``dedup.exact_dedup_groups`` / ``distinct()``.
+    """
+    deduped = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def text_dedup_stream(docs: DataFrame, watermark: str = "1 hour",
+                      ts_col: str = "ts", text_col: str = "text") -> DataFrame:
+    """Streaming content deduplication: fingerprint the text (md5 of
+    sorted distinct tokens — same normalization as the batch
+    ``q21_dedup_normalized``) and keep the first arrival per fingerprint
+    within the watermark horizon."""
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))))
+    with_fp = docs.withColumn("_fp", fp).withWatermark(ts_col, watermark)
+    if docs.isStreaming:
+        return with_fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+    return with_fp.dropDuplicates(["_fp"]).drop("_fp")

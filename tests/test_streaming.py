@@ -80,3 +80,30 @@ def test_sessionize_stream_emits_closed_sessions(spark, stream_dir, tmp_path, ev
     # with 3 micro-batches over 30 days of data, plenty of sessions close
     assert len(got) > 50
     q.stop()
+
+
+def test_dedup_stream_drops_replayed_file(spark, tmp_path, events_batch):
+    import shutil
+
+    d = str(tmp_path / "dup_in")
+    os.makedirs(d)
+    one = events_batch.where(F.col("ts") < "2024-01-08").coalesce(1)
+    one.write.mode("append").parquet(d)
+    # replay the same rows as a second file (duplicate arrivals)
+    part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(d, part), os.path.join(d, "replay.parquet"))
+
+    stream = se.read_events_stream(spark, d)
+    q = (
+        se.dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup_sink").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == one.count()
+    q.stop()
+    # batch analog gives the same distinct set
+    assert se.dedup_stream(one.union(one)).count() == one.count()
