@@ -100,30 +100,27 @@ def _column_to_arrow(col: np.ndarray, info: TFormInfo) -> pa.Array:
     return pa.array(["0"] * len(col))
 
 
-def _scaled_column_to_arrow(
-    col: np.ndarray, info, tscal: float, tzero: float, tnull: int | None
+def _scaled_flat_array(
+    flat: np.ndarray, letter: str, tscal: float, tzero: float,
+    tnull: int | None,
 ) -> pa.Array:
-    """Physical-value decode: ``raw * TSCAL + TZERO`` with TNULL raw
-    sentinels as nulls. Vectorized numpy throughout; exact integer paths
-    where the scale factors are integral (see ``scaled_spark_type``)."""
-    native = col.astype(col.dtype.newbyteorder("="), copy=False)
-    if info.letter == "B":
+    """Physical-value decode of a flat element array: ``raw * TSCAL +
+    TZERO`` with TNULL/BLANK raw sentinels as nulls. Vectorized numpy
+    throughout; exact integer paths where the factors are integral (see
+    ``scaled_spark_type``)."""
+    if letter == "B":
         # scaling mode reads B as the standard's unsigned byte
-        native = native.view(np.uint8)
-    flat = native.reshape(-1) if info.repeat > 1 else native
+        flat = flat.view(np.uint8)
     mask = None
-    if tnull is not None and info.letter in ("B", "I", "J", "K"):
+    if tnull is not None and letter in ("B", "I", "J", "K"):
         mask = flat == tnull
     if tscal == 1.0 and tzero == 0.0:
         values = flat
-    elif (
-        info.letter == "K"
-        and tscal == 1.0 and tzero == 9223372036854775808.0
-    ):
+    elif letter == "K" and tscal == 1.0 and tzero == 9223372036854775808.0:
         # unsigned-int64 convention: flip the sign bit → uint64
         values = flat.view(np.uint64) ^ np.uint64(1 << 63)
     elif (
-        info.letter in ("B", "I", "J")
+        letter in ("B", "I", "J")
         and float(tscal).is_integer() and float(tzero).is_integer()
     ):
         values = flat.astype(np.int64) * int(tscal) + int(tzero)
@@ -137,9 +134,16 @@ def _scaled_column_to_arrow(
             for v, m in zip(
                 values, mask if mask is not None else np.zeros(len(values), bool))
         ]
-        out = pa.array(objs, type=pa.decimal128(20, 0))
-    else:
-        out = pa.array(values, mask=mask)
+        return pa.array(objs, type=pa.decimal128(20, 0))
+    return pa.array(values, mask=mask)
+
+
+def _scaled_column_to_arrow(
+    col: np.ndarray, info, tscal: float, tzero: float, tnull: int | None
+) -> pa.Array:
+    native = col.astype(col.dtype.newbyteorder("="), copy=False)
+    flat = native.reshape(-1) if info.repeat > 1 else native
+    out = _scaled_flat_array(flat, info.letter, tscal, tzero, tnull)
     if info.repeat > 1:
         offsets = np.arange(0, flat.size + 1, info.repeat, dtype=np.int32)
         return pa.ListArray.from_arrays(pa.array(offsets), out)
@@ -241,6 +245,7 @@ def decode_image(
     hdu: HduInfo,
     row_offset: int,
     arrow_schema: pa.Schema,
+    scaling: bool = False,
 ) -> pa.RecordBatch:
     """Decode image rows (NAXIS1 pixels each) starting at global row
     ``row_offset`` into (Image: array<elem>, ImgIndex: long) rows.
@@ -255,6 +260,11 @@ def decode_image(
     flat = np.frombuffer(buf, dtype=np.dtype(info.numpy_dtype).base, count=n_rows * width)
     if hdu.image_tform == "L":
         values = pa.array(flat == b"T")
+    elif scaling and hdu.col_tscal:
+        values = _scaled_flat_array(
+            flat.astype(flat.dtype.newbyteorder("="), copy=False),
+            hdu.image_tform, hdu.col_tscal[0], hdu.col_tzero[0],
+            hdu.col_tnull[0] if hdu.col_tnull else None)
     else:
         values = pa.array(flat.astype(flat.dtype.newbyteorder("="), copy=False))
     offsets = np.arange(0, n_rows * width + 1, width, dtype=np.int32)

@@ -222,11 +222,16 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
             n_rows *= n
         if not naxis:
             n_rows = 0
+        bnull = header_value(header, "BLANK", None)
         return HduInfo(
             path=path, hdu_index=hdu_index, hdu_type=hdu_type,
             boundaries=boundaries, header=header,
             row_bytes=row_bytes, n_rows=n_rows,
             naxis=naxis, image_tform=tform,
+            # image scaling cards ride the per-column tuples (1 "column")
+            col_tscal=(float(header_value(header, "BSCALE", "1") or "1"),),
+            col_tzero=(float(header_value(header, "BZERO", "0") or "0"),),
+            col_tnull=(int(float(bnull)) if bnull is not None else None,),
         )
 
     if hdu_type == HDU_TYPE_TABLE:

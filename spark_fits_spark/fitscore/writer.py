@@ -128,7 +128,8 @@ def bintable_hdu(
     return _header_block(cards) + _pad_data(rec.tobytes())
 
 
-def image_hdu(data: np.ndarray, primary: bool = False) -> bytes:
+def image_hdu(data: np.ndarray, primary: bool = False,
+              extra_cards: list[bytes] | None = None) -> bytes:
     """Build an IMAGE HDU (or a primary-with-data HDU) from an ndarray.
 
     dtype must be one of i2/i4/i8/f4/f8/u1; stored big-endian. The array
@@ -151,6 +152,7 @@ def image_hdu(data: np.ndarray, primary: bool = False) -> bytes:
     if not primary:
         cards.append(_card("PCOUNT", 0))
         cards.append(_card("GCOUNT", 1))
+    cards.extend(extra_cards or [])
     return _header_block(cards) + _pad_data(big.tobytes())
 
 

@@ -1,3 +1,9 @@
-from spark_fits_spark.operators import dedup, multimodal, similarity
+from spark_fits_spark.operators import (
+    dedup,
+    images,
+    multimodal,
+    relational,
+    similarity,
+)
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = ["dedup", "images", "multimodal", "relational", "similarity"]

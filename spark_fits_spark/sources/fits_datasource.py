@@ -137,10 +137,16 @@ def _bintable_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
     return StructType(fields)
 
 
-def _image_schema(hdu: HduInfo) -> StructType:
+def _image_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
     from pyspark.sql.types import ArrayType, LongType
 
-    elem = parse_tform(hdu.image_tform).spark_type
+    info = parse_tform(hdu.image_tform)
+    if scaling and hdu.col_tscal:
+        from spark_fits_spark.fitscore.types import scaled_spark_type
+
+        elem = scaled_spark_type(info, hdu.col_tscal[0], hdu.col_tzero[0])
+    else:
+        elem = info.spark_type
     return StructType([
         StructField("Image", ArrayType(elem, True), True),
         StructField("ImgIndex", LongType(), True),
@@ -206,7 +212,7 @@ class FitsDataSource(DataSource):
                 )
             return schema
         if hdu.hdu_type == HDU_TYPE_IMAGE:
-            return _image_schema(hdu)
+            return _image_schema(hdu, scaling=self._scaling_enabled())
         if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
             # beyond-reference: opt-in ASCII-table parsing (the default
             # stays an empty DataFrame for parity, ReadFitsTest.scala:118-125)
@@ -452,7 +458,8 @@ class FitsScanReader(DataSourceReader):
 
                     batch = decode_ascii_table(buf, hdu, partition.col_indices, arrow_schema)
                 else:
-                    batch = decode_image(buf, hdu, row, arrow_schema)
+                    batch = decode_image(buf, hdu, row, arrow_schema,
+                                         scaling=self.scaling)
                 if self.pushed:
                     batch = _apply_filters(batch, self.pushed)
                 if batch.num_rows:

@@ -1027,6 +1027,51 @@ def q42_grouped_zscore(spark, sf):
         zscore, "event_id long, user_id long, z double")
 
 
+@query("q43_collect_sorted", """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+FROM orders GROUP BY o_custkey
+""")
+def q43_collect_sorted(spark, sf):
+    """Array aggregation (collect_list/collect_set), sorted for
+    determinism — partial-agg order never shows in the output."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderpriority")))
+        .alias("priorities"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus")))
+        .alias("statuses"),
+    )
+
+
+@query("q44_ranking_windows", """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w AS rn,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4)     OVER w AS quartile,
+       CAST(round(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS pctrank_e4
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def q44_ranking_windows(spark, sf):
+    """The ranking-window family over one shuffle; the unique
+    (o_totalprice, o_orderkey) sort key pins every function's output."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w) * 10000, 0).cast("long")
+        .alias("pctrank_e4"),
+    )
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
 
 @query("q31_ann_lsh_topk")  # rows-only check: hyperplane LSH is approximate

@@ -380,3 +380,28 @@ def test_varlen_arrays_varitab(spark):
     sel = read_fits(spark, path, hdu=1, columns="Jvalue")
     assert sel.columns == ["Jvalue"]
     assert [list(r["Jvalue"]) for r in sel.collect()] == expect(5, ">i4", 4)
+
+
+def test_image_bscale_bzero_blank(spark, tmp_path):
+    # image physical-value scaling: BSCALE/BZERO/BLANK under the same
+    # .option("scaling") (classic 16-bit survey image convention)
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    img = np.array([[0, 100, -32768], [32767, -1, 7]], dtype=">i2")
+    extra = [writer._card("BSCALE", 0.25), writer._card("BZERO", 1000.0),
+             writer._card("BLANK", -32768)]
+    path = tmp_path / "img_scaled.fits"
+    path.write_bytes(writer.primary_hdu()
+                     + writer.image_hdu(img.astype("i2"), extra_cards=extra))
+
+    df = read_fits(spark, str(path), hdu=1, scaling="true")
+    assert df.schema["Image"].dataType.simpleString() == "array<double>"
+    rows = df.orderBy("ImgIndex").collect()
+    vals = [list(r["Image"]) for r in rows]
+    assert vals[0] == [1000.0, 1025.0, None]     # BLANK -> NULL
+    assert vals[1] == [1000.0 + 32767 * 0.25, 999.75, 1001.75]
+    # parity default: raw int16 values
+    raw = read_fits(spark, str(path), hdu=1).orderBy("ImgIndex").collect()
+    assert [list(r["Image"]) for r in raw] == [[0, 100, -32768], [32767, -1, 7]]
