@@ -103,8 +103,11 @@ def main() -> None:
                           shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM/python-worker pool outside timing
+    # warm up the JVM/python-worker pool and the parquet reader path
+    # outside timing (codegen + reader init otherwise lands on the
+    # first timed query)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -127,8 +130,34 @@ def main() -> None:
         "sf": float(sf),
         "cpus": CPUS,
         "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
+        # host-condition telemetry: the benchmark box is burstable —
+        # effective parallelism has been observed anywhere from ~4 to 32
+        # cores with zero code change; this contextualizes run-to-run
+        # variance (1.0 = all CPUS really available)
+        "parallel_efficiency": _parallel_efficiency(),
     }))
     spark.stop()
+
+
+def _burn(_):
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return s
+
+
+def _parallel_efficiency() -> float:
+    """Measured speedup of CPUS concurrent CPU-bound tasks vs one task,
+    normalized by CPUS (1.0 = linear scaling, i.e. the advertised cores
+    are truly available)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter(); _burn(0); one = time.perf_counter() - t0
+    with ProcessPoolExecutor(CPUS) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_burn, range(CPUS)))
+        par = time.perf_counter() - t0
+    return round(one / par, 3) if par > 0 else 1.0
 
 
 if __name__ == "__main__":
