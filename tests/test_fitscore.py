@@ -263,3 +263,85 @@ def test_decode_partial_range_column_pruning():
     d = batch.to_pydict()
     assert d["target"][0] == "NGC0000100"
     assert d["Index"] == list(range(100, 150))
+
+
+# ---------- property-based round-trip (hypothesis) ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _tform_elems = st.sampled_from(["I", "J", "K", "E", "D", "B", "L", "8A"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tforms=st.lists(_tform_elems, min_size=1, max_size=5),
+        n_rows=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_writer_reader_roundtrip_property(tforms, n_rows, seed):
+        """Any schema × any row count: write with fitscore.writer, read
+        back with open_hdu + decode_bintable, values identical."""
+        import io
+
+        import pyarrow as pa
+
+        from spark_fits_spark.fitscore import writer
+        from spark_fits_spark.fitscore.decode import decode_bintable
+        from spark_fits_spark.fitscore.file import open_hdu
+
+        rng = np.random.RandomState(seed)
+        cols, expected = [], []
+        for i, tf in enumerate(tforms):
+            name = f"c{i}"
+            if tf == "8A":
+                vals = np.array(
+                    [f"s{rng.randint(0, 10**6)}" for _ in range(n_rows)])
+                expected.append(list(vals))
+            elif tf == "L":
+                vals = rng.randint(0, 2, n_rows).astype(bool)
+                expected.append([bool(v) for v in vals])
+            elif tf == "B":
+                vals = rng.randint(-128, 128, n_rows).astype("i1")
+                expected.append([int(v) for v in vals])
+            elif tf in ("I", "J", "K"):
+                dt = {"I": ">i2", "J": ">i4", "K": ">i8"}[tf]
+                lim = {"I": 2**15, "J": 2**31, "K": 2**62}[tf]
+                vals = rng.randint(-lim, lim, n_rows).astype(dt)
+                expected.append([int(v) for v in vals])
+            else:
+                dt = ">f4" if tf == "E" else ">f8"
+                vals = rng.randn(n_rows).astype(dt)
+                expected.append([float(v) for v in vals])
+            cols.append((name, tf, vals))
+
+        raw = writer.primary_hdu() + writer.bintable_hdu(cols)
+        fobj = io.BytesIO(raw)
+        hdu = open_hdu(fobj, "<mem>", 1)
+        assert hdu.n_rows == n_rows
+        assert hdu.col_names == tuple(f"c{i}" for i in range(len(tforms)))
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([
+            StructField(n, parse_tform(t).spark_type) for n, t, _ in cols])
+        fobj.seek(hdu.boundaries.data_start)
+        buf = fobj.read(hdu.n_rows * hdu.row_bytes)
+        batch = decode_bintable(
+            buf, hdu, list(range(len(cols))), to_arrow_schema(schema))
+        got = batch.to_pydict()
+        for i, (name, tf, _) in enumerate(cols):
+            g = got[name]
+            if tf == "E":
+                assert g == pytest.approx(expected[i], rel=1e-6)
+            elif tf == "D":
+                assert g == pytest.approx(expected[i])
+            else:
+                assert g == expected[i]
