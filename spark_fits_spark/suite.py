@@ -1072,7 +1072,48 @@ def q44_ranking_windows(spark, sf):
     )
 
 
+@query("q45_salted_join_agg", """
+WITH dim AS (
+  SELECT n_nationkey AS k, n_name FROM nation
+)
+SELECT d.n_name,
+       COUNT(*) AS n_rows,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS total_cents
+FROM (SELECT l_suppkey % 25 AS k, l_extendedprice FROM lineitem) f
+JOIN dim d ON f.k = d.k
+GROUP BY d.n_name
+""")
+def q45_salted_join_agg(spark, sf):
+    """The skew-join operator on the driver-checked surface: fact keys
+    folded to 25 hot values, joined via operators.relational.salted_join
+    (salting is result-neutral — the oracle is the plain join)."""
+    l = _t(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") % 25).alias("k"), "l_extendedprice")
+    d = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"), "n_name")
+    joined = relational.salted_join(l, d, "k", salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents"),
+    )
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
+
+@query("q46_approx_stats")  # rows-only: approximate by design
+def q46_approx_stats(spark, sf):
+    """The 100 TB scale path for q16/q37: sketch-based aggregates —
+    approx_count_distinct (HyperLogLog++) and percentile_approx
+    (t-digest), both mergeable partial aggs (no exact sort / no
+    full-cardinality state). Rows-only check: approximate by design."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000)
+        .alias("p50_p90_approx"),
+        F.count("*").alias("n_rows"),
+    )
+
 
 @query("q31_ann_lsh_topk")  # rows-only check: hyperplane LSH is approximate
 def q31_ann_lsh_topk(spark, sf):
