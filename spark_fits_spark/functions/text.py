@@ -188,3 +188,41 @@ def add_simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> Da
         term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def _kgram_hash(tok_slice: Column) -> Column:
+    """md5-prefix int64 of a space-joined token slice (mirrored exactly
+    by the SQL oracle)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(" ", tok_slice)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS rolling-hash scheme): hash every k-token gram,
+    then keep the minimum hash of each sliding window of w consecutive
+    gram hashes; the distinct, sorted survivors are the document's
+    fingerprint set. Guarantees any shared run of ≥ w+k-1 tokens between
+    two documents produces at least one common fingerprint.
+
+    Pure JVM-side array expressions (no UDF); short documents degrade to
+    a single whole-text fingerprint."""
+    toks = tokens(col)
+    n = F.size(toks)
+    kgrams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _kgram_hash(F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array(_kgram_hash(toks)))
+    m = F.size(kgrams)
+    fps = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(kgrams, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(kgrams)))
+    return F.array_sort(F.array_distinct(fps))

@@ -1098,6 +1098,44 @@ def q45_salted_join_agg(spark, sf):
     )
 
 
+@query("q47_winnow_fingerprints", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+), kg AS (
+  SELECT doc_id,
+         CASE WHEN n >= 4 THEN
+           list_transform(range(1, n - 2),
+             i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT))
+         ELSE [CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 15)) AS BIGINT)]
+         END AS kh
+  FROM toks
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(kh) >= 5 THEN
+           list_sort(list_distinct(list_transform(range(1, len(kh) - 3),
+             i -> list_min(kh[i:i+4]))))
+         ELSE [list_min(kh)] END AS fps
+  FROM kg
+)
+SELECT doc_id, len(fps) AS n_fps,
+       fps[1] AS first_fp, fps[len(fps)] AS last_fp
+FROM fp
+""")
+def q47_winnow_fingerprints(spark, sf):
+    """Rolling-hash document fingerprinting (winnowing, MOSS scheme):
+    k=4-token gram hashes, minimum per sliding window of w=5 — all
+    JVM-side array expressions inside the scan stage, no shuffle."""
+    d = _t(spark, sf, "documents")
+    fps = T.winnow_fingerprints(F.col("text"), k=4, w=5)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.element_at(fps, 1).alias("first_fp"),
+        F.element_at(fps, -1).alias("last_fp"),
+    )
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
 
 @query("q46_approx_stats")  # rows-only: approximate by design

@@ -140,3 +140,23 @@ def test_two_phase_count_matches_groupby(spark):
     got = {r["k"]: r["n"] for r in relational.two_phase_count(df, "k").collect()}
     want = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
     assert got == want
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: a shared token run of >= w+k-1 (= 8) tokens
+    # produces at least one common fingerprint; disjoint docs share none
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (0, f"intro words here {shared} closing remark"),
+        (1, f"{shared} totally different tail content now"),
+        (2, "nothing in common with those other documents at all friend"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: set(r["fps"]) for r in df.select(
+        "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")).collect()}
+    assert out[0] & out[1], "docs sharing an 8-token run must share a fingerprint"
+    assert not (out[0] & out[2]) and not (out[1] & out[2])
+    # short doc degrades to a single fingerprint, deterministically
+    tiny = spark.createDataFrame([(9, "just three words")], ["doc_id", "text"])
+    fps = tiny.select(T.winnow_fingerprints(F.col("text")).alias("f")).first()["f"]
+    assert len(fps) == 1
