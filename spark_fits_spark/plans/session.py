@@ -56,6 +56,12 @@ def build_session(app_name: str = "spark-fits-spark",
         master or f"local[{cpus}]")
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
+    # local mode runs everything in one JVM whose default heap is 1g —
+    # far too small for 32 concurrent tasks (cached shingle tables,
+    # broadcast sides, sort buffers all GC-thrash). Only effective at
+    # JVM launch; harmless if a session already exists.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     for k, v in tuned_conf(shuffle_partitions).items():
