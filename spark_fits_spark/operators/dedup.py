@@ -283,3 +283,62 @@ def embedding_near_dup_pairs(
     src = df.select(F.col(id_col).alias("_id"),
                     F.col(vec_col).cast("array<double>").alias("_v"))
     return src.mapInPandas(gen, out_schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+    The canonical last step of a dedup pipeline: pairs → clusters →
+    keep one representative per cluster.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum of its own label and its neighbors' labels — one hash join +
+    one partial-aggregated groupBy per round, converging in
+    O(component diameter) rounds (near-dup clusters are near-cliques,
+    so 2-3 in practice; ``max_iter`` bounds pathological chains). The
+    driver-side loop only reads a scalar convergence count per round —
+    no data is collected."""
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # localCheckpoint (not just persist) each round: the new plan
+    # references the old labels twice (join + union), so without lineage
+    # truncation the logical plan doubles per iteration — 2^rounds nodes
+    # (the classic iterative-algorithm pitfall; GraphX checkpoints for
+    # the same reason).
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.select("node", "lbl").union(nbr)
+            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "_old"), "node")
+            .where(F.col("lbl") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

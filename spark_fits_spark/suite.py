@@ -1136,6 +1136,37 @@ def q47_winnow_fingerprints(spark, sf):
     )
 
 
+_CLUSTER_ORACLE = """
+WITH RECURSIVE pairs AS ({minhash}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node
+""".format(minhash=_MINHASH_ORACLE.strip())
+
+
+@query("q48_dedup_clusters", _CLUSTER_ORACLE)
+def q48_dedup_clusters(spark, sf):
+    """Connected components over the verified near-dup pairs — the final
+    dedup step (cluster_id = min doc id per component → its keeper).
+    Iterative min-label propagation, one join+agg per round; the oracle
+    is the equivalent recursive-CTE fixpoint."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9)
+    return dedup.connected_components(pairs)
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
 
 @query("q46_approx_stats")  # rows-only: approximate by design

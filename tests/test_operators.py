@@ -160,3 +160,14 @@ def test_winnow_shared_run_guarantee(spark):
     tiny = spark.createDataFrame([(9, "just three words")], ["doc_id", "text"])
     fps = tiny.select(T.winnow_fingerprints(F.col("text")).alias("f")).first()["f"]
     assert len(fps) == 1
+
+
+def test_connected_components_chain_and_clusters(spark):
+    # chain 0-1-2-3-4 (needs several propagation rounds), clique {10,11,12},
+    # isolated pair {20,21}
+    pairs = [(0,1),(1,2),(2,3),(3,4),(10,11),(11,12),(10,12),(20,21)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == {0:0, 1:0, 2:0, 3:0, 4:0,
+                   10:10, 11:10, 12:10, 20:20, 21:20}
