@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q20_dedup_exact",
     "q22_dedup_minhash_lsh",
     "q23_dedup_ngram_jaccard",
+    "q48_dedup_clusters",
     "q24_dedup_simhash",
     "q25_embedding_near_dup",
     "q26_ann_cosine_topk",

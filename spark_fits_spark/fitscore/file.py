@@ -171,11 +171,30 @@ class HduInfo:
         return offs
 
 
-def open_hdu(fobj: BinaryIO, path: str, hdu_index: int) -> HduInfo:
+def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
     """Locate HDU ``hdu_index``, parse its header, classify it, and pull
     the metadata needed for decoding (the analog of ``new Fits(path,
-    conf, hduIndex)``, ``FitsLib.scala:173-238``)."""
+    conf, hduIndex)``, ``FitsLib.scala:173-238``).
+
+    ``hdu_index`` may also be an EXTNAME string (beyond-reference —
+    the reference takes integers only): the first HDU whose EXTNAME
+    matches case-insensitively is selected, resolved per file so
+    multi-file datasets with different HDU orderings still line up."""
     hdus = walk_hdus(fobj)
+    if isinstance(hdu_index, str):
+        want = hdu_index.strip().upper()
+        names = []
+        for i, (_b, cards) in enumerate(hdus):
+            name = header_value(parse_cards(cards), "EXTNAME", "") or ""
+            names.append(name)
+            if name.strip().upper() == want:
+                hdu_index = i
+                break
+        else:
+            raise ValueError(
+                f"No HDU with EXTNAME {hdu_index!r} in {path}; "
+                f"available: {[n for n in names if n]}"
+            )
     if hdu_index < 0 or hdu_index >= len(hdus):
         raise ValueError(
             f"HDU index {hdu_index} out of range: file has {len(hdus)} HDUs "

@@ -177,14 +177,18 @@ class FitsDataSource(DataSource):
                     return v
         return default
 
-    def _hdu_index(self) -> int:
+    def _hdu_index(self) -> int | str:
         raw = self._opt("hdu")
         if raw is None:
             raise ValueError(
                 "You need to specify the HDU to be read: "
                 '.option("hdu", <int>) is mandatory'
             )
-        return int(raw)
+        try:
+            return int(raw)
+        except ValueError:
+            # beyond-reference: select by EXTNAME (resolved per file)
+            return raw
 
     def _path(self) -> str:
         p = self._opt("path")

@@ -405,3 +405,16 @@ def test_image_bscale_bzero_blank(spark, tmp_path):
     # parity default: raw int16 values
     raw = read_fits(spark, str(path), hdu=1).orderBy("ImgIndex").collect()
     assert [list(r["Image"]) for r in raw] == [[0, 100, -32768], [32767, -1, 7]]
+
+
+def test_hdu_by_extname(spark):
+    # beyond-reference: .option("hdu", "EVENTS") selects by EXTNAME
+    # (reference is integer-only); resolved per file
+    path = f"{REF}/toTest/swift_events.fits"
+    by_name = read_fits(spark, path, hdu="EVENTS")
+    by_idx = read_fits(spark, path, hdu=1)
+    assert by_name.count() == by_idx.count() == 50000
+    assert by_name.schema == by_idx.schema
+    assert read_fits(spark, path, hdu="gti").count() == 3  # case-insensitive
+    with pytest.raises(Exception, match="EXTNAME"):
+        read_fits(spark, path, hdu="NOPE").count()
