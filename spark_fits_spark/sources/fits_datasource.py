@@ -271,7 +271,24 @@ class FitsDataSource(DataSource):
             verbose=(self._opt("verbose", default="false") or "").lower() == "true",
             ascii_tables=self._ascii_enabled(),
             scaling=self._scaling_enabled(),
+            rowrange=self._rowrange(),
         )
+
+    def _rowrange(self) -> tuple[int, int] | None:
+        """Beyond-reference: .option("rowrange", "a,b") scans only file
+        rows [a, b) (0-based, per file) — the skipped byte ranges are
+        never read. For image HDUs this is a plane/row cutout."""
+        raw = self._opt("rowrange")
+        if raw is None:
+            return None
+        try:
+            a, b = (int(x) for x in str(raw).split(","))
+        except ValueError:
+            raise ValueError(
+                f'rowrange must be "start,end" (0-based, half-open); got {raw!r}')
+        if a < 0 or b < a:
+            raise ValueError(f"rowrange requires 0 <= start <= end; got {raw!r}")
+        return (a, b)
 
     def streamReader(self, schema: StructType) -> "FitsStreamReader":
         """Streaming FITS source (beyond-reference — the reference is
@@ -303,9 +320,11 @@ def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
 
 class FitsScanReader(DataSourceReader):
     def __init__(self, path, hdu_index, schema, columns, recordlength, mode,
-                 partition_bytes, verbose, ascii_tables=False, scaling=False):
+                 partition_bytes, verbose, ascii_tables=False, scaling=False,
+                 rowrange=None):
         self.ascii_tables = ascii_tables
         self.scaling = scaling
+        self.rowrange = rowrange
         self.path = path
         self.hdu_index = hdu_index
         self.spark_schema = schema
@@ -408,15 +427,23 @@ class FitsScanReader(DataSourceReader):
                 if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE)
                 else []
             )
-            data_len = hdu.n_rows * hdu.row_bytes
+            # beyond-reference row-range pushdown: partitions are only
+            # generated for [lo, hi), so the skipped rows' bytes are
+            # never read — source-level pruning (per file; for images
+            # this slices planes/rows, ImgIndex stays global)
+            lo, hi = 0, hdu.n_rows
+            if self.rowrange is not None:
+                lo = min(max(0, self.rowrange[0]), hdu.n_rows)
+                hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
+            data_len = (hi - lo) * hdu.row_bytes
             n_parts = max(1, -(-data_len // self.partition_bytes))
-            rows_per_part = -(-hdu.n_rows // n_parts)
-            for start in range(0, hdu.n_rows, rows_per_part):
+            rows_per_part = max(1, -(-(hi - lo) // n_parts))
+            for start in range(lo, hi, rows_per_part):
                 parts.append(
                     FitsInputPartition(
                         hdu=hdu,
                         row_start=start,
-                        row_end=min(start + rows_per_part, hdu.n_rows),
+                        row_end=min(start + rows_per_part, hi),
                         col_indices=col_indices,
                     )
                 )

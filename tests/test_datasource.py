@@ -418,3 +418,21 @@ def test_hdu_by_extname(spark):
     assert read_fits(spark, path, hdu="gti").count() == 3  # case-insensitive
     with pytest.raises(Exception, match="EXTNAME"):
         read_fits(spark, path, hdu="NOPE").count()
+
+
+def test_rowrange_pushdown(spark):
+    # beyond-reference: .option("rowrange", "a,b") scans only rows [a,b)
+    # — partitions are generated for that byte range alone
+    df = read_fits(spark, f"{REF}/test_file.fits", rowrange="100,350")
+    assert df.count() == 250
+    idx = [r["Index"] for r in df.orderBy("Index").collect()]
+    assert idx[0] == 100 and idx[-1] == 349
+    # image cutout: plane 1 of the 73x31x5 cube = rows [31, 62)
+    img = read_fits(spark, f"{REF}/toTest/tst0009.fits", hdu=2,
+                    rowrange="31,62")
+    rows = img.collect()
+    assert len(rows) == 31
+    assert {r["ImgIndex"] for r in rows} == {1}  # global plane index kept
+    # validation
+    with pytest.raises(Exception, match="rowrange"):
+        read_fits(spark, f"{REF}/test_file.fits", rowrange="50,10").count()
