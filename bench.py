@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     "q20_dedup_exact",
     "q22_dedup_minhash_lsh",
     "q23_dedup_ngram_jaccard",
-    "q48_dedup_clusters",
+    # q48 (clusters) stays out of the headline set: it re-runs q22's
+    # pair pipeline and adds only ~2s of label propagation — no new
+    # bench signal for double the dominant cost
     "q24_dedup_simhash",
     "q25_embedding_near_dup",
     "q26_ann_cosine_topk",
