@@ -36,3 +36,50 @@ def register_fits(spark) -> None:
     from spark_fits_spark.sources.fits_datasource import FitsDataSource
 
     spark.dataSource.register(FitsDataSource)
+
+
+def fits_info(spark, path: str):
+    """Dataset discovery: one row per (file, HDU) with index, type,
+    EXTNAME, row/column counts and byte boundaries — the DataFrame
+    analog of the reference's ``getNHDU``/``getHduType`` driver API.
+
+    File listing is driver-side; header walking is distributed (one
+    task per file), so inventories of many-file datasets scale out."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from spark_fits_spark.sources.fits_datasource import search_fits_files
+
+    files = search_fits_files(path)
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("hdu", IntegerType()),
+        StructField("hdu_type", StringType()),
+        StructField("extname", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_cols", IntegerType()),
+        StructField("data_start", LongType()),
+        StructField("data_len", LongType()),
+    ])
+
+    def _walk(fp: str):
+        from spark_fits_spark.fitscore.file import walk_hdus
+        from spark_fits_spark.fitscore.header import header_value, parse_cards
+
+        out = []
+        with open(fp, "rb") as f:
+            for i, (b, cards) in enumerate(walk_hdus(f)):
+                h = parse_cards(cards)
+                out.append((
+                    fp, i,
+                    header_value(h, "XTENSION", "primary") or "primary",
+                    header_value(h, "EXTNAME", None),
+                    int(h.get("NAXIS2", "0") or "0"),
+                    int(h.get("TFIELDS", "0") or "0"),
+                    b.data_start, b.data_len,
+                ))
+        return out
+
+    rdd = spark.sparkContext.parallelize(files, max(1, len(files)))
+    return spark.createDataFrame(rdd.flatMap(_walk), schema)

@@ -436,3 +436,15 @@ def test_rowrange_pushdown(spark):
     # validation
     with pytest.raises(Exception, match="rowrange"):
         read_fits(spark, f"{REF}/test_file.fits", rowrange="50,10").count()
+
+
+def test_fits_info_inventory(spark):
+    from spark_fits_spark import fits_info
+
+    info = fits_info(spark, f"{REF}/toTest/swift_events.fits")
+    rows = {r["hdu"]: r for r in info.collect()}
+    assert len(rows) == 4
+    assert rows[0]["hdu_type"] == "primary"
+    assert rows[1]["extname"] == "EVENTS" and rows[1]["n_rows"] == 50000
+    assert rows[2]["extname"] == "GTI" and rows[3]["extname"] == "BADPIX"
+    assert all(r["data_start"] % 2880 == 0 for r in rows.values())
