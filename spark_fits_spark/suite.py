@@ -76,10 +76,10 @@ def _e4(col) -> F.Column:
 
 @query("q01_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS sum_disc_e4,
-       SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS sum_charge_e6,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -116,7 +116,7 @@ def q02_filter_project(spark, sf):
 
 
 @query("q03_top_building_orders", """
-SELECT o_orderkey, SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_e4
+SELECT o_orderkey, CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -141,7 +141,7 @@ def q03_top_building_orders(spark, sf):
 
 
 @query("q05_supplier_nation_revenue", """
-SELECT n_name, SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS revenue_e4,
+SELECT n_name, CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
@@ -166,7 +166,7 @@ def q05_supplier_nation_revenue(spark, sf):
 
 @query("q07_region_rollup", """
 SELECT r_name, n_name,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -194,7 +194,7 @@ def q07_region_rollup(spark, sf):
 @query("q08_window_running", """
 SELECT o_orderkey, o_custkey,
        ROW_NUMBER() OVER w AS order_seq,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS running_spend_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS running_spend_cents
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -346,7 +346,7 @@ def q15_topk_orders(spark, sf):
 @query("q16_global_stats", """
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_partkey) AS n_parts,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
        strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
        strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
@@ -369,7 +369,7 @@ def q16_global_stats(spark, sf):
 SELECT event_type,
        strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*10000) AS BIGINT)) AS sum_value_e4,
+       CAST(SUM(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS sum_value_e4,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type, hour_start
 """)
@@ -395,7 +395,7 @@ def q17_events_hourly(spark, sf):
 @query("q18_events_json", """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        round(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE / COUNT(*), 4) AS avg_k
 FROM events GROUP BY event_type
 """)
@@ -420,8 +420,8 @@ WITH seq AS (
   FROM seq
 ), sessions AS (
   SELECT user_id, event_id, ms,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -716,11 +716,11 @@ def q30_multimodal_meta(spark, sf):
 
 @query("q32_pivot_segments", """
 SELECT c_nationkey,
-       SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
-       SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS building,
-       SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS furniture,
-       SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS household,
-       SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS machinery
+       CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+       CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS building,
+       CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+       CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS household,
+       CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS machinery
 FROM customer GROUP BY c_nationkey
 """)
 def q32_pivot_segments(spark, sf):
@@ -743,7 +743,7 @@ def q32_pivot_segments(spark, sf):
 @query("q33_grouping_sets", """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """)
@@ -762,7 +762,7 @@ def q33_grouping_sets(spark, sf):
 @query("q34_outer_joins", """
 SELECT n.n_name,
        COUNT(c.c_custkey) AS n_customers,
-       COALESCE(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END), 0) AS n_positive
+       CAST(COALESCE(SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_positive
 FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """)
@@ -939,7 +939,7 @@ def q39_explode_tokens(spark, sf):
 
 @query("q40_cube", """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """)
 def q40_cube(spark, sf):
@@ -1078,7 +1078,7 @@ WITH dim AS (
 )
 SELECT d.n_name,
        COUNT(*) AS n_rows,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM (SELECT l_suppkey % 25 AS k, l_extendedprice FROM lineitem) f
 JOIN dim d ON f.k = d.k
 GROUP BY d.n_name
@@ -1176,16 +1176,57 @@ def q46_approx_stats(spark, sf):
     (t-digest), both mergeable partial aggs (no exact sort / no
     full-cardinality state). Rows-only check: approximate by design."""
     l = _t(spark, sf, "lineitem")
+    # Scalar output columns only: the driver canonicalizer (pandas
+    # sort_values) crashes on array cells (r01: q46 err). One t-digest
+    # per percentile instead of the array form.
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000)
-        .alias("p50_p90_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
         F.count("*").alias("n_rows"),
     )
 
 
-@query("q31_ann_lsh_topk")  # rows-only check: hyperplane LSH is approximate
+import numpy as _np
+
+# The exact hyperplanes hyperplane_lsh_topk(seed=7, bits=4, dim=64) uses,
+# inlined as DuckDB list literals (repr() round-trips doubles exactly),
+# so the "approximate" LSH is fully oracle-checkable: approximation is a
+# deterministic function of the seeded planes, identical in both engines.
+_LSH_PLANES = _np.random.RandomState(7).normal(size=(4, 64))
+_LSH_SIG_SQL = "\n         + ".join(
+    "(CASE WHEN list_dot_product(v, [{}]) > 0 THEN {} ELSE 0 END)".format(
+        ", ".join(repr(float(x)) for x in plane), 1 << b)
+    for b, plane in enumerate(_LSH_PLANES))
+
+_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+         {_LSH_SIG_SQL} AS sig
+  FROM e
+),
+q AS (SELECT vec_id, v, sig FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(q.v, c.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM sig c JOIN q ON c.sig = q.sig AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q31_ann_lsh_topk", _LSH_ORACLE)
 def q31_ann_lsh_topk(spark, sf):
+    """Bucketed ANN: 4-bit random-hyperplane signature join (corpus work
+    ~|corpus|/16 per query), exact cosine re-rank inside the bucket.
+    Seeded planes make the approximation deterministic — the oracle
+    replays the identical signature + re-rank in SQL."""
     e = _t(spark, sf, "embeddings")
     return similarity.hyperplane_lsh_topk(
         e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",

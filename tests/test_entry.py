@@ -1,12 +1,31 @@
 """Replicates the driver's correctness gate locally: run every
 ``queries()`` entry via Spark AND its ``oracle_sql()`` via DuckDB on the
 same parquet, then compare row counts, column names, and
-order-insensitive values."""
+order-insensitive values **through Arrow, type-sensitively**.
+
+The driver canonicalizes both sides via Arrow→pandas and hashes; its
+hash is dtype-family sensitive (judge r1 finding): DuckDB ``SUM(BIGINT)``
+returns HUGEINT → ``decimal128(38,0)`` through Arrow, which pandas holds
+as ``object`` (Decimal) and hashes differently from an int64 column even
+when values are equal. The round-1 mirror normalized cells via ``repr``
+and masked exactly that bug class (14 silent hash fails). This mirror
+therefore compares a *type family tag* per column in addition to values:
+
+- all Arrow integer widths collapse to ``int`` (pandas hashes numerics
+  by value-as-uint64, so int32 vs int64 passes the driver — observed:
+  q09 ROW_NUMBER int32 vs DuckDB int64 was hash-green in r01);
+- ``decimal``, ``float``, ``string``, ``bool``, ``binary``, ``date``,
+  ``timestamp`` are distinct families (decimal-vs-int is the r01 bug);
+- list/struct-typed output columns are **banned outright**, even for
+  rows-only queries: the driver's canonicalizer dies on them
+  (q46 r01: ``TypeError: unhashable type: 'list'``).
+"""
 
 import math
 import os
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -24,21 +43,71 @@ def _duck(sf_dir):
     return con
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+def _family(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the driver-hash-relevant family."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_null(t):
+        return "null"
+    return f"UNSUPPORTED({t})"
+
+
+_BANNED = (pa.types.is_list, pa.types.is_large_list, pa.types.is_struct,
+           pa.types.is_map, pa.types.is_fixed_size_list)
+
+
+def _assert_driver_safe(tbl: pa.Table, name: str):
+    """No list/struct/map output columns — the driver canonicalizer
+    (pandas sort_values) crashes on them even in rows-only mode."""
+    for field in tbl.schema:
+        assert not any(p(field.type) for p in _BANNED), (
+            f"{name}: column {field.name!r} is {field.type} — nested "
+            "types crash the driver canonicalizer (q46 r01); flatten "
+            "to scalar columns")
+
+
+def _norm_cell(v, fam: str) -> str:
+    if v is None:
+        return "\x00null"
+    if fam == "float":
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
+        return f.hex()  # exact — driver hashes float bits
+    if fam in ("timestamp", "date"):
         return v.isoformat()
+    if fam == "binary":
+        return v.hex()
+    if fam in ("int", "decimal"):
+        return str(v)
     return repr(v)
 
 
-def _rowset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+def _canon(tbl: pa.Table):
+    """(sorted [(col, family)], sorted row tuples of normalized cells)."""
+    cols = sorted(tbl.column_names)
+    fams = {c: _family(tbl.schema.field(c).type) for c in cols}
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    sig = [(c, fams[c]) for c in cols]
+    rows = sorted(
+        tuple(_norm_cell(data[c][i], fams[c]) for c in cols)
+        for i in range(tbl.num_rows)
     )
+    return sig, rows
 
 
 QUERIES = entry_mod.queries()
@@ -53,25 +122,28 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_against_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    stbl = sdf.toArrow()
+    _assert_driver_safe(stbl, name)
 
     if name not in ORACLES:
         # rows-only check (approximate / non-SQL ops)
-        assert len(spark_rows) >= 0
+        assert stbl.num_rows >= 0
         return
 
     con = _duck(SF_DIR)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    dtbl = con.execute(ORACLES[name]).arrow()
+    _assert_driver_safe(dtbl, name + " (oracle)")
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
-    sset = _rowset(spark_cols, spark_rows)
-    dset = _rowset(duck_cols, duck_rows)
-    if sset != dset:
-        diff = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+    ssig, srows = _canon(stbl)
+    dsig, drows = _canon(dtbl)
+
+    assert [c for c, _ in ssig] == [c for c, _ in dsig], (
+        f"{name}: column mismatch {stbl.column_names} vs {dtbl.column_names}")
+    assert ssig == dsig, (
+        f"{name}: TYPE-FAMILY mismatch (driver hash would fail): "
+        f"spark={ssig} oracle={dsig}")
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs {len(drows)}")
+    if srows != drows:
+        diff = [(a, b) for a, b in zip(srows, drows) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
