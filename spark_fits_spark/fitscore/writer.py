@@ -67,6 +67,9 @@ _TFORM_NUMPY = {
 }
 
 
+_VLA_RE = r"^1?([PQ])([A-Z])(?:\((\d+)\))?$"
+
+
 def bintable_hdu(
     columns: list[tuple[str, str, np.ndarray]],
     extra_cards: list[bytes] | None = None,
@@ -75,49 +78,80 @@ def bintable_hdu(
 
     tform like '10A', 'E', '1J', '3I'. Values: 1-D arrays (or 2-D for
     vector columns; str/bytes arrays for 'A').
+
+    Variable-length columns: tform 'PK(max)' / 'QE(max)' with values a
+    ``(lengths, flat)`` pair — per-row element counts (int array) and
+    the row-major concatenation of all elements (1-D numpy array, any
+    byte order; stored big-endian). Descriptors are (count, byte offset
+    into the heap); the heap follows the fixed table (THEAP default),
+    PCOUNT covers it. P descriptors are 2×int32, Q 2×int64.
     """
     import re
 
-    n_rows = len(columns[0][2])
-    fields = []
+    n_rows = None
+    fields = []          # (record dtype, writer) per column
     row_bytes = 0
+    heap_parts: list[bytes] = []
+    heap_pos = 0
     for name, tform, vals in columns:
+        vm = re.match(_VLA_RE, tform)
+        if vm:
+            pq, letter = vm.group(1), vm.group(2)
+            lengths, flat = vals
+            lengths = np.asarray(lengths, dtype=np.int64)
+            n_rows = len(lengths) if n_rows is None else n_rows
+            base, w = _TFORM_NUMPY[letter]
+            flat = np.ascontiguousarray(np.asarray(flat).astype(base))
+            starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            desc_t = ">i4" if pq == "P" else ">i8"
+            desc = np.empty((len(lengths), 2), dtype=desc_t)
+            desc[:, 0] = lengths
+            desc[:, 1] = heap_pos + starts * w
+            heap_parts.append(flat.tobytes())
+            heap_pos += flat.nbytes
+            nbytes = 8 if pq == "P" else 16
+            fields.append(((desc_t, (2,)), desc, nbytes))
+            row_bytes += nbytes
+            continue
         m = re.match(r"^(\d*)([A-Z])$", tform)
         repeat = int(m.group(1)) if m.group(1) else 1
         letter = m.group(2)
+        n_rows = len(vals) if n_rows is None else n_rows
         if letter == "A":
-            fields.append((name, f"S{repeat}", vals, repeat))
+            fields.append((f"S{repeat}", np.asarray(vals, dtype=f"S{repeat}"),
+                           repeat))
             row_bytes += repeat
         elif letter == "X":
             nbytes = (repeat + 7) // 8
-            fields.append((name, f"V{nbytes}", vals, nbytes))
+            fields.append((f"V{nbytes}", vals, nbytes))
             row_bytes += nbytes
+        elif letter == "L":
+            fmt = ("S1", (repeat,)) if repeat > 1 else "S1"
+            fields.append(
+                (fmt, np.where(np.asarray(vals, dtype=bool), b"T", b"F"),
+                 repeat))
+            row_bytes += repeat
         else:
             base, w = _TFORM_NUMPY[letter]
             shape = (repeat,) if repeat > 1 else ()
-            fields.append((name, (base, shape) if shape else base, vals, w * repeat))
+            fields.append(((base, shape) if shape else base, vals, w * repeat))
             row_bytes += w * repeat
 
-    dtype = np.dtype([(f"f{i}", f[1]) for i, f in enumerate(fields)])
+    n_rows = n_rows or 0
+    dtype = np.dtype([(f"f{i}", f[0]) for i, f in enumerate(fields)])
     assert dtype.itemsize == row_bytes
     rec = np.zeros(n_rows, dtype=dtype)
-    for i, (name, fmt, vals, _) in enumerate(fields):
-        col = columns[i]
-        letter = re.match(r"^(\d*)([A-Z])$", col[1]).group(2)
-        if letter == "L":
-            rec[f"f{i}"] = np.where(np.asarray(vals, dtype=bool), b"T", b"F")
-        elif letter == "A":
-            rec[f"f{i}"] = np.asarray(vals, dtype=f"S{int(col[1][:-1] or 1)}")
-        else:
-            rec[f"f{i}"] = vals
+    for i, (_fmt, vals, _) in enumerate(fields):
+        rec[f"f{i}"] = vals
 
+    heap = b"".join(heap_parts)
     cards = [
         _card("XTENSION", "BINTABLE", "binary table extension"),
         _card("BITPIX", 8),
         _card("NAXIS", 2),
         _card("NAXIS1", row_bytes, "length of dimension 1"),
         _card("NAXIS2", n_rows, "length of dimension 2"),
-        _card("PCOUNT", 0),
+        _card("PCOUNT", len(heap), "heap size in bytes"),
         _card("GCOUNT", 1),
         _card("TFIELDS", len(columns)),
     ]
@@ -125,7 +159,7 @@ def bintable_hdu(
         cards.append(_card(f"TTYPE{i}", name))
         cards.append(_card(f"TFORM{i}", tform))
     cards.extend(extra_cards or [])
-    return _header_block(cards) + _pad_data(rec.tobytes())
+    return _header_block(cards) + _pad_data(rec.tobytes() + heap)
 
 
 def image_hdu(data: np.ndarray, primary: bool = False,

@@ -153,9 +153,18 @@ def _image_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
     ])
 
 
-def _schema_signature(hdu: HduInfo):
+def _schema_signature(hdu: HduInfo, scaling: bool = False):
+    """Conformance key for multi-file scans. Bintable columns compare by
+    name + **Spark logical type**, not raw TFORM: part files whose
+    string widths (``10A`` vs ``12A``) or vector repeats differ still
+    decode to the identical DataFrame schema, so they must conform —
+    comparing raw TFORMs silently dropped rows on a writer round-trip
+    whose partitions had different max string lengths (r1 ADVICE).
+    Differing base types (``J`` vs ``K``) still mismatch."""
     if hdu.hdu_type == HDU_TYPE_BINTABLE:
-        return ("bintable", hdu.col_names, hdu.col_tforms)
+        return ("bintable", hdu.col_names,
+                tuple(f.dataType.simpleString()
+                      for f in _bintable_schema(hdu, scaling=scaling)))
     if hdu.hdu_type == HDU_TYPE_IMAGE:
         return ("image", hdu.naxis[:1], hdu.image_tform)
     if hdu.hdu_type == HDU_TYPE_TABLE:
@@ -254,7 +263,7 @@ class FitsDataSource(DataSource):
                 if f.endswith(".fits"):
                     os.remove(os.path.join(path, f))
         os.makedirs(path, exist_ok=True)
-        return FitsArrowWriter(schema, path)
+        return FitsArrowWriter(schema, path, self.options)
 
     def reader(self, schema: StructType) -> "FitsScanReader":
         return FitsScanReader(
@@ -382,16 +391,30 @@ class FitsScanReader(DataSourceReader):
                 if i == 0:
                     first_sig = ("empty",)
                 continue  # PERMISSIVE: HDU out of range → skip file
-            sig = _schema_signature(hdu)
+            sig = _schema_signature(hdu, scaling=self.scaling)
             scannable_types = (HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE) + (
                 (HDU_TYPE_TABLE,) if self.ascii_tables else ())
-            scannable = hdu.hdu_type in scannable_types and hdu.n_rows > 0
+            # a 0-row BINTABLE/IMAGE header still carries the full column
+            # schema — it defines/participates in conformance (a writer
+            # may legitimately emit 0-row part files for empty partitions)
+            # but contributes no scan partitions
+            has_schema = hdu.hdu_type in scannable_types
+            scannable = has_schema and hdu.n_rows > 0
             if i == 0:
                 # the schema-defining file (schema() reads files[0] too, so
                 # planning and inference always agree)
-                first_sig = sig if scannable else ("empty",)
+                first_sig = sig if has_schema else ("empty",)
             if not scannable:
-                # empty or ASCII-table HDU: PERMISSIVE skips silently
+                if has_schema:
+                    # 0-row table/image: conformance still applies (it is
+                    # part of the dataset), but there is nothing to scan
+                    if sig != first_sig and self.mode == "FAILFAST":
+                        raise ValueError(
+                            f"FAILFAST: schema of {fp} (HDU {self.hdu_index}) "
+                            f"does not conform to the first file: "
+                            f"{sig} != {first_sig}")
+                    continue
+                # empty/unsupported HDU: PERMISSIVE skips silently
                 # (FitsRecordReader.scala:176-183), FAILFAST raises
                 # (packageTest.scala:193-231)
                 if self.mode == "FAILFAST" and first_sig != ("empty",):

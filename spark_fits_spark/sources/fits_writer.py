@@ -4,19 +4,38 @@
 
     df.write.format("fits").mode("overwrite").save("/out/dir")
 
-Each task writes one ``part-<id>.fits`` file (primary HDU + one BINTABLE
-HDU) from its Arrow batches — embarrassingly parallel, no driver
-involvement, so it scales with the number of partitions. Reading the
-directory back with ``.option("hdu", 1)`` round-trips the DataFrame.
+Each task writes one ``part-<id>-<uuid>.fits`` file (primary HDU + one
+BINTABLE HDU) from its Arrow batches — embarrassingly parallel, no
+driver involvement, so it scales with the number of partitions. The
+uuid suffix makes ``mode("append")`` into an existing directory safe
+(task ids restart at 0 per job, so bare ``part-<id>`` names would
+overwrite previous data — r1 ADVICE). Reading the directory back with
+``.option("hdu", 1)`` round-trips the DataFrame.
 
 Type mapping (inverse of ``fitscore.types``): boolean→L, byte→B,
-short→I, int→J, long→K, float→E, double→D, string→nA (n = longest value
-in the partition, min 1), array<numeric>→fixed-repeat vector column.
+short→I, int→J, long→K, float→E, double→D, string→nA, array<numeric>→
+**variable-length (P-descriptor) column** by default — lossless for
+ragged arrays and schema-stable across part files regardless of each
+partition's max length. ``.option("colwidths", "vec=3")`` switches a
+column to a fixed-repeat vector layout (zero-padded).
+
+String widths / vector repeats default to the **partition max** — part
+files may then carry different TFORM widths, which is fine for our own
+reader (schema conformance compares Spark logical types, not raw
+TFORMs). For interop with readers that require uniform TFORMs across
+files, pin them explicitly:
+
+    .option("stringwidth", "24")          # all string columns → 24A
+    .option("colwidths", "name=16,vec=3") # per-column width/repeat
+
+A value longer than a pinned width raises (silent truncation would be
+data loss).
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -45,6 +64,23 @@ _SCALAR_TFORM = {
 }
 
 
+def _parse_width_options(options: dict | None) -> tuple[int | None, dict[str, int]]:
+    """(global stringwidth, {column: width/repeat}) from writer options."""
+    if not options:
+        return None, {}
+    opts = {k.lower(): v for k, v in options.items()}
+    global_w = int(opts["stringwidth"]) if "stringwidth" in opts else None
+    per_col: dict[str, int] = {}
+    if "colwidths" in opts:
+        for item in opts["colwidths"].split(","):
+            item = item.strip()
+            if not item:
+                continue
+            name, _, w = item.partition("=")
+            per_col[name.strip().lower()] = int(w)
+    return global_w, per_col
+
+
 @dataclass
 class FitsCommitMessage(WriterCommitMessage):
     path: str
@@ -52,9 +88,16 @@ class FitsCommitMessage(WriterCommitMessage):
 
 
 class FitsArrowWriter(DataSourceArrowWriter):
-    def __init__(self, schema: StructType, path: str):
+    def __init__(self, schema: StructType, path: str, options: dict | None = None):
         self.schema = schema
         self.path = path
+        self.string_width, self.col_widths = _parse_width_options(options)
+
+    def _fixed_width(self, name: str, is_string: bool) -> int | None:
+        w = self.col_widths.get(name.lower())
+        if w is None and is_string:
+            w = self.string_width
+        return w
 
     def write(self, iterator) -> FitsCommitMessage:
         from pyspark import TaskContext
@@ -64,7 +107,8 @@ class FitsArrowWriter(DataSourceArrowWriter):
         batches = list(iterator)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        out = os.path.join(self.path, f"part-{pid:05d}.fits")
+        out = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.fits")
 
         import pyarrow as pa
 
@@ -83,23 +127,57 @@ class FitsArrowWriter(DataSourceArrowWriter):
         fw.write_fits(out, [fw.bintable_hdu(columns)])
         return FitsCommitMessage(path=out, rows=n)
 
-    @staticmethod
-    def _to_fits_column(name, dtype, col, n):
-        import pyarrow as pa
+    def _to_fits_column(self, name, dtype, col, n):
+        import pyarrow.compute as pc
 
         if isinstance(dtype, StringType):
-            vals = col.to_pylist()
-            vals = ["" if v is None else v for v in vals]
-            width = max(1, max((len(v) for v in vals), default=1))
-            return (name, f"{width}A", np.asarray(vals, dtype=f"S{width}"))
+            vals = col.combine_chunks().fill_null("")
+            max_len = pc.max(pc.utf8_length(vals)).as_py() if n else None
+            max_len = max(1, max_len or 1)
+            width = self._fixed_width(name, True)
+            if width is None:
+                width = max_len
+            elif max_len > width:
+                raise ValueError(
+                    f"FITS writer: value of length {max_len} in column "
+                    f"{name!r} exceeds pinned width {width} "
+                    "(stringwidth/colwidths) — refusing to truncate")
+            # vectorized pad: object array → fixed S<width> in one pass
+            arr = np.asarray(vals.to_numpy(zero_copy_only=False),
+                             dtype=f"S{width}")
+            return (name, f"{width}A", arr)
         if isinstance(dtype, ArrayType):
             letter, npd = _SCALAR_TFORM[type(dtype.elementType)]
-            lists = col.to_pylist()
-            repeat = max(1, max((len(v) for v in lists if v is not None), default=1))
+            la = col.combine_chunks()
+            lengths = pc.list_value_length(la).fill_null(0)
+            lengths = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+            max_len = int(lengths.max()) if n else 0
+            repeat = self._fixed_width(name, False)
+            if repeat is None and not isinstance(dtype.elementType, BooleanType):
+                # default: variable-length (P-descriptor) column — lossless
+                # for ragged arrays and schema-stable across part files
+                # whose max lengths differ (a fixed repeat of 1 would even
+                # collapse to a scalar on read). Pin via colwidths for a
+                # fixed-repeat layout.
+                flat = la.flatten().to_numpy(zero_copy_only=False)
+                return (name, f"P{letter}({max_len})", (lengths, flat))
+            if repeat is None:
+                repeat = max(1, max_len)
+            elif max_len > repeat:
+                raise ValueError(
+                    f"FITS writer: array of length {max_len} in column "
+                    f"{name!r} exceeds pinned repeat {repeat} (colwidths) "
+                    "— refusing to truncate")
+            # vectorized scatter: flatten() yields valid elements in row
+            # order; (row, col) indices from the per-row lengths
+            values = la.flatten().to_numpy(zero_copy_only=False)
             arr = np.zeros((n, repeat), dtype=npd)
-            for i, v in enumerate(lists):
-                if v:
-                    arr[i, : len(v)] = v
+            if len(values):
+                ends = np.cumsum(lengths)
+                starts = ends - lengths
+                idx_row = np.repeat(np.arange(n), lengths)
+                idx_col = np.arange(len(values)) - np.repeat(starts, lengths)
+                arr[idx_row, idx_col] = values
             return (name, f"{repeat}{letter}", arr)
         if type(dtype) in _SCALAR_TFORM:
             letter, npd = _SCALAR_TFORM[type(dtype)]

@@ -34,6 +34,80 @@ def test_fits_write_roundtrip(spark, tmp_path):
     assert spark.read.format("fits").option("hdu", 1).load(out).count() == 100
 
 
+def test_fits_write_mixed_width_partitions(spark, tmp_path):
+    """Partitions with different max string/array lengths write part
+    files with different TFORM widths; the reader must still see ALL
+    rows (r1 ADVICE: raw-TFORM conformance silently dropped files)."""
+    src = spark.range(2000).select(
+        F.col("id").alias("Index"),
+        # partition by parity → one partition has ~3-char names, the
+        # other ~13-char names → different nA widths per part file
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("LONGNAME__"), F.col("id")))
+        .otherwise(F.col("id").cast("string")).alias("name"),
+        # variable-length arrays → different repeat counts per part file
+        F.when(F.col("id") % 2 == 0,
+               F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2))
+        .otherwise(F.array(F.col("id"))).alias("vec"),
+    ).repartition(2, F.col("Index") % 2 == 0)
+    out = str(tmp_path / "mixed")
+    src.write.format("fits").mode("overwrite").save(out)
+
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    assert back.count() == 2000  # no silently-skipped part files
+    assert back.agg(F.sum("Index")).first()[0] == sum(range(2000))
+    r = back.where(F.col("Index") == 4).first()
+    assert r["name"] == "LONGNAME__4"
+    assert r["vec"] == [4, 5, 6]
+    # ragged arrays round-trip losslessly (VLA, not zero-padded)
+    assert back.where(F.col("Index") == 5).first()["vec"] == [5]
+    # FAILFAST must also accept width-only TFORM differences
+    assert (spark.read.format("fits").option("hdu", 1)
+            .option("mode", "FAILFAST").load(out).count() == 2000)
+
+
+def test_fits_write_append_no_overwrite(spark, tmp_path):
+    """append into an existing dir must not clobber earlier part files
+    (task ids restart at 0 per job — names carry a uuid)."""
+    out = str(tmp_path / "appended")
+    base = spark.range(300).select(F.col("id").alias("Index"))
+    base.repartition(2).write.format("fits").mode("append").save(out)
+    base.repartition(2).write.format("fits").mode("append").save(out)
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    assert back.count() == 600
+    assert back.agg(F.sum("Index")).first()[0] == 2 * sum(range(300))
+
+
+def test_fits_write_pinned_widths(spark, tmp_path):
+    """stringwidth/colwidths pin uniform TFORMs across part files; an
+    overflow refuses to truncate."""
+    src = spark.range(100).select(
+        F.col("id").alias("Index"),
+        F.col("id").cast("string").alias("name"),
+        F.array(F.col("id")).alias("vec"),
+    )
+    out = str(tmp_path / "pinned")
+    (src.repartition(3).write.format("fits").mode("overwrite")
+     .option("stringwidth", "8").option("colwidths", "vec=4").save(out))
+    import glob
+
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    tforms = set()
+    for fp in glob.glob(out + "/*.fits"):
+        with open(fp, "rb") as f:
+            hdu = open_hdu(f, fp, 1)
+        tforms.add(tuple(hdu.col_tforms))
+    assert len(tforms) == 1  # uniform across part files
+    assert "8A" in next(iter(tforms))
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    assert back.count() == 100
+    assert back.where(F.col("Index") == 7).first()["vec"] == [7, 0, 0, 0]
+
+    with pytest.raises(Exception, match="exceeds pinned width"):
+        (src.repartition(1).write.format("fits").mode("overwrite")
+         .option("stringwidth", "1").save(str(tmp_path / "trunc")))
+
+
 def test_fits_write_roundtrip_parquet_table(spark, tmp_path):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
