@@ -1167,6 +1167,28 @@ def q48_dedup_clusters(spark, sf):
     return dedup.connected_components(pairs)
 
 
+@query("q49_fits_scan_roundtrip", """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
+""")
+def q49_fits_scan_roundtrip(spark, sf):
+    """The FITS datasource itself under the driver's rows+schema+hash
+    gate (reference surface: ReadFitsTest.scala / packageTest.scala:105-133):
+    write the `part` table to FITS with the sink (bigint→K, string→nA,
+    int→J, double→D), scan the directory back with .format("fits"), and
+    hash-compare against the original parquet. Deterministic: the FITS
+    payload is a pure function of the table; D/K round-trip is exact."""
+    import hashlib
+    import os as _os
+
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    out = _os.path.join(
+        "/tmp", "spark_fits_q49_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _t(spark, sf, "part").write.format("fits").mode("overwrite").save(out)
+    return spark.read.format("fits").option("hdu", 1).load(out)
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
 
 @query("q46_approx_stats")  # rows-only: approximate by design
