@@ -30,6 +30,54 @@ def test_minhash_lsh_finds_planted_dup(spark):
     assert pairs[0]["jaccard"] >= 0.8
 
 
+def test_minhash_broadcast_gate_is_byte_based(spark, docs):
+    """Past the byte threshold the verify join must NOT carry a
+    broadcast hint (falls back to sort-merge) and results must be
+    identical to the broadcast path."""
+    kw = dict(shingle_n=1, n_hashes=12, bands=2, threshold=0.9)
+    bcast = dedup.minhash_lsh_pairs(docs, "text", "doc_id", **kw)
+    nobcast = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", broadcast_max_bytes=0, **kw)
+    # the hint shows up in the optimized logical plan; gate=0 must drop it
+    assert "broadcast" in bcast._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "broadcast" not in nobcast._jdf.queryExecution().optimizedPlan().toString().lower()
+    key = lambda rows: sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows)
+    assert key(bcast.collect()) == key(nobcast.collect())
+
+
+def test_embedding_near_dup_block_pair_gemm(spark, emb):
+    """The block-pair GEMM (no driver collect) matches a local numpy
+    all-pairs computation exactly, for several block counts."""
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    sims = mat @ mat.T
+    expect = set()
+    for a in range(len(ids)):
+        for b in range(len(ids)):
+            if ids[a] < ids[b] and sims[a, b] >= 0.35:
+                expect.add((ids[a], ids[b], round(sims[a, b], 4)))
+    for blocks in (1, 3, 8):
+        got = {(r["doc_a"], r["doc_b"], r["cosine"])
+               for r in dedup.embedding_near_dup_pairs(
+                   emb, "embedding", "vec_id",
+                   threshold=0.35, blocks=blocks).collect()}
+        assert got == expect, f"blocks={blocks}"
+
+
+def test_operators_have_no_driver_collect():
+    """No toPandas()/collect() data paths inside operators/ (driver is
+    never a data channel; scalar-only actions like count() are fine)."""
+    import pathlib
+
+    opdir = pathlib.Path(dedup.__file__).parent
+    for py in opdir.glob("*.py"):
+        src = py.read_text()
+        assert ".toPandas()" not in src, f"driver collect in {py.name}"
+        assert ".collect()" not in src, f"driver collect in {py.name}"
+
+
 def test_exact_dedup_counts(spark):
     rows = [(0, "aa bb"), (1, "aa bb"), (2, "bb aa"), (3, "zz")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
