@@ -95,27 +95,28 @@ def parse_cards(cards: list[str]) -> dict[str, str]:
     """Parse header cards into a keyword → raw-value dict.
 
     Mirrors the reference's ``parseHeader`` (``FitsLib.scala:110-115``):
-    later duplicate keywords do NOT overwrite earlier ones (Scala
-    ``toMap`` on reversed insert order keeps the first occurrence per the
-    test fixtures; we keep first-wins explicitly). String values keep
-    their quotes — use :func:`short_string_value` to unquote.
+    duplicate keywords keep the LAST occurrence — Scala ``toMap`` over
+    the card sequence lets later pairs overwrite earlier ones, and a
+    plain Python dict assignment reproduces that exactly. String values
+    keep their quotes — use :func:`short_string_value` to unquote.
     """
     out: dict[str, str] = {}
     for card in cards:
         keyword, value, _ = split_card(card)
         if value is None or not keyword:
             continue
-        if keyword not in out:
-            out[keyword] = value
+        out[keyword] = value
     return out
 
 
 def parse_comments(cards: list[str]) -> dict[str, str]:
-    """Keyword → comment map (reference ``FitsLib.scala:666-675``)."""
+    """Keyword → comment map (reference ``FitsLib.scala:666-675``);
+    duplicates keep the last occurrence (Scala ``toMap``), like
+    :func:`parse_cards`."""
     out: dict[str, str] = {}
     for card in cards:
         keyword, _, comment = split_card(card)
-        if keyword and comment is not None and keyword not in out:
+        if keyword and comment is not None:
             out[keyword] = comment
     return out
 

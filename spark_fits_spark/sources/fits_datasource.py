@@ -441,6 +441,13 @@ class FitsScanReader(DataSourceReader):
                     f"recordlength={self.recordlength} B is smaller than one "
                     f"row ({hdu.row_bytes} B) — increase it"
                 )
+            if self.recordlength is not None and self.recordlength > 2**31 - 1:
+                # documented reference cap (docs/02_api.md:78-80): record
+                # buffers are indexed with 32-bit ints
+                raise ValueError(
+                    f"recordlength={self.recordlength} B exceeds the maximum "
+                    f"record size of {2**31 - 1} B (2^31-1)"
+                )
             hdus.append(hdu)
 
         parts: list[FitsInputPartition] = []
@@ -557,9 +564,19 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
     import pyarrow.compute as pc
 
     if isinstance(f, Not):
+        # masks below follow SQL three-valued logic (NULL stays NULL),
+        # so inversion composes correctly: batch.filter drops both
+        # false and null, exactly like a SQL WHERE
         return pc.invert(_filter_mask(batch, f.child))
     col = batch.column(batch.schema.get_field_index(f.attribute[0]))
-    if isinstance(f, (EqualTo, EqualNullSafe)):
+    if isinstance(f, EqualNullSafe):
+        # <=> is two-valued: NULL <=> NULL is TRUE, NULL <=> v is FALSE
+        if f.value is None:
+            return pc.is_null(col)
+        return pc.fill_null(pc.equal(col, f.value), False)
+    if isinstance(f, EqualTo):
+        if f.value is None:  # x = NULL is NULL for every row
+            return pa.nulls(batch.num_rows, pa.bool_())
         return pc.equal(col, f.value)
     if isinstance(f, GreaterThan):
         return pc.greater(col, f.value)
@@ -570,7 +587,16 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
     if isinstance(f, LessThanOrEqual):
         return pc.less_equal(col, f.value)
     if isinstance(f, In):
-        return pc.is_in(col, value_set=pa.array(list(f.value), type=col.type))
+        # SQL IN truth table (pc.is_in alone would match NULL against a
+        # NULL list element and return two-valued results, breaking Not):
+        #   x IN (v...)        → TRUE on match, FALSE otherwise, NULL if x NULL
+        #   x IN (v..., NULL)  → TRUE on match, NULL otherwise
+        vals = [v for v in f.value if v is not None]
+        m = pc.is_in(col, value_set=pa.array(vals, type=col.type))
+        if len(vals) != len(list(f.value)):  # NULL in the value list
+            return pc.if_else(m, m, pa.nulls(batch.num_rows, pa.bool_()))
+        return pc.if_else(pc.is_valid(col), m,
+                          pa.nulls(batch.num_rows, pa.bool_()))
     if isinstance(f, IsNull):
         return pc.is_null(col)
     if isinstance(f, IsNotNull):

@@ -147,6 +147,20 @@ def test_split_card_variants():
     assert split_card(c3)[1] is None
 
 
+def test_parse_cards_duplicate_keyword_last_wins():
+    """Duplicate keywords keep the LAST occurrence — the reference's
+    parseHeader builds a Scala Map via .toMap (FitsLib.scala:110-115),
+    where later pairs overwrite earlier ones."""
+    cards = [
+        "EXPTIME =                   30 / first exposure                                 ",
+        "EXPTIME =                   60 / second exposure                                ",
+    ]
+    assert parse_cards(cards)["EXPTIME"] == "60"
+    from spark_fits_spark.fitscore.header import parse_comments
+
+    assert parse_comments(cards)["EXPTIME"] == "second exposure"
+
+
 def test_short_string_value():
     assert short_string_value("'NGC0000001'") == "NGC0000001"
     assert short_string_value("'padded    '") == "padded"
