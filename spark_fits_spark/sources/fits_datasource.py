@@ -613,30 +613,69 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
 from pyspark.sql.datasource import DataSourceStreamReader
 
 
-class FitsStreamReader(DataSourceStreamReader):
-    """Distributed streaming FITS reader: offsets are the sorted set of
-    files already ingested; each micro-batch plans row-aligned partitions
-    over the newly-arrived files only (implements the
-    ``DataSourceStreamReader`` protocol).
+#: files whose mtime is within this many seconds of the newest mtime stay
+#: in the offset's explicit tail set instead of being covered by the
+#: watermark — guards filesystem mtime granularity and writers whose
+#: close lags their mtime slightly
+STREAM_MTIME_SLACK_S = 5.0
 
-    At scale the offset payload is a file list — fine for the
-    typical telescope-pipeline cadence (thousands of files/day); a
-    mtime-watermark offset would be the next step beyond that."""
+
+class FitsStreamReader(DataSourceStreamReader):
+    """Distributed streaming FITS reader (``DataSourceStreamReader``
+    protocol): each micro-batch plans row-aligned partitions over the
+    newly-arrived files only.
+
+    **Bounded offsets**: the checkpoint offset is
+    ``{"watermark": W, "tail": [...]}`` with the invariant *a file is
+    ingested iff its mtime ≤ W or it is in the tail*. The tail holds
+    only files newer than ``W = max_mtime − slack``, so the payload
+    size tracks the ingest *rate* (files per slack window), not the
+    directory's lifetime file count — a full file list would grow the
+    checkpoint forever at telescope-pipeline scale. Assumes an
+    append-only landing directory where files become visible within
+    ``slack`` of their mtime (the same contract as Spark's
+    FileStreamSource maxFileAge); a file materializing with an mtime
+    older than the watermark is missed."""
 
     def __init__(self, scan: FitsScanReader):
         self._scan = scan
 
+    def _listing(self) -> list[tuple[str, float]]:
+        try:
+            files = search_fits_files(self._scan.path)
+        except FileNotFoundError:
+            return []
+        out = []
+        for p in files:
+            try:
+                out.append((p, os.path.getmtime(p)))
+            except OSError:
+                continue  # raced with a delete
+        return out
+
+    @staticmethod
+    def _ingested(path: str, mtime: float, offset: dict) -> bool:
+        if "files" in offset:  # legacy full-list offsets (pre-watermark)
+            return path in set(offset["files"])
+        return mtime <= offset.get("watermark", -1.0) or (
+            path in set(offset.get("tail", ())))
+
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"watermark": -1.0, "tail": []}
 
     def latestOffset(self) -> dict:
-        try:
-            return {"files": search_fits_files(self._scan.path)}
-        except FileNotFoundError:
-            return {"files": []}
+        listing = self._listing()
+        if not listing:
+            return {"watermark": -1.0, "tail": []}
+        wm = max(m for _, m in listing) - STREAM_MTIME_SLACK_S
+        return {"watermark": wm,
+                "tail": sorted(p for p, m in listing if m > wm)}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        new = sorted(
+            p for p, m in self._listing()
+            if self._ingested(p, m, end) and not self._ingested(p, m, start)
+        )
         if not new:
             return [FitsInputPartition(hdu=None, row_start=0, row_end=0)]  # type: ignore[arg-type]
         return self._scan.plan_for_files(new)

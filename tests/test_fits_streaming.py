@@ -46,3 +46,44 @@ def test_fits_stream_ingests_files(spark, tmp_path):
     _write_catalog(str(d / "c.fits"), 250, 2)
     _run_once(spark, str(d), out, ckpt)
     assert spark.read.parquet(out).count() == 1750
+
+
+def test_stream_offsets_bounded(tmp_path):
+    """The checkpoint offset payload must NOT grow with the directory's
+    lifetime file count — only files inside the mtime slack window ride
+    in the explicit tail (r1 verdict: full-list offsets grow forever)."""
+    import json
+    import os
+    import time
+
+    from spark_fits_spark.sources.fits_datasource import (
+        STREAM_MTIME_SLACK_S,
+        FitsDataSource,
+    )
+
+    d = tmp_path / "lots"
+    d.mkdir()
+    old = time.time() - 10 * STREAM_MTIME_SLACK_S
+    for i in range(200):
+        _write_catalog(str(d / f"f{i:04d}.fits"), 5, i)
+        os.utime(str(d / f"f{i:04d}.fits"), (old + i * 0.001, old + i * 0.001))
+    # one fresh file inside the slack window
+    _write_catalog(str(d / "fresh.fits"), 5, 999)
+
+    ds = FitsDataSource(options={"path": str(d), "hdu": "1"})
+    reader = ds.streamReader(ds.schema())
+    off = reader.latestOffset()
+    # 200 settled files are covered by the watermark, not listed
+    assert len(off["tail"]) == 1 and off["tail"][0].endswith("fresh.fits")
+    assert len(json.dumps(off)) < 500
+    # the batch from scratch still covers every file exactly once
+    parts = reader.partitions(reader.initialOffset(), off)
+    rows = sum(p.row_end - p.row_start for p in parts)
+    assert rows == 201 * 5
+    # and a subsequent empty batch plans nothing
+    parts2 = reader.partitions(off, reader.latestOffset())
+    assert sum(p.row_end - p.row_start for p in parts2) == 0
+    # legacy full-list offsets from a pre-watermark checkpoint still work
+    legacy = {"files": sorted(str(p) for p in d.glob("*.fits"))}
+    parts3 = reader.partitions(legacy, reader.latestOffset())
+    assert sum(p.row_end - p.row_start for p in parts3) == 0
