@@ -59,9 +59,39 @@ def _noop_consume(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
-def fits_scan_seconds(spark) -> tuple[float, float]:
-    """(seconds, MB) for a full vectorized scan+agg of a generated
-    bintable (~64 MB)."""
+def decode_mb_per_s(path: str) -> float:
+    """Single-thread pure-decode throughput over the bench file — the
+    per-task number to hold against the reference's ~16 MB/s/task
+    (FitsRecordReader.scala:379). Spark-free: reads the HDU bytes once
+    and times decode_bintable over 8 MB batches (the scan's default
+    partition batch shape)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from spark_fits_spark.fitscore.decode import decode_bintable
+    from spark_fits_spark.fitscore.file import open_hdu
+    from spark_fits_spark.sources.fits_datasource import _bintable_schema
+
+    with open(path, "rb") as f:
+        hdu = open_hdu(f, path, 1)
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.n_rows * hdu.row_bytes)
+    aschema = to_arrow_schema(_bintable_schema(hdu))
+    idx = list(range(len(hdu.col_names)))
+    rows_per = 8 * 1024 * 1024 // hdu.row_bytes
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for s in range(0, hdu.n_rows, rows_per):
+            decode_bintable(
+                buf[s * hdu.row_bytes:(s + rows_per) * hdu.row_bytes],
+                hdu, idx, aschema)
+        best = min(best, time.perf_counter() - t0)
+    return round(len(buf) / 1e6 / best, 1)
+
+
+def fits_scan_seconds(spark) -> tuple[float, float, float]:
+    """(seconds, MB, pure-decode MB/s/thread) for a full vectorized
+    scan+agg of a generated bintable (~64 MB)."""
     import numpy as np
 
     from spark_fits_spark.fitscore import writer
@@ -90,12 +120,13 @@ def fits_scan_seconds(spark) -> tuple[float, float]:
     got = df.agg(F.sum("Index"), F.count("*")).collect()[0]
     sec = time.perf_counter() - t0
     assert got[1] == n, got
+    decode_rate = decode_mb_per_s(path)
     try:
         os.remove(path)
         os.rmdir(d)
     except OSError:
         pass
-    return sec, mb
+    return sec, mb, decode_rate
 
 
 def main() -> None:
@@ -120,7 +151,7 @@ def main() -> None:
         _noop_consume(df)
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    fits_sec, fits_mb = fits_scan_seconds(spark)
+    fits_sec, fits_mb, decode_rate = fits_scan_seconds(spark)
     timings["fits_scan_64mb"] = round(fits_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -133,6 +164,11 @@ def main() -> None:
         "sf": float(sf),
         "cpus": CPUS,
         "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
+        # single-thread pure decode (no Spark overhead): the honest
+        # per-task comparison against the reference's ~16 MB/s/task.
+        # At 68 MB the distributed scan wall is dominated by fixed
+        # job/scheduling cost (~0.3 s), not decode.
+        "decode_mb_per_s_per_task": decode_rate,
         # host-condition telemetry: the benchmark box is burstable —
         # effective parallelism has been observed anywhere from ~4 to 32
         # cores with zero code change; this contextualizes run-to-run

@@ -42,8 +42,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects; read nanos as long and convert (truncate) to a
         # micros timestamp. The driver's DuckDB oracle reads nanos
         # natively — the testdata carries micro precision, so both see
-        # identical instants.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # identical instants. (There is no per-read option for this
+        # legacy conf; guard so the session conf is touched at most
+        # once instead of mutated on every query call.)
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
