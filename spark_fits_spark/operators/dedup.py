@@ -333,6 +333,27 @@ def embedding_near_dup_pairs(
     return repl.groupBy("_pi", "_pj").applyInPandas(gemm, out_schema)
 
 
+def keep_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Final dedup step: filter the corpus to one representative per
+    near-dup cluster (the min-id member, ``cluster_id``); docs in no
+    cluster pass through untouched.
+
+    A left-anti join against only the NON-representative members — that
+    table is `#docs_in_clusters - #clusters` rows of bare ids, tiny
+    relative to the corpus (and broadcastable at any realistic dup
+    rate), so the corpus is never shuffled."""
+    drop = (
+        clusters.where(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias("_dup_id"))
+    )
+    return df.join(
+        F.broadcast(drop), df[id_col] == drop["_dup_id"], "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

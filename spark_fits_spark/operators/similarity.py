@@ -74,6 +74,74 @@ def hyperplane_signature(vec_col, planes: np.ndarray):
     return sig
 
 
+def ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic unit-norm coarse centroids (seeded Gaussian). A
+    trained quantizer (k-means over a corpus sample) drops in here
+    unchanged — the search path below only needs *some* fixed centroid
+    set, and seeded centroids keep the whole operator oracle-checkable."""
+    rng = np.random.RandomState(seed)
+    c = rng.normal(size=(n_centroids, dim))
+    return c / np.sqrt((c * c).sum(axis=1))[:, None]
+
+
+def _nearest_centroids(vec_col, centroids: np.ndarray, nprobe: int):
+    """Array of the ``nprobe`` centroid ids nearest (by dot product) to
+    the vector — pure JVM array expressions, no UDF."""
+    scored = F.array(*[
+        F.struct(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+            F.lit(i).alias("c"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    best = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(best, lambda x: x["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows are assigned to their
+    nearest coarse centroid (the inverted list); each query probes its
+    ``nprobe`` nearest centroids and exact-re-ranks only those lists.
+
+    The scale path of :func:`cosine_topk`: corpus work per query drops
+    to ~``nprobe / n_centroids`` of the corpus, and the probe join is an
+    equi-join on the centroid id — shuffle keys are 4-byte ints, the
+    corpus is scanned once. Deterministic (seeded centroids, id
+    tie-break), so the SQL oracle can replay it exactly."""
+    centroids = ivf_centroids(n_centroids, dim, seed)
+
+    c = _with_norm(corpus, vec_col, id_col, "_c").withColumn(
+        "_cell", _nearest_centroids(F.col("_cv"), centroids, 1)[0])
+    q = _with_norm(queries, vec_col, id_col, "_q").withColumn(
+        "_cell", F.explode(_nearest_centroids(F.col("_qv"), centroids, nprobe)))
+
+    pairs = c.join(F.broadcast(q), "_cell")
+    if not include_self:
+        pairs = pairs.where(F.col("_cid") != F.col("_qid"))
+    scored = pairs.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

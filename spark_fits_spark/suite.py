@@ -1171,6 +1171,85 @@ def q48_dedup_clusters(spark, sf):
     return dedup.connected_components(pairs)
 
 
+_DEDUP_CORPUS_ORACLE = """
+{cluster}
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({cluster_inner}) WHERE doc_id != cluster_id)
+""".format(cluster="", cluster_inner=_CLUSTER_ORACLE.strip())
+
+
+@query("q51_dedup_corpus", _DEDUP_CORPUS_ORACLE)
+def q51_dedup_corpus(spark, sf):
+    """The full dedup pipeline end-to-end: shingle → MinHash+LSH pairs →
+    connected components → keep one representative (min id) per cluster.
+    What a training-data pipeline actually ships: the deduplicated
+    corpus. The drop list is bare ids (broadcast anti-join) — the corpus
+    itself is never shuffled."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9)
+    clusters = dedup.connected_components(pairs)
+    return dedup.keep_representatives(docs, clusters, "doc_id").select(
+        "doc_id", "source", "lang", "n_chars")
+
+
+# IVF centroids for q50, inlined into the oracle exactly like q31's
+# hyperplanes (repr round-trips doubles; approximation is a deterministic
+# function of the seeded centroids, identical in both engines)
+_IVF_K, _IVF_NPROBE = 8, 2
+_IVF_CENTROIDS = None  # filled lazily to avoid importing similarity early
+
+
+def _ivf_oracle() -> str:
+    from spark_fits_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(_IVF_K, 64, seed=11)
+    structs = ", ".join(
+        "{{'s': list_dot_product(v, [{}]), 'c': {}}}".format(
+            ", ".join(repr(float(x)) for x in c), i)
+        for i, c in enumerate(cents))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v,
+         list_transform(list_reverse(list_sort([{structs}])), x -> x.c) AS nearest
+  FROM e
+),
+corpus AS (SELECT vec_id, v, nearest[1] AS cell FROM cells),
+q AS (
+  SELECT vec_id, v, unnest(nearest[1:{_IVF_NPROBE}]) AS cell
+  FROM cells WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(q.v, c.v)
+         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM corpus c JOIN q ON c.cell = q.cell AND c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("q50_ann_ivf_topk", _ivf_oracle())
+def q50_ann_ivf_topk(spark, sf):
+    """IVF-style ANN: corpus binned to its nearest coarse centroid
+    (inverted lists), queries probe their 2 nearest of 8 cells, exact
+    cosine re-rank inside the probed lists only. The centroid-id
+    equi-join keys are 4-byte ints — the scale path where hyperplane
+    LSH's bucket skew hurts. Seeded centroids → fully oracle-checked."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",
+        k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
+
+
 @query("q49_fits_scan_roundtrip", """
 SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
 """)

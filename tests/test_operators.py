@@ -130,6 +130,36 @@ def test_lsh_ann_subset_of_bucket_and_ranked(spark, emb):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivf_topk_subset_of_exact_and_ranked(spark, emb):
+    """IVF results are a subset of the exact candidate scores (same
+    cosine for any returned pair) with contiguous ranks per query."""
+    exact = {(r["query_id"], r["vec_id"]): r["cosine"]
+             for r in similarity.cosine_topk(
+                 emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id",
+                 k=10**6).collect()}
+    ivf = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, n_centroids=8, nprobe=2).collect()
+    assert len(ivf) > 0
+    by_q = {}
+    for r in ivf:
+        assert exact[(r["query_id"], r["vec_id"])] == r["cosine"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_keep_representatives(spark):
+    rows = [(i, f"doc {i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4)], ["doc_id", "cluster_id"])
+    kept = sorted(r["doc_id"] for r in dedup.keep_representatives(
+        docs, clusters, "doc_id").collect())
+    # 1,2 fold into 0; 5 folds into 4; 3 was never in a cluster
+    assert kept == [0, 3, 4]
+
+
 def test_multimodal_meta_deterministic(spark, docs):
     payload = multimodal.with_payload(docs, "text", "doc_id")
     meta = multimodal.decode_image_meta(payload)
