@@ -226,3 +226,47 @@ def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
         ),
     ).otherwise(F.array(F.array_min(kgrams)))
     return F.array_sort(F.array_distinct(fps))
+
+
+# -- repetition signals (Gopher-style quality rules) -----------------------
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order kept) — the denominator for
+    repetition ratios. Docs shorter than n collapse to one gram."""
+    w = tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def dup_ngram_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 − distinct/total (rounded 4).
+    High values flag boilerplate/looped generations (Gopher repetition
+    rule); pure array expressions in the scan stage."""
+    g = word_ngrams(col, n)
+    return F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 4)
+
+
+# -- scrubbing (PII / link redaction) --------------------------------------
+
+#: conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def count_matches(col: Column | str, pattern: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Redact emails then URLs with typed placeholders — the standard
+    pre-training scrub pass. regexp_replace is global in Spark; the SQL
+    oracle mirrors with the RE2 'g' flag."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, URL_RE, "<URL>")

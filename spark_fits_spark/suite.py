@@ -1171,6 +1171,106 @@ def q48_dedup_clusters(spark, sf):
     return dedup.connected_components(pairs)
 
 
+@query("q52_text_repetition", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams,
+         len(w) AS n_toks
+  FROM t
+), gs AS (
+  SELECT doc_id, n_toks,
+         CAST(len(grams) AS INT) AS n_grams,
+         round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+           AS dup_gram_ratio
+  FROM g
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), tt AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_n FROM tc GROUP BY doc_id
+)
+SELECT gs.doc_id, n_grams, dup_gram_ratio, top_tok_n,
+       round(top_tok_n::DOUBLE / n_toks, 4) AS top_tok_ratio
+FROM gs JOIN tt ON gs.doc_id = tt.doc_id
+""")
+def q52_text_repetition(spark, sf):
+    """Gopher-style repetition signals: duplicate 3-gram fraction (pure
+    array expressions in the scan stage) + most-frequent-token share
+    (explode → two partial-agg shuffles on doc_id; token rows carry only
+    (doc_id, tok))."""
+    d = _t(spark, sf, "documents")
+    gram_stats = d.select(
+        "doc_id",
+        F.size(T.word_ngrams("text", 3)).alias("n_grams"),
+        T.dup_ngram_ratio("text", 3).alias("dup_gram_ratio"),
+        F.size(T.tokens("text")).alias("_n_toks"),
+    )
+    top_tok = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_tok_n"))
+    )
+    return (
+        gram_stats.join(top_tok, "doc_id")
+        .select(
+            "doc_id", "n_grams", "dup_gram_ratio", "top_tok_n",
+            F.round(F.col("top_tok_n") / F.col("_n_toks"), 4)
+            .alias("top_tok_ratio"),
+        )
+    )
+
+
+_SCRUB_INJECT_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' see https://example.org/d' || doc_id ELSE '' END
+"""
+
+@query("q53_text_scrub", f"""
+WITH inj AS (
+  SELECT doc_id, {_SCRUB_INJECT_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.URL_RE}')) AS INT) AS n_urls,
+       md5(regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{T.URL_RE}', '<URL>', 'g')) AS scrub_fp
+FROM inj
+""")
+def q53_text_scrub(spark, sf):
+    """PII/link scrub pass: count + redact emails and URLs with typed
+    placeholders. The synthetic corpus carries no PII, so deterministic
+    addresses/links are injected in-query (identically in the oracle) to
+    genuinely exercise the patterns; output fingerprints the scrubbed
+    text. Patterns are chosen to behave identically under Java regex
+    (Spark) and RE2 (DuckDB)."""
+    d = _t(spark, sf, "documents")
+    inj = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" see https://example.org/d"),
+                        F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        T.count_matches(inj, T.EMAIL_RE).alias("n_emails"),
+        T.count_matches(inj, T.URL_RE).alias("n_urls"),
+        F.md5(T.scrub_text(inj)).alias("scrub_fp"),
+    )
+
+
 _DEDUP_CORPUS_ORACLE = """
 {cluster}
 SELECT d.doc_id, d.source, d.lang, d.n_chars
