@@ -3,7 +3,8 @@ from spark_fits_spark.operators import (
     images,
     multimodal,
     relational,
+    sample,
     similarity,
 )
 
-__all__ = ["dedup", "images", "multimodal", "relational", "similarity"]
+__all__ = ["dedup", "images", "multimodal", "relational", "sample", "similarity"]

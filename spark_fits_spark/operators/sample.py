@@ -1,0 +1,161 @@
+"""Deterministic sampling, splitting, and sequence-packing operators for
+training-data pipelines.
+
+All decisions are hash-based (md5 of a salted id), never RNG-based, so a
+row's fate is a pure function of its id: results are reproducible across
+runs, partitionings, and cluster sizes, a resample with a new salt is
+independent of the old one, and the SQL oracle can replicate every
+decision bit-for-bit.
+
+Scale notes (100 TB):
+- ``stratified_sample`` / ``hash_split`` are pure map-side column
+  expressions — no shuffle, no driver state, trivially parallel.
+- ``pack_sequences`` needs a *global* running token total, which a naive
+  ``Window.orderBy`` would compute on a single partition (a scale-killer).
+  Instead it does a distributed prefix sum: range-repartition by the
+  order key, per-partition window cumsum, then a prefix sum over the
+  per-partition totals — a table with ONE row per partition, so its
+  global window is O(#partitions), not O(#rows) — broadcast-joined
+  back. Work per data row is O(1); nothing flows through the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences"]
+
+#: hash-bucket resolution: rates are quantized to 1/10000ths.
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str, buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)``: int64 from the first 15
+    hex digits of ``md5('<salt>|<id>')``, mod ``buckets``. Mirrored in
+    SQL as ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % buckets``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    salted = F.concat(F.lit(f"{salt}|"), c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    *,
+    id_col: str,
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``
+    (quantized to 1/10000), decided by the row's hash bucket — exact
+    per-stratum rates in expectation, deterministic membership.
+
+    This is the data-mixing primitive: per-source quotas for a training
+    mix are ``rates={source: weight}``. Strata absent from ``rates``
+    fall back to ``default_rate``."""
+    bucket = hash_bucket(id_col, salt)
+    thresh: Column = F.lit(int(round(default_rate * N_BUCKETS)))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * N_BUCKETS)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one split by hash bucket against the
+    cumulative weight thresholds. Stable across runs and data growth: a
+    doc's split never changes when other docs are added or removed (the
+    property that keeps eval sets leak-free as a corpus evolves)."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must have equal length")
+    total = float(sum(weights))
+    bucket = hash_bucket(id_col, salt)
+    # cumulative upper thresholds for all but the last label (the else)
+    cum_t = []
+    cum = 0.0
+    for w in weights[:-1]:
+        cum += w / total
+        cum_t.append(int(round(cum * N_BUCKETS)))
+    # fold right-to-left so the SMALLEST matching threshold wins
+    expr: Column = F.lit(labels[-1])
+    for t, lab in zip(reversed(cum_t), reversed(labels[:-1])):
+        expr = F.when(bucket < t, F.lit(lab)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in ``id_col`` order and cut into fixed ``budget``-token training
+    sequences. Emits ``(id, n_tokens, seq_id, seq_offset)`` where
+    ``seq_id = tokens_before // budget`` and ``seq_offset =
+    tokens_before % budget`` (a doc whose tokens straddle a boundary
+    starts in ``seq_id`` and spills into the next, as concat-and-chunk
+    does).
+
+    Distributed prefix sum (no single-partition window over the data):
+    1. range-repartition + sort by id → globally ordered partitions;
+    2. window cumsum *within* each partition;
+    3. prefix sum over the per-partition totals (one row PER PARTITION,
+       so this table's global window is O(#partitions) — ~800k rows for
+       100 TB of 128 MB splits — not O(#rows)) → broadcast join back.
+    The result is invariant to the partition boundaries step 1 picks,
+    so sampling nondeterminism in ``repartitionByRange`` cannot change
+    the output."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("_n"))
+        .repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    # localCheckpoint pins the partition layout: _pid must mean the same
+    # partition in both branches below (totals vs rows)
+    local = ordered.withColumn(
+        "_cum_in_part", F.sum("_n").over(w) - F.col("_n")
+    ).localCheckpoint(eager=False)
+
+    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid").agg(F.sum("_n").alias("_tot"))
+        .withColumn(
+            "_part_offset",
+            F.coalesce(F.sum("_tot").over(prior), F.lit(0)).cast("long"),
+        )
+        .drop("_tot")
+    )
+
+    packed = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_before", F.col("_part_offset") + F.col("_cum_in_part"))
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.expr(f"_before div {int(budget)}").alias("seq_id"),
+            (F.col("_before") % F.lit(int(budget))).alias("seq_offset"),
+        )
+    )
+    return packed

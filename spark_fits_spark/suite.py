@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_fits_spark.functions import text as T
-from spark_fits_spark.operators import dedup, multimodal, relational, similarity
+from spark_fits_spark.operators import (
+    dedup, multimodal, relational, sample, similarity)
 
 Query = Callable[[SparkSession, str], DataFrame]
 
@@ -1436,3 +1437,65 @@ def q31_ann_lsh_topk(spark, sf):
     return similarity.hyperplane_lsh_topk(
         e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",
         k=10, bits=4, dim=64, seed=7)
+
+
+_BUCKET_SQL = ("CAST(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)"
+               "), 1, 15)) AS BIGINT) % 10000")
+
+
+@query("q54_stratified_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET_SQL.format(salt='mix')}
+      < CASE source WHEN 'src1' THEN 8000 WHEN 'src2' THEN 5000
+                    WHEN 'src3' THEN 2500 ELSE 1000 END
+""")
+def q54_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (the data-mixing primitive):
+    per-source keep rates decided by an md5 hash bucket of the doc id —
+    a pure map-side filter, no shuffle, no RNG, reproducible at any
+    parallelism. Oracle replays the identical bucket arithmetic."""
+    d = _t(spark, sf, "documents")
+    return sample.stratified_sample(
+        d, "source", {"src1": 0.8, "src2": 0.5, "src3": 0.25},
+        id_col="doc_id", salt="mix", default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+@query("q55_hash_split", f"""
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, {_BUCKET_SQL.format(salt='split')} AS b FROM documents)
+""")
+def q55_hash_split(spark, sf):
+    """Hash-based train/val/test assignment: each doc's split is a pure
+    function of its id, so the split is stable as the corpus grows
+    (eval sets stay leak-free). Map-side only."""
+    d = _t(spark, sf, "documents")
+    return sample.hash_split(d, id_col="doc_id").select("doc_id", "split")
+
+
+@query("q56_pack_sequences", """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS bef
+  FROM t
+)
+SELECT doc_id, n_tokens, bef // 512 AS seq_id, bef % 512 AS seq_offset
+FROM c
+""")
+def q56_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing into 512-token training
+    sequences via a distributed prefix sum (range-repartition →
+    per-partition cumsum → prefix sum over the one-row-per-partition
+    totals → broadcast offsets) — no single-partition global window."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens"))
+    return sample.pack_sequences(
+        d, id_col="doc_id", n_tokens_col="n_tokens", budget=512)

@@ -249,3 +249,69 @@ def test_connected_components_chain_and_clusters(spark):
            for r in dedup.connected_components(df).collect()}
     assert got == {0:0, 1:0, 2:0, 3:0, 4:0,
                    10:10, 11:10, 12:10, 20:20, 21:20}
+
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    from spark_fits_spark.operators import sample
+
+    rates = {"src1": 1.0, "src2": 0.5, "src3": 0.0}
+    a = sample.stratified_sample(
+        docs, "source", rates, id_col="doc_id", salt="t", default_rate=0.2)
+    b = sample.stratified_sample(
+        docs, "source", rates, id_col="doc_id", salt="t", default_rate=0.2)
+    got_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    got_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert got_a == got_b  # hash-deterministic, not RNG
+    per = {r["source"]: r["n"] for r in a.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    tot = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert per.get("src1", 0) == tot["src1"]      # rate 1.0 keeps all
+    assert "src3" not in per                      # rate 0.0 keeps none
+    # a different salt draws an (almost surely) different sample
+    c = sample.stratified_sample(
+        docs, "source", rates, id_col="doc_id", salt="u", default_rate=0.2)
+    got_c = {r["doc_id"] for r in c.select("doc_id").collect()}
+    assert got_c != got_a
+
+
+def test_hash_split_stable_under_growth(spark, docs):
+    """A doc's split assignment must not change when the corpus grows —
+    the leak-free-eval-set property."""
+    from spark_fits_spark.operators import sample
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    full_map = {r["doc_id"]: r["split"] for r in sample.hash_split(
+        docs, id_col="doc_id").select("doc_id", "split").collect()}
+    half_map = {r["doc_id"]: r["split"] for r in sample.hash_split(
+        half, id_col="doc_id").select("doc_id", "split").collect()}
+    assert all(full_map[k] == v for k, v in half_map.items())
+    # every label appears and proportions are sane on 500 docs
+    from collections import Counter
+    c = Counter(full_map.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert abs(c["train"] / len(full_map) - 0.8) < 0.08
+
+
+def test_pack_sequences_matches_serial_and_partition_invariant(spark):
+    """Packing = concat-and-chunk: verify against a serial Python pack,
+    and confirm the distributed prefix sum is invariant to the number
+    of range partitions."""
+    from spark_fits_spark.operators import sample
+
+    rows = [(i, 7 + (i * 13) % 40) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    expect = {}
+    before = 0
+    for i, n in rows:
+        expect[i] = (before // 64, before % 64)
+        before += n
+    for nparts in (1, 4, 17):
+        got = {
+            r["doc_id"]: (r["seq_id"], r["seq_offset"])
+            for r in sample.pack_sequences(
+                df, id_col="doc_id", n_tokens_col="n_tokens",
+                budget=64, partitions=nparts).collect()
+        }
+        assert got == expect, f"mismatch at partitions={nparts}"
