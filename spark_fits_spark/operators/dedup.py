@@ -20,7 +20,7 @@ bit-for-bit (string-min over hex digests instead of integer min).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_fits_spark.functions.text import (
@@ -411,3 +411,47 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level deduplication: every distinct (whitespace-
+    trimmed) line is kept only at its first global occurrence — the
+    minimum ``(id, position)`` over the whole corpus — and documents are
+    reassembled from their surviving lines in original order. Documents
+    left with no lines are dropped (C4 drops three-sentence-minimum
+    docs the same way; callers can apply their own length floor after).
+
+    Scale: two shuffles total — one on the trimmed line key (a window
+    picks the first occurrence; line text crosses the wire once), one on
+    the doc id (reassembly). No driver paths, no all-pairs anything:
+    cost is O(total lines) regardless of dup structure, the same shape
+    C4 ran over 750 GB of Common Crawl.
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).withColumn("_key", F.trim(F.col("_line")))
+    ex = ex.where(F.length("_key") > 0)
+    w = Window.partitionBy("_key").orderBy("_id", "_pos")
+    kept = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_a"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(sep, F.transform("_a", lambda s: s["_line"]))
+            .alias(text_col),
+        )
+    )

@@ -1499,3 +1499,51 @@ def q56_pack_sequences(spark, sf):
         "doc_id", T.token_count("text").alias("n_tokens"))
     return sample.pack_sequences(
         d, id_col="doc_id", n_tokens_col="n_tokens", budget=512)
+
+
+# the corpus is single-line, so the query synthesizes multi-line docs
+# in-query (both engines identically, like the q53 PII injection): a
+# boilerplate line shared by every doc + two token-slice lines that
+# collide across docs with equal slices.
+_LINE_SYNTH_SQL = """
+  SELECT doc_id,
+         'copyright footer all rights reserved' || chr(10) ||
+         array_to_string(w[1:8], ' ') || chr(10) ||
+         array_to_string(w[9:16], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query("q57_line_dedup", f"""
+WITH d AS ({_LINE_SYNTH_SQL}),
+l AS (
+  SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+), k AS (
+  SELECT doc_id, pos, line, trim(line) AS key
+  FROM l WHERE len(trim(line)) > 0
+), r AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM k
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM r WHERE rn = 1 GROUP BY doc_id
+""")
+def q57_line_dedup(spark, sf):
+    """C4-style line-level dedup: each distinct trimmed line survives
+    only at its first global (doc_id, pos); docs reassemble from
+    surviving lines (docs losing every line drop). Two shuffles — line
+    key, then doc id — O(total lines) at any dup structure."""
+    d = _t(spark, sf, "documents")
+    w = T.tokens("text")
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("copyright footer all rights reserved"),
+            F.concat_ws(" ", F.slice(w, 1, 8)),
+            F.concat_ws(" ", F.slice(w, 9, 8)),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(synth, "text", "doc_id")

@@ -315,3 +315,23 @@ def test_pack_sequences_matches_serial_and_partition_invariant(spark):
                 budget=64, partitions=nparts).collect()
         }
         assert got == expect, f"mismatch at partitions={nparts}"
+
+
+def test_line_dedup_c4_semantics(spark):
+    """Shared boilerplate survives only in its first doc; within-doc
+    line order is preserved; a doc whose every line is seen earlier
+    drops entirely."""
+    rows = [
+        (0, "header\nalpha beta\nfooter"),
+        (1, "header\ngamma delta\nfooter"),   # keeps only its middle line
+        (2, "header\nfooter"),                # loses everything -> dropped
+        (3, "  header \nepsilon"),            # trimmed key matches, raw kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.line_dedup(df, "text", "doc_id").collect()}
+    assert got == {
+        0: "header\nalpha beta\nfooter",
+        1: "gamma delta",
+        3: "epsilon",
+    }
