@@ -109,6 +109,7 @@ def ivf_topk(
     dim: int = 64,
     seed: int = 11,
     include_self: bool = False,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus rows are assigned to their
     nearest coarse centroid (the inverted list); each query probes its
@@ -118,8 +119,13 @@ def ivf_topk(
     to ~``nprobe / n_centroids`` of the corpus, and the probe join is an
     equi-join on the centroid id — shuffle keys are 4-byte ints, the
     corpus is scanned once. Deterministic (seeded centroids, id
-    tie-break), so the SQL oracle can replay it exactly."""
-    centroids = ivf_centroids(n_centroids, dim, seed)
+    tie-break), so the SQL oracle can replay it exactly.
+
+    Pass ``centroids`` (e.g. ``np.array([v for _, v in kmeans_fit(...)])``)
+    to probe a trained quantizer instead of the seeded one — better
+    recall at equal nprobe, identical plan shape."""
+    if centroids is None:
+        centroids = ivf_centroids(n_centroids, dim, seed)
 
     c = _with_norm(corpus, vec_col, id_col, "_c").withColumn(
         "_cell", _nearest_centroids(F.col("_cv"), centroids, 1)[0])
@@ -182,3 +188,113 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("_cos", 4).alias("cosine"), "rank")
     )
+
+
+def _sq_dist(vec_col, centroid_lits, zero):
+    """Squared L2 distance to one literal centroid array — pure JVM."""
+    return F.aggregate(
+        F.zip_with(vec_col, centroid_lits, lambda a, b: (a - b) * (a - b)),
+        zero, lambda acc, x: acc + x)
+
+
+def _argmin_cluster(vec_col, cents, quantized: bool):
+    """Id of the nearest centroid (squared-L2, ties to the smallest
+    cluster id): array_min over (distance, cid) structs. ``cents`` is a
+    list of (cid, vector) with plain-Python numbers."""
+    zero = F.lit(0).cast("long") if quantized else F.lit(0.0)
+    scored = F.array(*[
+        F.struct(
+            _sq_dist(vec_col, F.array(*[F.lit(x) for x in vec]), zero).alias("d"),
+            F.lit(cid).cast("long").alias("c"),
+        )
+        for cid, vec in cents
+    ])
+    return F.array_min(scored)["c"]
+
+
+def _quantized_vec(vec_col, scale: int):
+    """int64 vector at fixed-point ``scale``: round(x*scale) — the same
+    double product and ties-away-from-zero rounding in Spark and DuckDB,
+    so both engines quantize bit-identically."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    return F.transform(v, lambda x: F.round(x * scale, 0).cast("long"))
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    quantize: int | None = None,
+) -> list[tuple[int, list]]:
+    """Lloyd's k-means over an embedding column, entirely in DataFrame
+    ops — a trained coarse quantizer for :func:`ivf_topk`.
+
+    Init: the ``k`` smallest-id vectors (deterministic, no RNG). Each
+    iteration: a per-row argmin against k literal centroid arrays (map
+    side only, whole-stage codegen), then ONE shuffle — the
+    (cluster, dim) mean over the exploded vectors. Driver traffic per
+    iteration is exactly k x dim numbers (the next plan's literals),
+    parameter-bounded like connected_components' per-round scalar —
+    never data-proportional, so the loop holds at 100 TB. Clusters that
+    go empty drop out (standard Lloyd degeneracy).
+
+    ``quantize=s`` runs the whole loop in int64 fixed-point at scale
+    ``s``: sums of ints are aggregation-order-independent, so training
+    is bit-reproducible and SQL-oracle-checkable end to end. With
+    ``quantize=None`` means are doubles (real-use mode; last-ulp
+    nondeterminism under re-aggregation is possible, as with any
+    float agg).
+
+    Returns surviving ``(cluster_id, centroid_vector)`` sorted by id;
+    ``np.array([v for _, v in result])`` drops into ``ivf_topk``.
+    """
+    vec = (_quantized_vec(vec_col, quantize) if quantize
+           else F.col(vec_col).cast("array<double>"))
+    base = corpus.select(F.col(id_col).alias("_kid"), vec.alias("_kv")).persist()
+    try:
+        init = base.orderBy("_kid").limit(k).collect()  # bounded-collect: k rows
+        cents = sorted((int(r["_kid"]), list(r["_kv"])) for r in init)
+        for _ in range(iters):
+            assigned = base.withColumn(
+                "_c", _argmin_cluster(F.col("_kv"), cents, quantize is not None))
+            upd = (
+                assigned.select("_c", F.posexplode("_kv").alias("_p", "_x"))
+                .groupBy("_c", "_p")
+                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            )
+            mean = (
+                F.floor(F.col("_s").cast("double") / F.col("_n")).cast("long")
+                if quantize else F.col("_s") / F.col("_n")
+            )
+            rows = (
+                upd.withColumn("_m", mean)
+                .groupBy("_c")
+                .agg(F.array_sort(F.collect_list(F.struct("_p", "_m"))).alias("_a"))
+                .select("_c", F.transform("_a", lambda s: s["_m"]).alias("_v"))
+                .collect()  # bounded-collect: k centroids x dim numbers
+            )
+            cents = sorted((int(r["_c"]), list(r["_v"])) for r in rows)
+    finally:
+        base.unpersist()
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[tuple[int, list]],
+    *,
+    quantize: int | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Assign every vector to its nearest trained centroid (same argmin
+    + quantization as the fit loop): adds ``cluster_col``. Map-side
+    only — no shuffle, no UDF."""
+    vec = (_quantized_vec(vec_col, quantize) if quantize
+           else F.col(vec_col).cast("array<double>"))
+    return df.withColumn(
+        cluster_col, _argmin_cluster(vec, cents, quantize is not None))

@@ -1547,3 +1547,50 @@ def q57_line_dedup(spark, sf):
         ).alias("text"),
     )
     return dedup.line_dedup(synth, "text", "doc_id")
+
+
+_KMEANS_DIST_SQL = """list_sum(list_transform(range(1, 65),
+                      i -> (v.q[i] - {c}.c[i]) * (v.q[i] - {c}.c[i])))"""
+
+
+@query("q58_kmeans_assign", f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q AS c FROM v ORDER BY vec_id LIMIT 4
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             {_KMEANS_DIST_SQL.format(c='c0')}, c0.cid) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+), u1 AS (
+  SELECT cid, pos, CAST(floor(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS m
+  FROM (SELECT a1.cid, unnest(range(1, 65)) AS pos, unnest(v.q) AS val
+        FROM a1 JOIN v USING (vec_id))
+  GROUP BY cid, pos
+), c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM u1 GROUP BY cid
+)
+SELECT vec_id, cid AS cluster FROM (
+    SELECT v.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             {_KMEANS_DIST_SQL.format(c='c1')}, c1.cid) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+""")
+def q58_kmeans_assign(spark, sf):
+    """K-means (Lloyd) trained IN the engine and under the exact-hash
+    gate: int64 fixed-point arithmetic makes the whole training loop
+    aggregation-order-independent, so the oracle unrolls the identical
+    init -> assign -> mean -> assign in SQL. Per-iteration driver
+    traffic is k x dim numbers — parameter-bounded at any corpus
+    size."""
+    e = _t(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(
+        e, "embedding", "vec_id", k=4, iters=1, quantize=1_000_000)
+    return similarity.kmeans_assign(
+        e, "embedding", "vec_id", cents, quantize=1_000_000,
+    ).select("vec_id", "cluster")

@@ -67,15 +67,20 @@ def test_embedding_near_dup_block_pair_gemm(spark, emb):
 
 
 def test_operators_have_no_driver_collect():
-    """No toPandas()/collect() data paths inside operators/ (driver is
-    never a data channel; scalar-only actions like count() are fine)."""
+    """No toPandas()/collect() DATA paths inside operators/ (driver is
+    never a data channel; scalar-only actions like count() are fine).
+    A collect whose size is bounded by operator PARAMETERS, not data —
+    e.g. kmeans' k x dim centroids — must carry a `bounded-collect`
+    annotation on its line stating the bound."""
     import pathlib
 
     opdir = pathlib.Path(dedup.__file__).parent
     for py in opdir.glob("*.py"):
-        src = py.read_text()
-        assert ".toPandas()" not in src, f"driver collect in {py.name}"
-        assert ".collect()" not in src, f"driver collect in {py.name}"
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            assert ".toPandas()" not in line, f"driver collect {py.name}:{i}"
+            if ".collect()" in line:
+                assert "bounded-collect" in line, \
+                    f"unannotated driver collect {py.name}:{i}"
 
 
 def test_exact_dedup_counts(spark):
@@ -335,3 +340,51 @@ def test_line_dedup_c4_semantics(spark):
         1: "gamma delta",
         3: "epsilon",
     }
+
+
+def _inertia(df, cents):
+    """Sum of squared distances to assigned (quantized) centroids."""
+    import numpy as np
+
+    cmap = {cid: np.asarray(v, dtype=float) for cid, v in cents}
+    tot = 0.0
+    for r in df.collect():
+        q = np.round(np.asarray(r["embedding"], dtype=float) * 1e6)
+        tot += min(((q - c) ** 2).sum() for c in cmap.values())
+    return tot
+
+
+def test_kmeans_inertia_decreases_and_feeds_ivf(spark, emb):
+    import numpy as np
+    from spark_fits_spark.operators import sample  # noqa: F401
+
+    fits = [similarity.kmeans_fit(
+        emb, "embedding", "vec_id", k=4, iters=i, quantize=1_000_000)
+        for i in (0, 1, 3)]
+    inertias = [_inertia(emb, c) for c in fits]
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    assert inertias[2] < inertias[0]  # training actually moved centroids
+    # trained centroids drop into ivf_topk unchanged
+    cents = np.array([v for _, v in fits[2]], dtype=float) / 1e6
+    got = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id",
+        k=5, nprobe=2, centroids=cents)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_kmeans_assign_matches_fit_partition(spark, emb):
+    """Every vector lands on its argmin centroid, ties to smaller id."""
+    import numpy as np
+
+    cents = similarity.kmeans_fit(
+        emb, "embedding", "vec_id", k=3, iters=1, quantize=1_000_000)
+    got = {r["vec_id"]: r["cluster"] for r in similarity.kmeans_assign(
+        emb, "embedding", "vec_id", cents, quantize=1_000_000).collect()}
+    cmat = {cid: np.asarray(v, dtype=float) for cid, v in cents}
+    for r in emb.collect():
+        q = np.round(np.asarray(r["embedding"], dtype=float) * 1e6)
+        dists = {cid: ((q - c) ** 2).sum() for cid, c in cmat.items()}
+        best = min(dists, key=lambda cid: (dists[cid], cid))
+        assert got[r["vec_id"]] == best
