@@ -96,6 +96,11 @@ def _jaccard(a, b):  # rounded exact Jaccard over distinct shingle arrays
 #: carry int64 arrays, so 2M "rows" can be 3+ GB (judge r1 finding).
 DEFAULT_BROADCAST_MAX_BYTES = 256 << 20
 
+#: target vectors per GEMM block (embedding_near_dup_pairs auto-sizing):
+#: per-task resident matrices stay ≤ ~2·16k·dim·8 B (16 MB at dim=64)
+#: and the chunked GEMM bounds transient slabs independently.
+GEMM_BLOCK_ROWS = 16_384
+
 
 def _shingle_table_bytes(sets_df: DataFrame) -> int:
     """Estimated in-memory bytes of the (id, int64[] hashes) table: one
@@ -257,7 +262,7 @@ def embedding_near_dup_pairs(
     id_col: str,
     *,
     threshold: float = 0.35,
-    blocks: int = 8,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a, doc_b, cosine ≥
     threshold), doc_a < doc_b. **Exact** all-pairs (no LSH recall loss).
@@ -270,20 +275,28 @@ def embedding_near_dup_pairs(
       every unordered block pair (i ≤ j) containing its block (B-fold
       replication).
     - each block pair is one ``applyInPandas`` task: the two block
-      matrices are assembled executor-side and compared with a single
-      vectorized numpy GEMM — the O(n²) similarity work spreads over
-      B(B+1)/2 independent tasks, each holding ≤ 2n/B vectors.
+      matrices are assembled executor-side and compared with a
+      row-chunked numpy GEMM (≤1024-row slabs, so transient memory per
+      task is bounded whatever the block size) — the O(n²) similarity
+      work spreads over B(B+1)/2 independent tasks, each holding ≤
+      2n/B vectors.
     - a pair of docs meets in exactly one task (its blocks' pair), so
       results carry no duplicates.
 
-    Scale ``blocks`` with the corpus: per-task memory is O(n/B · dim)
-    and task count B²/2 should comfortably exceed cluster cores. The
-    GEMM stays in BLAS — ~100× faster than per-pair JVM array ops."""
+    ``blocks=None`` auto-sizes to ~:data:`GEMM_BLOCK_ROWS` vectors per
+    block (one count job): small corpora run as a single GEMM task
+    with no replication — the shuffle replication factor IS ``blocks``,
+    so over-blocking a small corpus just multiplies Arrow overhead —
+    while big corpora get B²/2 tasks well past cluster cores. The GEMM
+    stays in BLAS — ~100× faster than per-pair JVM array ops."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = df.sparkSession
+    if blocks is None:
+        n = df.count()  # scalar action, not a data path
+        blocks = max(1, -(-n // GEMM_BLOCK_ROWS))
     src = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -313,22 +326,30 @@ def embedding_near_dup_pairs(
         mat = np.stack(pdf["_v"].to_numpy())
         mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
         if i == j:
-            sims = mat @ mat.T
-            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
-            a, b = np.nonzero(mask)
-            da, db, cs = ids[a], ids[b], sims[a, b]
+            aid = bid = ids
+            amat = bmat = mat
         else:
             side = pdf["_blk"].to_numpy() == i
             aid, bid = ids[side], ids[~side]
+            amat, bmat = mat[side], mat[~side]
             if not len(aid) or not len(bid):
                 return empty
-            sims = mat[side] @ mat[~side].T
-            a, b = np.nonzero(sims >= threshold)
-            da = np.minimum(aid[a], bid[b])
-            db = np.maximum(aid[a], bid[b])
-            cs = sims[a, b]
-        return pd.DataFrame(
-            {"doc_a": da, "doc_b": db, "cosine": np.round(cs, 4)})
+        # chunk the GEMM: a full |A|x|B| sims matrix is O((n/B)^2) —
+        # 1024-row slabs bound transient memory at 1024*|B|*8 bytes
+        outs = []
+        for lo in range(0, len(aid), 1024):
+            sims = amat[lo:lo + 1024] @ bmat.T
+            mask = sims >= threshold
+            if i == j:
+                mask &= aid[lo:lo + 1024, None] < bid[None, :]
+            a, b = np.nonzero(mask)
+            if len(a):
+                ga, gb = aid[lo + a], bid[b]
+                outs.append(pd.DataFrame({
+                    "doc_a": np.minimum(ga, gb),
+                    "doc_b": np.maximum(ga, gb),
+                    "cosine": np.round(sims[a, b], 4)}))
+        return pd.concat(outs) if outs else empty
 
     return repl.groupBy("_pi", "_pj").applyInPandas(gemm, out_schema)
 

@@ -1594,3 +1594,59 @@ def q58_kmeans_assign(spark, sf):
     return similarity.kmeans_assign(
         e, "embedding", "vec_id", cents, quantize=1_000_000,
     ).select("vec_id", "cluster")
+
+
+@query("q59_quantize_error", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+         CASE WHEN list_max(v) = list_min(v) THEN 1.0
+              ELSE (list_max(v) - list_min(v)) / 255 END AS sc
+  FROM e
+), c AS (
+  SELECT vec_id, v, mn, sc,
+         list_transform(v, x -> CAST(round((x - mn) / sc) AS INT)) AS codes
+  FROM q
+), d AS (
+  SELECT vec_id, v, codes,
+         list_transform(codes, cd -> mn + cd * sc) AS dv
+  FROM c
+)
+SELECT vec_id,
+       lower(array_to_string(
+           list_transform(codes, cd -> lpad(to_hex(cd), 2, '0')), ''))
+         AS codes_hex,
+       round(list_dot_product(v, dv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv))),
+             4) AS cos_dequant,
+       round(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - dv[i]))), 6) AS max_abs_err
+FROM d
+""")
+def q59_quantize_error(spark, sf):
+    """int8 scalar quantization fidelity: per-vector codes (byte-packed
+    hex string, built JVM-side — a 4x memory/bandwidth cut for ANN
+    candidate stages), plus cosine(original, dequantized) and the max
+    per-dim absolute error. Map-side only; the oracle replays the
+    identical quantize → pack → dequantize arithmetic."""
+    e = _t(spark, sf, "embeddings")
+    qz = similarity.scalar_quantize(e, "embedding", "vec_id")
+    v = F.col("embedding").cast("array<double>")
+    dv = similarity.dequantize_expr(F.col("codes"), F.col("qmin"), F.col("qscale"))
+    joined = e.join(qz, "vec_id").select(
+        "vec_id", "codes_hex",
+        v.alias("_v"), dv.alias("_dv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return joined.select(
+        "vec_id", "codes_hex",
+        F.round(
+            dot(F.col("_v"), F.col("_dv"))
+            / (F.sqrt(dot(F.col("_v"), F.col("_v")))
+               * F.sqrt(dot(F.col("_dv"), F.col("_dv")))), 4,
+        ).alias("cos_dequant"),
+        F.round(F.array_max(
+            F.zip_with(F.col("_v"), F.col("_dv"),
+                       lambda a, b: F.abs(a - b))), 6).alias("max_abs_err"),
+    )
