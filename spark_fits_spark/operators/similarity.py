@@ -306,6 +306,7 @@ def scalar_quantize(
     id_col: str,
     *,
     levels: int = 255,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Per-vector scalar quantization to ``levels+1`` codes (int8 when
     levels=255): ``code = round((x - min) / scale)`` with
@@ -316,7 +317,9 @@ def scalar_quantize(
     vector stores in 64 bytes + two floats: a 4x bandwidth/memory cut
     for the ANN candidate stage at 100 TB. Map-side only, no shuffle;
     dequantization is :func:`dequantize_expr`. Constant vectors get
-    scale 1 (all codes 0)."""
+    scale 1 (all codes 0). ``keep_vec=True`` retains the original
+    vector as ``vec`` so fidelity checks need no re-join (keeps the
+    whole pipeline map-only)."""
     v = F.col(vec_col).cast("array<double>")
     mn, mx = F.array_min(v), F.array_max(v)
     scale = F.when(mx == mn, F.lit(1.0)).otherwise((mx - mn) / levels)
@@ -333,7 +336,7 @@ def scalar_quantize(
         F.lower(F.concat_ws("", F.transform(
             F.col("codes"), lambda c: F.lpad(F.hex(c), 2, "0")))),
     )
-    return out.drop("_v")
+    return out.withColumnRenamed("_v", "vec") if keep_vec else out.drop("_v")
 
 
 def dequantize_expr(codes, qmin, qscale):

@@ -1630,12 +1630,11 @@ def q59_quantize_error(spark, sf):
     per-dim absolute error. Map-side only; the oracle replays the
     identical quantize → pack → dequantize arithmetic."""
     e = _t(spark, sf, "embeddings")
-    qz = similarity.scalar_quantize(e, "embedding", "vec_id")
-    v = F.col("embedding").cast("array<double>")
+    qz = similarity.scalar_quantize(e, "embedding", "vec_id", keep_vec=True)
     dv = similarity.dequantize_expr(F.col("codes"), F.col("qmin"), F.col("qscale"))
-    joined = e.join(qz, "vec_id").select(
+    joined = qz.select(
         "vec_id", "codes_hex",
-        v.alias("_v"), dv.alias("_dv"),
+        F.col("vec").alias("_v"), dv.alias("_dv"),
     )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
