@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "q27_text_stats",
     "q29_text_quality",
     "q30_multimodal_meta",
+    # round-2 additions (sampling/packing/line-dedup/kmeans/quantize):
+    # appended at the end so earlier per-query numbers stay comparable
+    # round-over-round
+    "q54_stratified_sample",
+    "q56_pack_sequences",
+    "q57_line_dedup",
+    "q58_kmeans_assign",
+    "q59_quantize_error",
 ]
 
 
@@ -155,10 +163,15 @@ def main() -> None:
     timings["fits_scan_64mb"] = round(fits_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    # the round-1 headline set, for apples-to-apples round-over-round
+    # totals after queries were appended to BENCH_QUERIES in round 2
+    core = round(sum(v for k, v in timings.items()
+                     if not k.startswith(("q54", "q56", "q57", "q58", "q59"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",
         "value": total,
+        "core_total_seconds_r1set": core,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),

@@ -388,3 +388,25 @@ def test_kmeans_assign_matches_fit_partition(spark, emb):
         dists = {cid: ((q - c) ** 2).sum() for cid, c in cmat.items()}
         best = min(dists, key=lambda cid: (dists[cid], cid))
         assert got[r["vec_id"]] == best
+
+
+def test_line_dedup_idempotent_and_globally_unique(spark, docs):
+    """After one pass no duplicate trimmed line remains anywhere, so a
+    second pass is the identity."""
+    w = F.split(F.col("text"), " ")
+    synth = docs.limit(120).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("shared header"),
+            F.concat_ws(" ", F.slice(w, 1, 6)),
+            F.concat_ws(" ", F.slice(w, 7, 6)),
+        ).alias("text"),
+    )
+    once = dedup.line_dedup(synth, "text", "doc_id")
+    lines = once.select(F.explode(F.split("text", "\n")).alias("l")) \
+                .select(F.trim("l").alias("k")).where(F.length("k") > 0)
+    assert lines.count() == lines.distinct().count()
+    twice = dedup.line_dedup(once, "text", "doc_id")
+    key = lambda df: sorted((r["doc_id"], r["text"]) for r in df.collect())
+    assert key(once) == key(twice)
