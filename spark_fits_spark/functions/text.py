@@ -270,3 +270,41 @@ def scrub_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(c, URL_RE, "<URL>")
+
+
+def corpus_unigram_logprob(df, text_col: str, id_col: str):
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the cheap stand-in for an LM quality filter
+    (CCNet-style): boilerplate-ish docs made of common tokens score
+    high, rare-token noise scores low.
+
+    Two aggregations: explode → token frequency table (map-side combined
+    count), then a token→logprob join back and one per-doc sum. The
+    frequency join is a plain equi-join so AQE broadcasts a small
+    vocabulary and shuffle-joins a 100M-row one — no manual hint needed.
+    The grand total rides a broadcast of ONE row.
+
+    Determinism: per-token log-probs are computed once on the frequency
+    table and quantized to int64 (×1e6); per-doc scores are integer
+    sums, so the result is aggregation-order-independent and
+    SQL-oracle-checkable. Returns (id, lp6_sum, n_toks, avg_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_n"))
+    total = freq.agg(F.sum("_n").cast("double").alias("_total"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "_tok",
+        F.round(F.log10(F.col("_n") / F.col("_total")) * 1_000_000, 0)
+        .cast("long").alias("_lp6"),
+    )
+    return (
+        toks.join(lp, "_tok")
+        .groupBy("_id")
+        .agg(F.sum("_lp6").alias("lp6_sum"), F.count("*").alias("n_toks"))
+        .select(
+            F.col("_id").alias(id_col), "lp6_sum", "n_toks",
+            F.round(F.col("lp6_sum") / (F.col("n_toks") * 1_000_000), 4)
+            .alias("avg_logprob"),
+        )
+    )

@@ -1649,3 +1649,32 @@ def q59_quantize_error(spark, sf):
             F.zip_with(F.col("_v"), F.col("_dv"),
                        lambda a, b: F.abs(a - b))), 6).alias("max_abs_err"),
     )
+
+
+@query("q60_unigram_logprob", """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), f AS (
+  SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+), t AS (
+  SELECT SUM(n)::DOUBLE AS total FROM f
+), lp AS (
+  SELECT tok, CAST(round(log10(n / total) * 1000000) AS BIGINT) AS lp6
+  FROM f, t
+)
+SELECT doc_id,
+       CAST(SUM(lp6) AS BIGINT) AS lp6_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       round(CAST(SUM(lp6) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000), 4)
+         AS avg_logprob
+FROM tk JOIN lp USING (tok)
+GROUP BY doc_id
+""")
+def q60_unigram_logprob(spark, sf):
+    """Corpus-LM quality proxy: mean unigram log-prob of each doc under
+    the corpus's own token distribution. Token log-probs are quantized
+    to int64 on the (small) frequency table, so per-doc sums are
+    aggregation-order-independent; the frequency join is AQE-planned
+    (broadcast for small vocabularies, shuffle at web-scale)."""
+    d = _t(spark, sf, "documents")
+    return T.corpus_unigram_logprob(d, "text", "doc_id")
