@@ -308,3 +308,63 @@ def corpus_unigram_logprob(df, text_col: str, id_col: str):
             .alias("avg_logprob"),
         )
     )
+
+
+def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
+              *, k1: float = 1.2, b: float = 0.75, k: int = 20):
+    """BM25 lexical retrieval: top-``k`` documents for a bag of query
+    ``terms`` — the sparse/lexical counterpart to the embedding ANN
+    operators (hybrid retrieval = union both candidate sets).
+
+    Plan shape: the exploded token stream filters to the query terms
+    FIRST (a literal IN over a handful of strings, pushed into the scan
+    stage), so everything downstream — tf, df, the score join — runs on
+    |terms|-bounded data, not the corpus. Document length and corpus
+    size ride one-row broadcasts; final ranking is a single top-k.
+
+    Determinism: each (doc, term) BM25 contribution is quantized to
+    int64 (×1e6) before the per-doc sum (order-independent); ranking
+    ties break by doc id. Returns (id, score6_sum, bm25, rank)."""
+    n_docs_df = df.agg(F.count("*").cast("double").alias("_ndocs"))
+    lens = df.select(
+        F.col(id_col).alias("_id"), F.size(tokens(text_col)).alias("_len"))
+    avglen_df = lens.agg(F.avg("_len").alias("_avglen"))
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+    ).where(F.col("_tok").isin(*terms))
+    tf = toks.groupBy("_id", "_tok").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count("*").cast("double").alias("_df"))
+
+    idf = dfreq.crossJoin(F.broadcast(n_docs_df)).select(
+        "_tok",
+        F.log((F.col("_ndocs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+        .alias("_idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "_tok")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(avglen_df))
+        .select(
+            "_id",
+            F.round(
+                F.col("_idf") * (F.col("_tf") * (k1 + 1.0))
+                / (F.col("_tf")
+                   + k1 * (1.0 - b + b * F.col("_len") / F.col("_avglen")))
+                * 1_000_000, 0,
+            ).cast("long").alias("_c6"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    scored = contrib.groupBy("_id").agg(F.sum("_c6").alias("score6_sum"))
+    # distributed top-k (TakeOrderedAndProject) FIRST; the rank window
+    # then orders only k rows — never a corpus-wide single partition
+    top = scored.orderBy(F.desc("score6_sum"), F.asc("_id")).limit(k)
+    w = _W.orderBy(F.desc("score6_sum"), F.asc("_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col), "score6_sum",
+            F.round(F.col("score6_sum") / 1_000_000, 4).alias("bm25"), "rank")
+    )

@@ -1678,3 +1678,45 @@ def q60_unigram_logprob(spark, sf):
     (broadcast for small vocabularies, shuffle at web-scale)."""
     d = _t(spark, sf, "documents")
     return T.corpus_unigram_logprob(d, "text", "doc_id")
+
+
+@query("q61_bm25_topk", """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS ndocs,
+         (SELECT AVG(dl) FROM lens) AS avglen
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+  WHERE tok IN ('spark', 'window', 'join') GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, ln((ndocs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+  FROM tf, stats GROUP BY tok, ndocs
+), contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(idf * (tf * 2.2)
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avglen))
+                    * 1000000) AS BIGINT) AS c6
+  FROM tf JOIN idf USING (tok) JOIN lens USING (doc_id), stats
+), scored AS (
+  SELECT doc_id, CAST(SUM(c6) AS BIGINT) AS score6_sum FROM contrib
+  GROUP BY doc_id
+)
+SELECT doc_id, score6_sum,
+       round(score6_sum::DOUBLE / 1000000, 4) AS bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY score6_sum DESC, doc_id) AS INT)
+         AS rank
+FROM scored
+ORDER BY score6_sum DESC, doc_id LIMIT 20
+""")
+def q61_bm25_topk(spark, sf):
+    """BM25 lexical retrieval (the sparse counterpart to the ANN
+    queries): explode filters to the literal query terms before any
+    shuffle, stats ride one-row broadcasts, ranking is a distributed
+    top-k with the window over only k rows. Per-(doc, term)
+    contributions are int64-quantized so the per-doc sum is
+    order-independent."""
+    d = _t(spark, sf, "documents")
+    return T.bm25_topk(d, "text", "doc_id", ("spark", "window", "join"))
