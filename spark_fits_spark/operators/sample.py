@@ -26,7 +26,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences"]
+__all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
+           "take_token_budget"]
 
 #: hash-bucket resolution: rates are quantized to 1/10000ths.
 N_BUCKETS = 10_000
@@ -159,3 +160,71 @@ def pack_sequences(
         )
     )
     return packed
+
+
+def take_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Mapping[str, int],
+    *,
+    id_col: str,
+    n_tokens_col: str,
+    salt: str = "budget",
+    default_budget: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Data mixing by TOKEN budget: within each stratum, take documents
+    in deterministic hash order until the stratum's token budget is
+    filled (the document that crosses the budget line is kept, so every
+    non-zero budget yields at least one doc). This is the pretraining
+    mix primitive when quotas are token counts, not doc counts or
+    rates — ``budgets={source: n_tokens}``.
+
+    Hash order (md5 of the salted id) makes the selection a pure
+    function of ids: reproducible anywhere, stable per doc, and
+    mirrorable in SQL. The running within-stratum token total uses the
+    same distributed prefix sum as :func:`pack_sequences` — partition
+    cumsums plus a prefix over per-(partition, stratum) totals, so no
+    stratum ever needs to fit one partition and nothing crosses the
+    driver."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"),
+            (F.col(id_col)).cast("string"))), 1, 15), 16, 10,
+    ).cast("long")
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.select(
+            F.col(id_col), F.col(strata_col),
+            F.col(n_tokens_col).cast("long").alias("_n"),
+            hv.alias("_hv"),
+        )
+        .repartitionByRange(n_parts, F.col(strata_col), F.col("_hv"), F.col(id_col))
+        .sortWithinPartitions(strata_col, "_hv", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid", strata_col).orderBy("_hv", id_col)
+    local = ordered.withColumn(
+        "_cum_in_part", F.sum("_n").over(w) - F.col("_n")
+    ).localCheckpoint(eager=False)
+
+    prior = (
+        Window.partitionBy(strata_col).orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid", strata_col).agg(F.sum("_n").alias("_tot"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_tot").over(prior), F.lit(0)).cast("long"))
+        .drop("_tot")
+    )
+
+    budget: Column = F.lit(int(default_budget))
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == stratum, F.lit(int(b))).otherwise(budget)
+
+    return (
+        local.join(F.broadcast(offsets), ["_pid", strata_col])
+        .where(F.col("_off") + F.col("_cum_in_part") < budget)
+        .select(F.col(id_col), F.col(strata_col), F.col("_n").alias(n_tokens_col))
+    )

@@ -1720,3 +1720,35 @@ def q61_bm25_topk(spark, sf):
     order-independent."""
     d = _t(spark, sf, "documents")
     return T.bm25_topk(d, "text", "doc_id", ("spark", "window", "join"))
+
+
+@query("q62_token_budget_mix", """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY hv, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS bef
+  FROM d
+)
+SELECT doc_id, source, n_tokens FROM c
+WHERE bef < CASE source WHEN 'src1' THEN 2000 WHEN 'src2' THEN 1200
+            ELSE 400 END
+""")
+def q62_token_budget_mix(spark, sf):
+    """Pretraining mix by token budget: per-source quotas in TOKENS,
+    filled in deterministic hash order (the doc crossing the budget
+    line is kept). The within-stratum running total is a distributed
+    prefix sum — partition cumsums + a prefix over per-(partition,
+    stratum) totals — so no stratum need fit one partition."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens"))
+    return sample.take_token_budget(
+        d, "source", {"src1": 2000, "src2": 1200},
+        id_col="doc_id", n_tokens_col="n_tokens", default_budget=400)

@@ -410,3 +410,35 @@ def test_line_dedup_idempotent_and_globally_unique(spark, docs):
     twice = dedup.line_dedup(once, "text", "doc_id")
     key = lambda df: sorted((r["doc_id"], r["text"]) for r in df.collect())
     assert key(once) == key(twice)
+
+
+def test_take_token_budget_semantics_and_partition_invariance(spark, docs):
+    """Each stratum fills in hash order to its token budget (crossing
+    doc kept); result invariant to the partition count."""
+    from spark_fits_spark.operators import sample
+
+    d = docs.select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("n_tokens"))
+    budgets = {"src1": 300, "src2": 150}
+    base = None
+    for nparts in (1, 5, 16):
+        got = sorted(
+            (r["doc_id"], r["source"], r["n_tokens"])
+            for r in sample.take_token_budget(
+                d, "source", budgets, id_col="doc_id",
+                n_tokens_col="n_tokens", default_budget=80,
+                partitions=nparts).collect())
+        if base is None:
+            base = got
+        assert got == base, f"partition-dependent at {nparts}"
+    # per-stratum: total tokens minus the crossing doc is under budget,
+    # and total including it reaches the budget
+    from collections import defaultdict
+    per = defaultdict(list)
+    for _, src, n in base:
+        per[src].append(n)
+    for src, toks in per.items():
+        b = budgets.get(src, 80)
+        assert sum(toks) >= b or len(toks) == d.where(
+            F.col("source") == src).count()  # budget >= stratum total
+        assert sum(toks) - max(toks) < b
