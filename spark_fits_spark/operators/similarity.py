@@ -342,3 +342,44 @@ def scalar_quantize(
 def dequantize_expr(codes, qmin, qscale):
     """Reconstructed double vector: ``qmin + code * qscale``."""
     return F.transform(codes, lambda c: qmin + c * qscale)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate rankings (hybrid retrieval:
+    e.g. a lexical BM25 list fused with an ANN list, or two ANN
+    retrievers with different blind spots). Each list contributes
+    ``1/(c + rank)`` per candidate; fused score = sum over lists.
+
+    Contributions are quantized to int64 (×1e6) so the per-candidate
+    sum is aggregation-order-independent (the standard determinism
+    trick here), and ties break by id. The union is rank-rows only
+    (k·|Q| per list — tiny); the final per-query re-rank window
+    partitions by query. Returns (query, id, rrf6_sum, rank)."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [df.select(query_col, id_col, rank_col) for df in ranked],
+    )
+    contrib = u.select(
+        query_col, id_col,
+        F.round(1_000_000.0 / (F.lit(c) + F.col(rank_col)), 0)
+        .cast("long").alias("_c6"),
+    )
+    scored = contrib.groupBy(query_col, id_col).agg(
+        F.sum("_c6").alias("rrf6_sum"))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf6_sum"), F.asc(id_col))
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .select(query_col, id_col, "rrf6_sum", rank_col)
+    )

@@ -1752,3 +1752,46 @@ def q62_token_budget_mix(spark, sf):
     return sample.take_token_budget(
         d, "source", {"src1": 2000, "src2": 1200},
         id_col="doc_id", n_tokens_col="n_tokens", default_budget=400)
+
+
+
+# RRF fusion of the two approximate retrievers, oracle composed from the
+# q31 (LSH) and q50 (IVF) oracle SQL verbatim as CTE subqueries.
+_RRF_ORACLE = f"""
+WITH lsh AS (SELECT * FROM ({ORACLES["q31_ann_lsh_topk"]})),
+ivf AS (SELECT * FROM ({ORACLES["q50_ann_ivf_topk"]})),
+u AS (
+  SELECT query_id, vec_id, rank FROM lsh
+  UNION ALL
+  SELECT query_id, vec_id, rank FROM ivf
+), s AS (
+  SELECT query_id, vec_id,
+         CAST(SUM(CAST(round(1000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT)
+           AS rrf6_sum
+  FROM u GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, rrf6_sum, rank FROM (
+  SELECT query_id, vec_id, rrf6_sum,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rrf6_sum DESC, vec_id) AS INT)
+           AS rank
+  FROM s) WHERE rank <= 10
+"""
+
+
+@query("q63_hybrid_rrf", _RRF_ORACLE)
+def q63_hybrid_rrf(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion of two approximate
+    retrievers with different blind spots (hyperplane LSH + IVF).
+    Rank-row unions only (k rows per query per list); int64-quantized
+    contributions keep the fused score order-independent; the re-rank
+    window partitions by query. Oracle = the two retriever oracles
+    verbatim + the same RRF arithmetic."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    lsh = similarity.hyperplane_lsh_topk(
+        e, q, "embedding", "vec_id", k=10, bits=4, dim=64, seed=7)
+    ivf = similarity.ivf_topk(
+        e, q, "embedding", "vec_id",
+        k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
+    return similarity.rrf_fuse([lsh, ivf], k=10)
