@@ -368,3 +368,47 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
             F.col("_id").alias(id_col), "score6_sum",
             F.round(F.col("score6_sum") / 1_000_000, 4).alias("bm25"), "rank")
     )
+
+
+def frequent_ngrams(df, text_col: str, group_col: str, *,
+                    n: int = 3, k: int = 5):
+    """Corpus boilerplate detection: the top-``k`` word ``n``-grams per
+    group by DOCUMENT frequency (how many distinct docs contain the
+    gram — repetition inside one doc doesn't inflate it). The grams a
+    large share of a source's docs all contain are its templates,
+    headers, and footers; the output feeds a removal pass (e.g.
+    ``line_dedup`` or a literal filter).
+
+    Plan shape: per-doc distinct grams (map-side array op) → explode →
+    ONE (group, gram) count with map-side partial agg, then a TWO-phase
+    top-k: a salted local top-k (window partitioned by (group, salt) —
+    a group's billions of distinct grams never meet in one partition)
+    keeps ≤ k·n_salts candidates per group, and the final rank window
+    runs over only those. Ties break lexicographically for determinism.
+    Returns (group, gram, n_docs, rank)."""
+    grams = word_ngrams(text_col, n)
+    counts = (
+        df.select(F.col(group_col).alias("group"),
+                  F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("group", "gram")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    n_salts = 32
+    # each (group, gram) row is unique, so any global top-k member is in
+    # its salt bucket's local top-k — the pre-filter loses nothing
+    salted = counts.withColumn(
+        "_salt", F.abs(F.hash("gram")) % F.lit(n_salts))
+    lw = _W.partitionBy("group", "_salt").orderBy(
+        F.desc("n_docs"), F.asc("gram"))
+    cand = (
+        salted.withColumn("_lr", F.row_number().over(lw))
+        .where(F.col("_lr") <= k)
+    )
+    w = _W.partitionBy("group").orderBy(F.desc("n_docs"), F.asc("gram"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("group", "gram", "n_docs", "rank")
+    )

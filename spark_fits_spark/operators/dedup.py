@@ -476,3 +476,49 @@ def line_dedup(
             .alias(text_col),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram with a held-out test/benchmark
+    set (the GPT-3/PaLM-style n-gram-overlap rule). Returns one row per
+    training doc: ``(id, n_hit_ngrams, contaminated)`` where
+    ``n_hit_ngrams`` counts the doc's *distinct* n-grams that also occur
+    anywhere in the test set.
+
+    Scale: n-grams are md5-hashed to int64 before any shuffle (8-byte
+    join keys, not strings). The test side collapses to its distinct
+    gram hashes — benchmark sets are orders of magnitude smaller than a
+    pretraining corpus, so that table is explicitly broadcast and the
+    contamination check is a map-side hash-join over the exploded corpus
+    grams; only (id, count) rows shuffle for the final per-doc agg. If
+    the "test" side is ever corpus-sized, drop the hint and AQE decides.
+    """
+    test_g = (
+        shingle_sets(test, text_col, id_col, n=n, hashed=True)
+        .select(F.explode("_hashes").alias("_g"))
+        .distinct()
+    )
+    doc_g = shingle_sets(train, text_col, id_col, n=n, hashed=True).select(
+        "_id", F.explode("_hashes").alias("_g"))
+    hits = (
+        doc_g.join(F.broadcast(test_g), "_g")
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n_hits"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_hits", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+            (F.coalesce("_n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
-           "take_token_budget"]
+           "take_token_budget", "shuffle_shards"]
 
 #: hash-bucket resolution: rates are quantized to 1/10000ths.
 N_BUCKETS = 10_000
@@ -227,4 +227,63 @@ def take_token_budget(
         local.join(F.broadcast(offsets), ["_pid", strata_col])
         .where(F.col("_off") + F.col("_cum_in_part") < budget)
         .select(F.col(id_col), F.col(strata_col), F.col("_n").alias(n_tokens_col))
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a shard in
+    ``[0, n_shards)`` and a dense position within that shard, both pure
+    functions of ``(salt, id)`` — the "shuffle once, train anywhere"
+    primitive. Shard = ``md5-hash % n_shards``; position = the row's
+    rank within its shard under ``(hash, id)`` order, i.e. a fresh salt
+    is an independent reshuffle and the same salt reproduces the exact
+    epoch order on any cluster.
+
+    The within-shard rank is the same distributed prefix sum as
+    :func:`pack_sequences` — range-repartition by (shard, hash),
+    per-partition ``row_number``, prefix over per-(partition, shard)
+    counts — so no shard need fit one partition and a single global
+    ``Window.orderBy`` (one-partition scale-killer) never appears."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 15), 16, 10,
+    ).cast("long")
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.select(
+            F.col(id_col), hv.alias("_hv"),
+            (hv % F.lit(int(n_shards))).alias("shard"),
+        )
+        .repartitionByRange(n_parts, F.col("shard"), F.col("_hv"), F.col(id_col))
+        .sortWithinPartitions("shard", "_hv", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid", "shard").orderBy("_hv", id_col)
+    local = ordered.withColumn(
+        "_rn", F.row_number().over(w).cast("long") - 1
+    ).localCheckpoint(eager=False)
+
+    prior = (
+        Window.partitionBy("shard").orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid", "shard").agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).cast("long"))
+        .drop("_cnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", "shard"])
+        .select(
+            F.col(id_col), F.col("shard"),
+            (F.col("_off") + F.col("_rn")).alias("pos"),
+        )
     )

@@ -300,6 +300,71 @@ def kmeans_assign(
         cluster_col, _argmin_cluster(vec, cents, quantize is not None))
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.99,
+    quantize: int = 1_000_000,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup (semantic deduplication, Abbas et al. 2023): cluster the
+    embedding space with k-means, then inside each cluster drop every
+    vector whose cosine similarity to some lower-id cluster-mate reaches
+    ``threshold`` (the min-id member of a near-dup group survives).
+    Returns one row per input vector:
+    ``(id, cluster, max_cos_lower, keep)`` — ``max_cos_lower`` is the
+    doc's highest cosine to any lower-id vector in its cluster (NULL for
+    the cluster's min id).
+
+    Pairwise work happens only *within* a cluster — the self-join key is
+    the cluster id, so cost is Σ|cluster|², never corpus². At 100 TB you
+    raise ``k`` so clusters stay bounded (SemDeDup used 50k clusters for
+    5B embeddings); skewed clusters split under AQE skew-join.
+
+    Determinism: vectors are quantized to int64 fixed-point, so dot
+    products and squared norms are *exact integers*; cosine divides those
+    exact ints in double and rounds to 4 decimals — bit-identical in any
+    aggregation order and in the SQL oracle.
+    """
+    cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters, quantize=quantize)
+    q = _quantized_vec(vec_col, quantize)
+    a = df.select(F.col(id_col), q.alias("_q")).withColumn(
+        cluster_col, _argmin_cluster(F.col("_q"), cents, True))
+
+    def idot(x, y):  # exact int64 dot product
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, r: p * r),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    lo = a.select(
+        F.col(id_col).alias("_lid"), F.col("_q").alias("_lq"),
+        F.col(cluster_col))
+    cos = F.round(
+        idot(F.col("_q"), F.col("_lq"))
+        / (F.sqrt(idot(F.col("_q"), F.col("_q")))
+           * F.sqrt(idot(F.col("_lq"), F.col("_lq")))), 4)
+    sims = (
+        a.join(lo, cluster_col)
+        .where(F.col("_lid") < F.col(id_col))
+        .select(F.col(id_col), cos.alias("_cos"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_cos_lower"))
+    )
+    return (
+        a.select(id_col, cluster_col)
+        .join(sims, id_col, "left")
+        .select(
+            F.col(id_col), F.col(cluster_col), F.col("max_cos_lower"),
+            F.coalesce(F.col("max_cos_lower") < threshold, F.lit(True))
+            .alias("keep"),
+        )
+    )
+
+
 def scalar_quantize(
     df: DataFrame,
     vec_col: str,

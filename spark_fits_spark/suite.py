@@ -1795,3 +1795,146 @@ def q63_hybrid_rrf(spark, sf):
         e, q, "embedding", "vec_id",
         k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
     return similarity.rrf_fuse([lsh, ivf], k=10)
+
+
+@query("q64_decontaminate", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+), h AS (
+  SELECT doc_id,
+         list_distinct(list_transform(grams,
+             s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+  FROM g
+), tg AS (
+  SELECT DISTINCT unnest(hs) AS hv FROM h WHERE doc_id % 97 = 0
+), dg AS (
+  SELECT doc_id, unnest(hs) AS hv FROM h WHERE doc_id % 97 != 0
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dg JOIN tg USING (hv) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_hit_ngrams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+LEFT JOIN hits USING (doc_id)
+""")
+def q64_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3/PaLM n-gram overlap rule):
+    every 97th doc plays the held-out benchmark; training docs sharing
+    any word 3-gram with it are flagged. Grams are md5→int64 before any
+    shuffle; the test side's distinct gram hashes are broadcast
+    (benchmark ≪ corpus by construction), so the check is a map-side
+    hash-join plus one per-doc count agg."""
+    d = _t(spark, sf, "documents")
+    return dedup.decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        "text", "doc_id", n=3)
+
+
+_SEMDEDUP_COS_SQL = """round(
+    list_sum(list_transform(range(1, 65), i -> hi.q[i] * lo.q[i]))::DOUBLE
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> hi.q[i] * hi.q[i]))::DOUBLE)
+       * sqrt(list_sum(list_transform(range(1, 65), i -> lo.q[i] * lo.q[i]))::DOUBLE)),
+    4)"""
+
+
+@query("q65_semdedup", f"""
+WITH a2 AS (SELECT * FROM ({{kmeans}})),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), j AS (
+  SELECT a2.vec_id, a2.cluster, v.q FROM a2 JOIN v USING (vec_id)
+), p AS (
+  SELECT hi.vec_id, {_SEMDEDUP_COS_SQL} AS cs
+  FROM j hi JOIN j lo ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
+), m AS (
+  SELECT vec_id, MAX(cs) AS max_cos_lower FROM p GROUP BY vec_id
+)
+SELECT j.vec_id, j.cluster, m.max_cos_lower,
+       COALESCE(m.max_cos_lower < 0.9, TRUE) AS keep
+FROM j LEFT JOIN m USING (vec_id)
+""".format(kmeans="__KMEANS__"))
+def q65_semdedup(spark, sf):
+    """SemDeDup: k-means clusters (the q58 trained quantizer, int64
+    fixed-point) + intra-cluster pairwise cosine; a vector is dropped
+    when it hits ≥0.9 cosine to a lower-id cluster-mate. Pairwise work
+    is cluster-bounded (Σ|c|², never corpus²); int dot products make
+    every cosine bit-identical to the oracle, which composes the q58
+    k-means SQL verbatim with the same pairing arithmetic."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.semdedup(
+        e, "embedding", "vec_id",
+        k=4, iters=1, threshold=0.9, quantize=1_000_000)
+
+
+# splice the q58 oracle in as the cluster-assignment CTE (same params)
+ORACLES["q65_semdedup"] = ORACLES["q65_semdedup"].replace(
+    "__KMEANS__", ORACLES["q58_kmeans_assign"])
+
+
+@query("q66_shuffle_shards", """
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+            AS BIGINT) AS pos
+FROM d
+""")
+def q66_shuffle_shards(spark, sf):
+    """Deterministic global training shuffle into 8 shards: shard and
+    within-shard position are pure functions of (salt, id) — the same
+    salt reproduces the epoch order on any cluster, a new salt is an
+    independent reshuffle. Positions come from the distributed
+    prefix-sum (no single-partition global window)."""
+    d = _t(spark, sf, "documents")
+    return sample.shuffle_shards(d, id_col="doc_id", n_shards=8)
+
+
+@query("q67_boilerplate_ngrams", """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT source,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+), dg AS (
+  SELECT source AS "group", unnest(list_distinct(grams)) AS gram FROM g
+), c AS (
+  SELECT "group", gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dg GROUP BY "group", gram
+)
+SELECT "group", gram, n_docs, rank FROM (
+  SELECT "group", gram, n_docs,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY "group" ORDER BY n_docs DESC, gram) AS BIGINT)
+           AS rank
+  FROM c) WHERE rank <= 5
+""")
+def q67_boilerplate_ngrams(spark, sf):
+    """Corpus boilerplate detection: top-5 word 3-grams per source by
+    document frequency — the template/footer grams a removal pass would
+    target. Doc-distinct grams explode into one partially-aggregated
+    count; the top-k is two-phase (salted local window, then a window
+    over ≤ k·32 candidates per group) so no group's gram table ever
+    lands in one partition."""
+    d = _t(spark, sf, "documents")
+    return T.frequent_ngrams(d, "text", "source", n=3, k=5)

@@ -442,3 +442,89 @@ def test_take_token_budget_semantics_and_partition_invariance(spark, docs):
         assert sum(toks) >= b or len(toks) == d.where(
             F.col("source") == src).count()  # budget >= stratum total
         assert sum(toks) - max(toks) < b
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing a 3-gram with the benchmark is flagged with
+    the right distinct-gram count; clean docs come back n_hits=0."""
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(0, "xx alpha beta gamma yy alpha beta gamma"),
+         (1, "completely unrelated words entirely here"),
+         (2, "beta gamma delta trailing tokens")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+           for r in dedup.decontaminate(
+               train, test, "text", "doc_id", n=3).collect()}
+    # benchmark grams = {"alpha beta gamma", "beta gamma delta"}; doc 0
+    # contains the first (distinct → counted once despite repeating),
+    # doc 2 the second, doc 1 neither
+    assert got == {0: (1, True), 1: (0, False), 2: (1, True)}
+
+
+def test_semdedup_drops_planted_near_dup(spark):
+    """Near-identical vectors in one cluster: the higher id drops, the
+    min id survives; distant vectors all keep."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["keep"], r["max_cos_lower"])
+           for r in similarity.semdedup(
+               df, "embedding", "vec_id", k=2, iters=1,
+               threshold=0.99).collect()}
+    assert out[0][0] is True
+    assert out[1][0] is False and out[1][1] >= 0.99
+    assert out[2][0] and out[3][0] and out[4][0]
+    assert len(out) == 5
+
+
+def test_shuffle_shards_dense_and_partition_invariant(spark, docs):
+    from spark_fits_spark.operators import sample
+
+    base = None
+    for nparts in (1, 4, 16):
+        rows = sorted(
+            (r["doc_id"], r["shard"], r["pos"])
+            for r in sample.shuffle_shards(
+                docs, id_col="doc_id", n_shards=4,
+                partitions=nparts).collect())
+        if base is None:
+            base = rows
+        assert rows == base, f"partition-dependent at {nparts}"
+    # positions are dense 0..n-1 within every shard; shards in range
+    from collections import defaultdict
+    per = defaultdict(list)
+    for _, shard, pos in base:
+        assert 0 <= shard < 4
+        per[shard].append(pos)
+    assert len(base) == docs.count()
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {shard} not dense"
+    # a different salt is a different permutation of the same ids
+    other = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in sample.shuffle_shards(
+            docs, id_col="doc_id", n_shards=4, salt="epoch2").collect())
+    assert other != base
+    assert [d for d, _, _ in other] == [d for d, _, _ in base]
+
+
+def test_frequent_ngrams_doc_frequency_not_term_frequency(spark):
+    """Planted boilerplate shared by many docs ranks first; a gram
+    repeated many times inside ONE doc counts once."""
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} tokens here {boiler}") for i in range(5)]
+    rows.append((9, "spam gram spam gram spam gram spam gram spam gram"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .withColumn("source", F.lit("s"))
+    got = T.frequent_ngrams(df, "text", "source", n=3, k=3).collect()
+    top = got[0] if got[0]["rank"] == 1 else next(r for r in got if r["rank"] == 1)
+    assert top["gram"] == boiler and top["n_docs"] == 5
+    spam = [r for r in got if "spam" in r["gram"]]
+    assert all(r["n_docs"] == 1 for r in spam)
