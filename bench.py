@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "q57_line_dedup",
     "q58_kmeans_assign",
     "q59_quantize_error",
+    "q64_decontaminate",
+    "q65_semdedup",
+    "q66_shuffle_shards",
+    "q67_boilerplate_ngrams",
 ]
 
 
@@ -166,7 +170,8 @@ def main() -> None:
     # the round-1 headline set, for apples-to-apples round-over-round
     # totals after queries were appended to BENCH_QUERIES in round 2
     core = round(sum(v for k, v in timings.items()
-                     if not k.startswith(("q54", "q56", "q57", "q58", "q59"))), 3)
+                     if not k.startswith(("q54", "q56", "q57", "q58", "q59",
+                                          "q64", "q65", "q66", "q67"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",

@@ -332,21 +332,23 @@ def semdedup(
     """
     cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters, quantize=quantize)
     q = _quantized_vec(vec_col, quantize)
-    a = df.select(F.col(id_col), q.alias("_q")).withColumn(
-        cluster_col, _argmin_cluster(F.col("_q"), cents, True))
 
     def idot(x, y):  # exact int64 dot product
         return F.aggregate(
             F.zip_with(x, y, lambda p, r: p * r),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
 
+    # self-norms once per ROW (map-side), not once per pair: the join
+    # below evaluates one dot per pair instead of three
+    a = df.select(F.col(id_col), q.alias("_q")).withColumn(
+        cluster_col, _argmin_cluster(F.col("_q"), cents, True)
+    ).withColumn("_nr", F.sqrt(idot(F.col("_q"), F.col("_q"))))
+
     lo = a.select(
         F.col(id_col).alias("_lid"), F.col("_q").alias("_lq"),
-        F.col(cluster_col))
+        F.col("_nr").alias("_lnr"), F.col(cluster_col))
     cos = F.round(
-        idot(F.col("_q"), F.col("_lq"))
-        / (F.sqrt(idot(F.col("_q"), F.col("_q")))
-           * F.sqrt(idot(F.col("_lq"), F.col("_lq")))), 4)
+        idot(F.col("_q"), F.col("_lq")) / (F.col("_nr") * F.col("_lnr")), 4)
     sims = (
         a.join(lo, cluster_col)
         .where(F.col("_lid") < F.col(id_col))

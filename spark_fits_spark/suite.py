@@ -1842,9 +1842,7 @@ def q64_decontaminate(spark, sf):
 
 _SEMDEDUP_COS_SQL = """round(
     list_sum(list_transform(range(1, 65), i -> hi.q[i] * lo.q[i]))::DOUBLE
-    / (sqrt(list_sum(list_transform(range(1, 65), i -> hi.q[i] * hi.q[i]))::DOUBLE)
-       * sqrt(list_sum(list_transform(range(1, 65), i -> lo.q[i] * lo.q[i]))::DOUBLE)),
-    4)"""
+    / (hi.nr * lo.nr), 4)"""
 
 
 @query("q65_semdedup", f"""
@@ -1855,7 +1853,10 @@ v AS (
                         x -> CAST(round(x * 1000000) AS BIGINT)) AS q
   FROM embeddings
 ), j AS (
-  SELECT a2.vec_id, a2.cluster, v.q FROM a2 JOIN v USING (vec_id)
+  SELECT a2.vec_id, a2.cluster, v.q,
+         sqrt(list_sum(list_transform(range(1, 65),
+                                      i -> v.q[i] * v.q[i]))::DOUBLE) AS nr
+  FROM a2 JOIN v USING (vec_id)
 ), p AS (
   SELECT hi.vec_id, {_SEMDEDUP_COS_SQL} AS cs
   FROM j hi JOIN j lo ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id
