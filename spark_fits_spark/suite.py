@@ -1939,3 +1939,54 @@ def q67_boilerplate_ngrams(spark, sf):
     lands in one partition."""
     d = _t(spark, sf, "documents")
     return T.frequent_ngrams(d, "text", "source", n=3, k=5)
+
+
+@query("q68_multimodal_features", """
+WITH p AS (
+  SELECT doc_id, text AS t, length(text) AS n FROM documents
+), b AS (
+  SELECT doc_id, n, unnest(range(1, n + 1)) AS i, t FROM p
+), c AS (
+  SELECT doc_id, n, ord(substr(t, CAST(i AS INT), 1)) AS byte,
+         COUNT(*) AS c
+  FROM b GROUP BY doc_id, n, byte
+), e AS (
+  SELECT doc_id,
+         CAST(SUM(byte * c) AS BIGINT) AS byte_sum,
+         CAST(SUM(CAST(floor((-(c::DOUBLE / n) * log2(c::DOUBLE / n))
+                             * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS entropy6
+  FROM c GROUP BY doc_id, n
+), s AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_transform(range(1, length(t) + 1, 16),
+                            i -> substr(t, CAST(i AS INT), 1)), ''))
+           AS sample_fp
+  FROM p
+)
+SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_bytes,
+       round(e.byte_sum::DOUBLE / p.n, 4) AS mean_byte,
+       e.entropy6,
+       round(e.entropy6::DOUBLE / 1000000, 4) AS entropy_bits,
+       s.sample_fp
+FROM p JOIN e USING (doc_id) JOIN s USING (doc_id)
+""")
+def q68_multimodal_features(spark, sf):
+    """Multimodal feature extraction for real: byte-histogram Shannon
+    entropy (int64-quantized per-bin contributions — order-independent),
+    mean byte value, and an every-16th-byte sample fingerprint (the
+    frame-sampling access pattern), all via numpy inside Arrow-batched
+    mapInPandas. The corpus is ASCII, so the SQL oracle replicates the
+    byte math through char codes — the one case where a binary-payload
+    op IS hash-checkable."""
+    d = _t(spark, sf, "documents")
+    payload = multimodal.with_payload(d, "text", "doc_id")
+    feats = multimodal.byte_features(payload, stride=16)
+    return feats.select(
+        "doc_id", "n_bytes",
+        F.round(F.col("byte_sum") / F.col("n_bytes"), 4).alias("mean_byte"),
+        "entropy6",
+        F.round(F.col("entropy6") / 1_000_000, 4).alias("entropy_bits"),
+        "sample_fp",
+    )

@@ -528,3 +528,16 @@ def test_frequent_ngrams_doc_frequency_not_term_frequency(spark):
     assert top["gram"] == boiler and top["n_docs"] == 5
     spam = [r for r in got if "spam" in r["gram"]]
     assert all(r["n_docs"] == 1 for r in spam)
+
+
+def test_byte_features_known_values(spark):
+    """byte_features on raw (non-text) binary: exact entropy/mean for a
+    known histogram, and the strided fingerprint is md5 of arr[::stride]."""
+    import hashlib
+
+    payload = bytes([0, 0, 255, 255])          # two symbols, p=0.5 each
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    r = multimodal.byte_features(df, stride=2).collect()[0]
+    assert r["n_bytes"] == 4 and r["byte_sum"] == 510
+    assert r["entropy6"] == 1_000_000          # H = 1 bit exactly
+    assert r["sample_fp"] == hashlib.md5(payload[::2]).hexdigest()
