@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q65_semdedup",
     "q66_shuffle_shards",
     "q67_boilerplate_ngrams",
+    "q68_multimodal_features",
+    "q69_bpe_segment",
 ]
 
 
@@ -171,7 +173,8 @@ def main() -> None:
     # totals after queries were appended to BENCH_QUERIES in round 2
     core = round(sum(v for k, v in timings.items()
                      if not k.startswith(("q54", "q56", "q57", "q58", "q59",
-                                          "q64", "q65", "q66", "q67"))), 3)
+                                          "q64", "q65", "q66", "q67",
+                                          "q68", "q69"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",

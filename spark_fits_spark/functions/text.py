@@ -370,6 +370,65 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
     )
 
 
+def bpe_segment(df, text_col: str, *, n_merges: int = 3, sep: str = "\x1f"):
+    """Distributed BPE tokenizer fitting (the byte-pair-encoding merge
+    loop, word-level): split every distinct corpus word into characters,
+    then ``n_merges`` times pick the globally most frequent adjacent
+    symbol pair (weighted by word frequency, ties to the lexicographic
+    smallest) and merge it everywhere. Returns ``(words_df, merges)``
+    where ``words_df`` is one row per distinct word —
+    ``(word, n, segments)`` with segments sep-joined — and ``merges``
+    the ordered merge list.
+
+    Scale shape: the loop runs on the DISTINCT-words table (vocabulary,
+    not corpus — ~10⁸ rows at web scale, shuffled once per merge as a
+    (pair, weight) partial-agg). The merge itself is a map-side string
+    ``replace``: left-to-right non-overlapping, which IS greedy BPE
+    application, and behaves identically in the JVM and in SQL — that
+    makes the whole training loop oracle-checkable. Driver traffic is
+    ONE row per merge (the argmax pair), parameter-bounded like
+    kmeans' centroids.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word").agg(F.count("*").alias("n"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, F.lit(1)))
+    base = words.withColumn("s", F.concat_ws(sep, chars)).persist()
+    cur = base
+    merges: list[str] = []
+    try:
+        for _ in range(n_merges):
+            arr = F.split("s", sep)
+            prs = F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat(F.element_at(arr, i), F.lit(sep),
+                                       F.element_at(arr, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            top = (
+                cur.select("n", F.explode(prs).alias("pr"))
+                .groupBy("pr").agg(F.sum("n").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pr"))
+                .limit(1)
+                .collect()  # bounded-collect: exactly 1 row per merge
+            )
+            if not top:
+                break
+            pr = top[0]["pr"]
+            merges.append(pr)
+            cur = cur.withColumn(
+                "s", F.replace("s", F.lit(pr), F.lit(pr.replace(sep, ""))))
+    finally:
+        base.unpersist()
+    return cur.select("word", "n", F.col("s").alias("segments")), merges
+
+
 def frequent_ngrams(df, text_col: str, group_col: str, *,
                     n: int = 3, k: int = 5):
     """Corpus boilerplate detection: the top-``k`` word ``n``-grams per

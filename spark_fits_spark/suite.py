@@ -1990,3 +1990,53 @@ def q68_multimodal_features(spark, sf):
         F.round(F.col("entropy6") / 1_000_000, 4).alias("entropy_bits"),
         "sample_fp",
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE merge loop in SQL: one (pair-count → argmax →
+    replace) CTE triple per merge, the exact arithmetic of
+    ``text.bpe_segment`` (left-to-right non-overlapping ``replace`` IS
+    greedy BPE application in both engines)."""
+    sql = """
+WITH words AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != '' GROUP BY tok
+),
+s0 AS (
+  SELECT word, n,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> word[i:i]), chr(31)) AS s
+  FROM words
+)"""
+    for i in range(1, n_merges + 1):
+        j = i - 1
+        sql += f""",
+p{i} AS (
+  SELECT pr, SUM(n) AS cnt FROM (
+    SELECT n, unnest(list_transform(range(1, len(l)),
+                     i -> l[i] || chr(31) || l[i + 1])) AS pr
+    FROM (SELECT n, string_split(s, chr(31)) AS l FROM s{j})
+  ) GROUP BY pr
+),
+m{i} AS (SELECT pr FROM p{i} ORDER BY cnt DESC, pr LIMIT 1),
+s{i} AS (
+  SELECT word, n,
+         replace(s, (SELECT pr FROM m{i}),
+                 replace((SELECT pr FROM m{i}), chr(31), '')) AS s
+  FROM s{j}
+)"""
+    return sql + f"\nSELECT word, n, s AS segments FROM s{n_merges}"
+
+
+@query("q69_bpe_segment", _bpe_oracle(3))
+def q69_bpe_segment(spark, sf):
+    """Distributed BPE tokenizer fitting: 3 merge rounds over the
+    corpus vocabulary (pair counts weighted by word frequency, argmax
+    with lexicographic tie-break, greedy merge via left-to-right
+    replace). The loop runs on the distinct-words table with one
+    bounded driver row per merge; the oracle unrolls the identical
+    rounds in SQL, so the whole training trajectory is hash-checked."""
+    d = _t(spark, sf, "documents")
+    out, _merges = T.bpe_segment(d, "text", n_merges=3)
+    return out

@@ -541,3 +541,40 @@ def test_byte_features_known_values(spark):
     assert r["n_bytes"] == 4 and r["byte_sum"] == 510
     assert r["entropy6"] == 1_000_000          # H = 1 bit exactly
     assert r["sample_fp"] == hashlib.md5(payload[::2]).hexdigest()
+
+
+def test_bpe_segment_matches_reference_loop(spark):
+    """bpe_segment reproduces a pure-Python greedy BPE on the classic
+    toy corpus: same merges, same final segmentations."""
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    wc = {}
+    for w in corpus:
+        wc[w] = wc.get(w, 0) + 1
+
+    segs = {w: [ch for ch in w] for w in wc}
+    exp_merges = []
+    for _ in range(4):
+        pc = {}
+        for w, c in wc.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp_merges.append(top[0] + "\x1f" + top[1])
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == top:
+                    out.append(s[i] + s[i + 1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            segs[w] = out
+
+    df = spark.createDataFrame([(0, " ".join(corpus))], ["doc_id", "text"])
+    out, merges = T.bpe_segment(df, "text", n_merges=4)
+    assert merges == exp_merges
+    got = {r["word"]: (r["n"], r["segments"].split("\x1f"))
+           for r in out.collect()}
+    assert got == {w: (wc[w], segs[w]) for w in wc}
