@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q67_boilerplate_ngrams",
     "q68_multimodal_features",
     "q69_bpe_segment",
+    "q70_chunk_windows",
+    "q71_corpus_report",
 ]
 
 
@@ -174,7 +176,7 @@ def main() -> None:
     core = round(sum(v for k, v in timings.items()
                      if not k.startswith(("q54", "q56", "q57", "q58", "q59",
                                           "q64", "q65", "q66", "q67",
-                                          "q68", "q69"))), 3)
+                                          "q68", "q69", "q70", "q71"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",

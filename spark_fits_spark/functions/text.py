@@ -370,6 +370,37 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
     )
 
 
+def chunk_windows(df, text_col: str, id_col: str, *,
+                  window: int = 32, stride: int = 16):
+    """Sliding token-window chunking (pretraining/RAG document
+    splitting): windows of ``window`` tokens starting every ``stride``
+    tokens (overlap = window − stride; the trailing windows are
+    shorter). Emits ``(id, chunk_id, start_tok, n_chunk_tokens,
+    chunk_text)``.
+
+    Pure map-side: token array → per-start struct → posexplode, all in
+    the scan stage — zero shuffle, trivially parallel at any corpus
+    size (the one operation a 100 TB pipeline runs over every byte)."""
+    w = tokens(text_col)
+    chunks = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w), F.lit(stride)),
+            lambda st: F.struct(
+                st.alias("start"),
+                F.slice(w, st, window).alias("toks")),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,toks:array<string>>>"))
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("_k", "_c"))
+    return ex.select(
+        F.col(id_col),
+        F.col("_k").cast("long").alias("chunk_id"),
+        F.col("_c.start").cast("long").alias("start_tok"),
+        F.size("_c.toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "_c.toks").alias("chunk_text"),
+    )
+
+
 def bpe_segment(df, text_col: str, *, n_merges: int = 3, sep: str = "\x1f"):
     """Distributed BPE tokenizer fitting (the byte-pair-encoding merge
     loop, word-level): split every distinct corpus word into characters,

@@ -2040,3 +2040,88 @@ def q69_bpe_segment(spark, sf):
     d = _t(spark, sf, "documents")
     out, _merges = T.bpe_segment(d, "text", n_merges=3)
     return out
+
+
+@query("q70_chunk_windows", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), x AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1, 16)) AS st, w FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 16 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(len(w[st:st+31]) AS INT) AS n_chunk_tokens,
+       array_to_string(w[st:st+31], ' ') AS chunk_text
+FROM x
+""")
+def q70_chunk_windows(spark, sf):
+    """Sliding token-window chunking (window 32, stride 16 → 16-token
+    overlap): the doc-splitting pass a pretraining/RAG pipeline runs
+    over every byte. Entirely map-side in the scan stage — token array
+    → per-start slices → posexplode, no shuffle anywhere."""
+    d = _t(spark, sf, "documents")
+    return T.chunk_windows(d, "text", "doc_id", window=32, stride=16)
+
+
+@query("q71_corpus_report", """
+WITH m AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(round(
+           round((least(len(string_split(text, ' ')) / 50.0, 1.0)
+                  + len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / len(string_split(text, ' '))
+                  + least(round(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+                          / len(string_split(text, ' ')), 4) * 5, 1.0)) / 3, 4)
+           * 1000000) AS BIGINT) AS q6
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(nt) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 4)
+         AS avg_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(q6) AS BIGINT) AS q6_sum,
+       round(CAST(SUM(q6) AS BIGINT) / (COUNT(*) * 1000000.0), 4)
+         AS avg_quality,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM m GROUP BY source
+""")
+def q71_corpus_report(spark, sf):
+    """Per-source corpus report card (the dataset datasheet a pipeline
+    publishes): doc/token counts, language spread, mean quality score,
+    char-length extremes. ONE hash-agg with map-side combine; the mean
+    quality is an int64-quantized sum (order-independent) divided once
+    at the end — the float-mean determinism trick applied to a
+    composite metric."""
+    d = _t(spark, sf, "documents")
+    per = d.select(
+        "source", "lang", "n_chars",
+        T.token_count("text").cast("long").alias("_nt"),
+        F.round(T.quality_score("text") * 1_000_000, 0)
+        .cast("long").alias("_q6"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("_q6").alias("q6_sum"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_docs"), 4)
+            .alias("avg_tokens"),
+            "n_langs", "q6_sum",
+            F.round(F.col("q6_sum") / (F.col("n_docs") * 1_000_000.0), 4)
+            .alias("avg_quality"),
+            "min_chars", "max_chars",
+        )
+    )

@@ -578,3 +578,21 @@ def test_bpe_segment_matches_reference_loop(spark):
     got = {r["word"]: (r["n"], r["segments"].split("\x1f"))
            for r in out.collect()}
     assert got == {w: (wc[w], segs[w]) for w in wc}
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunks tile the token stream: starts at 1, 1+stride, ...; full
+    windows have `window` tokens; reassembling every stride-th chunk
+    reproduces the doc."""
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        T.chunk_windows(df, "text", "doc_id", window=32, stride=16).collect(),
+        key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in rows] == [1, 17, 33, 49]
+    assert [r["n_chunk_tokens"] for r in rows] == [32, 32, 18, 2]
+    toks = rows[0]["chunk_text"].split(" ")
+    assert toks[:16] == [f"t{i}" for i in range(16)]
+    # consecutive chunks overlap by window - stride = 16 tokens
+    assert rows[0]["chunk_text"].split(" ")[16:] == \
+        rows[1]["chunk_text"].split(" ")[:16]
