@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q69_bpe_segment",
     "q70_chunk_windows",
     "q71_corpus_report",
+    "q72_fixed_n_sample",
+    "q73_temperature_mix",
 ]
 
 
@@ -176,7 +178,8 @@ def main() -> None:
     core = round(sum(v for k, v in timings.items()
                      if not k.startswith(("q54", "q56", "q57", "q58", "q59",
                                           "q64", "q65", "q66", "q67",
-                                          "q68", "q69", "q70", "q71"))), 3)
+                                          "q68", "q69", "q70", "q71",
+                                          "q72", "q73"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",

@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
-           "take_token_budget", "shuffle_shards"]
+           "take_token_budget", "shuffle_shards", "take_n_per_stratum",
+           "temperature_mix"]
 
 #: hash-bucket resolution: rates are quantized to 1/10000ths.
 N_BUCKETS = 10_000
@@ -227,6 +228,77 @@ def take_token_budget(
         local.join(F.broadcast(offsets), ["_pid", strata_col])
         .where(F.col("_off") + F.col("_cum_in_part") < budget)
         .select(F.col(id_col), F.col(strata_col), F.col("_n").alias(n_tokens_col))
+    )
+
+
+def take_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    *,
+    id_col: str,
+    salt: str = "taken",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen deterministically in hash order — the fixed-size per-source
+    eval-set / subsample primitive. A special case of
+    :func:`take_token_budget` with every row weighing 1 token, so it
+    inherits the distributed prefix sum (no per-stratum single-partition
+    window) and the pure-function-of-id stability."""
+    with_one = df.select(F.col(id_col), F.col(strata_col)).withColumn(
+        "_one", F.lit(1))
+    return take_token_budget(
+        with_one, strata_col, {}, id_col=id_col, n_tokens_col="_one",
+        salt=salt, default_budget=n, partitions=partitions,
+    ).drop("_one")
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    *,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based data mixing (the mT5/multilingual rebalancing
+    rule): sampling weight per stratum ∝ ``share^alpha`` — ``alpha<1``
+    upsamples small strata, flattens the source distribution — scaled so
+    the expected kept fraction overall is ``target_frac``, clamped at
+    keep-everything. Membership is the usual md5 bucket of the id.
+
+    Everything stays in-plan: per-stratum counts are ONE map-side-
+    combined agg (k rows), the grand total and weight sum ride one-row
+    broadcasts, and the per-stratum keep-threshold joins back as a
+    broadcast — no driver collects. Determinism across engines: weights
+    are int64-quantized (``round(share^alpha · 1e6)``) before the
+    cross-stratum sum, so the normalization is order-independent; the
+    final threshold is an exact int both engines compute identically.
+    Returns ``(id, stratum, thresh)`` for the kept rows."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col, "_n", "_tot",
+        F.round(F.pow(F.col("_n") / F.col("_tot"), float(alpha)) * 1_000_000, 0)
+        .cast("long").alias("_w6"),
+    )
+    wsum = w.agg(F.sum("_w6").alias("_wsum"))
+    rates = w.crossJoin(F.broadcast(wsum)).select(
+        F.col(strata_col),
+        F.least(
+            F.lit(10000).cast("long"),
+            F.round(
+                (F.col("_w6") / F.col("_wsum"))
+                * (F.col("_tot") * float(target_frac)) / F.col("_n") * 10000, 0,
+            ).cast("long"),
+        ).alias("thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(hash_bucket(id_col, salt) < F.col("thresh"))
+        .select(F.col(id_col), F.col(strata_col), F.col("thresh"))
     )
 
 

@@ -2125,3 +2125,57 @@ def q71_corpus_report(spark, sf):
             "min_chars", "max_chars",
         )
     )
+
+
+@query("q72_fixed_n_sample", """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('taken|' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM d) WHERE rn <= 10
+""")
+def q72_fixed_n_sample(spark, sf):
+    """Exactly 10 docs per source, deterministic in hash order — the
+    fixed-size per-stratum eval-set primitive. Rides the token-budget
+    prefix sum with every doc weighing 1, so no stratum needs a
+    single-partition window."""
+    d = _t(spark, sf, "documents")
+    return sample.take_n_per_stratum(d, "source", 10, id_col="doc_id")
+
+
+@query("q73_temperature_mix", """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c
+), w AS (
+  SELECT source, n, tot,
+         CAST(round(pow(n::DOUBLE / tot, 0.5) * 1000000) AS BIGINT) AS w6
+  FROM c, t
+), ws AS (
+  SELECT CAST(SUM(w6) AS BIGINT) AS wsum FROM w
+), r AS (
+  SELECT source,
+         LEAST(10000, CAST(round((w6::DOUBLE / wsum) * (tot * 0.5) / n
+                                 * 10000) AS BIGINT)) AS thresh
+  FROM w, ws
+)
+SELECT d.doc_id, d.source, r.thresh
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5('temp|' || CAST(d.doc_id AS VARCHAR)),
+                           1, 15)) AS BIGINT) % 10000 < r.thresh
+""")
+def q73_temperature_mix(spark, sf):
+    """Temperature-based data mixing (mT5 rule, α=0.5): per-source keep
+    rates ∝ share^α scaled to keep ~half the corpus — small sources
+    upsampled toward flat. Counts, weight normalization (int64-
+    quantized, order-independent), and thresholds all stay in-plan on
+    one-row / k-row broadcasts; membership is the md5 bucket."""
+    d = _t(spark, sf, "documents")
+    return sample.temperature_mix(
+        d, "source", id_col="doc_id", alpha=0.5, target_frac=0.5)

@@ -596,3 +596,32 @@ def test_chunk_windows_cover_and_overlap(spark):
     # consecutive chunks overlap by window - stride = 16 tokens
     assert rows[0]["chunk_text"].split(" ")[16:] == \
         rows[1]["chunk_text"].split(" ")[:16]
+
+
+def test_take_n_per_stratum_exact_counts(spark, docs):
+    from collections import Counter
+
+    from spark_fits_spark.operators import sample
+
+    rows = sample.take_n_per_stratum(docs, "source", 7, id_col="doc_id").collect()
+    per = Counter(r["source"] for r in rows)
+    avail = Counter(r["source"] for r in docs.select("source").collect())
+    assert per == {s: min(7, n) for s, n in avail.items()}
+    # deterministic: same salt, same picks
+    again = sample.take_n_per_stratum(docs, "source", 7, id_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_temperature_mix_flattens_small_strata(spark, docs):
+    """alpha<1 gives small strata a HIGHER keep rate than large ones."""
+    from spark_fits_spark.operators import sample
+
+    out = sample.temperature_mix(
+        docs, "source", id_col="doc_id", alpha=0.5, target_frac=0.5)
+    thresh = {r["source"]: r["thresh"] for r in
+              out.select("source", "thresh").distinct().collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    ordered = sorted(sizes, key=sizes.get)
+    rates = [thresh[s] for s in ordered if s in thresh]
+    assert rates == sorted(rates, reverse=True), (sizes, thresh)
