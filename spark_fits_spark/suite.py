@@ -39,19 +39,33 @@ ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and convert (truncate) to a
-        # micros timestamp. The driver's DuckDB oracle reads nanos
-        # natively — the testdata carries micro precision, so both see
-        # identical instants. (There is no per-read option for this
-        # legacy conf; guard so the session conf is touched at most
-        # once instead of mutated on every query call.)
+        # events.ts precision varies across testdata generations:
+        # TIMESTAMP(NANOS) (which Spark's reader rejects without the
+        # legacy nanos-as-long conf) or plain TIMESTAMP(MICROS). Set
+        # the conf (a no-op for micros files), then convert only if the
+        # column actually surfaced as a long of nanos. The driver's
+        # DuckDB oracle reads either natively; the testdata carries
+        # micro precision, so both engines see identical instants.
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
+        # DuckDB's epoch_ms treats the (tz-naive) parquet timestamps as
+        # UTC; pin the session zone so Spark's NTZ→TIMESTAMP cast (and
+        # every downstream unix_millis/window) agrees with the oracle
+        # regardless of host timezone. Measured: under a non-UTC zone
+        # the two engines differ by the zone offset.
+        tzkey = "spark.sql.session.timeZone"
+        if spark.conf.get(tzkey) != "UTC":
+            spark.conf.set(tzkey, "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+        elif ts_type == "timestamp_ntz":
+            # keep the round-1 column contract: ts is an instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
