@@ -15,10 +15,11 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    # suite._t handles the ts physical-type drift across testdata
+    # generations (nanos-as-long vs TIMESTAMP_NTZ micros)
+    from spark_fits_spark.suite import _t
+
+    return _t(spark, SF, "events")
 
 
 @pytest.fixture()
