@@ -160,6 +160,17 @@ def main() -> None:
     # first timed query)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).count()
+    # the pandas-UDF machinery (Arrow eval classes + one python worker
+    # per core) is a one-time ~6s cost otherwise charged entirely to
+    # the first applyInPandas query in the list; warm it for the whole
+    # worker pool with a spread of trivial groups
+    from pyspark.sql import functions as F
+
+    (spark.range(CPUS * 100)
+     .withColumn("g", F.pmod("id", F.lit(CPUS)))
+     .groupBy("g")
+     .applyInPandas(lambda k, p: p, "id long, g long")
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -302,12 +302,28 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_blk"),
     )
-    pair_rows = [(i, j) for i in range(blocks) for j in range(i, blocks)]
-    pairs_df = spark.createDataFrame(pair_rows, "_pi int, _pj int")
+    # JVM-side pair table: createDataFrame(local_rows) would parallelize
+    # across defaultParallelism Python slices — 32 Python workers spun up
+    # to ship a handful of ints (measured 8s of a 10s cold run at sf0.1)
+    n_pairs = blocks * (blocks + 1) // 2
+    pairs_df = (
+        spark.range(blocks).select(F.col("id").cast("int").alias("_pi"))
+        .crossJoin(
+            spark.range(blocks).select(F.col("id").cast("int").alias("_pj")))
+        .where(F.col("_pi") <= F.col("_pj"))
+    )
     repl = src.join(
         F.broadcast(pairs_df),
         (F.col("_blk") == F.col("_pi")) | (F.col("_blk") == F.col("_pj")),
     )
+    # One task per block pair: hash-partition on the grouping keys with
+    # exactly B(B+1)/2 partitions so the groupBy's exchange requirement
+    # is already satisfied and applyInPandas launches n_pairs tasks —
+    # not spark.sql.shuffle.partitions tasks. For a one-block corpus
+    # that is 1 task (and 1 Python worker) instead of 32 mostly empty
+    # ones; for a big corpus it scales the stage out past the core
+    # count, which is what an O(B^2) similarity stage wants.
+    repl = repl.repartition(n_pairs, "_pi", "_pj")
 
     out_schema = StructType([
         StructField("doc_a", LongType()),
