@@ -91,6 +91,15 @@ def _jaccard(a, b):  # rounded exact Jaccard over distinct shingle arrays
     return F.round(inter / union, 4)
 
 
+def _jaccard_sized(a, b, na, nb):
+    """Exact Jaccard when the distinct-set sizes are already known:
+    |A∪B| = |A|+|B|−|A∩B|, so the union build (a second hash pass over
+    both arrays per candidate pair) is skipped — the verify join over
+    ~10⁶ candidates does half the set work for the identical value."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter / (na + nb - inter), 4)
+
+
 #: default ceiling for broadcasting the hashed-shingle table into the
 #: verify join. Sized against executor memory, not row count: the rows
 #: carry int64 arrays, so 2M "rows" can be 3+ GB (judge r1 finding).
@@ -131,16 +140,45 @@ def minhash_lsh_pairs(
     generation is a self-join on (band index, band key) — the classic
     shingle→minhash→band→bucket-join pipeline; at scale the bucket join
     shuffles only (band, key, id) tuples, and exact verification joins
-    shingle sets back by id."""
+    shingle sets back by id.
+
+    Three output-invariant optimizations (results are provably the same
+    pair set the naive pipeline produces — pinned by tests):
+
+    - **Identical-set collapse.** Web/training corpora are exact-dup
+      heavy; docs with the same shingle set have the same signature and
+      the same Jaccard against everyone. LSH + verify run once per
+      DISTINCT set (group key = the sorted hash array itself, so no
+      collision risk), and member pairs rejoin at the end — intra-group
+      pairs at Jaccard exactly 1.0, cross-group pairs inheriting the
+      representatives' verified score. The quadratic stages shrink by
+      the square of the dup ratio.
+    - **First-matching-band rule instead of ``distinct()``.** A pair
+      that collides in k bands would surface k times; dropping the
+      duplicates with ``distinct()`` shuffles every candidate pair.
+      Instead each band row carries the keys of the *earlier* bands and
+      the join keeps a match only when no earlier band also matched — a
+      map-side filter, zero extra shuffle, same unique pair set.
+    - **Byte-gated broadcasts.** Both the band table (small: bands ×
+      ~48 B per distinct set) and the shingle table are broadcast when
+      they fit, making candidate generation and verification map-side;
+      past the gate they fall back to shuffle joins (the gates are in
+      BYTES — rows carry int64 arrays, so row counts under-estimate)."""
     from pyspark.storagelevel import StorageLevel
 
     rows = n_hashes // bands
-    # the hashed shingle table feeds signature generation AND both sides
-    # of the exact-verify join — persist it (ints only; the shingle
-    # strings are dropped before caching) so it is computed once
+    # distinct shingle sets: group by the sorted hash array (exact — no
+    # hashed-key collision risk at any corpus size); _rep = min member
+    # id. membership maps every doc to its set's representative.
+    raw = shingle_sets(df, text_col, id_col, shingle_n, hashed=True).select(
+        "_id", F.array_sort("_hashes").alias("_set"))
+    membership = raw.select(
+        "_id",
+        F.min("_id").over(Window.partitionBy("_set")).alias("_rep"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sets_df = (
-        shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
-        .select("_id", "_hashes")
+        raw.groupBy("_set").agg(F.min("_id").alias("_id"))
+        .select("_id", F.col("_set").alias("_hashes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -153,12 +191,11 @@ def minhash_lsh_pairs(
     ]
     sig = sets_df.select("_id", *sig_cols)
 
-    band_entries = []
-    for b in range(bands):
+    band_keys = [
         # compress the band signature to an int64 bucket key (md5 of the
         # '|'-joined values, mirrored exactly by the SQL oracle): one md5
         # per doc per band, and the bucket self-join shuffles 8-byte keys
-        key = F.conv(
+        F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", *[
                     F.col(f"_h{b * rows + r}").cast("string")
@@ -167,46 +204,102 @@ def minhash_lsh_pairs(
                 1, 15),
             16, 10,
         ).cast("long")
-        band_entries.append(
-            sig.select(F.col("_id"), F.lit(b).alias("_band"), key.alias("_key"))
-        )
-    bands_df = band_entries[0]
-    for e in band_entries[1:]:
-        bands_df = bands_df.unionAll(e)
+        for b in range(bands)
+    ]
+    # keys of the earlier bands ride along as SCALAR columns (_p0.._p%d)
+    # — the first-matching-band rule below needs them, and scalars keep
+    # the join condition inside whole-stage codegen (a zip_with lambda
+    # here is CodegenFallback and de-codegens the entire fused stage:
+    # measured 2x wall on the bucket join). Slots at/after the row's own
+    # band hold a per-doc sentinel (-id-1, never equal across two docs)
+    # so one eqNullSafe per slot is the whole rule.
+    prior_cols = [
+        F.when(F.col("_band") > p, F.col("_ak")[p])
+        .otherwise(-F.col("_id") - 1)
+        .alias(f"_p{p}")
+        for p in range(bands - 1)
+    ]
+    bands_df = (
+        sig.select("_id", F.array(*band_keys).alias("_ak"))
+        .select("_id", F.posexplode("_ak").alias("_band", "_key"), "_ak")
+        .select("_id", "_band", "_key", *prior_cols)
+    )
 
+    n_sets = sets_df.count()  # scalar; also materializes the persist
+    if n_sets * bands * 48 <= broadcast_max_bytes:
+        right = F.broadcast(bands_df.alias("r"))
+    else:
+        right = bands_df.alias("r")
     left = bands_df.alias("l")
-    right = bands_df.alias("r")
+    no_earlier_match = F.lit(True)
+    for p in range(bands - 1):
+        no_earlier_match = no_earlier_match & ~F.col(f"l._p{p}").eqNullSafe(
+            F.col(f"r._p{p}"))
     cand = (
         left.join(
             right,
             (F.col("l._band") == F.col("r._band"))
             & (F.col("l._key") == F.col("r._key"))
-            & (F.col("l._id") < F.col("r._id")),
+            & (F.col("l._id") < F.col("r._id"))
+            & no_earlier_match,
         )
         .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
-        .distinct()
     )
 
-    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
-    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
+    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"),
+                        F.size("_hashes").alias("_na"))
+    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"),
+                        F.size("_hashes").alias("_nb"))
     # verify-join strategy: candidates are ~pairs² while the shingle table
     # is ~docs — broadcast it when it fits (the sizing aggregate is cheap:
-    # sets_df is persisted and about to be materialized anyway), so the
-    # wide arrays never ride the shuffle. The gate is in BYTES — the rows
-    # are int64 arrays, so a row-count gate under-estimates by ~100×.
-    # Beyond broadcast size, fall back to sort-merge.
+    # sets_df is persisted and already materialized), so the wide arrays
+    # never ride the shuffle. Beyond broadcast size, sort-merge.
     if _shingle_table_bytes(sets_df) <= broadcast_max_bytes:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
-    return (
+    rep_pairs = (
         cand.join(sa, "_ida")
         .join(sb, "_idb")
         .select(
-            F.col("_ida").alias("doc_a"),
-            F.col("_idb").alias("doc_b"),
-            _jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+            F.col("_ida").alias("_ra"),
+            F.col("_idb").alias("_rb"),
+            _jaccard_sized(F.col("_sa"), F.col("_sb"),
+                           F.col("_na"), F.col("_nb")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+    # expand representative pairs back to doc pairs. membership is two
+    # longs per doc — broadcast within the gate, shuffle join past it.
+    mem_a = membership.select(F.col("_id").alias("_da"), F.col("_rep").alias("_ra"))
+    mem_b = membership.select(F.col("_id").alias("_db"), F.col("_rep").alias("_rb"))
+    n_docs = membership.count()
+    if n_docs * 48 <= broadcast_max_bytes:
+        mem_a, mem_b = F.broadcast(mem_a), F.broadcast(mem_b)
+    cross = (
+        rep_pairs.join(mem_a, "_ra").join(mem_b, "_rb")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: identical non-empty sets always collide in
+    # every band and verify at exactly 1.0. (Docs whose shingle set is
+    # empty pair at 0/0 = NULL in the naive pipeline and are dropped —
+    # the size guard keeps that behavior.)
+    sizes = sets_df.select(F.col("_id").alias("_ra"), F.size("_hashes").alias("_n"))
+    intra = (
+        membership.alias("x")
+        .join(membership.alias("y"),
+              (F.col("x._rep") == F.col("y._rep"))
+              & (F.col("x._id") < F.col("y._id")))
+        .join(sizes.withColumnRenamed("_ra", "_rep").where(F.col("_n") > 0),
+              "_rep")
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"))
+        .where(F.lit(1.0) >= threshold)
+    )
+    return cross.unionAll(intra)
 
 
 def ngram_jaccard_pairs(
@@ -229,9 +322,11 @@ def ngram_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets_df.select(
-        F.col("_blk"), F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
+        F.col("_blk"), F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"),
+        F.size("_hashes").alias("_na"))
     b = sets_df.select(
-        F.col("_blk"), F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
+        F.col("_blk"), F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"),
+        F.size("_hashes").alias("_nb"))
     # a shuffle join on _blk collapses parallelism to n_blocks reducers
     # (blocks are few by construction) and ships the shingle arrays;
     # broadcasting the build side keeps probe-side parallelism and makes
@@ -251,7 +346,8 @@ def ngram_jaccard_pairs(
             F.col("_blk").alias("block"),
             F.col("_ida").alias("doc_a"),
             F.col("_idb").alias("doc_b"),
-            _jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+            _jaccard_sized(F.col("_sa"), F.col("_sb"),
+                           F.col("_na"), F.col("_nb")).alias("jaccard"),
         )
     )
 
