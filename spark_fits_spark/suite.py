@@ -1387,6 +1387,51 @@ def q49_fits_scan_roundtrip(spark, sf):
     return spark.read.format("fits").option("hdu", 1).load(out)
 
 
+@query("q74_fits_image_roundtrip", """
+SELECT n_nationkey AS img_index, CAST(t.pos AS BIGINT) AS pos,
+       CAST(n_nationkey * 10 + n_regionkey + t.pos AS DOUBLE) AS pixel
+FROM nation, range(0, 8) t(pos)
+""")
+def q74_fits_image_roundtrip(spark, sf):
+    """The IMAGE-HDU scan under the driver's rows+schema+hash gate
+    (reference surface: FitsHduImage.scala:146-159, the 73x31x5 cube of
+    ReadFitsTest.scala:108-115): build a Wx1xN cube whose plane k holds
+    pixels f(nation row k) — one z-plane per nation row, so ImgIndex
+    (the plane index, FitsRecordReader.scala:377-389) equals
+    n_nationkey — write it with fitscore.writer.image_hdu (BITPIX -64),
+    scan it back with .format("fits"), and explode the pixel rows to
+    scalars (the driver canonicalizer cannot hash list cells). The
+    25-row collect is fixture construction, not a data path."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+
+    register_fits(spark)
+    width = 8
+    rows = sorted(
+        (r[0], r[1])
+        for r in _t(spark, sf, "nation")
+        .select("n_nationkey", "n_regionkey").collect()
+    )
+    img = np.array(
+        [[[k * 10 + rg + j for j in range(width)]] for k, rg in rows],
+        dtype="f8")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q74_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    return df.select(
+        F.col("ImgIndex").alias("img_index"),
+        F.posexplode("Image").alias("pos", "pixel"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
 # -- no-oracle queries (non-SQL-expressible / approximate by design) ----
 
 @query("q46_approx_stats")  # rows-only: approximate by design
