@@ -320,41 +320,71 @@ def semdedup(
     doc's highest cosine to any lower-id vector in its cluster (NULL for
     the cluster's min id).
 
-    Pairwise work happens only *within* a cluster — the self-join key is
+    Pairwise work happens only *within* a cluster — the pairing key is
     the cluster id, so cost is Σ|cluster|², never corpus². At 100 TB you
     raise ``k`` so clusters stay bounded (SemDeDup used 50k clusters for
-    5B embeddings); skewed clusters split under AQE skew-join.
+    5B embeddings); per-cluster work runs as one Arrow-batched
+    ``applyInPandas`` task with a row-chunked integer GEMM, so transient
+    task memory stays bounded whatever the cluster size.
 
     Determinism: vectors are quantized to int64 fixed-point, so dot
-    products and squared norms are *exact integers*; cosine divides those
-    exact ints in double and rounds to 4 decimals — bit-identical in any
-    aggregation order and in the SQL oracle.
+    products and squared norms are *exact integers* — in numpy exactly
+    as in SQL; cosine divides those exact ints in double and rounds to
+    4 decimals. The rounding reproduces Spark's ``F.round`` bit-for-bit
+    (``BigDecimal.valueOf(double)`` = shortest-repr decimal, HALF_UP),
+    and only the per-id *max* cosine is rounded — valid because HALF_UP
+    is monotone, so max(round(x_i)) == round(max(x_i)).
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters, quantize=quantize)
     q = _quantized_vec(vec_col, quantize)
 
-    def idot(x, y):  # exact int64 dot product
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, r: p * r),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    # self-norms once per ROW (map-side), not once per pair: the join
-    # below evaluates one dot per pair instead of three
     a = df.select(F.col(id_col), q.alias("_q")).withColumn(
         cluster_col, _argmin_cluster(F.col("_q"), cents, True)
-    ).withColumn("_nr", F.sqrt(idot(F.col("_q"), F.col("_q"))))
+    )
 
-    lo = a.select(
-        F.col(id_col).alias("_lid"), F.col("_q").alias("_lq"),
-        F.col("_nr").alias("_lnr"), F.col(cluster_col))
-    cos = F.round(
-        idot(F.col("_q"), F.col("_lq")) / (F.col("_nr") * F.col("_lnr")), 4)
+    # per-cluster max-cosine-to-a-lower-id via exact int64 GEMM: the
+    # earlier pure-column self-join evaluated an interpreted
+    # aggregate(zip_with(...)) lambda per PAIR (~dim ops each, outside
+    # codegen) — the numpy integer matmul does the same exact integer
+    # arithmetic at C speed, chunked to 1024-row slabs
+    sims_schema = StructType([
+        StructField("_sid", LongType()),
+        StructField("max_cos_lower", DoubleType()),
+    ])
+    quant = Decimal("0.0001")
+
+    def _maxcos(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["_q"].to_numpy())[order].astype(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"_sid": pd.Series(dtype="int64"),
+                                 "max_cos_lower": pd.Series(dtype="float64")})
+        nr = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        best = np.empty(n - 1, dtype=np.float64)
+        for lo in range(1, n, 1024):
+            hi = min(lo + 1024, n)
+            sims = mat[lo:hi] @ mat.T  # int64: exact
+            cos = sims / (nr[lo:hi, None] * nr[None, :])
+            lower = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            best[lo - 1:hi - 1] = np.where(lower, cos, -np.inf).max(axis=1)
+        rounded = [
+            float(Decimal(repr(v)).quantize(quant, rounding=ROUND_HALF_UP))
+            for v in best
+        ]
+        return pd.DataFrame({"_sid": ids[1:], "max_cos_lower": rounded})
+
     sims = (
-        a.join(lo, cluster_col)
-        .where(F.col("_lid") < F.col(id_col))
-        .select(F.col(id_col), cos.alias("_cos"))
-        .groupBy(id_col)
-        .agg(F.max("_cos").alias("max_cos_lower"))
+        a.groupBy(cluster_col).applyInPandas(_maxcos, sims_schema)
+        .withColumnRenamed("_sid", id_col)
     )
     return (
         a.select(id_col, cluster_col)
