@@ -310,6 +310,58 @@ def corpus_unigram_logprob(df, text_col: str, id_col: str):
     )
 
 
+def dsir_logratio(df, text_col: str, id_col: str, target_flag):
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): each
+    document's log importance ratio ``log p_target(x)/p_corpus(x)``
+    under bag-of-unigram models, where the target distribution is
+    estimated from the rows where ``target_flag`` is true (e.g. a
+    high-quality source) and the corpus distribution from everything.
+    Rank or hash-sample by this weight to steer the mixture toward the
+    target domain. Returns ``(id, li6_sum, n_toks, avg_log_ratio)``.
+
+    Plan: ONE token-frequency aggregation serves both models — the
+    target count rides along as a conditional sum, so the corpus is
+    tokenized exactly once. Totals (corpus size, target size, vocab)
+    ride a one-row broadcast; the token→logratio join is AQE-planned
+    (broadcast for small vocabularies). Target counts are add-1
+    smoothed over the corpus vocabulary so unseen-in-target tokens get
+    finite weight; corpus counts need no smoothing (every token occurs).
+
+    Determinism: per-token log-ratios are quantized to int64 (×1e6) on
+    the frequency table; per-doc scores are integer sums —
+    aggregation-order-independent and SQL-oracle-checkable."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), target_flag.alias("_tgt"),
+        F.explode(tokens(text_col)).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(
+        F.count("*").alias("_nc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_nt"),
+    )
+    stats = freq.agg(
+        F.sum("_nc").cast("double").alias("_c"),
+        F.sum("_nt").cast("double").alias("_t"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    lp = freq.crossJoin(F.broadcast(stats)).select(
+        "_tok",
+        F.round(
+            (F.log10((F.col("_nt") + 1) / (F.col("_t") + F.col("_v")))
+             - F.log10(F.col("_nc") / F.col("_c"))) * 1_000_000, 0)
+        .cast("long").alias("_li6"),
+    )
+    return (
+        toks.join(lp, "_tok")
+        .groupBy("_id")
+        .agg(F.sum("_li6").alias("li6_sum"), F.count("*").alias("n_toks"))
+        .select(
+            F.col("_id").alias(id_col), "li6_sum", "n_toks",
+            F.round(F.col("li6_sum") / (F.col("n_toks") * 1_000_000), 4)
+            .alias("avg_log_ratio"),
+        )
+    )
+
+
 def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
               *, k1: float = 1.2, b: float = 0.75, k: int = 20):
     """BM25 lexical retrieval: top-``k`` documents for a bag of query

@@ -50,6 +50,30 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def dedup_against(batch: DataFrame, corpus: DataFrame, text_col: str,
+                  *, normalized: bool = True) -> DataFrame:
+    """Incremental dedup: keep only the ``batch`` rows whose
+    (optionally normalized) content fingerprint does NOT already occur
+    in ``corpus`` — the continuous-crawl primitive, where each day's
+    scrape is deduplicated against everything ingested so far without
+    re-deduplicating the corpus itself.
+
+    Plan: the corpus collapses to DISTINCT fingerprints (map-side
+    combined, one ~16-byte key per distinct doc) before the left-anti
+    join; the batch — small by definition relative to the corpus — then
+    anti-joins on those keys. Spark cannot broadcast the left side of a
+    left-anti join, so at 100 TB this is one hash-partitioned shuffle of
+    fingerprints only (never text), and AQE handles the size asymmetry.
+    """
+    fp = content_fingerprint(text_col) if normalized else md5_fingerprint(text_col)
+    seen = corpus.select(fp.alias("_fp")).distinct()
+    return (
+        batch.withColumn("_fp", fp)
+        .join(seen, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1,
                  hashed: bool = False) -> DataFrame:
     """(id, shingles) with distinct word n-gram shingles per doc.

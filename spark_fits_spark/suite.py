@@ -1387,6 +1387,154 @@ def q49_fits_scan_roundtrip(spark, sf):
     return spark.read.format("fits").option("hdu", 1).load(out)
 
 
+@query("q75_dsir_weights", """
+WITH tk AS (
+  SELECT doc_id, source = 'src0' AS tgt,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), f AS (
+  SELECT tok, COUNT(*) AS nc,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt
+  FROM tk GROUP BY tok
+), s AS (
+  SELECT SUM(nc)::DOUBLE AS c, SUM(nt)::DOUBLE AS t,
+         COUNT(*)::DOUBLE AS v
+  FROM f
+), lp AS (
+  SELECT tok,
+         CAST(round((log10((nt + 1) / (t + v)) - log10(nc / c)) * 1000000)
+              AS BIGINT) AS li6
+  FROM f, s
+)
+SELECT doc_id,
+       CAST(SUM(li6) AS BIGINT) AS li6_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       round(CAST(SUM(li6) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000), 4)
+         AS avg_log_ratio
+FROM tk JOIN lp USING (tok)
+GROUP BY doc_id
+""")
+def q75_dsir_weights(spark, sf):
+    """DSIR importance weights: log p_target/p_corpus per document
+    under bag-of-unigram models, target = the 'src0' source. One
+    tokenization pass serves both models (target counts ride as a
+    conditional sum); weights are int64-quantized on the frequency
+    table so per-doc sums are aggregation-order-independent."""
+    d = _t(spark, sf, "documents")
+    return T.dsir_logratio(d, "text", "doc_id", F.col("source") == "src0")
+
+
+def q76_shard_manifest(spark, sf):
+    """Deterministic shard WRITE path under the driver gate: the q66
+    shuffle-shard assignment is materialized to shard-partitioned
+    parquet (the training-data layout: one directory per shard), read
+    back, and summarized to a per-shard manifest (count, position
+    range, id checksum). Exercises the sink+source roundtrip — the
+    manifest can only match the oracle if every row survived the write
+    with its shard and position intact."""
+    import hashlib
+    import os as _os
+
+    sh = sample.shuffle_shards(
+        _t(spark, sf, "documents"), id_col="doc_id", n_shards=8)
+    out = _os.path.join(
+        "/tmp", "spark_fits_q76_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    sh.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+QUERIES["q76_shard_manifest"] = q76_shard_manifest
+
+
+@query("q77_gopher_filter", """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, text, len(w) AS nw,
+         length(replace(text, ' ', ''))::DOUBLE / len(w) AS mwl,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+), m AS (
+  SELECT doc_id, nw, mwl,
+         round(1 - len(list_distinct(grams))::DOUBLE / len(grams), 4) AS dgr,
+         (length(text)
+          - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))::DOUBLE
+           / length(text) AS sym
+  FROM g
+)
+SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       round(mwl, 4) AS mean_word_len,
+       dgr AS dup_gram_ratio, round(sym, 4) AS symbol_ratio,
+       (nw BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+         AND dgr <= 0.2 AND sym <= 0.1 AS keep
+FROM m
+""")
+def q77_gopher_filter(spark, sf):
+    """Gopher-rules composite quality filter (Rae et al. 2021 §A1.1):
+    word count, mean word length, duplicate 3-gram ratio and
+    symbol-to-char ratio gates composed into one keep verdict — all
+    map-side column expressions in the scan stage, zero shuffle."""
+    d = _t(spark, sf, "documents")
+    nw = F.size(T.tokens("text"))
+    mwl = F.length(F.regexp_replace("text", " ", "")) / nw
+    dgr = T.dup_ngram_ratio("text", 3)
+    sym = (F.length("text")
+           - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+           ) / F.length("text")
+    return d.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        dgr.alias("dup_gram_ratio"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        (nw.between(50, 100000) & mwl.between(3, 10)
+         & (dgr <= 0.2) & (sym <= 0.1)).alias("keep"),
+    )
+
+
+@query("q78_incremental_dedup", """
+WITH b AS (
+  SELECT *, CAST(('0x' || substr(md5('inc|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) % 100 < 13 AS is_new
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM b
+WHERE is_new AND md5(array_to_string(list_sort(list_distinct(
+        string_split(text, ' '))), ' ')) NOT IN (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' '))
+  FROM b WHERE NOT is_new)
+""")
+def q78_incremental_dedup(spark, sf):
+    """Incremental (continuous-crawl) dedup: a deterministic ~13%
+    md5-bucket of documents plays the newly scraped batch, anti-joined
+    on normalized fingerprints against the remaining corpus — new docs
+    already seen (as a token permutation) are dropped. The corpus side
+    collapses to distinct fingerprints before the anti-join, so only
+    16-byte keys shuffle."""
+    d = _t(spark, sf, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("inc|"),
+                                   F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 100
+    batch = d.where(bucket < 13)
+    corpus = d.where(bucket >= 13)
+    return dedup.dedup_against(batch, corpus, "text").select(
+        "doc_id", "source", "n_chars")
+
+
 @query("q74_fits_image_roundtrip", """
 SELECT n_nationkey AS img_index, CAST(t.pos AS BIGINT) AS pos,
        CAST(n_nationkey * 10 + n_regionkey + t.pos AS DOUBLE) AS pixel
@@ -1964,6 +2112,18 @@ def q66_shuffle_shards(spark, sf):
     prefix-sum (no single-partition global window)."""
     d = _t(spark, sf, "documents")
     return sample.shuffle_shards(d, id_col="doc_id", n_shards=8)
+
+
+# q76 materializes the q66 assignment to shard-partitioned parquet and
+# summarizes what it reads back — its oracle is the q66 SQL, grouped
+ORACLES["q76_shard_manifest"] = """
+WITH sh AS ({q66})
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(pos) AS BIGINT) AS min_pos,
+       CAST(MAX(pos) AS BIGINT) AS max_pos,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM sh GROUP BY shard
+""".format(q66=ORACLES["q66_shuffle_shards"])
 
 
 @query("q67_boilerplate_ngrams", """
