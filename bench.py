@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "q71_corpus_report",
     "q72_fixed_n_sample",
     "q73_temperature_mix",
+    "q75_dsir_weights",
+    "q76_shard_manifest",
+    "q77_gopher_filter",
+    "q78_incremental_dedup",
 ]
 
 

@@ -625,3 +625,30 @@ def test_temperature_mix_flattens_small_strata(spark, docs):
     ordered = sorted(sizes, key=sizes.get)
     rates = [thresh[s] for s in ordered if s in thresh]
     assert rates == sorted(rates, reverse=True), (sizes, thresh)
+
+
+def test_dsir_target_docs_score_higher(spark, docs):
+    """Docs drawn from the target source must average a higher
+    log-importance ratio than the rest of the corpus (their tokens ARE
+    the target distribution)."""
+    w = T.dsir_logratio(docs, "text", "doc_id", F.col("source") == "src0")
+    j = w.join(docs.select("doc_id", "source"), "doc_id")
+    means = dict(
+        j.groupBy(F.col("source") == "src0")
+        .agg(F.avg("avg_log_ratio").alias("m")).collect())
+    assert means[True] > means[False]
+
+
+def test_dedup_against_drops_only_seen(spark):
+    rows = [(1, "a b c"), (2, "unique new doc"), (3, "c b a")]
+    batch = spark.createDataFrame(rows, "id long, text string")
+    corpus = spark.createDataFrame([(10, "a c b"), (11, "other text")],
+                                   "id long, text string")
+    # normalized: doc 1 and 3 are token permutations of corpus doc 10
+    out = sorted(r["id"] for r in dedup.dedup_against(
+        batch, corpus, "text").collect())
+    assert out == [2]
+    # exact mode keeps them (no exact-string match in the corpus)
+    out = sorted(r["id"] for r in dedup.dedup_against(
+        batch, corpus, "text", normalized=False).collect())
+    assert out == [1, 2, 3]
