@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q76_shard_manifest",
     "q77_gopher_filter",
     "q78_incremental_dedup",
+    "q79_exact_substring_dedup",
 ]
 
 

@@ -50,6 +50,79 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
+                          *, n: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicated-substring accounting (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    a token position is *covered* when it lies inside some length-``n``
+    token window that occurs more than once in the corpus — in another
+    document or at another offset of the same document. Returns one row
+    per doc: ``(id, n_toks, n_dup_grams, covered_tokens, covered_ratio,
+    kept_fp)`` where ``kept_fp`` is the md5 of the text with covered
+    tokens deleted (the actual ExactSubstr removal, fingerprinted).
+
+    Plan shape: position-indexed ``n``-grams are md5→int64 hashed in the
+    scan stage; ONE map-combined groupBy builds global gram counts; only
+    grams with count > 1 join back (at web scale the duplicated-gram key
+    table is far smaller than the gram stream, and the join is an
+    AQE-planned int64 equi-join). Covered positions come from an
+    ``n``-fold explode of *duplicated* positions only, and the kept-text
+    fingerprint is an anti-join of the token stream against covered
+    positions — no step is quadratic and nothing leaves the executors.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_w"))
+    gram_hash = lambda i: F.conv(  # noqa: E731 — md5(n-gram) → int64
+        F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))), 1, 15),
+        16, 10).cast("long")
+    g = toks.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("_w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (n - 1)), gram_hash),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("_gi", "_gh"),
+    )
+    dup_keys = g.groupBy("_gh").count().where(F.col("count") > 1).select("_gh")
+    dup_pos = g.join(dup_keys, "_gh").select("_id", "_gi")
+    per_doc_dups = dup_pos.groupBy("_id").agg(
+        F.count("*").alias("_n_dup_grams"))
+    covered = (
+        dup_pos.select(
+            "_id",
+            F.explode(F.sequence(F.col("_gi"), F.col("_gi") + (n - 1)))
+            .alias("_ci"))
+        .distinct()
+    )
+    per_doc_cov = covered.groupBy("_id").agg(
+        F.count("*").alias("_covered"))
+    tk = toks.select("_id", F.posexplode("_w").alias("_pi", "_tok"))
+    kept = tk.join(
+        covered.withColumnRenamed("_ci", "_pi"), ["_id", "_pi"], "left_anti")
+    kept_fp = kept.groupBy("_id").agg(
+        F.md5(F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("_pi", "_tok"))),
+            lambda x: x["_tok"]))).alias("_kept_fp"))
+    return (
+        toks.select("_id", F.size("_w").alias("n_toks"))
+        .join(per_doc_dups, "_id", "left")
+        .join(per_doc_cov, "_id", "left")
+        .join(kept_fp, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce("_n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce("_covered", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.round(F.coalesce("_covered", F.lit(0)) / F.col("n_toks"), 4)
+            .alias("covered_ratio"),
+            F.coalesce("_kept_fp", F.md5(F.lit(""))).alias("kept_fp"),
+        )
+    )
+
+
 def dedup_against(batch: DataFrame, corpus: DataFrame, text_col: str,
                   *, normalized: bool = True) -> DataFrame:
     """Incremental dedup: keep only the ``batch`` rows whose

@@ -1535,6 +1535,58 @@ def q78_incremental_dedup(spark, sf):
         "doc_id", "source", "n_chars")
 
 
+@query("q79_exact_substring_dedup", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), gidx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM t
+  WHERE len(w) >= 8
+), g AS (
+  SELECT doc_id, i - 1 AS gi,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+              AS BIGINT) AS gh
+  FROM gidx
+), d AS (
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1
+), dp AS (
+  SELECT doc_id, gi FROM g JOIN d USING (gh)
+), nd AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams FROM dp GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, ci FROM (
+    SELECT doc_id, unnest(range(gi, gi + 8)) AS ci FROM dp)
+), nc AS (
+  SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id
+), tk AS (
+  SELECT doc_id, i - 1 AS pi, w[i] AS tok FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)
+), kept AS (
+  SELECT tk.doc_id, tk.pi, tk.tok
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pi = cov.ci
+  WHERE cov.ci IS NULL
+), fp AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pi)) AS kept_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_toks,
+       CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+       round(COALESCE(covered, 0)::DOUBLE / len(w), 4) AS covered_ratio,
+       COALESCE(kept_fp, md5('')) AS kept_fp
+FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN nc USING (doc_id)
+       LEFT JOIN fp USING (doc_id)
+""")
+def q79_exact_substring_dedup(spark, sf):
+    """ExactSubstr dedup (Lee et al. 2022): per-doc accounting of token
+    positions covered by 8-token windows that occur more than once in
+    the corpus (any doc, any offset), plus the fingerprint of the text
+    with covered tokens deleted. Gram hashes are int64; only duplicated
+    grams rejoin the position stream."""
+    d = _t(spark, sf, "documents")
+    return dedup.duplicated_span_stats(d, "text", "doc_id", n=8)
+
+
 @query("q74_fits_image_roundtrip", """
 SELECT n_nationkey AS img_index, CAST(t.pos AS BIGINT) AS pos,
        CAST(n_nationkey * 10 + n_regionkey + t.pos AS DOUBLE) AS pixel

@@ -652,3 +652,23 @@ def test_dedup_against_drops_only_seen(spark):
     out = sorted(r["id"] for r in dedup.dedup_against(
         batch, corpus, "text", normalized=False).collect())
     assert out == [1, 2, 3]
+
+
+def test_duplicated_span_stats_planted(spark):
+    """A doc sharing an 8-token run with another doc is covered exactly
+    on that run; a doc with no repeated window is untouched."""
+    shared = "a b c d e f g h"           # the duplicated 8-gram
+    rows = [
+        (1, shared + " tail1 xx"),
+        (2, "lead1 " + shared + " yy"),
+        (3, "totally different words here with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.duplicated_span_stats(df, "text", "doc_id", n=8).collect()}
+    assert out[1]["covered_tokens"] == 8 and out[2]["covered_tokens"] == 8
+    assert out[3]["covered_tokens"] == 0 and out[3]["n_dup_grams"] == 0
+    # kept text of doc 1 = "tail1 xx"
+    import hashlib
+    assert out[1]["kept_fp"] == hashlib.md5(b"tail1 xx").hexdigest()
+    assert out[3]["covered_ratio"] == 0.0
