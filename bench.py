@@ -195,7 +195,8 @@ def main() -> None:
                      if not k.startswith(("q54", "q56", "q57", "q58", "q59",
                                           "q64", "q65", "q66", "q67",
                                           "q68", "q69", "q70", "q71",
-                                          "q72", "q73"))), 3)
+                                          "q72", "q73", "q75", "q76",
+                                          "q77", "q78", "q79"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",
