@@ -113,6 +113,22 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def spread_for_cpu(df):
+    """Small-input guard for CPU-heavy map stages (tokenize + md5 gram
+    hashing): a 100 TB scan arrives with thousands of partitions, but a
+    small corpus is often ONE parquet file → ONE scan partition, and the
+    hashing then runs on a single core (measured: q64's 3s single-task
+    stages at sf0.1). Repartition up to the default parallelism when the
+    incoming plan has materially fewer partitions; the bytes moved are
+    the (by construction small) input, and on a real many-partition scan
+    this is a no-op branch."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < p:
+        return df.repartition(p)
+    return df
+
+
 def md5_fingerprint(col: Column | str) -> Column:
     """Exact-content fingerprint: md5 of the raw text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -530,8 +546,9 @@ def frequent_ngrams(df, text_col: str, group_col: str, *,
     Returns (group, gram, n_docs, rank)."""
     grams = word_ngrams(text_col, n)
     counts = (
-        df.select(F.col(group_col).alias("group"),
-                  F.explode(F.array_distinct(grams)).alias("gram"))
+        spread_for_cpu(df)
+        .select(F.col(group_col).alias("group"),
+                F.explode(F.array_distinct(grams)).alias("gram"))
         .groupBy("group", "gram")
         .agg(F.count("*").alias("n_docs"))
     )

@@ -28,6 +28,7 @@ from spark_fits_spark.functions.text import (
     md5_fingerprint,
     minhash_expr,
     minhash_perm_expr,
+    spread_for_cpu,
     tokens,
 )
 
@@ -157,6 +158,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1,
     sets equals Jaccard over the raw sets (64-bit collisions are
     negligible, and the SQL oracle applies the identical hash so both
     engines agree exactly either way)."""
+    df = spread_for_cpu(df)
     w = tokens(text_col)
     if n == 1:
         sh = F.array_distinct(w)
