@@ -324,7 +324,13 @@ def minhash_lsh_pairs(
         .select("_id", "_band", "_key", *prior_cols)
     )
 
-    n_sets = sets_df.count()  # scalar; also materializes the persist
+    # one scalar job materializes the persist AND yields both gating
+    # numbers (set count for the band table, bytes for the verify side)
+    _sz = sets_df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("_hashes")), F.lit(0)).alias("elems"),
+    ).first()
+    n_sets, set_bytes = int(_sz["n"]), int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
     if n_sets * bands * 48 <= broadcast_max_bytes:
         right = F.broadcast(bands_df.alias("r"))
     else:
@@ -350,10 +356,10 @@ def minhash_lsh_pairs(
     sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"),
                         F.size("_hashes").alias("_nb"))
     # verify-join strategy: candidates are ~pairs² while the shingle table
-    # is ~docs — broadcast it when it fits (the sizing aggregate is cheap:
-    # sets_df is persisted and already materialized), so the wide arrays
-    # never ride the shuffle. Beyond broadcast size, sort-merge.
-    if _shingle_table_bytes(sets_df) <= broadcast_max_bytes:
+    # is ~docs — broadcast it when it fits (byte gate from the sizing
+    # aggregate above), so the wide arrays never ride the shuffle.
+    # Beyond broadcast size, sort-merge.
+    if set_bytes <= broadcast_max_bytes:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     rep_pairs = (
         cand.join(sa, "_ida")
