@@ -266,20 +266,20 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
 
     rows = n_hashes // bands
-    # distinct shingle sets: group by the sorted hash array (exact — no
-    # hashed-key collision risk at any corpus size); _rep = min member
-    # id. membership maps every doc to its set's representative.
-    raw = shingle_sets(df, text_col, id_col, shingle_n, hashed=True).select(
-        "_id", F.array_sort("_hashes").alias("_set"))
-    membership = raw.select(
-        "_id",
-        F.min("_id").over(Window.partitionBy("_set")).alias("_rep"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sets_df = (
-        raw.groupBy("_set").agg(F.min("_id").alias("_id"))
-        .select("_id", F.col("_set").alias("_hashes"))
+    # distinct shingle sets: the partition key is the sorted hash array
+    # ITSELF (exact — no hashed-key collision risk at any corpus size);
+    # _rep = min member id. ONE window shuffle yields both the
+    # doc→representative map and (by filtering to _id == _rep) the
+    # distinct-set table, so the corpus is tokenized and shuffled once.
+    keyed = (
+        shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
+        .select("_id", F.array_sort("_hashes").alias("_set"))
+        .withColumn("_rep", F.min("_id").over(Window.partitionBy("_set")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    membership = keyed.select("_id", "_rep")
+    sets_df = keyed.where(F.col("_id") == F.col("_rep")).select(
+        "_id", F.col("_set").alias("_hashes"))
 
     # permutation MinHash over the int64 shingle hashes: ONE md5 per
     # shingle total (inside shingle_sets), then integer min-hash math —
@@ -324,13 +324,18 @@ def minhash_lsh_pairs(
         .select("_id", "_band", "_key", *prior_cols)
     )
 
-    # one scalar job materializes the persist AND yields both gating
-    # numbers (set count for the band table, bytes for the verify side)
-    _sz = sets_df.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("_hashes")), F.lit(0)).alias("elems"),
+    # one scalar job materializes the persist AND yields every gating
+    # number: doc count (membership broadcast), set count (band table
+    # broadcast), and byte estimate (verify-side broadcast)
+    _is_rep = F.col("_id") == F.col("_rep")
+    _sz = keyed.agg(
+        F.count("*").alias("nd"),
+        F.count(F.when(_is_rep, 1)).alias("n"),
+        F.coalesce(F.sum(F.when(_is_rep, F.size("_set"))), F.lit(0))
+        .alias("elems"),
     ).first()
-    n_sets, set_bytes = int(_sz["n"]), int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
+    n_docs, n_sets = int(_sz["nd"]), int(_sz["n"])
+    set_bytes = int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
     if n_sets * bands * 48 <= broadcast_max_bytes:
         right = F.broadcast(bands_df.alias("r"))
     else:
@@ -377,7 +382,6 @@ def minhash_lsh_pairs(
     # longs per doc — broadcast within the gate, shuffle join past it.
     mem_a = membership.select(F.col("_id").alias("_da"), F.col("_rep").alias("_ra"))
     mem_b = membership.select(F.col("_id").alias("_db"), F.col("_rep").alias("_rb"))
-    n_docs = membership.count()
     if n_docs * 48 <= broadcast_max_bytes:
         mem_a, mem_b = F.broadcast(mem_a), F.broadcast(mem_b)
     cross = (
