@@ -305,9 +305,16 @@ def corpus_unigram_logprob(df, text_col: str, id_col: str):
     sums, so the result is aggregation-order-independent and
     SQL-oracle-checkable. Returns (id, lp6_sum, n_toks, avg_logprob).
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
-    freq = toks.groupBy("_tok").agg(F.count("*").alias("_n"))
+    # the frequency table feeds the totals broadcast AND the logprob
+    # join; without a persist each branch re-tokenizes the corpus (the
+    # broadcast subquery compiles separately, so ReusedExchange never
+    # kicks in). It is vocab-sized — tiny next to the token stream.
+    freq = (toks.groupBy("_tok").agg(F.count("*").alias("_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     total = freq.agg(F.sum("_n").cast("double").alias("_total"))
     lp = freq.crossJoin(F.broadcast(total)).select(
         "_tok",
@@ -347,12 +354,20 @@ def dsir_logratio(df, text_col: str, id_col: str, target_flag):
     Determinism: per-token log-ratios are quantized to int64 (×1e6) on
     the frequency table; per-doc scores are integer sums —
     aggregation-order-independent and SQL-oracle-checkable."""
+    from pyspark.storagelevel import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("_id"), target_flag.alias("_tgt"),
         F.explode(tokens(text_col)).alias("_tok"))
-    freq = toks.groupBy("_tok").agg(
-        F.count("*").alias("_nc"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_nt"),
+    # persisted for the same reason as corpus_unigram_logprob's freq:
+    # the totals broadcast and the ratio join both consume it, and each
+    # would otherwise re-tokenize the corpus
+    freq = (
+        toks.groupBy("_tok").agg(
+            F.count("*").alias("_nc"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_nt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = freq.agg(
         F.sum("_nc").cast("double").alias("_c"),
