@@ -307,7 +307,7 @@ def corpus_unigram_logprob(df, text_col: str, id_col: str):
     """
     from pyspark.storagelevel import StorageLevel
 
-    toks = df.select(
+    toks = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
     # the frequency table feeds the totals broadcast AND the logprob
     # join; without a persist each branch re-tokenizes the corpus (the
@@ -356,7 +356,7 @@ def dsir_logratio(df, text_col: str, id_col: str, target_flag):
     aggregation-order-independent and SQL-oracle-checkable."""
     from pyspark.storagelevel import StorageLevel
 
-    toks = df.select(
+    toks = spread_for_cpu(df).select(
         F.col(id_col).alias("_id"), target_flag.alias("_tgt"),
         F.explode(tokens(text_col)).alias("_tok"))
     # persisted for the same reason as corpus_unigram_logprob's freq:
