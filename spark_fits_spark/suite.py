@@ -1365,16 +1365,10 @@ def q50_ann_ivf_topk(spark, sf):
         k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
 
 
-@query("q49_fits_scan_roundtrip", """
-SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
-""")
-def q49_fits_scan_roundtrip(spark, sf):
-    """The FITS datasource itself under the driver's rows+schema+hash
-    gate (reference surface: ReadFitsTest.scala / packageTest.scala:105-133):
-    write the `part` table to FITS with the sink (bigint→K, string→nA,
-    int→J, double→D), scan the directory back with .format("fits"), and
-    hash-compare against the original parquet. Deterministic: the FITS
-    payload is a pure function of the table; D/K round-trip is exact."""
+def _part_fits_dir(spark, sf) -> str:
+    """Write the `part` table to a deterministic FITS directory with the
+    sink (bigint→K, string→nA, int→J, double→D) and return the path —
+    shared fixture for the scan-roundtrip queries."""
     import hashlib
     import os as _os
 
@@ -1384,7 +1378,38 @@ def q49_fits_scan_roundtrip(spark, sf):
     out = _os.path.join(
         "/tmp", "spark_fits_q49_" + hashlib.md5(sf.encode()).hexdigest()[:8])
     _t(spark, sf, "part").write.format("fits").mode("overwrite").save(out)
+    return out
+
+
+@query("q49_fits_scan_roundtrip", """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part
+""")
+def q49_fits_scan_roundtrip(spark, sf):
+    """The FITS datasource itself under the driver's rows+schema+hash
+    gate (reference surface: ReadFitsTest.scala / packageTest.scala:105-133):
+    write the `part` table to FITS with the sink, scan the directory
+    back with .format("fits"), and hash-compare against the original
+    parquet. Deterministic: the FITS payload is a pure function of the
+    table; D/K round-trip is exact."""
+    out = _part_fits_dir(spark, sf)
     return spark.read.format("fits").option("hdu", 1).load(out)
+
+
+@query("q80_fits_pruned_scan", """
+SELECT p_partkey, p_retailprice FROM part
+""")
+def q80_fits_pruned_scan(spark, sf):
+    """Source-side column pruning under the driver gate (the reference's
+    `columns` option, FitsHduBintable.scala:306-325 /
+    docs/02_api.md:68-72): scan the FITS copy of `part` selecting two of
+    six columns — the pruned numpy dtype skips the unselected byte
+    ranges entirely (fitscore/decode.py:32-50), and the hash gate proves
+    the surviving columns decode identically to the full scan."""
+    out = _part_fits_dir(spark, sf)
+    return (
+        spark.read.format("fits").option("hdu", 1)
+        .option("columns", "p_partkey,p_retailprice").load(out)
+    )
 
 
 @query("q75_dsir_weights", """
