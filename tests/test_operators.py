@@ -672,3 +672,54 @@ def test_duplicated_span_stats_planted(spark):
     import hashlib
     assert out[1]["kept_fp"] == hashlib.md5(b"tail1 xx").hexdigest()
     assert out[3]["covered_ratio"] == 0.0
+
+
+def test_minhash_optimizations_equal_naive_pipeline(spark):
+    """The identical-set collapse + first-matching-band rule must be
+    output-invariant: compare against a naive in-test pipeline (plain
+    band self-join + distinct, no collapse) on a corpus with exact
+    dups, near-dups, and unique docs."""
+    from spark_fits_spark.functions.text import minhash_perm_expr
+    from spark_fits_spark.operators.dedup import _jaccard, shingle_sets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(6)]                      # exact-dup group
+    rows += [(10 + i, base + f" extra{i}") for i in range(4)]  # near-dups
+    rows += [(20 + i, f"unique text number {i} with words w{i} x{i} y{i}")
+             for i in range(5)]
+    rows += [(30, "alpha beta"), (31, "beta alpha")]  # permutation dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n_hashes, bands, r, thr = 8, 2, 4, 0.5
+    sets_df = shingle_sets(df, "text", "doc_id", 1, hashed=True).select(
+        "_id", "_hashes")
+    sig = sets_df.select(
+        "_id", *[minhash_perm_expr(F.col("_hashes"), s).alias(f"_h{s}")
+                 for s in range(n_hashes)])
+    entries = []
+    for b in range(bands):
+        key = F.conv(F.substring(F.md5(F.concat_ws("|", *[
+            F.col(f"_h{b * r + i}").cast("string") for i in range(r)])),
+            1, 15), 16, 10).cast("long")
+        entries.append(sig.select("_id", F.lit(b).alias("_b"), key.alias("_k")))
+    bdf = entries[0].unionAll(entries[1])
+    cand = (bdf.alias("l").join(
+        bdf.alias("r"),
+        (F.col("l._b") == F.col("r._b")) & (F.col("l._k") == F.col("r._k"))
+        & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
+        .distinct())
+    sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"))
+    sb = sets_df.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"))
+    naive = (cand.join(sa, "_ida").join(sb, "_idb")
+             .select("_ida", "_idb",
+                     _jaccard(F.col("_sa"), F.col("_sb")).alias("j"))
+             .where(F.col("j") >= thr))
+    expected = {(r["_ida"], r["_idb"], r["j"]) for r in naive.collect()}
+
+    got = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", shingle_n=1, n_hashes=n_hashes, bands=bands,
+        threshold=thr)
+    actual = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got.collect()}
+    assert actual == expected
+    assert len(actual) >= 6 * 5 // 2 + 1  # dup group pairs + permutation pair
