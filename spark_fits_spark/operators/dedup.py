@@ -318,10 +318,15 @@ def minhash_lsh_pairs(
         .alias(f"_p{p}")
         for p in range(bands - 1)
     ]
+    # persisted: both self-join sides (broadcast build + probe) consume
+    # it, and recomputing means running the n_hashes interpreted minhash
+    # transforms over every set twice. Rows are 4 small scalars per
+    # (set, band) — a sliver of the corpus at any scale.
     bands_df = (
         sig.select("_id", F.array(*band_keys).alias("_ak"))
         .select("_id", F.posexplode("_ak").alias("_band", "_key"), "_ak")
         .select("_id", "_band", "_key", *prior_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # one scalar job materializes the persist AND yields every gating
