@@ -234,8 +234,9 @@ def kmeans_fit(
 
     Init: the ``k`` smallest-id vectors (deterministic, no RNG). Each
     iteration: a per-row argmin against k literal centroid arrays (map
-    side only, whole-stage codegen), then ONE shuffle — the
-    (cluster, dim) mean over the exploded vectors. Driver traffic per
+    side only — interpreted higher-order exprs, a constant cost per row
+    that scales horizontally), then ONE shuffle — the (cluster, dim)
+    mean over the exploded vectors. Driver traffic per
     iteration is exactly k x dim numbers (the next plan's literals),
     parameter-bounded like connected_components' per-round scalar —
     never data-proportional, so the loop holds at 100 TB. Clusters that
