@@ -427,14 +427,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair *within a block* (e.g. same
     source). Returns (block, doc_a, doc_b, jaccard). Quadratic inside a
-    block only — choose blocks accordingly."""
+    block only — choose blocks accordingly.
+
+    Output-invariant optimization (same trick as
+    :func:`minhash_lsh_pairs`, pinned by the q23 oracle): docs in the
+    same block with IDENTICAL shingle sets score 1.0 against each other
+    and score identically against everyone else — the quadratic Jaccard
+    stage runs once per distinct (block, set), and member pairs rejoin
+    at the end. Dup-heavy corpora shrink the verify work by the square
+    of the dup ratio."""
     from pyspark.storagelevel import StorageLevel
 
-    sets_df = (
+    keyed = (
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
-        .join(df.select(F.col(id_col).alias("_id"), F.col(block_col).alias("_blk")), "_id")
+        .join(df.select(F.col(id_col).alias("_id"),
+                        F.col(block_col).alias("_blk")), "_id")
+        .select("_id", "_blk", F.array_sort("_hashes").alias("_set"))
+        .withColumn("_rep",
+                    F.min("_id").over(Window.partitionBy("_blk", "_set")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sets_df = keyed.where(F.col("_id") == F.col("_rep")).select(
+        "_id", "_blk", F.col("_set").alias("_hashes"))
     a = sets_df.select(
         F.col("_blk"), F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"),
         F.size("_hashes").alias("_na"))
@@ -453,17 +467,41 @@ def ngram_jaccard_pairs(
         # parallelism = probe-side partitions; docs are few but pairs are
         # quadratic — spread the probe rows across the cluster first
         a = a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-    return (
+    rep_pairs = (
         a.join(b, "_blk")
         .where(F.col("_ida") < F.col("_idb"))
         .select(
-            F.col("_blk").alias("block"),
-            F.col("_ida").alias("doc_a"),
-            F.col("_idb").alias("doc_b"),
+            F.col("_blk"),
+            F.col("_ida").alias("_ra"),
+            F.col("_idb").alias("_rb"),
             _jaccard_sized(F.col("_sa"), F.col("_sb"),
                            F.col("_na"), F.col("_nb")).alias("jaccard"),
         )
     )
+    # expand: every member of ra's group pairs with every member of
+    # rb's (rep ids are doc ids, globally unique, so the join needs no
+    # block key); same-group members pair at exactly 1.0
+    mem_a = keyed.select(F.col("_id").alias("_da"), F.col("_rep").alias("_ra"))
+    mem_b = keyed.select(F.col("_id").alias("_db"), F.col("_rep").alias("_rb"))
+    cross = (
+        rep_pairs.join(mem_a, "_ra").join(mem_b, "_rb")
+        .select(
+            F.col("_blk").alias("block"),
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        keyed.alias("x")
+        .join(keyed.alias("y"),
+              (F.col("x._rep") == F.col("y._rep"))
+              & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._blk").alias("block"),
+                F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionAll(intra)
 
 
 def embedding_near_dup_pairs(
