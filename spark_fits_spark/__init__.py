@@ -32,10 +32,63 @@ __version__ = "0.1.0"
 def register_fits(spark) -> None:
     """Register the ``fits`` datasource on a SparkSession (the analog of
     the reference's META-INF service-loader registration,
-    ``DefaultSource.scala:31``)."""
+    ``DefaultSource.scala:31``).
+
+    Self-contained on ANY session, not just ``plans.build_session``:
+
+    - ``spark.sql.python.filterPushdown.enabled`` is flipped on (it is a
+      runtime SQL conf): Spark 4 *raises* DATA_SOURCE_PUSHDOWN_DISABLED
+      at scan planning when a reader implements ``pushFilters()`` under
+      the default-false conf — so a bare session could not even scan.
+    - the package zip is shipped via ``addPyFile`` so executor workers
+      can unpickle the datasource when the session's JVM was launched
+      without this repo on PYTHONPATH (no-op / best-effort otherwise).
+    """
+    import importlib.util
+
     from spark_fits_spark.sources.fits_datasource import FitsDataSource
 
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spec = importlib.util.find_spec("spark_fits_spark")
+    if spec and spec.submodule_search_locations:
+        pkg_dir = list(spec.submodule_search_locations)[0]
+        try:
+            spark.sparkContext.addPyFile(_package_zip(pkg_dir))
+        except Exception:
+            pass  # best-effort: plain local sessions don't need it
     spark.dataSource.register(FitsDataSource)
+
+
+def _package_zip(pkg_dir: str) -> str:
+    """Zip ``spark_fits_spark`` into a content-stable temp file (built
+    once per source state) suitable for ``SparkContext.addPyFile``."""
+    import hashlib
+    import os
+    import zipfile
+
+    parent = os.path.dirname(pkg_dir)
+    paths = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                paths.append(os.path.join(root, f))
+    h = hashlib.md5()
+    for p in sorted(paths):
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    out = os.path.join(
+        "/tmp", f"spark_fits_spark_{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(out):
+        tmp = out + ".part"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sorted(paths):
+                z.write(p, os.path.relpath(p, parent))
+        os.replace(tmp, out)
+    return out
 
 
 def fits_info(spark, path: str):
