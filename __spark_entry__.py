@@ -40,10 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable is wrapped to prepare the session first:
+    ``register_fits`` ships the package zip to executor Python workers
+    (pandas-UDF closures are pickled by reference to this package, which
+    a bare harness session cannot import otherwise) and enables the
+    python-datasource filter-pushdown conf. Idempotent per session."""
     from spark_fits_spark.suite import QUERIES
 
-    return dict(QUERIES)
+    def _wrap(fn):
+        def run(spark, sf, _fn=fn):
+            _prepare(spark)
+            return _fn(spark, sf)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
