@@ -83,7 +83,14 @@ def _package_zip(pkg_dir: str) -> str:
     out = os.path.join(
         "/tmp", f"spark_fits_spark_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(out):
-        tmp = out + ".part"
+        # per-process temp name + atomic replace: concurrent sessions
+        # (bench + tests) building the same content must not interleave
+        # writes into one shared .part file
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir="/tmp", prefix="spark_fits_spark_", suffix=".zip.part")
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w") as z:
             for p in sorted(paths):
                 z.write(p, os.path.relpath(p, parent))

@@ -71,7 +71,18 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
     fingerprint is an anti-join of the token stream against covered
     positions — no step is quadratic and nothing leaves the executors.
     """
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_w"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: tk, the position-gram stream, and the final n_toks
+    # select all derive from it — without the cache the corpus would be
+    # tokenized (and the CPU-heavy md5 gram hashing re-run) up to four
+    # times. spread_for_cpu parallelizes the hashing for one-file
+    # corpora (same convention as shingle_sets).
+    toks = (
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     gram_hash = lambda i: F.conv(  # noqa: E731 — md5(n-gram) → int64
         F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))), 1, 15),
         16, 10).cast("long")
@@ -84,7 +95,7 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
                     F.sequence(F.lit(1), F.size("_w") - (n - 1)), gram_hash),
             ).otherwise(F.array().cast("array<long>"))
         ).alias("_gi", "_gh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dup_keys = g.groupBy("_gh").count().where(F.col("count") > 1).select("_gh")
     dup_pos = g.join(dup_keys, "_gh").select("_id", "_gi")
     per_doc_dups = dup_pos.groupBy("_id").agg(
@@ -320,7 +331,7 @@ def minhash_lsh_pairs(
     ]
     # persisted: both self-join sides (broadcast build + probe) consume
     # it, and recomputing means running the n_hashes interpreted minhash
-    # transforms over every set twice. Rows are 4 small scalars per
+    # transforms over every set twice. Rows are bands+2 scalars per
     # (set, band) — a sliver of the corpus at any scale.
     bands_df = (
         sig.select("_id", F.array(*band_keys).alias("_ak"))
@@ -341,7 +352,10 @@ def minhash_lsh_pairs(
     ).first()
     n_docs, n_sets = int(_sz["nd"]), int(_sz["n"])
     set_bytes = int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
-    if n_sets * bands * 48 <= broadcast_max_bytes:
+    # band-row width grows with bands: _id, _band, _key + (bands-1)
+    # prior-key columns, ~8 B each plus row envelope
+    band_row_bytes = 8 * (bands + 2) + 16
+    if n_sets * bands * band_row_bytes <= broadcast_max_bytes:
         right = F.broadcast(bands_df.alias("r"))
     else:
         right = bands_df.alias("r")

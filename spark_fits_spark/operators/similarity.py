@@ -322,11 +322,12 @@ def semdedup(
     the cluster's min id).
 
     Pairwise work happens only *within* a cluster — the pairing key is
-    the cluster id, so cost is Σ|cluster|², never corpus². At 100 TB you
-    raise ``k`` so clusters stay bounded (SemDeDup used 50k clusters for
-    5B embeddings); per-cluster work runs as one Arrow-batched
-    ``applyInPandas`` task with a row-chunked integer GEMM, so transient
-    task memory stays bounded whatever the cluster size.
+    the cluster id, so cost is Σ|cluster|², never corpus². Each cluster
+    runs as ONE Arrow-batched ``applyInPandas`` task: the row-chunked
+    integer GEMM bounds the per-slab transient (1024 × |cluster|), but
+    the cluster's matrix itself must fit the task — size ``k`` so the
+    largest cluster does (SemDeDup used 50k clusters for 5B embeddings
+    ≈ 10⁵ vectors/cluster, ~50 MB at dim 64 — comfortably in-task).
 
     Determinism: vectors are quantized to int64 fixed-point, so dot
     products and squared norms are *exact integers* — in numpy exactly
@@ -361,15 +362,21 @@ def semdedup(
     quant = Decimal("0.0001")
 
     def _maxcos(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"_sid": pd.Series(dtype="int64"),
+                              "max_cos_lower": pd.Series(dtype="float64")})
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf["_q"].to_numpy())[order].astype(np.int64)
+        nr = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        # zero-norm (all-zero quantized) vectors: every cosine against
+        # them is NULL in the SQL formulation (0/0), and F.max ignores
+        # NULL — drop them so they neither emit nor count as lower mates
+        keep = nr > 0
+        ids, mat, nr = ids[keep], mat[keep], nr[keep]
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"_sid": pd.Series(dtype="int64"),
-                                 "max_cos_lower": pd.Series(dtype="float64")})
-        nr = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+            return empty
         best = np.empty(n - 1, dtype=np.float64)
         for lo in range(1, n, 1024):
             hi = min(lo + 1024, n)
@@ -378,7 +385,10 @@ def semdedup(
             lower = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
             best[lo - 1:hi - 1] = np.where(lower, cos, -np.inf).max(axis=1)
         rounded = [
-            float(Decimal(repr(v)).quantize(quant, rounding=ROUND_HALF_UP))
+            # repr(float(v)): numpy-2-safe shortest repr — matches
+            # Spark's BigDecimal.valueOf(double) HALF_UP exactly
+            float(Decimal(repr(float(v))).quantize(
+                quant, rounding=ROUND_HALF_UP))
             for v in best
         ]
         return pd.DataFrame({"_sid": ids[1:], "max_cos_lower": rounded})

@@ -1550,10 +1550,7 @@ def q78_incremental_dedup(spark, sf):
     collapses to distinct fingerprints before the anti-join, so only
     16-byte keys shuffle."""
     d = _t(spark, sf, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit("inc|"),
-                                   F.col("doc_id").cast("string"))), 1, 15),
-        16, 10).cast("long") % 100
+    bucket = sample.hash_bucket("doc_id", "inc", 100)
     batch = d.where(bucket < 13)
     corpus = d.where(bucket >= 13)
     return dedup.dedup_against(batch, corpus, "text").select(
