@@ -200,7 +200,12 @@ def _sq_dist(vec_col, centroid_lits, zero):
 def _argmin_cluster(vec_col, cents, quantized: bool):
     """Id of the nearest centroid (squared-L2, ties to the smallest
     cluster id): array_min over (distance, cid) structs. ``cents`` is a
-    list of (cid, vector) with plain-Python numbers."""
+    list of (cid, vector) with plain-Python numbers.
+
+    LITERAL path: inlines k×dim literals into the expression tree —
+    perfect for small k (pure JVM, SQL-oracle-replayable) but the plan
+    grows O(k·dim); past :data:`ARGMIN_LITERAL_MAX_K` callers go through
+    :func:`_assign_nearest` which switches to a broadcast + Arrow GEMM."""
     zero = F.lit(0).cast("long") if quantized else F.lit(0.0)
     scored = F.array(*[
         F.struct(
@@ -210,6 +215,74 @@ def _argmin_cluster(vec_col, cents, quantized: bool):
         for cid, vec in cents
     ])
     return F.array_min(scored)["c"]
+
+
+#: Above this k the literal-expression argmin is replaced by the
+#: broadcast-matrix mapInPandas GEMM: at k=50_000 (the SemDeDup paper's
+#: cluster count) the literal plan would carry k·dim ≈ 3.2M literals —
+#: it would not even compile.
+ARGMIN_LITERAL_MAX_K = 64
+
+
+def _assign_nearest(df: DataFrame, vec_expr, cents, *, quantized: bool,
+                    out_col: str,
+                    literal_max_k: int = ARGMIN_LITERAL_MAX_K) -> DataFrame:
+    """Add ``out_col`` = id of the nearest centroid (squared L2, ties to
+    the smallest cluster id), preserving every existing column.
+
+    k ≤ ``literal_max_k``: the pure-JVM literal-expression path
+    (oracle-replayable, zero Python). Larger k: the centroid matrix is
+    **broadcast** once per executor and each Arrow batch runs a
+    row-chunked numpy argmin GEMM — plan size stays O(1) in k, per-task
+    transient memory is bounded by the chunking, and the math is the
+    SAME exact int64 arithmetic when ``quantized`` (d = v·v − 2·v·C + C·C
+    is exact in int64, argmin's first-occurrence tie-break = smallest
+    cid because centroids are sorted by cid). Float centroids use the
+    same expansion in float64 — last-ulp differences vs the literal
+    formulation are possible, matching the float-mode caveat documented
+    on :func:`kmeans_fit`."""
+    cents = sorted(cents)
+    if len(cents) <= literal_max_k:
+        return df.withColumn(out_col, _argmin_cluster(vec_expr, cents, quantized))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tmp = "_sfs_argmin_vec"
+    src = df.withColumn(tmp, vec_expr)
+    dt = np.int64 if quantized else np.float64
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=dt)
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat))
+    # fresh StructType — StructType.add would mutate src's cached schema
+    schema = StructType(
+        list(src.schema.fields) + [StructField(out_col, LongType())])
+
+    def assign(batches):
+        b_cids, b_c = bc.value
+        ct = b_c.T
+        cn2 = (b_c * b_c).sum(axis=1)
+        # row chunk sized so the n×k score matrix stays ≤ ~64 MB
+        step = max(1, 8_000_000 // max(1, len(b_cids)))
+        for pdf in batches:
+            if not len(pdf):
+                out = pdf.copy()
+                out[out_col] = pd.Series(dtype="int64")
+                yield out
+                continue
+            mat = np.stack(pdf[tmp].to_numpy()).astype(dt)
+            res = np.empty(len(mat), dtype=np.int64)
+            for lo in range(0, len(mat), step):
+                sl = mat[lo:lo + step]
+                d = ((sl * sl).sum(axis=1)[:, None] - 2 * (sl @ ct)
+                     + cn2[None, :])
+                res[lo:lo + step] = b_cids[np.argmin(d, axis=1)]
+            out = pdf.copy()
+            out[out_col] = res
+            yield out
+
+    return src.mapInPandas(assign, schema).drop(tmp)
 
 
 def _quantized_vec(vec_col, scale: int):
@@ -259,8 +332,9 @@ def kmeans_fit(
         init = base.orderBy("_kid").limit(k).collect()  # bounded-collect: k rows
         cents = sorted((int(r["_kid"]), list(r["_kv"])) for r in init)
         for _ in range(iters):
-            assigned = base.withColumn(
-                "_c", _argmin_cluster(F.col("_kv"), cents, quantize is not None))
+            assigned = _assign_nearest(
+                base, F.col("_kv"), cents,
+                quantized=quantize is not None, out_col="_c")
             upd = (
                 assigned.select("_c", F.posexplode("_kv").alias("_p", "_x"))
                 .groupBy("_c", "_p")
@@ -294,11 +368,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest trained centroid (same argmin
     + quantization as the fit loop): adds ``cluster_col``. Map-side
-    only — no shuffle, no UDF."""
+    only — no shuffle; no Python below :data:`ARGMIN_LITERAL_MAX_K`
+    centroids, a broadcast Arrow GEMM above it (see
+    :func:`_assign_nearest`)."""
     vec = (_quantized_vec(vec_col, quantize) if quantize
            else F.col(vec_col).cast("array<double>"))
-    return df.withColumn(
-        cluster_col, _argmin_cluster(vec, cents, quantize is not None))
+    return _assign_nearest(
+        df, vec, cents, quantized=quantize is not None, out_col=cluster_col)
 
 
 def semdedup(
@@ -311,6 +387,7 @@ def semdedup(
     threshold: float = 0.99,
     quantize: int = 1_000_000,
     cluster_col: str = "cluster",
+    row_cap: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (semantic deduplication, Abbas et al. 2023): cluster the
     embedding space with k-means, then inside each cluster drop every
@@ -322,12 +399,25 @@ def semdedup(
     the cluster's min id).
 
     Pairwise work happens only *within* a cluster — the pairing key is
-    the cluster id, so cost is Σ|cluster|², never corpus². Each cluster
-    runs as ONE Arrow-batched ``applyInPandas`` task: the row-chunked
-    integer GEMM bounds the per-slab transient (1024 × |cluster|), but
-    the cluster's matrix itself must fit the task — size ``k`` so the
-    largest cluster does (SemDeDup used 50k clusters for 5B embeddings
-    ≈ 10⁵ vectors/cluster, ~50 MB at dim 64 — comfortably in-task).
+    the cluster id, so cost is Σ|cluster|², never corpus². A cluster of
+    ≤ ``row_cap`` rows runs as ONE Arrow-batched ``applyInPandas`` task:
+    the row-chunked integer GEMM bounds the per-slab transient
+    (1024 × |cluster|), and at the default cap the cluster matrix is
+    ≤ ~51 MB at dim 64 — comfortably in-task (SemDeDup used 50k
+    clusters for 5B embeddings ≈ 10⁵ vectors/cluster).
+
+    **Skew guard**: clusters above ``row_cap`` — the degenerate
+    one-giant-cluster case, common on near-duplicate-heavy web corpora,
+    which is exactly where semdedup is deployed — are hash-split into
+    ⌈n/row_cap⌉ blocks and computed as per-block-PAIR partial maxima
+    (the same block-pair decomposition as
+    ``dedup.embedding_near_dup_pairs``): task (i,j) scores each member
+    of one block against lower-id members of the other, a final
+    map-combined ``max`` per id merges the partials. max is associative
+    and HALF_UP rounding is monotone, so the split path is
+    bit-identical to the naive one-task formulation (pinned by
+    ``tests/test_operators.py``); no task ever materializes more than
+    2·row_cap vectors.
 
     Determinism: vectors are quantized to int64 fixed-point, so dot
     products and squared norms are *exact integers* — in numpy exactly
@@ -343,12 +433,20 @@ def semdedup(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from pyspark.storagelevel import StorageLevel
+
     cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters, quantize=quantize)
     q = _quantized_vec(vec_col, quantize)
 
-    a = df.select(F.col(id_col), q.alias("_q")).withColumn(
-        cluster_col, _argmin_cluster(F.col("_q"), cents, True)
-    )
+    # persisted: the assignment feeds four subtrees (size gate, small
+    # path, big path, final join) — without the cache the argmin would
+    # re-run per subtree. Freed by spark.catalog.clearCache() between
+    # pipeline stages (see bench.py); a long-lived session otherwise
+    # holds the blocks for its lifetime.
+    a = _assign_nearest(
+        df.select(F.col(id_col), q.alias("_q")), F.col("_q"), cents,
+        quantized=True, out_col=cluster_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-cluster max-cosine-to-a-lower-id via exact int64 GEMM: the
     # earlier pure-column self-join evaluated an interpreted
@@ -361,40 +459,115 @@ def semdedup(
     ])
     quant = Decimal("0.0001")
 
-    def _maxcos(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"_sid": pd.Series(dtype="int64"),
-                              "max_cos_lower": pd.Series(dtype="float64")})
+    def _prep(pdf: pd.DataFrame):
+        """Sorted-by-id (ids, int64 matrix, norms, blocks) with
+        zero-norm (all-zero quantized) vectors dropped: every cosine
+        against them is NULL in the SQL formulation (0/0), and F.max
+        ignores NULL — they neither emit nor count as lower mates."""
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf["_q"].to_numpy())[order].astype(np.int64)
+        blk = (pdf["_blk"].to_numpy(dtype=np.int64)[order]
+               if "_blk" in pdf.columns else None)
         nr = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-        # zero-norm (all-zero quantized) vectors: every cosine against
-        # them is NULL in the SQL formulation (0/0), and F.max ignores
-        # NULL — drop them so they neither emit nor count as lower mates
         keep = nr > 0
-        ids, mat, nr = ids[keep], mat[keep], nr[keep]
+        return (ids[keep], mat[keep], nr[keep],
+                blk[keep] if blk is not None else None)
+
+    def _round4(v: float) -> float:
+        # repr(float(v)): numpy-2-safe shortest repr — matches
+        # Spark's BigDecimal.valueOf(double) HALF_UP exactly
+        return float(Decimal(repr(float(v))).quantize(
+            quant, rounding=ROUND_HALF_UP))
+
+    _empty = {"_sid": pd.Series(dtype="int64"),
+              "max_cos_lower": pd.Series(dtype="float64")}
+
+    def _maxcos_core(ids, mat, nr, pair_mask) -> pd.DataFrame:
+        """Per row: max cosine to any lower-id row allowed by
+        ``pair_mask(lo, hi)`` (an extra boolean gate on the n×n pair
+        grid, or None for all-lower-ids). int64 GEMM in ≤1024-row
+        slabs: exact integer dot products, transient ≤ 1024×n."""
         n = len(ids)
         if n < 2:
-            return empty
-        best = np.empty(n - 1, dtype=np.float64)
+            return pd.DataFrame(_empty)
+        out_ids, out_best = [], []
         for lo in range(1, n, 1024):
             hi = min(lo + 1024, n)
             sims = mat[lo:hi] @ mat.T  # int64: exact
             cos = sims / (nr[lo:hi, None] * nr[None, :])
-            lower = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
-            best[lo - 1:hi - 1] = np.where(lower, cos, -np.inf).max(axis=1)
-        rounded = [
-            # repr(float(v)): numpy-2-safe shortest repr — matches
-            # Spark's BigDecimal.valueOf(double) HALF_UP exactly
-            float(Decimal(repr(float(v))).quantize(
-                quant, rounding=ROUND_HALF_UP))
-            for v in best
-        ]
-        return pd.DataFrame({"_sid": ids[1:], "max_cos_lower": rounded})
+            allowed = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            if pair_mask is not None:
+                allowed &= pair_mask(lo, hi)
+            has = allowed.any(axis=1)
+            if has.any():
+                best = np.where(allowed, cos, -np.inf).max(axis=1)[has]
+                out_ids.append(ids[lo:hi][has])
+                out_best.append(best)
+        if not out_ids:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({
+            "_sid": np.concatenate(out_ids),
+            "max_cos_lower": [_round4(v)
+                              for v in np.concatenate(out_best)],
+        })
 
+    def _maxcos(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, mat, nr, _ = _prep(pdf)
+        return _maxcos_core(ids, mat, nr, None)
+
+    def _maxcos_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, i, j = key
+        ids, mat, nr, blk = _prep(pdf)
+        if i == j:
+            # intra-block: all lower-id pairs of this block
+            return _maxcos_core(ids, mat, nr, None)
+        # cross-block only — intra pairs belong to the (i,i)/(j,j) tasks
+
+        def cross(lo, hi):
+            return blk[None, :] != blk[lo:hi, None]
+
+        return _maxcos_core(ids, mat, nr, cross)
+
+    # size gate: cluster counts ride a broadcast join (≤ k rows — no
+    # driver action, the counts materialize inside the broadcast
+    # exchange); clusters over row_cap take the block-pair path
+    counts = a.groupBy(cluster_col).agg(F.count("*").alias("_cn"))
+    sized = a.join(F.broadcast(counts), cluster_col)
+    small = sized.where(F.col("_cn") <= row_cap).drop("_cn")
+    sims_small = small.groupBy(cluster_col).applyInPandas(
+        _maxcos, sims_schema)
+
+    big = sized.where(F.col("_cn") > row_cap)
+    nb = F.ceil(F.col("_cn") / F.lit(row_cap)).cast("int")
+    blocked = big.withColumn(
+        "_blk", F.pmod(F.hash(F.col(id_col)), nb).cast("int"))
+    # per-oversized-cluster block-pair table (i ≤ j), built from the
+    # k-row counts table — broadcast, never data-proportional
+    pair_tab = (
+        counts.where(F.col("_cn") > row_cap)
+        .select(F.col(cluster_col).alias("_pc"), nb.alias("_nb"))
+        .select("_pc", F.explode(
+            F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_pi"), "_nb")
+        .select("_pc", "_pi", F.explode(
+            F.sequence(F.col("_pi"), F.col("_nb") - 1)).alias("_pj"))
+    )
+    repl = blocked.join(
+        F.broadcast(pair_tab),
+        (blocked[cluster_col] == pair_tab["_pc"])
+        & ((F.col("_blk") == F.col("_pi"))
+           | (F.col("_blk") == F.col("_pj"))),
+    ).drop("_pc", "_cn")
+    sims_big = repl.groupBy(cluster_col, "_pi", "_pj").applyInPandas(
+        _maxcos_pair, sims_schema)
+
+    # merge partials: max is associative and the HALF_UP 4-decimal
+    # rounding is monotone, so max(round(partials)) == round(true max)
     sims = (
-        a.groupBy(cluster_col).applyInPandas(_maxcos, sims_schema)
+        sims_small.unionByName(sims_big)
+        .groupBy("_sid")
+        .agg(F.max("max_cos_lower").alias("max_cos_lower"))
         .withColumnRenamed("_sid", id_col)
     )
     return (

@@ -723,3 +723,57 @@ def test_minhash_optimizations_equal_naive_pipeline(spark):
     actual = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got.collect()}
     assert actual == expected
     assert len(actual) >= 6 * 5 // 2 + 1  # dup group pairs + permutation pair
+
+
+def test_assign_nearest_large_k_matches_literal_path(spark, emb):
+    """Past ARGMIN_LITERAL_MAX_K the argmin switches to the broadcast
+    mapInPandas GEMM; at k=1000/dim=64 the plan must stay bounded (no
+    k x dim literal blowup) and agree with the literal formulation on
+    the centroids they share semantics for (exact int64 math)."""
+    import time
+
+    rng = np.random.RandomState(3)
+    cents_big = [(cid, [int(x) for x in rng.randint(-2_000_000, 2_000_000, 64)])
+                 for cid in range(1000)]
+    q = similarity._quantized_vec("embedding", 1_000_000)
+    src = emb.select("vec_id", q.alias("_q"))
+    t0 = time.time()
+    big = similarity._assign_nearest(
+        src, F.col("_q"), cents_big, quantized=True, out_col="c")
+    plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 100_000, "plan grew with k: literal path leaked"
+    got = {r["vec_id"]: r["c"] for r in big.collect()}
+    assert time.time() - t0 < 120
+    # exact check vs local numpy on a sample of rows
+    cmat = np.array([v for _, v in cents_big], dtype=np.int64)
+    cid_arr = np.array([c for c, _ in cents_big], dtype=np.int64)
+    sample_rows = src.orderBy("vec_id").limit(20).collect()
+    for r in sample_rows:
+        v = np.asarray(r["_q"], dtype=np.int64)
+        d = ((cmat - v) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == cid_arr[np.argmin(d)]
+    # small k still takes the literal path (plan carries the literals)
+    lit = similarity._assign_nearest(
+        src, F.col("_q"), cents_big[:4], quantized=True, out_col="c")
+    assert "aggregate" in lit._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+
+
+def test_semdedup_skew_guard_matches_naive(spark, emb):
+    """A row_cap that forces every cluster through the block-pair
+    split path must produce the identical (id, cluster, max_cos_lower,
+    keep) rows as the naive one-task-per-cluster formulation — max is
+    associative and the rounding monotone, so bit-identical."""
+    key = lambda rows: sorted(
+        (r["vec_id"], r["cluster"], r["max_cos_lower"], r["keep"])
+        for r in rows)
+    naive = key(similarity.semdedup(
+        emb, "embedding", "vec_id", k=2, iters=1, threshold=0.8,
+        row_cap=10**9).collect())
+    # k=2 over the sf0.001 embeddings -> clusters far above 7 rows:
+    # every cluster splits into many hash blocks
+    split = key(similarity.semdedup(
+        emb, "embedding", "vec_id", k=2, iters=1, threshold=0.8,
+        row_cap=7).collect())
+    assert naive == split
+    assert len(naive) == emb.count()
