@@ -184,6 +184,11 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         _noop_consume(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist intermediates (token streams, shingle sets,
+        # kmeans assignments) for intra-query reuse; drop them between
+        # queries so a long session doesn't accumulate MEMORY_AND_DISK
+        # blocks across the whole suite
+        spark.catalog.clearCache()
 
     fits_sec, fits_mb, decode_rate = fits_scan_seconds(spark)
     timings["fits_scan_64mb"] = round(fits_sec, 3)

@@ -63,10 +63,18 @@ def register_fits(spark) -> None:
 
 
 def _package_zip(pkg_dir: str) -> str:
-    """Zip ``spark_fits_spark`` into a content-stable temp file (built
-    once per source state) suitable for ``SparkContext.addPyFile``."""
+    """Zip ``spark_fits_spark`` into a content-stable cache file (built
+    once per source state) suitable for ``SparkContext.addPyFile``.
+
+    The cache lives in a per-user 0700 directory (never a shared
+    world-writable path): the zip is shipped verbatim to executor
+    Python workers, so a pre-planted file at a predictable public path
+    would be arbitrary code execution in the job. A cache dir that is
+    not ours or has group/other bits set is abandoned for a fresh
+    ``mkdtemp`` — nothing pre-existing is ever trusted."""
     import hashlib
     import os
+    import tempfile
     import zipfile
 
     parent = os.path.dirname(pkg_dir)
@@ -80,16 +88,26 @@ def _package_zip(pkg_dir: str) -> str:
         h.update(p.encode())
         with open(p, "rb") as fh:
             h.update(fh.read())
-    out = os.path.join(
-        "/tmp", f"spark_fits_spark_{h.hexdigest()[:12]}.zip")
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    base = os.path.join(tempfile.gettempdir(), f"spark_fits_spark-{uid}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.stat(base)
+        owned = (not hasattr(os, "getuid")
+                 or (st.st_uid == uid and not (st.st_mode & 0o077)))
+    except OSError:
+        owned = False
+    if not owned:
+        base = tempfile.mkdtemp(prefix="spark_fits_spark_")
+
+    out = os.path.join(base, f"pkg_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(out):
         # per-process temp name + atomic replace: concurrent sessions
         # (bench + tests) building the same content must not interleave
         # writes into one shared .part file
-        import tempfile
-
         fd, tmp = tempfile.mkstemp(
-            dir="/tmp", prefix="spark_fits_spark_", suffix=".zip.part")
+            dir=base, prefix="pkg_", suffix=".zip.part")
         os.close(fd)
         with zipfile.ZipFile(tmp, "w") as z:
             for p in sorted(paths):

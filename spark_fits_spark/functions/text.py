@@ -113,7 +113,7 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def spread_for_cpu(df):
+def spread_for_cpu(df, npartitions: int | None = None):
     """Small-input guard for CPU-heavy map stages (tokenize + md5 gram
     hashing): a 100 TB scan arrives with thousands of partitions, but a
     small corpus is often ONE parquet file → ONE scan partition, and the
@@ -121,10 +121,26 @@ def spread_for_cpu(df):
     stages at sf0.1). Repartition up to the default parallelism when the
     incoming plan has materially fewer partitions; the bytes moved are
     the (by construction small) input, and on a real many-partition scan
-    this is a no-op branch."""
+    this is a no-op branch.
+
+    Probe cost: pass ``npartitions`` (a caller hint) to skip probing
+    entirely. Otherwise ``inputFiles()`` (driver-side file listing, no
+    plan conversion) settles the common many-file no-op case; only a
+    few-file/unlisted source falls back to ``rdd.getNumPartitions()``,
+    which converts the plan to an RDD (and, for a Python datasource,
+    re-runs its partition planning) — acceptable exactly when the input
+    is small."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < p:
+    if npartitions is None:
+        try:
+            nfiles = len(df.inputFiles())
+        except Exception:
+            nfiles = 0
+        if nfiles * 2 >= p:
+            return df  # ≥1 partition per file → already spread
+        npartitions = df.rdd.getNumPartitions()
+    if npartitions * 2 < p:
         return df.repartition(p)
     return df
 
@@ -502,6 +518,17 @@ def bpe_segment(df, text_col: str, *, n_merges: int = 3, sep: str = "\x1f"):
     makes the whole training loop oracle-checkable. Driver traffic is
     ONE row per merge (the argmax pair), parameter-bounded like
     kmeans' centroids.
+
+    Ceiling: each merge is one full Spark job over the vocabulary (a
+    pair-count shuffle + an argmax), strictly sequential — fine for the
+    small ``n_merges`` this suite exercises, but a production tokenizer
+    vocab (~30k merges) would mean ~30k sequential jobs (hours of
+    scheduler overhead alone). Real tokenizer training wants the
+    standard refinement: compute pair counts once, then apply BATCHES
+    of non-interacting merges per job (pairs whose symbols don't
+    overlap can merge in the same pass), cutting jobs by ~100×. Not
+    implemented here — this operator's contract is the oracle-checkable
+    merge loop, not tokenizer-training throughput.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))

@@ -16,6 +16,14 @@ UDFs, no driver collects) designed for the 100 TB regime:
 
 Hashing is md5-based end to end so DuckDB oracles can replicate results
 bit-for-bit (string-min over hex digests instead of integer min).
+
+Caching note: several operators ``persist()`` intermediates (token /
+gram streams, shingle sets) that feed multiple subtrees of the returned
+plan — the cache is what keeps the corpus from being re-tokenized per
+subtree, and it cannot be unpersisted before the caller materializes
+the result. Long-lived sessions running many operator calls should
+``spark.catalog.clearCache()`` between pipeline stages (bench.py does),
+or the MEMORY_AND_DISK blocks accumulate for the session lifetime.
 """
 
 from __future__ import annotations
@@ -438,10 +446,15 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    table_bytes: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair *within a block* (e.g. same
     source). Returns (block, doc_a, doc_b, jaccard). Quadratic inside a
     block only — choose blocks accordingly.
+
+    ``table_bytes``: caller-known size of the distinct shingle-set
+    table; when given, the broadcast gate skips its sizing aggregate
+    job (one count+sum over the persisted sets per call otherwise).
 
     Output-invariant optimization (same trick as
     :func:`minhash_lsh_pairs`, pinned by the q23 oracle): docs in the
@@ -475,7 +488,9 @@ def ngram_jaccard_pairs(
     # the pair generation map-side. Falls back to shuffle when the
     # shingle table outgrows broadcast range (byte estimate — the rows
     # carry int64 arrays, so row count alone under-gates).
-    if _shingle_table_bytes(sets_df) <= broadcast_max_bytes:
+    sized_bytes = (table_bytes if table_bytes is not None
+                   else _shingle_table_bytes(sets_df))
+    if sized_bytes <= broadcast_max_bytes:
         b = F.broadcast(b)
         # pair generation is map-side after the broadcast, so its
         # parallelism = probe-side partitions; docs are few but pairs are
@@ -513,7 +528,13 @@ def ngram_jaccard_pairs(
               & (F.col("x._id") < F.col("y._id")))
         .select(F.col("x._blk").alias("block"),
                 F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"),
-                F.lit(1.0).alias("jaccard"))
+                # NULL-text docs share an empty (or NULL) shingle set
+                # and the window groups them together: score NULL, not
+                # 1.0 — the naive pairwise formulation yields 0/0 =
+                # NULL there, and the minhash path already treats
+                # setless docs the same way
+                F.when(F.size("x._set") > 0, F.lit(1.0))
+                .otherwise(F.lit(None).cast("double")).alias("jaccard"))
     )
     return cross.unionAll(intra)
 

@@ -2474,6 +2474,57 @@ def q73_temperature_mix(spark, sf):
         d, "source", id_col="doc_id", alpha=0.5, target_frac=0.5)
 
 
+# Recall@k of the IVF retriever against the exact brute-force top-k on
+# the same corpus/queries — the quality side of the approximate-vs-exact
+# tradeoff, oracle composed from the q26 and q50 oracle SQL verbatim.
+_RECALL_ORACLE = f"""
+WITH exact AS (SELECT * FROM ({ORACLES["q26_ann_cosine_topk"]})),
+ivf AS (SELECT * FROM ({ORACLES["q50_ann_ivf_topk"]})),
+j AS (
+  SELECT e.query_id, e.vec_id,
+         CASE WHEN i.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact e LEFT JOIN ivf i
+    ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       round(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall_at_k
+FROM j GROUP BY query_id
+"""
+
+
+@query("q81_ann_recall", _RECALL_ORACLE)
+def q81_ann_recall(spark, sf):
+    """ANN quality invariant: per-query recall@10 of IVF (nprobe=2 of 8
+    cells — ~1/4 of the corpus scored per query) vs the exact cosine
+    top-10. Documents the nprobe tradeoff as a driver-checkable number
+    rather than a plan property: raising nprobe toward n_centroids
+    drives recall_at_k to 1.0 at proportionally more list work. Both
+    retrievers are deterministic, so the oracle replays them verbatim
+    and the recall math is a plain join+agg."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
+    ivf = similarity.ivf_topk(
+        e, q, "embedding", "vec_id",
+        k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
+    hit = ivf.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4)
+            .alias("recall_at_k"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

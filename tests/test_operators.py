@@ -777,3 +777,25 @@ def test_semdedup_skew_guard_matches_naive(spark, emb):
         row_cap=7).collect())
     assert naive == split
     assert len(naive) == emb.count()
+
+
+def test_ngram_jaccard_null_text_scores_null_not_one(spark):
+    """At shingle_n=1 NULL-text docs carry a NULL shingle set and the
+    window groups them together: their intra pair must score NULL (the
+    naive formulation's 0/0), never 1.0. At n>=2 short/NULL docs
+    shingle to {full-text} = {""} — a real one-element set that
+    legitimately scores 1.0 against its twin, same as the naive
+    set-level answer. Real-text pairs unaffected in both."""
+    rows = [(0, "alpha beta gamma delta", "b"),
+            (1, "alpha beta gamma delta", "b"),
+            (2, None, "b"), (3, None, "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out1 = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", "src", shingle_n=1).collect()}
+    assert out1[(0, 1)] == 1.0
+    assert (2, 3) in out1 and out1[(2, 3)] is None
+    out2 = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", "src", shingle_n=2).collect()}
+    assert out2[(0, 1)] == 1.0 and out2[(2, 3)] == 1.0
