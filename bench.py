@@ -152,6 +152,52 @@ def fits_scan_seconds(spark) -> tuple[float, float, float]:
     return sec, mb, decode_rate
 
 
+def fits_scan_multifile_seconds(spark) -> tuple[float, float]:
+    """(seconds, MB) for the same ~64 MB bintable payload split across
+    32 separate FITS files (32 scan partitions): pins multi-file
+    planning cost — the driver-side header walk (thread-pooled in
+    plan_for_files) plus 32-task scheduling — against the single-file
+    number. Python-datasource planning re-runs per action, so the timed
+    agg carries the full planning + scheduling path, not just decode."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    d = tempfile.mkdtemp(prefix="fitsbench_multi")
+    n_files, rows = 32, 62_500  # 32 x 2 MB = the single-file 64 MB
+    rng = np.random.RandomState(0)
+    for fi in range(n_files):
+        base = fi * rows
+        cols = [
+            ("target", "10A",
+             np.array([f"OBJ{base + i:07d}" for i in range(rows)])),
+            ("RA", "E", rng.uniform(0, 6.28, rows).astype(">f4")),
+            ("Dec", "D", rng.uniform(-1.57, 1.57, rows)),
+            ("Index", "K", np.arange(base, base + rows, dtype=">i8")),
+            ("RunId", "I", np.ones(rows, dtype=">i2")),
+        ]
+        writer.write_fits(
+            os.path.join(d, f"part{fi:03d}.fits"),
+            [writer.bintable_hdu(cols)])
+    mb = sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)) / 1e6
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("fits").option("hdu", 1).load(d)
+    df.count()  # warm-up: python workers + schema inference
+    t0 = time.perf_counter()
+    got = df.agg(F.sum("Index"), F.count("*")).collect()[0]
+    sec = time.perf_counter() - t0
+    total = n_files * rows
+    assert got[1] == total and got[0] == total * (total - 1) // 2, got
+    try:
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        os.rmdir(d)
+    except OSError:
+        pass
+    return sec, mb
+
+
 def main() -> None:
     from spark_fits_spark.plans import build_session
     from spark_fits_spark.suite import QUERIES
@@ -192,6 +238,8 @@ def main() -> None:
 
     fits_sec, fits_mb, decode_rate = fits_scan_seconds(spark)
     timings["fits_scan_64mb"] = round(fits_sec, 3)
+    multi_sec, multi_mb = fits_scan_multifile_seconds(spark)
+    timings["fits_scan_multifile"] = round(multi_sec, 3)
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline set, for apples-to-apples round-over-round
@@ -201,7 +249,8 @@ def main() -> None:
                                           "q64", "q65", "q66", "q67",
                                           "q68", "q69", "q70", "q71",
                                           "q72", "q73", "q75", "q76",
-                                          "q77", "q78", "q79"))), 3)
+                                          "q77", "q78", "q79",
+                                          "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",
@@ -212,6 +261,9 @@ def main() -> None:
         "sf": float(sf),
         "cpus": CPUS,
         "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
+        # same payload over 32 files / 32 scan partitions: multi-file
+        # planning (thread-pooled driver header walk) + scheduling cost
+        "fits_scan_multifile_mb_per_s": round(multi_mb / multi_sec, 1),
         # single-thread pure decode (no Spark overhead): the honest
         # per-task comparison against the reference's ~16 MB/s/task.
         # At 68 MB the distributed scan wall is dominated by fixed

@@ -363,11 +363,24 @@ def minhash_lsh_pairs(
     # band-row width grows with bands: _id, _band, _key + (bands-1)
     # prior-key columns, ~8 B each plus row envelope
     band_row_bytes = 8 * (bands + 2) + 16
-    if n_sets * bands * band_row_bytes <= broadcast_max_bytes:
+    band_bcast = n_sets * bands * band_row_bytes <= broadcast_max_bytes
+    if band_bcast:
         right = F.broadcast(bands_df.alias("r"))
+        # broadcast mode = the table is small; the probe side then runs
+        # one near-empty task per cached partition (the window shuffle's
+        # spark.sql.shuffle.partitions), and with AQE's parallelismFirst
+        # the scheduler won't shrink it. Right-size the probe to ~20k
+        # band rows per task (floor 4 so a hot boilerplate bucket's
+        # quadratic verify still spreads) — at sf0.1 this turns 3x64
+        # near-empty tasks into 3x4, a pure fixed-overhead cut; past the
+        # broadcast gate the shuffle-join path keeps full parallelism.
+        probe_parts = max(4, min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            n_sets * bands // 20_000 + 1))
+        left = bands_df.coalesce(probe_parts).alias("l")
     else:
         right = bands_df.alias("r")
-    left = bands_df.alias("l")
+        left = bands_df.alias("l")
     no_earlier_match = F.lit(True)
     for p in range(bands - 1):
         no_earlier_match = no_earlier_match & ~F.col(f"l._p{p}").eqNullSafe(
@@ -424,13 +437,23 @@ def minhash_lsh_pairs(
     # empty pair at 0/0 = NULL in the naive pipeline and are dropped —
     # the size guard keeps that behavior.)
     sizes = sets_df.select(F.col("_id").alias("_ra"), F.size("_hashes").alias("_n"))
+    mem_bcast = n_docs * 48 <= broadcast_max_bytes
+    x_side = membership.alias("x")
+    y_side = membership.alias("y")
+    sz_side = sizes.withColumnRenamed("_ra", "_rep").where(F.col("_n") > 0)
+    if mem_bcast:
+        # same small-table probe right-sizing as the bucket join above
+        x_side = membership.coalesce(max(4, min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            n_docs // 20_000 + 1))).alias("x")
+        y_side = F.broadcast(y_side)
+        sz_side = F.broadcast(sz_side)
     intra = (
-        membership.alias("x")
-        .join(membership.alias("y"),
+        x_side
+        .join(y_side,
               (F.col("x._rep") == F.col("y._rep"))
               & (F.col("x._id") < F.col("y._id")))
-        .join(sizes.withColumnRenamed("_ra", "_rep").where(F.col("_n") > 0),
-              "_rep")
+        .join(sz_side, "_rep")
         .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"),
                 F.lit(1.0).alias("jaccard"))
         .where(F.lit(1.0) >= threshold)
