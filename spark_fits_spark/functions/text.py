@@ -409,6 +409,83 @@ def dsir_logratio(df, text_col: str, id_col: str, target_flag):
     )
 
 
+def pmi_collocations(df, text_col: str, *, min_count: int = 5, k: int = 20):
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the classic phrase/term extraction pass over a corpus (word2vec's
+    phrase detection, terminology mining, tokenizer-vocab seeding).
+
+    ``PMI(x,y) = log10( p(x,y) / (p(x)·p(y)) )`` with ``p(x,y)`` over
+    the bigram stream and ``p(x)`` over the unigram stream. Bigrams
+    below ``min_count`` are dropped (the standard noise floor — PMI
+    explodes for hapax pairs).
+
+    Plan shape: two frequency aggregations (unigram, bigram) with
+    map-side combine; the unigram table is persisted because the grand
+    total AND both word-joins consume it (re-tokenizing the corpus per
+    consumer otherwise). Totals ride one-row broadcasts; the
+    bigram→unigram joins are vocabulary-sized equi-joins that AQE
+    broadcasts when small. Final ranking is a distributed top-k
+    (TakeOrderedAndProject) — the rank window orders only k rows.
+
+    Determinism: PMI is quantized to int64 (×1e6) on the (small)
+    filtered bigram table; ties break on the bigram string. Returns
+    ``(bigram, pair_count, left_count, right_count, pmi6, pmi, rank)``.
+
+    Persist lifetime: the unigram table stays cached for the session
+    (vocab-sized); call ``spark.catalog.clearCache()`` between runs if
+    that matters."""
+    from pyspark.sql.window import Window as _W
+    from pyspark.storagelevel import StorageLevel
+
+    base = spread_for_cpu(df)
+    uni = (
+        base.select(F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy("_tok").agg(F.count("*").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = tokens(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        base.select(F.explode(bigrams).alias("_bg"))
+        .groupBy("_bg").agg(F.count("*").alias("_nbg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = (
+        uni.agg(F.sum("_n").cast("double").alias("_N"))
+        .crossJoin(big.agg(F.sum("_nbg").cast("double").alias("_M")))
+    )
+    lw = uni.select(F.col("_tok").alias("_lw"), F.col("_n").alias("left_count"))
+    rw = uni.select(F.col("_tok").alias("_rw"), F.col("_n").alias("right_count"))
+    scored = (
+        big.where(F.col("_nbg") >= min_count)
+        .withColumn("_lw", F.split(F.col("_bg"), " ")[0])
+        .withColumn("_rw", F.split(F.col("_bg"), " ")[1])
+        .join(lw, "_lw").join(rw, "_rw")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_bg").alias("bigram"),
+            F.col("_nbg").alias("pair_count"),
+            "left_count", "right_count",
+            F.round(
+                (F.log10(F.col("_nbg") / F.col("_M"))
+                 - F.log10(F.col("left_count") / F.col("_N"))
+                 - F.log10(F.col("right_count") / F.col("_N"))) * 1_000_000,
+                0).cast("long").alias("pmi6"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi6"), F.asc("bigram")).limit(k)
+    rank_w = _W.orderBy(F.desc("pmi6"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "bigram", "pair_count", "left_count", "right_count", "pmi6",
+        F.round(F.col("pmi6") / 1_000_000, 4).alias("pmi"), "rank")
+
+
 def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
               *, k1: float = 1.2, b: float = 0.75, k: int = 20):
     """BM25 lexical retrieval: top-``k`` documents for a bag of query

@@ -844,3 +844,81 @@ def decontaminate(
             (F.coalesce("_n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    k: int = 128,
+    n: int = 1,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Pairwise corpus-overlap estimation between sources via
+    K-Minimum-Values sketches (Bar-Yossef et al. 2002): per group, keep
+    the ``k`` lexicographically smallest md5 hashes of the word
+    ``n``-grams (``n=1`` → tokens); for each
+    group pair estimate token-set Jaccard as ``|U ∩ A ∩ B| / |U|``
+    where ``U`` is the k smallest of the union of both sketches, plus a
+    KMV union-cardinality estimate ``(|U|−1) / h_k`` with ``h_k`` the
+    kth hash mapped to [0,1). The standard "how much does source X
+    duplicate source Y" diagnostic before mixing corpora — O(k) state
+    per source instead of a cross-source distinct count.
+
+    Scale: one distinct shuffle on (group, hash); the per-group
+    k-smallest is two-phase (salted local top-k, then a final window
+    over ≤ ``n_salts``·k candidate rows per group) so no group's full
+    vocabulary ever meets in one task. Sketches are k-row; the pair
+    stage is |groups|²-bounded array math on the driver-free plan.
+
+    Determinism: md5 hex ordering and integer/4-decimal arithmetic are
+    identical in Spark and the SQL oracle. Returns one row per unordered
+    group pair: ``(source_a, source_b, sketch_k, union_k, n_inter,
+    jaccard, union_est)``."""
+    from pyspark.sql.window import Window as _W
+
+    from spark_fits_spark.functions.text import (
+        spread_for_cpu, tokens, word_ngrams)
+
+    grams = tokens(text_col) if n == 1 else word_ngrams(text_col, n)
+    tk = (
+        spread_for_cpu(df)
+        .select(F.col(group_col).alias("_g"),
+                F.explode(grams).alias("_tok"))
+        .select("_g", F.md5("_tok").alias("_h"))
+        .distinct()
+    )
+    # two-phase per-group k-smallest: the union of per-salt k-smallest
+    # contains the global k-smallest, so the salt (any hash-derived
+    # bucket) is result-neutral
+    salted = tk.withColumn("_s", F.pmod(F.crc32("_h"), F.lit(n_salts)))
+    w1 = _W.partitionBy("_g", "_s").orderBy("_h")
+    cand = (salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= k).drop("_rn", "_s"))
+    w2 = _W.partitionBy("_g").orderBy("_h")
+    sk = (cand.withColumn("_rn", F.row_number().over(w2))
+          .where(F.col("_rn") <= k)
+          .groupBy("_g").agg(F.array_sort(F.collect_list("_h")).alias("_a")))
+
+    a = sk.select(F.col("_g").alias("source_a"), F.col("_a").alias("_aa"))
+    b = sk.select(F.col("_g").alias("source_b"), F.col("_a").alias("_ab"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("_aa"), F.col("_ab"))), 1, k)
+    inter = F.size(F.filter(
+        u, lambda x: F.array_contains(F.col("_aa"), x)
+        & F.array_contains(F.col("_ab"), x)))
+    kth_frac = (
+        F.conv(F.substring(F.element_at(u, F.size(u)), 1, 8), 16, 10)
+        .cast("long").cast("double") / F.lit(4294967296.0))
+    return pairs.select(
+        "source_a", "source_b",
+        F.lit(k).alias("sketch_k"),
+        F.size(u).alias("union_k"),
+        inter.cast("long").alias("n_inter"),
+        F.round(inter.cast("double") / F.size(u), 4).alias("jaccard"),
+        F.when(kth_frac > 0,
+               F.round((F.size(u) - 1) / kth_frac, 0).cast("long"))
+        .alias("union_est"),
+    )

@@ -377,6 +377,90 @@ def kmeans_assign(
         df, vec, cents, quantized=quantize is not None, out_col=cluster_col)
 
 
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    m: int = 2,
+    k: int = 16,
+    iters: int = 1,
+    quantize: int | None = None,
+) -> list[list[tuple[int, list]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    embedding into ``m`` contiguous subspaces and train an independent
+    k-means codebook per subspace — the memory-compression layer under
+    IVF-PQ ANN indexes (``m·log2(k)`` bits per vector instead of
+    ``dim·32``).
+
+    Each codebook reuses :func:`kmeans_fit` verbatim (including the
+    int64 fixed-point deterministic mode and the large-k Arrow argmin),
+    so driver traffic stays k×dim-bounded per subspace. Requires
+    ``dim % m == 0``. Returns one ``(cluster_id, centroid)`` list per
+    subspace."""
+    first = corpus.select(vec_col).first()  # bounded collect: 1 row
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    j * sub + 1, sub).alias(vec_col))
+        books.append(kmeans_fit(
+            sliced, vec_col, id_col, k=k, iters=iters, quantize=quantize))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[tuple[int, list]]],
+    *,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook ids plus its exact
+    reconstruction error: ``(id, code0..code{m-1}, err_q2, rmse)``.
+
+    Map-side only — per subspace one argmin (literal-expression plan for
+    small k, broadcast Arrow GEMM past :data:`ARGMIN_LITERAL_MAX_K`) and
+    one literal-map centroid lookup for the error term; zero shuffles at
+    any corpus size. In ``quantize`` mode the squared error is exact
+    int64 arithmetic (``rmse`` is its deterministic sqrt), so the whole
+    encoding is SQL-oracle-checkable."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    dim = m * sub
+    quantized = quantize is not None
+    zero = F.lit(0).cast("long") if quantized else F.lit(0.0)
+    out = df
+    err = None
+    code_cols = []
+    for j, cents in enumerate(codebooks):
+        raw = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+        vecj = _quantized_vec(raw, quantize) if quantized else raw
+        subcol, codecol = f"_pq_sub{j}", f"code{j}"
+        out = _assign_nearest(
+            out.withColumn(subcol, vecj), F.col(subcol), cents,
+            quantized=quantized, out_col=codecol)
+        cent_map = F.map_from_arrays(
+            F.array(*[F.lit(cid).cast("long") for cid, _ in cents]),
+            F.array(*[F.array(*[F.lit(x) for x in vec])
+                      for _, vec in cents]))
+        ej = _sq_dist(F.col(subcol), F.element_at(cent_map, F.col(codecol)),
+                      zero)
+        err = ej if err is None else err + ej
+        code_cols.append(codecol)
+    scale = float(quantize) if quantized else 1.0
+    return out.withColumn("err_q2", err).select(
+        F.col(id_col), *code_cols, "err_q2",
+        F.round(F.sqrt(F.col("err_q2").cast("double") / dim) / scale, 4)
+        .alias("rmse"))
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,

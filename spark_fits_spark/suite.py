@@ -2525,6 +2525,215 @@ def q81_ann_recall(spark, sf):
     )
 
 
+@query("q82_pmi_collocations", """
+WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+uni AS (
+  SELECT tok, COUNT(*) AS n FROM (SELECT unnest(w) AS tok FROM d)
+  GROUP BY tok
+), bg AS (
+  SELECT g, COUNT(*) AS nbg FROM (
+    SELECT unnest(CASE WHEN len(w) >= 2 THEN
+        list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+      ELSE []::VARCHAR[] END) AS g FROM d) GROUP BY g
+), tot AS (
+  SELECT (SELECT SUM(n)::DOUBLE FROM uni) AS nn,
+         (SELECT SUM(nbg)::DOUBLE FROM bg) AS mm
+), scored AS (
+  SELECT bg.g AS bigram, bg.nbg AS pair_count,
+         lu.n AS left_count, ru.n AS right_count,
+         CAST(round((log10(bg.nbg / mm) - log10(lu.n / nn)
+                     - log10(ru.n / nn)) * 1000000) AS BIGINT) AS pmi6
+  FROM bg
+  JOIN uni lu ON string_split(bg.g, ' ')[1] = lu.tok
+  JOIN uni ru ON string_split(bg.g, ' ')[2] = ru.tok, tot
+  WHERE bg.nbg >= 5
+)
+SELECT bigram, pair_count, left_count, right_count, pmi6,
+       round(pmi6::DOUBLE / 1000000, 4) AS pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi6 DESC, bigram) AS INT) AS rank
+FROM scored ORDER BY pmi6 DESC, bigram LIMIT 20
+""")
+def q82_pmi_collocations(spark, sf):
+    """Bigram collocation mining by PMI (phrase detection / terminology
+    extraction): two map-combined frequency aggs, vocabulary-sized
+    joins AQE-broadcast when small, distributed top-k. PMI int64-
+    quantized on the filtered bigram table — order-independent."""
+    d = _t(spark, sf, "documents")
+    return T.pmi_collocations(d, "text", min_count=5, k=20)
+
+
+@query("q83_kmv_source_overlap", """
+WITH g3 AS (
+  SELECT source,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+), tk AS (
+  SELECT DISTINCT source AS g, md5(gram) AS h
+  FROM (SELECT source, unnest(grams) AS gram FROM g3)
+), r AS (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM tk
+), sk AS (
+  SELECT g, list(h ORDER BY h) AS a FROM r WHERE rn <= 128 GROUP BY g
+), p AS (
+  SELECT s1.g AS source_a, s2.g AS source_b, s1.a AS aa, s2.a AS ab
+  FROM sk s1 JOIN sk s2 ON s1.g < s2.g
+), m AS (
+  SELECT source_a, source_b, aa, ab,
+         list_sort(list_distinct(list_concat(aa, ab)))[1:128] AS u
+  FROM p
+), s AS (
+  SELECT source_a, source_b, CAST(128 AS INT) AS sketch_k,
+         len(u) AS union_k,
+         len(list_filter(u, x -> list_contains(aa, x)
+                             AND list_contains(ab, x))) AS n_inter,
+         u[len(u)] AS kth
+  FROM m
+)
+SELECT source_a, source_b, sketch_k, union_k, n_inter,
+       round(n_inter::DOUBLE / union_k, 4) AS jaccard,
+       CASE WHEN CAST(('0x' || substr(kth, 1, 8)) AS BIGINT) > 0 THEN
+         CAST(round((union_k - 1)::DOUBLE
+              / (CAST(('0x' || substr(kth, 1, 8)) AS BIGINT)::DOUBLE
+                 / 4294967296.0), 0) AS BIGINT) END AS union_est
+FROM s
+""")
+def q83_kmv_source_overlap(spark, sf):
+    """Cross-source corpus-overlap estimation with K-Minimum-Values
+    sketches over 3-gram md5 hashes: O(k) state per source replaces a
+    cross-source distinct count; per-pair Jaccard + union-cardinality
+    estimates. Salted two-phase per-group top-k — no source's gram
+    vocabulary ever meets in one task."""
+    d = _t(spark, sf, "documents")
+    return dedup.kmv_source_overlap(d, "text", "source", k=128, n=3)
+
+
+_MRL_TRUNC_SQL = """
+WITH et AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+qt AS (SELECT vec_id, v FROM et WHERE vec_id < 5),
+scoredt AS (
+  SELECT qt.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(qt.v, c.v)
+         / (sqrt(list_dot_product(qt.v, qt.v))
+            * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM et c CROSS JOIN qt WHERE c.vec_id != qt.vec_id
+), rankedt AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scoredt
+)
+SELECT query_id, vec_id FROM rankedt WHERE rank <= 10
+"""
+
+
+@query("q84_mrl_truncated_recall", f"""
+WITH fullk AS (
+  SELECT query_id, vec_id FROM ({{Q26}})
+), trunc AS ({_MRL_TRUNC_SQL}),
+j AS (
+  SELECT f.query_id, f.vec_id,
+         CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM fullk f LEFT JOIN trunc t
+    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+)
+SELECT query_id, CAST(16 AS INT) AS trunc_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_full,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       round(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall_at_k
+FROM j GROUP BY query_id
+""".replace("{Q26}", ORACLES["q26_ann_cosine_topk"]))
+def q84_mrl_truncated_recall(spark, sf):
+    """Matryoshka-style dimension truncation quality: recall@10 of
+    exact cosine retrieval on the FIRST 16 of 64 dims vs the full-dim
+    exact top-10 — the 4× bandwidth/compute cut of prefix-truncated
+    embeddings (Kusupati et al. 2022) as a driver-checked number. Both
+    retrievers are the same broadcast-query single-corpus-pass plan."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    full = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
+    tr = e.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+        .alias("embedding"))
+    trunc = similarity.cosine_topk(
+        tr, tr.where(F.col("vec_id") < 5), "embedding", "vec_id", k=10)
+    hit = trunc.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        full.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_full"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id", F.lit(16).alias("trunc_dim"), "n_full", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_full"), 4)
+            .alias("recall_at_k"),
+        )
+    )
+
+
+def _pq_sub_sql(j: int, lo: int, hi: int) -> str:
+    """One PQ subspace as SQL: quantize slice [lo:hi] → 4-centroid
+    1-iteration Lloyd (identical to the q58 oracle shape) → final
+    (code, exact int64 squared error)."""
+    n = hi - lo + 1
+    dist = (f"list_sum(list_transform(range(1, {n + 1}), "
+            f"i -> (v{j}.q[i] - {{c}}.c[i]) * (v{j}.q[i] - {{c}}.c[i])))")
+    d0, d1 = dist.format(c=f"c0{j}"), dist.format(c=f"c1{j}")
+    return f"""
+v{j} AS (
+  SELECT vec_id, list_transform((embedding::DOUBLE[])[{lo}:{hi}],
+                                x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0{j} AS (SELECT vec_id AS cid, q AS c FROM v{j} ORDER BY vec_id LIMIT 4),
+a1{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v{j}.vec_id, c0{j}.cid,
+           ROW_NUMBER() OVER (PARTITION BY v{j}.vec_id
+                              ORDER BY {d0}, c0{j}.cid) AS rn
+    FROM v{j} CROSS JOIN c0{j}) WHERE rn = 1
+), u1{j} AS (
+  SELECT cid, pos, CAST(floor(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS m
+  FROM (SELECT a1{j}.cid, unnest(range(1, {n + 1})) AS pos,
+               unnest(v{j}.q) AS val
+        FROM a1{j} JOIN v{j} USING (vec_id))
+  GROUP BY cid, pos
+), c1{j} AS (SELECT cid, list(m ORDER BY pos) AS c FROM u1{j} GROUP BY cid),
+f{j} AS (
+  SELECT vec_id, cid AS code{j}, d AS err{j} FROM (
+    SELECT v{j}.vec_id, c1{j}.cid, {d1} AS d,
+           ROW_NUMBER() OVER (PARTITION BY v{j}.vec_id
+                              ORDER BY {d1}, c1{j}.cid) AS rn
+    FROM v{j} CROSS JOIN c1{j}) WHERE rn = 1
+)"""
+
+
+@query("q85_pq_encode", f"""
+WITH {_pq_sub_sql(0, 1, 32)},
+{_pq_sub_sql(1, 33, 64)}
+SELECT f0.vec_id, code0, code1, CAST(err0 + err1 AS BIGINT) AS err_q2,
+       round(sqrt((err0 + err1)::DOUBLE / 64) / 1000000, 4) AS rmse
+FROM f0 JOIN f1 USING (vec_id)
+""")
+def q85_pq_encode(spark, sf):
+    """Product quantization trained and applied IN the engine under the
+    exact-hash gate: 2 subspaces × 4 centroids (1 Lloyd iteration,
+    int64 fixed-point) — the compression layer of an IVF-PQ index.
+    Encoding is map-side only (argmin + literal-map centroid lookup);
+    the reconstruction error is exact integer arithmetic, so the oracle
+    replays the whole fit+encode in SQL."""
+    e = _t(spark, sf, "embeddings")
+    books = similarity.pq_fit(
+        e, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1_000_000)
+    return similarity.pq_encode(
+        e, "embedding", "vec_id", books, quantize=1_000_000)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -2541,6 +2750,9 @@ def q81_ann_recall(spark, sf):
 # they remain in QUERIES and under the local type-sensitive mirror
 # (tests/test_entry.py), which runs the full surface every round.
 _DRIVER_PRIORITY = [
+    # r3-new (never driver-checked)
+    "q82_pmi_collocations", "q83_kmv_source_overlap",
+    "q84_mrl_truncated_recall", "q85_pq_encode",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -2562,12 +2774,13 @@ _DRIVER_PRIORITY = [
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
     "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
     "q24_dedup_simhash", "q25_embedding_near_dup",
-    "q20_dedup_exact", "q21_dedup_normalized",
     "q47_winnow_fingerprints", "q48_dedup_clusters", "q51_dedup_corpus",
     "q26_ann_cosine_topk", "q50_ann_ivf_topk",
     "q30_multimodal_meta", "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    "q01_pricing_summary", "q52_text_repetition", "q53_text_scrub",
+    "q01_pricing_summary",
+    # (q20/q21/q52/q53 rotate to the local mirror this round to make
+    # room for the four r3-new queries; all four were hash-green in r02)
 ]
 
 

@@ -799,3 +799,57 @@ def test_ngram_jaccard_null_text_scores_null_not_one(spark):
             for r in dedup.ngram_jaccard_pairs(
                 df, "text", "doc_id", "src", shingle_n=2).collect()}
     assert out2[(0, 1)] == 1.0 and out2[(2, 3)] == 1.0
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """A pair that always co-occurs ("san francisco") must out-PMI a
+    pair of independently frequent words; min_count drops hapax pairs."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "san francisco is great and the bay is great"))
+    rows.append((10, "rare pair"))  # bigram count 1 -> filtered
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.pmi_collocations(df, "text", min_count=5, k=50).collect()
+    bigs = {r["bigram"]: r for r in out}
+    assert "rare pair" not in bigs
+    assert bigs["san francisco"]["pair_count"] == 10
+    # "san francisco": p(x,y)=p(x)=p(y) -> PMI = -log10 p > 0;
+    # "is great" occurs 2x per doc but its words are also frequent
+    assert bigs["san francisco"]["pmi6"] > bigs["is great"]["pmi6"] > 0
+    assert out[0]["rank"] == 1
+
+
+def test_kmv_source_overlap_identical_and_disjoint(spark):
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta", "a") for i in range(3)]
+        + [(i + 10, "alpha beta gamma delta epsilon zeta", "b")
+           for i in range(3)]
+        + [(i + 20, "one two three four five six", "c") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {(r["source_a"], r["source_b"]): r
+           for r in dedup.kmv_source_overlap(
+               df, "text", "src", k=8, n=1).collect()}
+    assert out[("a", "b")]["jaccard"] == 1.0  # identical token sets
+    assert out[("a", "c")]["jaccard"] == 0.0  # disjoint
+    assert out[("b", "c")]["jaccard"] == 0.0
+    # sketch bounded by k even when vocab is larger
+    big = dedup.kmv_source_overlap(df, "text", "src", k=4, n=1).collect()
+    assert all(r["union_k"] <= 4 for r in big)
+
+
+def test_pq_encode_exact_on_codebook_vectors(spark):
+    """Vectors that ARE the (k=4, iters=0-equivalent) centroids encode
+    with zero reconstruction error; dim % m != 0 raises."""
+    vecs = [(i, [float(i)] * 8) for i in range(4)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    books = similarity.pq_fit(
+        df, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1000)
+    out = similarity.pq_encode(
+        df, "embedding", "vec_id", books, quantize=1000).collect()
+    # 4 distinct constant vectors, 4 centroids -> every vector is its
+    # own centroid after one Lloyd iteration
+    assert all(r["err_q2"] == 0 and r["rmse"] == 0.0 for r in out)
+    assert len({(r["code0"], r["code1"]) for r in out}) == 4
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_fit(df, "embedding", "vec_id", m=3)
