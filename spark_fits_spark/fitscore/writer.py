@@ -50,7 +50,20 @@ def _pad_data(raw: bytes) -> bytes:
     return raw + b"\x00" * pad
 
 
-def primary_hdu(extra_cards: list[bytes] | None = None) -> bytes:
+def _checksum_placeholders() -> list[bytes]:
+    return [_card("CHECKSUM", "0" * 16, "HDU checksum"),
+            _card("DATASUM", "0", "data unit checksum")]
+
+
+def _finish(hdu: bytes, checksum: bool) -> bytes:
+    if not checksum:
+        return hdu
+    from spark_fits_spark.fitscore.checksum import apply_checksums
+    return apply_checksums(hdu)
+
+
+def primary_hdu(extra_cards: list[bytes] | None = None,
+                checksum: bool = False) -> bytes:
     cards = [
         _card("SIMPLE", True, "conforms to FITS standard"),
         _card("BITPIX", 8),
@@ -58,7 +71,9 @@ def primary_hdu(extra_cards: list[bytes] | None = None) -> bytes:
         _card("EXTEND", True),
     ]
     cards.extend(extra_cards or [])
-    return _header_block(cards)
+    if checksum:
+        cards.extend(_checksum_placeholders())
+    return _finish(_header_block(cards), checksum)
 
 
 _TFORM_NUMPY = {
@@ -73,6 +88,7 @@ _VLA_RE = r"^1?([PQ])([A-Z])(?:\((\d+)\))?$"
 def bintable_hdu(
     columns: list[tuple[str, str, np.ndarray]],
     extra_cards: list[bytes] | None = None,
+    checksum: bool = False,
 ) -> bytes:
     """Build one BINTABLE HDU from (name, tform, values) columns.
 
@@ -159,11 +175,15 @@ def bintable_hdu(
         cards.append(_card(f"TTYPE{i}", name))
         cards.append(_card(f"TFORM{i}", tform))
     cards.extend(extra_cards or [])
-    return _header_block(cards) + _pad_data(rec.tobytes() + heap)
+    if checksum:
+        cards.extend(_checksum_placeholders())
+    return _finish(
+        _header_block(cards) + _pad_data(rec.tobytes() + heap), checksum)
 
 
 def image_hdu(data: np.ndarray, primary: bool = False,
-              extra_cards: list[bytes] | None = None) -> bytes:
+              extra_cards: list[bytes] | None = None,
+              checksum: bool = False) -> bytes:
     """Build an IMAGE HDU (or a primary-with-data HDU) from an ndarray.
 
     dtype must be one of i2/i4/i8/f4/f8/u1; stored big-endian. The array
@@ -187,12 +207,15 @@ def image_hdu(data: np.ndarray, primary: bool = False,
         cards.append(_card("PCOUNT", 0))
         cards.append(_card("GCOUNT", 1))
     cards.extend(extra_cards or [])
-    return _header_block(cards) + _pad_data(big.tobytes())
+    if checksum:
+        cards.extend(_checksum_placeholders())
+    return _finish(_header_block(cards) + _pad_data(big.tobytes()), checksum)
 
 
-def write_fits(path: str, hdus: list[bytes], include_primary: bool = True) -> None:
+def write_fits(path: str, hdus: list[bytes], include_primary: bool = True,
+               checksum: bool = False) -> None:
     with open(path, "wb") as f:
         if include_primary:
-            f.write(primary_hdu())
+            f.write(primary_hdu(checksum=checksum))
         for h in hdus:
             f.write(h)

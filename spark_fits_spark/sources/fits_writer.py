@@ -92,6 +92,10 @@ class FitsArrowWriter(DataSourceArrowWriter):
         self.schema = schema
         self.path = path
         self.string_width, self.col_widths = _parse_width_options(options)
+        opts = {k.lower(): v for k, v in (options or {}).items()}
+        # .option("checksum", True): emit standard CHECKSUM/DATASUM
+        # cards per HDU (FITS 4.0 §4.4.2.7) for end-to-end integrity
+        self.checksum = str(opts.get("checksum", "false")).lower() == "true"
 
     def _fixed_width(self, name: str, is_string: bool) -> int | None:
         w = self.col_widths.get(name.lower())
@@ -124,7 +128,8 @@ class FitsArrowWriter(DataSourceArrowWriter):
         for field, col in zip(self.schema.fields, table.columns):
             columns.append(self._to_fits_column(field.name, field.dataType, col, n))
         os.makedirs(self.path, exist_ok=True)
-        fw.write_fits(out, [fw.bintable_hdu(columns)])
+        fw.write_fits(out, [fw.bintable_hdu(columns, checksum=self.checksum)],
+                      checksum=self.checksum)
         return FitsCommitMessage(path=out, rows=n)
 
     def _to_fits_column(self, name, dtype, col, n):
