@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "q77_gopher_filter",
     "q78_incremental_dedup",
     "q79_exact_substring_dedup",
+    # round-3 additions, appended for round-over-round comparability
+    "q82_pmi_collocations",
+    "q83_kmv_source_overlap",
+    "q84_mrl_truncated_recall",
+    "q85_pq_encode",
+    "q86_bpe_apply",
 ]
 
 
@@ -250,6 +256,8 @@ def main() -> None:
                                           "q68", "q69", "q70", "q71",
                                           "q72", "q73", "q75", "q76",
                                           "q77", "q78", "q79",
+                                          "q82", "q83", "q84", "q85",
+                                          "q86",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

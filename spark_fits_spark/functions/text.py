@@ -647,6 +647,77 @@ def bpe_segment(df, text_col: str, *, n_merges: int = 3, sep: str = "\x1f"):
     return cur.select("word", "n", F.col("s").alias("segments")), merges
 
 
+def bpe_apply(df, text_col: str, id_col: str, merges: list[str],
+              *, sep: str = "\x1f"):
+    """Apply a TRAINED BPE merge list to a corpus — the production
+    counterpart to :func:`bpe_segment`'s fit loop. Where the fit runs
+    one Spark job per merge (documented ceiling), application is ONE
+    pass regardless of vocabulary size: Python segmentation work is
+    proportional to the corpus's **distinct words**, never the corpus.
+
+    Plan shape: explode → distinct words (map-combined) → an
+    Arrow-batched ``mapInPandas`` segments each vocabulary word once
+    (the merge list rides a broadcast; a per-task dict caches repeats
+    across batches) → the (word, n_segments) table joins back to the
+    token stream (AQE broadcasts small vocabularies) → one per-doc sum.
+    At 30k merges the per-word cost is the merge-loop replay, amortized
+    over every occurrence of the word in the corpus.
+
+    Segmentation semantics are identical to the fit (sequential
+    left-to-right non-overlapping ``replace`` per merge, in merge
+    order), so a fit→apply round-trip is SQL-oracle-checkable. Returns
+    ``(id, n_words, n_bpe_tokens, bpe_ratio)``; docs with no non-empty
+    words drop (no tokens to count)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    bc = df.sparkSession.sparkContext.broadcast(tuple(merges))
+
+    toks = (
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("_id"),
+                F.explode(tokens(text_col)).alias("_w"))
+        .where(F.length("_w") > 0)
+    )
+    vocab = toks.select("_w").distinct()
+    seg_schema = StructType([StructField("_w", StringType()),
+                             StructField("_nseg", LongType())])
+
+    def _segment(batches):
+        mg = [(p, p.replace(sep, "")) for p in bc.value]
+        cache: dict[str, int] = {}
+
+        def count(w: str) -> int:
+            c = cache.get(w)
+            if c is None:
+                s = sep.join(w)
+                for a, b in mg:
+                    s = s.replace(a, b)
+                c = s.count(sep) + 1
+                cache[w] = c
+            return c
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "_w": pdf["_w"],
+                "_nseg": [count(w) for w in pdf["_w"]],
+            })
+
+    seg = vocab.mapInPandas(_segment, seg_schema)
+    return (
+        toks.join(seg, "_w")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_words"),
+             F.sum("_nseg").alias("n_bpe_tokens"))
+        .select(
+            F.col("_id").alias(id_col), "n_words", "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4)
+            .alias("bpe_ratio"),
+        )
+    )
+
+
 def frequent_ngrams(df, text_col: str, group_col: str, *,
                     n: int = 3, k: int = 5):
     """Corpus boilerplate detection: the top-``k`` word ``n``-grams per

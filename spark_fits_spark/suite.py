@@ -2285,9 +2285,10 @@ def q68_multimodal_features(spark, sf):
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled BPE merge loop in SQL: one (pair-count → argmax →
-    replace) CTE triple per merge, the exact arithmetic of
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled BPE merge loop in SQL (CTE chain only, ending at
+    ``s{n_merges}`` = the segmented vocabulary): one (pair-count →
+    argmax → replace) CTE triple per merge, the exact arithmetic of
     ``text.bpe_segment`` (left-to-right non-overlapping ``replace`` IS
     greedy BPE application in both engines)."""
     sql = """
@@ -2319,7 +2320,12 @@ s{i} AS (
                  replace((SELECT pr FROM m{i}), chr(31), '')) AS s
   FROM s{j}
 )"""
-    return sql + f"\nSELECT word, n, s AS segments FROM s{n_merges}"
+    return sql
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    return (_bpe_oracle_ctes(n_merges)
+            + f"\nSELECT word, n, s AS segments FROM s{n_merges}")
 
 
 @query("q69_bpe_segment", _bpe_oracle(3))
@@ -2734,6 +2740,39 @@ def q85_pq_encode(spark, sf):
         e, "embedding", "vec_id", books, quantize=1_000_000)
 
 
+# fit→apply round-trip: the oracle recomputes the 3 merges (the q69 CTE
+# chain) and joins the segmented vocabulary back to every doc's words.
+_Q86_ORACLE = (_bpe_oracle_ctes(3) + """,
+docw AS (
+  SELECT doc_id, tok AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok != ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(len(string_split(s, chr(31))))::DOUBLE / COUNT(*), 4)
+         AS bpe_ratio
+FROM docw JOIN s3 USING (word)
+GROUP BY doc_id
+""")
+
+
+@query("q86_bpe_apply", _Q86_ORACLE)
+def q86_bpe_apply(spark, sf):
+    """Tokenizer application at corpus scale: fit 3 merges
+    (:func:`text.bpe_segment`), then encode every document with
+    :func:`text.bpe_apply` — Python segmentation runs once per DISTINCT
+    word (Arrow-batched, merge list broadcast), then a vocab join +
+    per-doc sum. This is the path that survives a 30k-merge production
+    vocabulary (one pass), unlike the fit's per-merge jobs; the oracle
+    replays fit AND apply in SQL, so the round-trip is hash-checked."""
+    d = _t(spark, sf, "documents")
+    _, merges = T.bpe_segment(d, "text", n_merges=3)
+    return T.bpe_apply(d, "text", "doc_id", merges)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -2752,7 +2791,7 @@ def q85_pq_encode(spark, sf):
 _DRIVER_PRIORITY = [
     # r3-new (never driver-checked)
     "q82_pmi_collocations", "q83_kmv_source_overlap",
-    "q84_mrl_truncated_recall", "q85_pq_encode",
+    "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -2778,9 +2817,10 @@ _DRIVER_PRIORITY = [
     "q26_ann_cosine_topk", "q50_ann_ivf_topk",
     "q30_multimodal_meta", "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    "q01_pricing_summary",
-    # (q20/q21/q52/q53 rotate to the local mirror this round to make
-    # room for the four r3-new queries; all four were hash-green in r02)
+    # (q01/q20/q21/q52/q53 rotate to the local mirror this round to
+    # make room for the five r3-new queries; all five rotated-out
+    # queries were hash-green in r02, and q01 is still exercised by the
+    # driver's entry() smoke check — it IS the flagship query)
 ]
 
 

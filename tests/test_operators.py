@@ -853,3 +853,27 @@ def test_pq_encode_exact_on_codebook_vectors(spark):
     assert len({(r["code0"], r["code1"]) for r in out}) == 4
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_fit(df, "embedding", "vec_id", m=3)
+
+
+def test_bpe_apply_matches_fit_segmentation(spark):
+    """Encoding the corpus with the trained merges must agree with the
+    fit's own vocabulary segmentation (same replace semantics), and a
+    large merge list still runs as ONE pass over the distinct words."""
+    rows = [(0, "low lower lowest low low"), (1, "new newer newest new"),
+            (2, "low new low new")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    words_df, merges = T.bpe_segment(df, "text", n_merges=4)
+    seg_counts = {r["word"]: r["segments"].count("\x1f") + 1
+                  for r in words_df.collect()}
+    out = {r["doc_id"]: r for r in
+           T.bpe_apply(df, "text", "doc_id", merges).collect()}
+    for doc_id, text in rows:
+        ws = [w for w in text.split(" ") if w]
+        assert out[doc_id]["n_words"] == len(ws)
+        assert out[doc_id]["n_bpe_tokens"] == sum(seg_counts[w] for w in ws)
+    # merge lists far past the fit's job-per-merge ceiling still apply:
+    # un-trained merges are no-ops, trained ones still take effect
+    fake = [f"q\x1f{c}" for c in "abcdefghij"] * 100 + merges
+    big = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in T.bpe_apply(df, "text", "doc_id", fake).collect()}
+    assert big == {d: out[d]["n_bpe_tokens"] for d in big}
