@@ -364,6 +364,16 @@ def minhash_lsh_pairs(
     # prior-key columns, ~8 B each plus row envelope
     band_row_bytes = 8 * (bands + 2) + 16
     band_bcast = n_sets * bands * band_row_bytes <= broadcast_max_bytes
+    # materialize the band-table persist NOW (one cheap job over the
+    # cached shingle sets). The bucket self-join reads bands_df on BOTH
+    # sides; whichever side's stage runs first would otherwise compute
+    # the n_hashes minhash transforms from scratch — and in broadcast
+    # mode the probe side is coalesce()d, which does NOT shuffle but
+    # collapses its PARENT stage, so a cache miss there recomputes the
+    # whole pipeline at probe_parts(=4) parallelism. Measured at sf0.1:
+    # 10 s when the scheduler happened to fill the cache first, 50-147 s
+    # when the coalesced probe won the race. count() removes the race.
+    bands_df.count()
     if band_bcast:
         right = F.broadcast(bands_df.alias("r"))
         # broadcast mode = the table is small; the probe side then runs
