@@ -69,6 +69,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, spread across cores: it ships as ONE
+    parquet file per sf, so every map-heavy vector query (interpreted
+    higher-order array exprs, argmin GEMMs, crossJoin scoring) would
+    otherwise run its scan stage on a single task. spread_for_cpu is a
+    no-op on many-partition scans, so this is purely a small-input fix
+    (measured: q59 5 s → sub-second on an idle 32-core host)."""
+    return T.spread_for_cpu(_t(spark, sf_dir, "embeddings"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table spread across cores, for queries whose cost
+    is map-side text work (regex scrubs, n-gram arrays, simhash,
+    mapInPandas byte features) directly over the scan: like
+    ``_emb``, a small-input-only fix — one parquet file would otherwise
+    pin the whole map stage to one task. Operators that tokenize
+    internally already spread via ``spread_for_cpu``; this covers the
+    direct ``select``-over-scan queries."""
+    return T.spread_for_cpu(_t(spark, sf_dir, "documents"))
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: Query) -> Query:
         QUERIES[name] = fn
@@ -588,7 +609,7 @@ SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS si
 FROM bitsum GROUP BY doc_id
 """)
 def q24_dedup_simhash(spark, sf):
-    return T.add_simhash(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
+    return T.add_simhash(_docs(spark, sf), "text", "doc_id", bits=16)
 
 
 @query("q25_embedding_near_dup", """
@@ -602,7 +623,7 @@ WHERE list_dot_product(a.v, b.v)
 """)
 def q25_embedding_near_dup(spark, sf):
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), "embedding", "vec_id", threshold=0.35)
+        _emb(spark, sf), "embedding", "vec_id", threshold=0.35)
 
 
 @query("q26_ann_cosine_topk", """
@@ -623,7 +644,7 @@ SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM ranked WHERE rank <=
 def q26_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline;
     broadcast queries → single corpus pass)."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     return similarity.cosine_topk(
         e, e.where(F.col("vec_id") < 5), "embedding", "vec_id", k=10)
 
@@ -641,7 +662,7 @@ SELECT doc_id,
 FROM documents
 """)
 def q27_text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return d.select(
         "doc_id",
         F.size(T.tokens("text")).alias("token_count"),
@@ -676,7 +697,7 @@ SELECT doc_id, labeled_lang,
 FROM s
 """)
 def q28_text_langid(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -707,7 +728,7 @@ SELECT doc_id, quality,
 FROM q
 """)
 def q29_text_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return d.select(
         "doc_id",
         T.quality_score("text").alias("quality"),
@@ -728,7 +749,7 @@ def q30_multimodal_meta(spark, sf):
     """Binary-payload plumbing: text→binary column→mapInPandas decode
     stub→typed metadata. The oracle replicates the stub arithmetic (the
     decode itself is stubbed — no media libs in this environment)."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     payload = multimodal.with_payload(d, "text", "doc_id")
     return multimodal.decode_image_meta(payload)
 
@@ -1145,7 +1166,7 @@ def q47_winnow_fingerprints(spark, sf):
     """Rolling-hash document fingerprinting (winnowing, MOSS scheme):
     k=4-token gram hashes, minimum per sliding window of w=5 — all
     JVM-side array expressions inside the scan stage, no shuffle."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     fps = T.winnow_fingerprints(F.col("text"), k=4, w=5)
     return d.select(
         "doc_id",
@@ -1219,7 +1240,7 @@ def q52_text_repetition(spark, sf):
     array expressions in the scan stage) + most-frequent-token share
     (explode → two partial-agg shuffles on doc_id; token rows carry only
     (doc_id, tok))."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     gram_stats = d.select(
         "doc_id",
         F.size(T.word_ngrams("text", 3)).alias("n_grams"),
@@ -1267,7 +1288,7 @@ def q53_text_scrub(spark, sf):
     genuinely exercise the patterns; output fingerprints the scrubbed
     text. Patterns are chosen to behave identically under Java regex
     (Spark) and RE2 (DuckDB)."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     inj = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0,
@@ -1359,7 +1380,7 @@ def q50_ann_ivf_topk(spark, sf):
     cosine re-rank inside the probed lists only. The centroid-id
     equi-join keys are 4-byte ints — the scale path where hyperplane
     LSH's bucket skew hurts. Seeded centroids → fully oracle-checked."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     return similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",
         k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
@@ -1511,7 +1532,7 @@ def q77_gopher_filter(spark, sf):
     word count, mean word length, duplicate 3-gram ratio and
     symbol-to-char ratio gates composed into one keep verdict — all
     map-side column expressions in the scan stage, zero shuffle."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     nw = F.size(T.tokens("text"))
     mwl = F.length(F.regexp_replace("text", " ", "")) / nw
     dgr = T.dup_ngram_ratio("text", 3)
@@ -1714,7 +1735,7 @@ def q31_ann_lsh_topk(spark, sf):
     ~|corpus|/16 per query), exact cosine re-rank inside the bucket.
     Seeded planes make the approximation deterministic — the oracle
     replays the identical signature + re-rank in SQL."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     return similarity.hyperplane_lsh_topk(
         e, e.where(F.col("vec_id") < 5), "embedding", "vec_id",
         k=10, bits=4, dim=64, seed=7)
@@ -1869,7 +1890,7 @@ def q58_kmeans_assign(spark, sf):
     init -> assign -> mean -> assign in SQL. Per-iteration driver
     traffic is k x dim numbers — parameter-bounded at any corpus
     size."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     cents = similarity.kmeans_fit(
         e, "embedding", "vec_id", k=4, iters=1, quantize=1_000_000)
     return similarity.kmeans_assign(
@@ -1910,7 +1931,7 @@ def q59_quantize_error(spark, sf):
     candidate stages), plus cosine(original, dequantized) and the max
     per-dim absolute error. Map-side only; the oracle replays the
     identical quantize → pack → dequantize arithmetic."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     qz = similarity.scalar_quantize(e, "embedding", "vec_id", keep_vec=True)
     dv = similarity.dequantize_expr(F.col("codes"), F.col("qmin"), F.col("qscale"))
     joined = qz.select(
@@ -2068,7 +2089,7 @@ def q63_hybrid_rrf(spark, sf):
     contributions keep the fused score order-independent; the re-rank
     window partitions by query. Oracle = the two retriever oracles
     verbatim + the same RRF arithmetic."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     q = e.where(F.col("vec_id") < 5)
     lsh = similarity.hyperplane_lsh_topk(
         e, q, "embedding", "vec_id", k=10, bits=4, dim=64, seed=7)
@@ -2155,7 +2176,7 @@ def q65_semdedup(spark, sf):
     is cluster-bounded (Σ|c|², never corpus²); int dot products make
     every cosine bit-identical to the oracle, which composes the q58
     k-means SQL verbatim with the same pairing arithmetic."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     return similarity.semdedup(
         e, "embedding", "vec_id",
         k=4, iters=1, threshold=0.9, quantize=1_000_000)
@@ -2273,7 +2294,7 @@ def q68_multimodal_features(spark, sf):
     mapInPandas. The corpus is ASCII, so the SQL oracle replicates the
     byte math through char codes — the one case where a binary-payload
     op IS hash-checkable."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     payload = multimodal.with_payload(d, "text", "doc_id")
     feats = multimodal.byte_features(payload, stride=16)
     return feats.select(
@@ -2359,7 +2380,7 @@ def q70_chunk_windows(spark, sf):
     overlap): the doc-splitting pass a pretraining/RAG pipeline runs
     over every byte. Entirely map-side in the scan stage — token array
     → per-start slices → posexplode, no shuffle anywhere."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return T.chunk_windows(d, "text", "doc_id", window=32, stride=16)
 
 
@@ -2397,7 +2418,7 @@ def q71_corpus_report(spark, sf):
     quality is an int64-quantized sum (order-independent) divided once
     at the end — the float-mean determinism trick applied to a
     composite metric."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     per = d.select(
         "source", "lang", "n_chars",
         T.token_count("text").cast("long").alias("_nt"),
@@ -2508,7 +2529,7 @@ def q81_ann_recall(spark, sf):
     drives recall_at_k to 1.0 at proportionally more list work. Both
     retrievers are deterministic, so the oracle replays them verbatim
     and the recall math is a plain join+agg."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     q = e.where(F.col("vec_id") < 5)
     exact = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
     ivf = similarity.ivf_topk(
@@ -2657,7 +2678,7 @@ def q84_mrl_truncated_recall(spark, sf):
     exact top-10 — the 4× bandwidth/compute cut of prefix-truncated
     embeddings (Kusupati et al. 2022) as a driver-checked number. Both
     retrievers are the same broadcast-query single-corpus-pass plan."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     q = e.where(F.col("vec_id") < 5)
     full = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
     tr = e.select(
@@ -2733,7 +2754,7 @@ def q85_pq_encode(spark, sf):
     Encoding is map-side only (argmin + literal-map centroid lookup);
     the reconstruction error is exact integer arithmetic, so the oracle
     replays the whole fit+encode in SQL."""
-    e = _t(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     books = similarity.pq_fit(
         e, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1_000_000)
     return similarity.pq_encode(
