@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q84_mrl_truncated_recall",
     "q85_pq_encode",
     "q86_bpe_apply",
+    "q87_minhash_estimator_error",
 ]
 
 
@@ -274,7 +275,7 @@ def main() -> None:
                                           "q72", "q73", "q75", "q76",
                                           "q77", "q78", "q79",
                                           "q82", "q83", "q84", "q85",
-                                          "q86",
+                                          "q86", "q87",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -856,6 +856,65 @@ def decontaminate(
     )
 
 
+def minhash_estimate_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 1,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Calibration of the MinHash Jaccard estimator: over ALL pairs of
+    the input's docs, compare the signature-agreement estimate
+    (matching components / ``n_hashes``) against exact Jaccard, bucketed
+    by exact Jaccard decile — the empirical error table that justifies
+    an ``n_hashes``/band budget before an LSH run (estimator variance is
+    ``J(1−J)/n_hashes``). Returns ``(bucket, n_pairs, err6_sum,
+    mean_abs_err)``, bucket = ``floor(J·10)`` (so 10 = exact dups).
+
+    Quadratic in the input BY CONTRACT — callers pass a bounded sample
+    (hundreds of docs), as with any estimator-calibration probe; the
+    sample side broadcasts, signatures are the same one-md5-per-shingle
+    permutation MinHash the LSH pipeline uses, and the per-pair error is
+    int64-quantized so the bucket means are order-independent."""
+    from spark_fits_spark.functions.text import minhash_perm_expr
+
+    keyed = (
+        shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
+        .where(F.size("_hashes") > 0)
+        .select(
+            "_id", "_hashes",
+            F.array(*[minhash_perm_expr(F.col("_hashes"), s)
+                      for s in range(n_hashes)]).alias("_sig"),
+        )
+    )
+    a = keyed.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"),
+                     F.col("_sig").alias("_ga"))
+    b = keyed.select(F.col("_id").alias("_idb"), F.col("_hashes").alias("_sb"),
+                     F.col("_sig").alias("_gb"))
+    pairs = F.broadcast(a).join(b, F.col("_ida") < F.col("_idb"))
+    match = F.size(F.filter(
+        F.zip_with("_ga", "_gb", lambda x, y: x == y), lambda z: z))
+    scored = pairs.select(
+        F.round(match.cast("double") / n_hashes, 4).alias("_est"),
+        _jaccard(F.col("_sa"), F.col("_sb")).alias("_ex"),
+    )
+    err6 = F.round(F.abs(F.col("_est") - F.col("_ex")) * 1_000_000, 0).cast("long")
+    return (
+        scored.select(
+            F.floor(F.col("_ex") * 10).cast("int").alias("bucket"),
+            err6.alias("_err6"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"), F.sum("_err6").alias("err6_sum"))
+        .select(
+            "bucket", "n_pairs", "err6_sum",
+            F.round(F.col("err6_sum") / (F.col("n_pairs") * 1_000_000), 4)
+            .alias("mean_abs_err"),
+        )
+    )
+
+
 def kmv_source_overlap(
     df: DataFrame,
     text_col: str,

@@ -2794,6 +2794,50 @@ def q86_bpe_apply(spark, sf):
     return T.bpe_apply(d, "text", "doc_id", merges)
 
 
+_Q87_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_transform(list_distinct(string_split(text, ' ')),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS hs
+  FROM documents WHERE doc_id < 40
+), sig AS (
+  SELECT doc_id, hs, [{sig_exprs}] AS g FROM tok WHERE len(hs) > 0
+), p AS (
+  SELECT a.hs AS ha, b.hs AS hb, a.g AS ga, b.g AS gb
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+), sc AS (
+  SELECT round(len(list_filter(range(1, 17), i -> ga[i] = gb[i]))::DOUBLE
+               / 16, 4) AS est,
+         round(len(list_intersect(ha, hb))::DOUBLE
+               / len(list_distinct(list_concat(ha, hb))), 4) AS ex
+  FROM p
+), e AS (
+  SELECT CAST(floor(ex * 10) AS INT) AS bucket,
+         CAST(round(abs(est - ex) * 1000000) AS BIGINT) AS err6
+  FROM sc
+)
+SELECT bucket, COUNT(*) AS n_pairs, CAST(SUM(err6) AS BIGINT) AS err6_sum,
+       round(SUM(err6)::DOUBLE / (COUNT(*) * 1000000), 4) AS mean_abs_err
+FROM e GROUP BY bucket
+""".format(sig_exprs=", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * (h % 4294967296) + {b})"
+    f" % {MINHASH_PRIME}))"
+    for a, b in MINHASH_COEFFS[:16]))
+
+
+@query("q87_minhash_estimator_error", _Q87_ORACLE)
+def q87_minhash_estimator_error(spark, sf):
+    """MinHash estimator calibration: signature-agreement estimate vs
+    exact Jaccard over all pairs of a 40-doc sample, bucketed by exact
+    Jaccard decile — the measured error table behind any n_hashes/band
+    budget (variance J(1−J)/n). Uses the SAME one-md5-per-shingle
+    permutation signatures as the LSH pipeline, so the oracle replays
+    them bit-for-bit."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return dedup.minhash_estimate_quality(
+        d, "text", "doc_id", shingle_n=1, n_hashes=16)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -2813,6 +2857,7 @@ _DRIVER_PRIORITY = [
     # r3-new (never driver-checked)
     "q82_pmi_collocations", "q83_kmv_source_overlap",
     "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
+    "q87_minhash_estimator_error",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -2836,12 +2881,14 @@ _DRIVER_PRIORITY = [
     "q24_dedup_simhash", "q25_embedding_near_dup",
     "q47_winnow_fingerprints", "q48_dedup_clusters", "q51_dedup_corpus",
     "q26_ann_cosine_topk", "q50_ann_ivf_topk",
-    "q30_multimodal_meta", "q35_asof_join", "q36_range_join_pairs",
+    "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    # (q01/q20/q21/q52/q53 rotate to the local mirror this round to
-    # make room for the five r3-new queries; all five rotated-out
-    # queries were hash-green in r02, and q01 is still exercised by the
-    # driver's entry() smoke check — it IS the flagship query)
+    # (q01/q20/q21/q30/q52/q53 rotate to the local mirror this round to
+    # make room for the six r3-new queries; all six rotated-out queries
+    # were hash-green in r02, q01 is still exercised by the driver's
+    # entry() smoke check — it IS the flagship query — and multimodal
+    # stays gated via q68, which exercises the same Arrow plumbing
+    # plus real byte math)
 ]
 
 
