@@ -461,6 +461,83 @@ def pq_encode(
         .alias("rmse"))
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    codebooks: list[list[tuple[int, list]]],
+    quantize: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 11,
+    include_self: bool = False,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-bounded scale path of the
+    ANN stack: corpus vectors live as a coarse cell id + ``m`` PQ codes
+    (+ one stored true norm for cosine), and candidate scoring uses the
+    **reconstructed** centroid vectors (asymmetric distance: exact
+    query × quantized corpus), never the raw corpus vectors. At 100 TB
+    this is what makes the candidate stage fit in memory: a 64-dim f32
+    vector (256 B) becomes cell(4) + codes(m) + norm(8) bytes.
+
+    Same plan shape as :func:`ivf_topk` (probe equi-join on cell id,
+    broadcast queries, corpus scanned once); extra cost is one argmin
+    per subspace on the scan side (map-only, Arrow GEMM past
+    :data:`ARGMIN_LITERAL_MAX_K`). Deterministic given ``codebooks``
+    from the fixed-point :func:`pq_fit`, so the whole index build +
+    search replays in SQL. Measure quality with the recall query
+    (q88) — PQ reconstruction error trades directly against memory.
+
+    Returns ``(query_id, vec_id, adc_cosine, rank)``."""
+    if centroids is None:
+        centroids = ivf_centroids(n_centroids, dim, seed)
+    m = len(codebooks)
+    sub = dim // m
+
+    c = _with_norm(corpus, vec_col, id_col, "_c").withColumn(
+        "_cell", _nearest_centroids(F.col("_cv"), centroids, 1)[0])
+    recon_parts = []
+    for j, cents in enumerate(codebooks):
+        vecj = _quantized_vec(
+            F.slice(F.col("_cv"), j * sub + 1, sub), quantize)
+        c = _assign_nearest(
+            c.withColumn(f"_sub{j}", vecj), F.col(f"_sub{j}"), cents,
+            quantized=True, out_col=f"_code{j}")
+        cent_map = F.map_from_arrays(
+            F.array(*[F.lit(cid).cast("long") for cid, _ in cents]),
+            F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents]))
+        recon_parts.append(F.transform(
+            F.element_at(cent_map, F.col(f"_code{j}")),
+            lambda x: x / quantize))
+    c = c.select(
+        "_cid", "_cell", "_cn", F.concat(*recon_parts).alias("_rv"))
+
+    q = _with_norm(queries, vec_col, id_col, "_q").withColumn(
+        "_cell", F.explode(_nearest_centroids(F.col("_qv"), centroids, nprobe)))
+
+    pairs = c.join(F.broadcast(q), "_cell")
+    if not include_self:
+        pairs = pairs.where(F.col("_cid") != F.col("_qid"))
+    scored = pairs.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("vec_id"),
+        (_dot(F.col("_qv"), F.col("_rv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.round("_s", 4).alias("adc_cosine"), "rank")
+    )
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,

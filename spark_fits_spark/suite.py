@@ -2794,6 +2794,104 @@ def q86_bpe_apply(spark, sf):
     return T.bpe_apply(d, "text", "doc_id", merges)
 
 
+def _ivfpq_oracle() -> str:
+    """IVF-PQ recall oracle: the q85 PQ CTE chain (codebooks + codes)
+    + the q50 coarse-cell structs + ADC scoring on reconstructed
+    centroids + recall vs the exact q26 top-k."""
+    from spark_fits_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(_IVF_K, 64, seed=11)
+    structs = ", ".join(
+        "{{'s': list_dot_product(v, [{}]), 'c': {}}}".format(
+            ", ".join(repr(float(x)) for x in c), i)
+        for i, c in enumerate(cents))
+    return f"""
+WITH {_pq_sub_sql(0, 1, 32)},
+{_pq_sub_sql(1, 33, 64)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v,
+         list_transform(list_reverse(list_sort([{structs}])), x -> x.c)
+           AS nearest
+  FROM e
+),
+corpus AS (SELECT vec_id, v, nearest[1] AS cell FROM cells),
+qv AS (
+  SELECT vec_id, v, unnest(nearest[1:{_IVF_NPROBE}]) AS cell
+  FROM cells WHERE vec_id < 5
+),
+recon AS (
+  SELECT f0.vec_id,
+         list_concat(list_transform(c10.c, x -> x / 1000000.0),
+                     list_transform(c11.c, x -> x / 1000000.0)) AS rv
+  FROM f0 JOIN c10 ON c10.cid = f0.code0
+       JOIN f1 ON f1.vec_id = f0.vec_id
+       JOIN c11 ON c11.cid = f1.code1
+),
+adc AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(qv.v, r.rv)
+         / (sqrt(list_dot_product(qv.v, qv.v))
+            * sqrt(list_dot_product(c.v, c.v))) AS s
+  FROM corpus c
+  JOIN qv ON c.cell = qv.cell AND c.vec_id != qv.vec_id
+  JOIN recon r ON r.vec_id = c.vec_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, vec_id) AS rank
+    FROM adc) WHERE rank <= 10
+),
+exact AS (SELECT query_id, vec_id FROM ({ORACLES["q26_ann_cosine_topk"]})),
+hits AS (
+  SELECT x.query_id, x.vec_id,
+         CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact x LEFT JOIN approx a
+    ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       round(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall_at_k
+FROM hits GROUP BY query_id
+"""
+
+
+@query("q88_ivfpq_recall", _ivfpq_oracle())
+def q88_ivfpq_recall(spark, sf):
+    """The full modern ANN stack under the hash gate: coarse IVF cells
+    + product-quantized codes + asymmetric-distance scoring (exact
+    query x reconstructed corpus), with recall@10 vs the exact cosine
+    top-10 as the output. Corpus rows enter the candidate stage as
+    cell + 2 codes + a stored norm — the memory layout that makes
+    100 TB ANN feasible; recall quantifies what PQ reconstruction error
+    costs at this codebook budget."""
+    e = _emb(spark, sf)
+    q = e.where(F.col("vec_id") < 5)
+    books = similarity.pq_fit(
+        e, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1_000_000)
+    approx = similarity.ivfpq_topk(
+        e, q, "embedding", "vec_id", codebooks=books, quantize=1_000_000,
+        k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
+    exact = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
+    hit = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id", "n_exact", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4)
+            .alias("recall_at_k"),
+        )
+    )
+
+
 _Q87_ORACLE = """
 WITH tok AS (
   SELECT doc_id,
