@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q85_pq_encode",
     "q86_bpe_apply",
     "q87_minhash_estimator_error",
+    "q88_ivfpq_recall",
 ]
 
 
@@ -275,7 +276,7 @@ def main() -> None:
                                           "q72", "q73", "q75", "q76",
                                           "q77", "q78", "q79",
                                           "q82", "q83", "q84", "q85",
-                                          "q86", "q87",
+                                          "q86", "q87", "q88",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -2955,7 +2955,7 @@ _DRIVER_PRIORITY = [
     # r3-new (never driver-checked)
     "q82_pmi_collocations", "q83_kmv_source_overlap",
     "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
-    "q87_minhash_estimator_error",
+    "q87_minhash_estimator_error", "q88_ivfpq_recall",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -2978,15 +2978,16 @@ _DRIVER_PRIORITY = [
     "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
     "q24_dedup_simhash", "q25_embedding_near_dup",
     "q47_winnow_fingerprints", "q48_dedup_clusters", "q51_dedup_corpus",
-    "q26_ann_cosine_topk", "q50_ann_ivf_topk",
+    "q26_ann_cosine_topk",
     "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    # (q01/q20/q21/q30/q52/q53 rotate to the local mirror this round to
-    # make room for the six r3-new queries; all six rotated-out queries
-    # were hash-green in r02, q01 is still exercised by the driver's
-    # entry() smoke check — it IS the flagship query — and multimodal
-    # stays gated via q68, which exercises the same Arrow plumbing
-    # plus real byte math)
+    # (q01/q20/q21/q30/q50/q52/q53 rotate to the local mirror this
+    # round to make room for the seven r3-new queries; all rotated-out
+    # queries were hash-green in r02, q01 is still exercised by the
+    # driver's entry() smoke check — it IS the flagship query —
+    # multimodal stays gated via q68 (same Arrow plumbing plus real
+    # byte math), and q50's ivf_topk machinery stays gated via q81
+    # recall + q88 IVF-PQ)
 ]
 
 
