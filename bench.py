@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "q86_bpe_apply",
     "q87_minhash_estimator_error",
     "q88_ivfpq_recall",
+    "q89_quality_top_fraction",
+    "q90_hard_negatives",
 ]
 
 
@@ -277,6 +279,7 @@ def main() -> None:
                                           "q77", "q78", "q79",
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
+                                          "q89", "q90",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
            "take_token_budget", "shuffle_shards", "take_n_per_stratum",
-           "temperature_mix"]
+           "temperature_mix", "top_fraction_by_score"]
 
 #: hash-bucket resolution: rates are quantized to 1/10000ths.
 N_BUCKETS = 10_000
@@ -359,3 +359,45 @@ def shuffle_shards(
             (F.col("_off") + F.col("_rn")).alias("pos"),
         )
     )
+
+
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: Column | str,
+    frac: float,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by an integer score — the exact
+    global-quantile selection behind "train on the best 30% of the
+    corpus" quality gates.
+
+    A naive formulation (``percent_rank`` / ``row_number`` over a global
+    ``Window.orderBy``) sorts the whole corpus through ONE partition — a
+    100 TB scale-killer. Instead the threshold comes from a **score
+    histogram**: one map-combined ``groupBy(score)`` (the only
+    data-sized shuffle), a cumulative window over the *histogram* —
+    bounded by |distinct scores| (≤10⁴ for 4-decimal-quantized scores),
+    not by rows — and a one-row threshold broadcast back. The kept set
+    is then a map-side filter. Work per data row is O(1).
+
+    Selection rule: with ``k = floor(frac · N)``, the threshold is the
+    k-th largest score and rows with ``score >= threshold`` are kept —
+    ties at the threshold are kept inclusively (deterministic,
+    partition-independent; ``n_kept >= k`` by at most the tie width).
+    ``score_col`` must be integral (quantize floats first) so the
+    histogram is exact and the SQL oracle replays bit-for-bit.
+
+    Returns the input rows filtered, plus ``threshold``."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    hist = df.select(s.alias("_s")).groupBy("_s").agg(
+        F.count("*").alias("_n"))
+    cum_w = (Window.orderBy(F.desc("_s"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    thr = (
+        hist.withColumn("_cum", F.sum("_n").over(cum_w))
+        .crossJoin(F.broadcast(
+            hist.agg(F.floor(F.sum("_n") * F.lit(float(frac)))
+                     .cast("long").alias("_k"))))
+        .where(F.col("_cum") >= F.col("_k"))
+        .agg(F.max("_s").alias("threshold"))
+    )
+    return df.crossJoin(F.broadcast(thr)).where(s >= F.col("threshold"))

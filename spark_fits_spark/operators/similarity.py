@@ -65,6 +65,57 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-``k`` most cosine-similar corpus vectors with a DIFFERENT
+    label — the near-miss negatives that make embedding models learn
+    (in-batch random negatives are too easy; the hardest negatives live
+    exactly at the top of the other-label similarity ranking).
+
+    Same plan as :func:`cosine_topk` — broadcast query side, one corpus
+    scan, the label inequality folded into the broadcast-join predicate
+    so same-label pairs are dropped BEFORE the dot product, then a
+    per-query top-k. Swap the scan side to :func:`ivf_topk`'s cell join
+    for the approximate variant at larger |Q|.
+
+    Returns ``(query_id, query_label, vec_id, neg_label, cosine,
+    rank)``."""
+    def _side(df, prefix):
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(label_col).alias(f"{prefix}l"),
+            v.alias(f"{prefix}v"),
+        ).withColumn(f"{prefix}n",
+                     F.sqrt(_dot(F.col(f"{prefix}v"), F.col(f"{prefix}v"))))
+
+    c = _side(corpus, "_c")
+    q = _side(queries, "_q")
+    pairs = c.join(F.broadcast(q), F.col("_cl") != F.col("_ql"))
+    scored = pairs.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_ql").alias("query_label"),
+        F.col("_cid").alias("vec_id"),
+        F.col("_cl").alias("neg_label"),
+        (_dot(F.col("_qv"), F.col("_cv"))
+         / (F.col("_qn") * F.col("_cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "vec_id", "neg_label",
+                F.round("_cos", 4).alias("cosine"), "rank")
+    )
+
+
 def hyperplane_signature(vec_col, planes: np.ndarray):
     """Signature int: bit b set iff vec·plane_b > 0. planes: (bits, dim)."""
     sig = F.lit(0)

@@ -2936,6 +2936,75 @@ def q87_minhash_estimator_error(spark, sf):
         d, "text", "doc_id", shingle_n=1, n_hashes=16)
 
 
+@query("q89_quality_top_fraction", """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         round(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','is','to','in')))::DOUBLE
+               / len(string_split(text, ' ')), 4) AS stop_ratio
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(round(round((least(n_tok / 50.0, 1.0)
+                           + n_distinct::DOUBLE / n_tok
+                           + least(stop_ratio * 5, 1.0)) / 3, 4)
+                    * 10000) AS BIGINT) AS q4
+  FROM m
+), h AS (SELECT q4, COUNT(*) AS n FROM s GROUP BY q4),
+c AS (SELECT q4, SUM(n) OVER (ORDER BY q4 DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+kk AS (SELECT CAST(floor(SUM(n) * 0.3) AS BIGINT) AS k FROM h),
+t AS (SELECT MAX(q4) AS threshold FROM c, kk WHERE cum >= k)
+SELECT s.doc_id, s.q4, t.threshold FROM s, t WHERE s.q4 >= t.threshold
+""")
+def q89_quality_top_fraction(spark, sf):
+    """Exact global-quantile quality gate ("train on the best 30%"):
+    the threshold comes from a score HISTOGRAM — cumulative window over
+    ≤10⁴ distinct quantized scores, never a global row sort (the
+    percent_rank formulation funnels the corpus through one partition).
+    One data-sized shuffle (map-combined histogram) + a broadcast
+    threshold filter; inclusive-tie semantics pin determinism."""
+    d = _docs(spark, sf)
+    scored = d.select(
+        "doc_id",
+        F.round(T.quality_score("text") * 10000, 0).cast("long").alias("q4"))
+    return sample.top_fraction_by_score(scored, "q4", 0.3)
+
+
+@query("q90_hard_negatives", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS vec_id, c.label AS neg_label,
+         list_dot_product(q.v, c.v)
+         / (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e c CROSS JOIN q WHERE c.label != q.label
+), ranked AS (
+  SELECT query_id, query_label, vec_id, neg_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label,
+       round(cos, 4) AS cosine, rank
+FROM ranked WHERE rank <= 10
+""")
+def q90_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training: per query the
+    top-10 most-similar vectors with a DIFFERENT label. Label
+    inequality folds into the broadcast-join predicate (same-label
+    pairs never reach the dot product); one corpus pass, per-query
+    top-k."""
+    e = _emb(spark, sf)
+    return similarity.hard_negative_topk(
+        e, e.where(F.col("vec_id") < 5), "embedding", "vec_id", "label",
+        k=10)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -2956,6 +3025,7 @@ _DRIVER_PRIORITY = [
     "q82_pmi_collocations", "q83_kmv_source_overlap",
     "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
     "q87_minhash_estimator_error", "q88_ivfpq_recall",
+    "q89_quality_top_fraction", "q90_hard_negatives",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -2976,18 +3046,19 @@ _DRIVER_PRIORITY = [
     # rotation picks (green in r02; keep the hard operators gated)
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
     "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
-    "q24_dedup_simhash", "q25_embedding_near_dup",
-    "q47_winnow_fingerprints", "q48_dedup_clusters", "q51_dedup_corpus",
+    "q25_embedding_near_dup",
+    "q48_dedup_clusters", "q51_dedup_corpus",
     "q26_ann_cosine_topk",
     "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    # (q01/q20/q21/q30/q50/q52/q53 rotate to the local mirror this
-    # round to make room for the seven r3-new queries; all rotated-out
-    # queries were hash-green in r02, q01 is still exercised by the
-    # driver's entry() smoke check — it IS the flagship query —
-    # multimodal stays gated via q68 (same Arrow plumbing plus real
-    # byte math), and q50's ivf_topk machinery stays gated via q81
-    # recall + q88 IVF-PQ)
+    # (q01/q20/q21/q24/q30/q47/q50/q52/q53 rotate to the local mirror
+    # this round to make room for the nine r3-new queries; all
+    # rotated-out queries were hash-green in r02, q01 is still
+    # exercised by the driver's entry() smoke check — it IS the
+    # flagship query — multimodal stays gated via q68 (same Arrow
+    # plumbing plus real byte math), q50's ivf_topk machinery stays
+    # gated via q81 recall + q88 IVF-PQ, and q24/q47 are pure-JVM
+    # deterministic expression ops with pinning unit tests)
 ]
 
 

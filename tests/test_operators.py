@@ -877,3 +877,43 @@ def test_bpe_apply_matches_fit_segmentation(spark):
     big = {r["doc_id"]: r["n_bpe_tokens"]
            for r in T.bpe_apply(df, "text", "doc_id", fake).collect()}
     assert big == {d: out[d]["n_bpe_tokens"] for d in big}
+
+
+def test_top_fraction_by_score_threshold_and_ties(spark):
+    """k = floor(frac*N); the k-th largest score is the threshold and
+    threshold ties are kept inclusively."""
+    from spark_fits_spark.operators import sample
+    # scores: 10,9,8,...,1  (N=10); frac=0.3 -> k=3 -> threshold=8
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], ["id", "s"])
+    out = sample.top_fraction_by_score(df, "s", 0.3).collect()
+    assert sorted(r["s"] for r in out) == [8, 9, 10]
+    assert all(r["threshold"] == 8 for r in out)
+    # ties at the threshold: scores 5,5,5,1 with frac=0.5 -> k=2 ->
+    # threshold=5 -> ALL three 5s kept (inclusive)
+    df2 = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 5), (3, 1)], ["id", "s"])
+    out2 = sample.top_fraction_by_score(df2, "s", 0.5).collect()
+    assert sorted(r["id"] for r in out2) == [0, 1, 2]
+    # frac=1.0 keeps everything
+    assert sample.top_fraction_by_score(df2, "s", 1.0).count() == 4
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Negatives never share the query's label; ranking is by cosine
+    with vec_id tie-break."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),   # most similar to 0 but SAME label
+        (2, [0.9, 0.4], "b"),    # nearest other-label
+        (3, [0.0, 1.0], "b"),    # orthogonal other-label
+        (4, [0.5, 0.5], "c"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.where(F.col("vec_id") == 0)
+    out = similarity.hard_negative_topk(
+        df, q, "embedding", "vec_id", "label", k=3).collect()
+    assert [r["vec_id"] for r in out] == [2, 4, 3]
+    assert all(r["neg_label"] != "a" for r in out)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["query_label"] == "a"
