@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q88_ivfpq_recall",
     "q89_quality_top_fraction",
     "q90_hard_negatives",
+    "q91_lm_fluency_gate",
 ]
 
 
@@ -279,7 +280,7 @@ def main() -> None:
                                           "q77", "q78", "q79",
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
-                                          "q89", "q90",
+                                          "q89", "q90", "q91",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

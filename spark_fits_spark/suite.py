@@ -3005,6 +3005,46 @@ def q90_hard_negatives(spark, sf):
         k=10)
 
 
+@query("q91_lm_fluency_gate", """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), f AS (
+  SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+), t AS (
+  SELECT SUM(n)::DOUBLE AS total FROM f
+), lp AS (
+  SELECT tok, CAST(round(log10(n / total) * 1000000) AS BIGINT) AS lp6
+  FROM f, t
+), d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(round(round(CAST(SUM(lp6) AS BIGINT)::DOUBLE
+                          / (COUNT(*) * 1000000), 4) * 10000) AS BIGINT)
+           AS lp4
+  FROM tk JOIN lp USING (tok) GROUP BY doc_id
+), h AS (SELECT lp4, COUNT(*) AS n FROM d GROUP BY lp4),
+c AS (SELECT lp4, SUM(n) OVER (ORDER BY lp4 DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+kk AS (SELECT CAST(floor(SUM(n) * 0.7) AS BIGINT) AS k FROM h),
+tt AS (SELECT MAX(lp4) AS threshold FROM c, kk WHERE cum >= k)
+SELECT d.doc_id, d.n_toks, d.lp4, tt.threshold
+FROM d, tt WHERE d.lp4 >= tt.threshold
+""")
+def q91_lm_fluency_gate(spark, sf):
+    """CCNet-style perplexity gate: score every doc by mean unigram
+    log-prob under the corpus's own LM (q60's operator), then keep the
+    most-fluent 70% via the exact histogram threshold (q89's operator)
+    — the composed "train on the fluent tail" selection, end-to-end
+    under the hash gate. Both stages keep their scale shapes: one
+    token-stream shuffle + vocab join for the LM, one ≤10⁴-row
+    histogram window + broadcast threshold for the gate."""
+    d = _t(spark, sf, "documents")
+    lm = T.corpus_unigram_logprob(d, "text", "doc_id")
+    scored = lm.select(
+        "doc_id", "n_toks",
+        F.round(F.col("avg_logprob") * 10000, 0).cast("long").alias("lp4"))
+    return sample.top_fraction_by_score(scored, "lp4", 0.7)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3026,6 +3066,7 @@ _DRIVER_PRIORITY = [
     "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
     "q87_minhash_estimator_error", "q88_ivfpq_recall",
     "q89_quality_top_fraction", "q90_hard_negatives",
+    "q91_lm_fluency_gate",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -3048,17 +3089,18 @@ _DRIVER_PRIORITY = [
     "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
     "q25_embedding_near_dup",
     "q48_dedup_clusters", "q51_dedup_corpus",
-    "q26_ann_cosine_topk",
     "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    # (q01/q20/q21/q24/q30/q47/q50/q52/q53 rotate to the local mirror
-    # this round to make room for the nine r3-new queries; all
+    # (q01/q20/q21/q24/q26/q30/q47/q50/q52/q53 rotate to the local
+    # mirror this round to make room for the ten r3-new queries; all
     # rotated-out queries were hash-green in r02, q01 is still
     # exercised by the driver's entry() smoke check — it IS the
     # flagship query — multimodal stays gated via q68 (same Arrow
     # plumbing plus real byte math), q50's ivf_topk machinery stays
-    # gated via q81 recall + q88 IVF-PQ, and q24/q47 are pure-JVM
-    # deterministic expression ops with pinning unit tests)
+    # gated via q81 recall + q88 IVF-PQ, q26's cosine_topk is embedded
+    # verbatim in the gated q81/q84/q88 recall oracles (a cosine bug
+    # breaks their hashes), and q24/q47 are pure-JVM deterministic
+    # expression ops with pinning unit tests)
 ]
 
 
