@@ -160,6 +160,53 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def stream_to_shards(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shards",
+    available_now: bool = True,
+):
+    """Continuously land a document stream into training shards — the
+    streaming twin of the batch shard manifest (``q76``): each
+    micro-batch is appended under ``out_dir/epoch=<id>/shard=<s>/`` as
+    parquet, with the shard a **pure function of the id** (the same
+    salted-md5 bucket rule as :func:`~spark_fits_spark.operators.sample.
+    hash_bucket`), so a document's shard never depends on arrival
+    batch, partitioning, or cluster size, and per-shard readers see a
+    stable hash-partitioned layout.
+
+    Exactly-once: ``foreachBatch`` may replay an epoch after failure;
+    the write targets the epoch's own subdirectory with
+    ``mode("overwrite")``, so a replay rewrites that epoch atomically
+    instead of duplicating rows. State is zero (stateless sink) — the
+    only streaming state is the file-source offset log in
+    ``checkpoint_dir``.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` drains the
+    current backlog then stops — the batch-backfill mode; pass
+    ``available_now=False`` for a continuous micro-batch trigger)."""
+    from spark_fits_spark.operators.sample import hash_bucket
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df
+         .withColumn("shard", hash_bucket(id_col, salt, buckets=n_shards))
+         .write.mode("overwrite")
+         .partitionBy("shard")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+
+    writer = (
+        docs.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def text_dedup_stream(docs: DataFrame, watermark: str = "1 hour",
                       ts_col: str = "ts", text_col: str = "text") -> DataFrame:
     """Streaming content deduplication: fingerprint the text (md5 of

@@ -108,3 +108,35 @@ def test_dedup_stream_drops_replayed_file(spark, tmp_path, events_batch):
     q.stop()
     # batch analog gives the same distinct set
     assert se.dedup_stream(one.union(one)).count() == one.count()
+
+
+def test_stream_to_shards_exactly_once_and_stable(spark, tmp_path, events_batch):
+    """Every event lands exactly once across epochs; shard assignment
+    equals the batch hash_bucket rule (arrival-batch-independent)."""
+    from spark_fits_spark.operators.sample import hash_bucket
+
+    d = str(tmp_path / "docs_in")
+    splits = [
+        events_batch.where(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.1)
+
+    stream = se.read_events_stream(spark, d, max_files_per_trigger=1)
+    out = str(tmp_path / "shards_out")
+    q = se.stream_to_shards(
+        stream, out, str(tmp_path / "ckpt2"),
+        id_col="event_id", n_shards=4, salt="t")
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", out).parquet(out)
+    n_total = events_batch.count()
+    assert got.count() == n_total  # exactly once, across all epochs
+    assert got.select("event_id").distinct().count() == n_total
+    # shard is the deterministic batch rule, independent of epoch
+    expect = {r["event_id"]: r["s"] for r in events_batch.select(
+        "event_id", hash_bucket("event_id", "t", buckets=4).alias("s")
+    ).collect()}
+    for r in got.select("event_id", "shard").collect():
+        assert r["shard"] == expect[r["event_id"]], r
