@@ -533,3 +533,33 @@ def test_fits_info_inventory(spark):
     assert rows[1]["extname"] == "EVENTS" and rows[1]["n_rows"] == 50000
     assert rows[2]["extname"] == "GTI" and rows[3]["extname"] == "BADPIX"
     assert all(r["data_start"] % 2880 == 0 for r in rows.values())
+
+
+def test_many_file_planning_is_pooled_and_fast(tmp_path):
+    """Driver-side planning over hundreds of files must stay in the
+    thread-pooled header walk (~1 ms/file), not serial open latency:
+    at 100 TB a table is thousands of part files and planning happens
+    per action. Spark-free: exercises plan_for_files directly."""
+    import time
+
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import FitsScanReader
+
+    d = tmp_path / "many"
+    d.mkdir()
+    cols = [("Index", "K", np.arange(50, dtype=">i8")),
+            ("RA", "E", np.zeros(50, dtype=">f4"))]
+    n = 300
+    for i in range(n):
+        fw.write_fits(str(d / f"f{i:04d}.fits"), [fw.bintable_hdu(cols)])
+    files = sorted(str(p) for p in d.glob("*.fits"))
+    r = FitsScanReader(str(d), 1, None, None, None, "PERMISSIVE",
+                      8 * 1024 * 1024, False)
+    t0 = time.perf_counter()
+    parts = r.plan_for_files(files)
+    sec = time.perf_counter() - t0
+    assert len(parts) == n
+    # generous bound (idle host measures ~0.2 s; CI-throttle headroom)
+    assert sec < 10, f"planning {n} files took {sec:.1f}s"
