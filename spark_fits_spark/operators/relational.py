@@ -145,3 +145,36 @@ def range_join_pairs(
     )
     # no distinct needed: gap <= bucket width means each qualifying pair
     # meets on exactly one of a's two exploded buckets
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    *,
+    path: str | None = None,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed parquet table: rows are
+    hash-partitioned into ``n_buckets`` files per write-task by
+    ``bucket_col`` at WRITE time, so every later equi-join or
+    aggregation on that column reads co-located data and **skips its
+    shuffle entirely** — the standard layout for a 100 TB fact table
+    that is joined on the same key query after query (pay the shuffle
+    once at ingest, never again).
+
+    ``sort_col`` additionally sorts within buckets (lets sort-merge
+    join skip its sort too). Bucket metadata lives in the session
+    catalog (``saveAsTable`` — plain ``.parquet(path)`` cannot carry
+    it); pass ``path`` to keep the data external to the warehouse dir.
+
+    See ``tests/test_operators.py::test_bucketed_join_skips_shuffle``
+    for the plan-level proof (no ``Exchange`` above either scan)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

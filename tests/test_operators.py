@@ -917,3 +917,40 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert all(r["neg_label"] != "a" for r in out)
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["query_label"] == "a"
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count:
+    the equi-join plan carries NO Exchange above either scan (the
+    ingest-time bucketing replaces the per-query shuffle). The same
+    join over plain parquet shuffles both sides."""
+    from spark_fits_spark.operators import relational
+
+    a = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 10_000).withColumn("w", F.col("id") % 97)
+    relational.write_bucketed(
+        a, "t_bkt_a", "id", 8, path=str(tmp_path / "a"), sort_col="id")
+    relational.write_bucketed(
+        b, "t_bkt_b", "id", 8, path=str(tmp_path / "b"), sort_col="id")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bkt_a").join(
+                spark.table("t_bkt_b"), "id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10_000
+            # control: identical join over unbucketed parquet shuffles
+            a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+            b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+            flat = spark.read.parquet(str(tmp_path / "pa")).join(
+                spark.read.parquet(str(tmp_path / "pb")), "id")
+            flat.count()
+            fplan = flat._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in fplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
