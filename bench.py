@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q89_quality_top_fraction",
     "q90_hard_negatives",
     "q91_lm_fluency_gate",
+    "q92_source_kl_drift",
 ]
 
 
@@ -280,7 +281,7 @@ def main() -> None:
                                           "q77", "q78", "q79",
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
-                                          "q89", "q90", "q91",
+                                          "q89", "q90", "q91", "q92",
                                           "fits_scan_multifile"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

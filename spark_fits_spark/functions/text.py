@@ -761,3 +761,61 @@ def frequent_ngrams(df, text_col: str, group_col: str, *,
         .where(F.col("rank") <= k)
         .select("group", "gram", "n_docs", "rank")
     )
+
+
+def source_kl_divergence(df, text_col: str, group_col: str):
+    """Per-source distribution drift: ``D_KL(P_source ‖ P_corpus)``
+    over unigram distributions — the standard "which source is pulling
+    the training mix away from the mixture" monitor (high KL = niche
+    vocabulary; ~0 = representative). Every source token exists in the
+    corpus by construction, so no smoothing is needed and the log is
+    always finite.
+
+    One pass over text: explode → ``groupBy(source, token)`` counts
+    (map-combined, the only data-sized shuffle); the global token
+    table is a RE-aggregation of that table (never a second
+    tokenization), totals ride one-row broadcasts, and the
+    source→global join is vocabulary-sized (AQE broadcasts small
+    vocabs). Per-token contributions ``p_s·log10(p_s/p_c)`` are
+    quantized to int64 (×1e9) so the per-source sum is
+    aggregation-order-independent and SQL-replicable.
+
+    Returns ``(source, n_toks, n_vocab, kl9_sum, kl_divergence)``."""
+    from pyspark.storagelevel import StorageLevel
+
+    sf = (
+        spread_for_cpu(df)
+        .select(F.col(group_col).alias("_g"),
+                F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy("_g", "_tok").agg(F.count("*").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gf = sf.groupBy("_tok").agg(F.sum("_n").alias("_ng"))
+    stot = sf.groupBy("_g").agg(F.sum("_n").alias("_ts"))
+    gtot = gf.agg(F.sum("_ng").cast("double").alias("_tg"))
+    contrib = (
+        sf.join(gf, "_tok")
+        .join(F.broadcast(stot), "_g")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "_g", "_n",
+            F.round(
+                (F.col("_n") / F.col("_ts"))
+                * F.log10((F.col("_n") / F.col("_ts"))
+                          / (F.col("_ng") / F.col("_tg")))
+                * 1_000_000_000, 0).cast("long").alias("_c9"),
+        )
+    )
+    return (
+        contrib.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.sum("_n").alias("n_toks"),
+            F.count("*").alias("n_vocab"),
+            F.sum("_c9").alias("kl9_sum"),
+        )
+        .select(
+            group_col, "n_toks", "n_vocab", "kl9_sum",
+            F.round(F.col("kl9_sum") / 1_000_000_000, 4)
+            .alias("kl_divergence"),
+        )
+    )

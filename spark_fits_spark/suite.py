@@ -3045,6 +3045,43 @@ def q91_lm_fluency_gate(spark, sf):
     return sample.top_fraction_by_score(scored, "lp4", 0.7)
 
 
+@query("q92_source_kl_drift", """
+WITH tk AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), sf AS (
+  SELECT g, tok, COUNT(*) AS n FROM tk GROUP BY g, tok
+), gf AS (
+  SELECT tok, SUM(n) AS ng FROM sf GROUP BY tok
+), stot AS (
+  SELECT g, SUM(n) AS ts FROM sf GROUP BY g
+), gtot AS (
+  SELECT SUM(ng)::DOUBLE AS tg FROM gf
+), contrib AS (
+  SELECT sf.g, sf.n,
+         CAST(round((sf.n / stot.ts)
+                    * log10((sf.n / stot.ts) / (gf.ng / gtot.tg))
+                    * 1000000000) AS BIGINT) AS c9
+  FROM sf JOIN gf USING (tok) JOIN stot USING (g), gtot
+)
+SELECT g AS source,
+       CAST(SUM(n) AS BIGINT) AS n_toks,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(c9) AS BIGINT) AS kl9_sum,
+       round(CAST(SUM(c9) AS BIGINT)::DOUBLE / 1000000000, 4)
+         AS kl_divergence
+FROM contrib GROUP BY g
+""")
+def q92_source_kl_drift(spark, sf):
+    """Training-mix observability: per-source KL divergence of the
+    unigram distribution vs the whole-corpus mixture. One tokenization
+    pass; the global token table is a re-aggregation of the per-source
+    counts; totals ride one-row broadcasts; int64-quantized per-token
+    contributions make the sums order-independent."""
+    d = _t(spark, sf, "documents")
+    return T.source_kl_divergence(d, "text", "source")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3066,7 +3103,7 @@ _DRIVER_PRIORITY = [
     "q84_mrl_truncated_recall", "q85_pq_encode", "q86_bpe_apply",
     "q87_minhash_estimator_error", "q88_ivfpq_recall",
     "q89_quality_top_fraction", "q90_hard_negatives",
-    "q91_lm_fluency_gate",
+    "q91_lm_fluency_gate", "q92_source_kl_drift",
     # r2-unverified: sampling/mixing/packing
     "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
     "q66_shuffle_shards", "q72_fixed_n_sample", "q73_temperature_mix",
@@ -3086,12 +3123,12 @@ _DRIVER_PRIORITY = [
     "q46_approx_stats",
     # rotation picks (green in r02; keep the hard operators gated)
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
-    "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
+    "q22_dedup_minhash_lsh",
     "q25_embedding_near_dup",
     "q48_dedup_clusters", "q51_dedup_corpus",
     "q35_asof_join", "q36_range_join_pairs",
     "q42_grouped_zscore", "q45_salted_join_agg",
-    # (q01/q20/q21/q24/q26/q30/q47/q50/q52/q53 rotate to the local
+    # (q01/q20/q21/q23/q24/q26/q30/q47/q50/q52/q53 rotate to the local
     # mirror this round to make room for the ten r3-new queries; all
     # rotated-out queries were hash-green in r02, q01 is still
     # exercised by the driver's entry() smoke check — it IS the
