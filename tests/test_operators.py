@@ -954,3 +954,41 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE config must actually split a skewed shuffle
+    partition at join time (SortMergeJoin(skew=true) in the FINAL
+    executed plan). Notes this pins: (a) plan inspection must execute
+    the SAME Dataset's QueryExecution — a noop write runs a different
+    one and shows no skew markers; (b) a groupBy on the join key right
+    after the join suppresses the split (it would break the agg's
+    co-partitioning) — the salted_join operator exists for exactly
+    that shape."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = (
+            spark.range(200_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(spark.range(9_900).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")))
+        )
+        small = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        j = big.join(small, "k")
+        n = len(j._jdf.queryExecution().executedPlan().executeCollect())
+        assert n == 209_900
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
