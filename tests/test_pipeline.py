@@ -1,0 +1,64 @@
+"""End-to-end curation pipeline invariants at sf0.001 + planted rows."""
+
+from pyspark.sql import functions as F
+
+from spark_fits_spark.pipeline import curate_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_corpus_invariants(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant an exact near-dup pair (ids ~1e9 avoid collisions with data)
+    extra = spark.createDataFrame(
+        [(10**9, "the quick brown fox jumps over the lazy dog again and "
+                 "again today with more words to pass the word floor",
+          "en", "planted", 100),
+         (10**9 + 1, "the quick brown fox jumps over the lazy dog again "
+                     "and again today with more words to pass the word floor",
+          "en", "planted", 100)],
+        docs.schema)
+    corpus = docs.unionByName(extra)
+    bench = spark.createDataFrame(
+        [(5 * 10**8, "held out benchmark question about unique topic zzz",
+          "en", "bench", 50)], docs.schema)
+
+    out = curate_corpus(corpus, benchmark=bench)
+    clean, report = out["clean"], out["report"]
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    order = [r["stage"] for r in report.orderBy("stage_order").collect()]
+    assert order == ["input", "scrub", "gopher_gate", "line_dedup",
+                     "near_dedup", "decontaminate", "quality_gate"]
+    # monotone non-increasing doc counts through the funnel
+    ns = [rep[s] for s in order]
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+    assert rep["input"] == corpus.count()
+
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # the planted near-dup pair collapsed (at most one survivor, and
+    # if one survives it is the min id — keep_representatives rule)
+    assert not (10**9 in ids and 10**9 + 1 in ids)
+    assert 10**9 + 1 not in ids
+    # output ids ⊆ input ids; schema preserved
+    in_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert ids <= in_ids
+    assert set(clean.columns) == set(corpus.columns)
+    spark.catalog.clearCache()
+
+
+def test_curate_corpus_drops_contaminated(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # a training doc sharing a 3-gram with the benchmark must not survive
+    poisoned = spark.createDataFrame(
+        [(10**9 + 7, "this document leaks the held out benchmark "
+                     "question about unique topic zzz verbatim plus "
+                     "enough other words to pass every quality gate "
+                     "easily and cleanly today", "en", "planted", 150)],
+        docs.schema)
+    bench = spark.createDataFrame(
+        [(5 * 10**8, "held out benchmark question about unique topic zzz",
+          "en", "bench", 50)], docs.schema)
+    out = curate_corpus(docs.unionByName(poisoned), benchmark=bench)
+    ids = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
+    assert 10**9 + 7 not in ids
+    spark.catalog.clearCache()
