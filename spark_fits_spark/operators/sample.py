@@ -387,9 +387,16 @@ def top_fraction_by_score(
     histogram is exact and the SQL oracle replays bit-for-bit.
 
     Returns the input rows filtered, plus ``threshold``."""
+    from pyspark.storagelevel import StorageLevel
+
     s = F.col(score_col) if isinstance(score_col, str) else score_col
+    # persisted: the cumulative window AND the k-total both consume the
+    # histogram; unpersisted, each consumer would recompute it — i.e.
+    # re-scan the INPUT (3 corpus passes instead of the 2-pass minimum
+    # an exact quantile needs: one to build the histogram, one to
+    # filter). ≤|distinct scores| rows — trivial memory at any scale.
     hist = df.select(s.alias("_s")).groupBy("_s").agg(
-        F.count("*").alias("_n"))
+        F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
     cum_w = (Window.orderBy(F.desc("_s"))
              .rowsBetween(Window.unboundedPreceding, 0))
     thr = (
