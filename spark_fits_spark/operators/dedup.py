@@ -966,9 +966,14 @@ def kmv_source_overlap(
     cand = (salted.withColumn("_rn", F.row_number().over(w1))
             .where(F.col("_rn") <= k).drop("_rn", "_s"))
     w2 = _W.partitionBy("_g").orderBy("_h")
+    # persisted: BOTH sides of the pair join read the sketch table;
+    # unpersisted, the distinct + two-window pipeline (the only
+    # data-sized work here) would run twice. |groups|·k rows — tiny.
+    from pyspark.storagelevel import StorageLevel
     sk = (cand.withColumn("_rn", F.row_number().over(w2))
           .where(F.col("_rn") <= k)
-          .groupBy("_g").agg(F.array_sort(F.collect_list("_h")).alias("_a")))
+          .groupBy("_g").agg(F.array_sort(F.collect_list("_h")).alias("_a"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
 
     a = sk.select(F.col("_g").alias("source_a"), F.col("_a").alias("_aa"))
     b = sk.select(F.col("_g").alias("source_b"), F.col("_a").alias("_ab"))
