@@ -142,3 +142,107 @@ def byte_features(df: DataFrame, payload_col: str = "payload",
             })
 
     return df.mapInPandas(feats, BYTE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("src_width", LongType()),
+    StructField("src_height", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("channels", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_image(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id", *, width: int = 16,
+                 height: int = 16) -> DataFrame:
+    """Resize stage of an image pipeline: payload → fixed (w, h)
+    thumbnail payload, via Arrow-batched ``mapInPandas``.
+
+    The DECODE is the honest stub (:func:`_decode_stub` dims; a real
+    deployment swaps in ``PIL.Image.open``), but the resample is REAL
+    numpy: the payload bytes are viewed as the stub's (h, w, c) pixel
+    array (truncated/padded) and nearest-neighbor-sampled to the target
+    grid with integer strides — deterministic, so tests can pin exact
+    output bytes. Output payload is always ``width·height·channels``
+    bytes: the fixed-shape tensor a training loader wants.
+
+    Plumbing this pins: binary→binary mapInPandas (Arrow binary columns
+    both ways), per-batch vectorization, zero driver involvement."""
+    import numpy as np
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sw, sh, out = [], [], []
+            for b in pdf[payload_col]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                w0, h0, c, _ = _decode_stub(bytes(b))
+                need = w0 * h0 * c
+                px = np.resize(raw, need).reshape(h0, w0, c)
+                yi = (np.arange(height) * h0) // height
+                xi = (np.arange(width) * w0) // width
+                thumb = px[yi][:, xi, :]
+                sw.append(w0)
+                sh.append(h0)
+                out.append(thumb.tobytes())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "src_width": pd.Series(sw, dtype="int64"),
+                "src_height": pd.Series(sh, dtype="int64"),
+                "width": pd.Series([width] * len(out), dtype="int64"),
+                "height": pd.Series([height] * len(out), dtype="int64"),
+                "channels": pd.Series([3] * len(out), dtype="int64"),
+                "payload": out,
+            })
+
+    return df.mapInPandas(rs, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_index", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id", *, frame_bytes: int = 256,
+                  n_samples: int = 4) -> DataFrame:
+    """Frame-sampling stage of a video pipeline: one input payload →
+    ``n_samples`` frame rows, uniformly strided across the stream — the
+    1→N fan-out shape (mapInPandas may yield MORE rows than it
+    consumes, which is exactly how a video decoder parallelizes on
+    Spark: fan out frames in the scan stage, process them as rows).
+
+    The "container parse" is deterministic plumbing (fixed
+    ``frame_bytes`` chunks play the role of decoded frames; a real
+    deployment swaps in PyAV/ffmpeg iteration), the striding and
+    slicing are real. Short payloads yield fewer frames (never empty
+    for non-empty payloads); frame k of n = chunk
+    ``floor(k·n_frames/n_samples)``."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                n_frames = max(1, len(raw) // frame_bytes) if raw else 0
+                take = min(n_samples, n_frames)
+                for k in range(take):
+                    fi = (k * n_frames) // max(take, 1)
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    totals.append(n_frames)
+                    frames.append(
+                        raw[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_index": pd.Series(idxs, dtype="int64"),
+                "n_frames": pd.Series(totals, dtype="int64"),
+                "frame_payload": frames,
+            })
+
+    return df.mapInPandas(fs, FRAME_SCHEMA)

@@ -992,3 +992,50 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_resize_image_fixed_shape_and_deterministic(spark):
+    """Every output payload is exactly width*height*channels bytes;
+    the nearest-neighbor sample is pinned against a local numpy
+    recomputation; empty payloads zero-fill."""
+    import numpy as np
+
+    from spark_fits_spark.operators.multimodal import (
+        _decode_stub, resize_image)
+
+    rows = [(0, b"x" * 300), (1, b"abcdef" * 50), (2, b"")]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in
+           resize_image(df, width=8, height=4).collect()}
+    for doc_id, payload in rows:
+        r = out[doc_id]
+        assert len(bytes(r["payload"])) == 8 * 4 * 3
+        w0, h0, c, _ = _decode_stub(payload)
+        assert (r["src_width"], r["src_height"]) == (w0, h0)
+        px = np.resize(np.frombuffer(payload, np.uint8),
+                       w0 * h0 * c).reshape(h0, w0, c)
+        yi = (np.arange(4) * h0) // 4
+        xi = (np.arange(8) * w0) // 8
+        assert bytes(r["payload"]) == px[yi][:, xi, :].tobytes()
+
+
+def test_sample_frames_fan_out_and_stride(spark):
+    """1 payload -> N frame rows, uniformly strided; short payloads
+    yield fewer frames; empty payloads yield none."""
+    from spark_fits_spark.operators.multimodal import sample_frames
+
+    big = bytes(range(256)) * 10          # 10 frames of 256
+    small = b"y" * 300                    # 1 frame
+    df = spark.createDataFrame(
+        [(0, big), (1, small), (2, b"")], ["doc_id", "payload"])
+    out = sample_frames(df, frame_bytes=256, n_samples=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_index"] for r in by_doc[0]) == [0, 2, 5, 7]
+    assert all(r["n_frames"] == 10 for r in by_doc[0])
+    assert all(bytes(r["frame_payload"]) ==
+               big[r["frame_index"] * 256:(r["frame_index"] + 1) * 256]
+               for r in by_doc[0])
+    assert [r["frame_index"] for r in by_doc[1]] == [0]
+    assert 2 not in by_doc
