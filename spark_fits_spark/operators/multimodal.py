@@ -175,7 +175,7 @@ def resize_image(df: DataFrame, payload_col: str = "payload",
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sw, sh, out = [], [], []
+            sw, sh, chans, out = [], [], [], []
             for b in pdf[payload_col]:
                 raw = np.frombuffer(bytes(b), dtype=np.uint8)
                 w0, h0, c, _ = _decode_stub(bytes(b))
@@ -186,6 +186,10 @@ def resize_image(df: DataFrame, payload_col: str = "payload",
                 thumb = px[yi][:, xi, :]
                 sw.append(w0)
                 sh.append(h0)
+                # the DECODED channel count, not a constant: a real
+                # decoder returning c=1/c=4 must keep payload length ==
+                # width*height*channels true
+                chans.append(c)
                 out.append(thumb.tobytes())
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
@@ -193,7 +197,7 @@ def resize_image(df: DataFrame, payload_col: str = "payload",
                 "src_height": pd.Series(sh, dtype="int64"),
                 "width": pd.Series([width] * len(out), dtype="int64"),
                 "height": pd.Series([height] * len(out), dtype="int64"),
-                "channels": pd.Series([3] * len(out), dtype="int64"),
+                "channels": pd.Series(chans, dtype="int64"),
                 "payload": out,
             })
 
@@ -221,8 +225,9 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     ``frame_bytes`` chunks play the role of decoded frames; a real
     deployment swaps in PyAV/ffmpeg iteration), the striding and
     slicing are real. Short payloads yield fewer frames (never empty
-    for non-empty payloads); frame k of n = chunk
-    ``floor(k·n_frames/n_samples)``."""
+    for non-empty payloads): with ``take = min(n_samples, n_frames)``
+    samples emitted, sample k is chunk ``floor(k·n_frames/take)`` —
+    always ``take`` DISTINCT frames, uniformly strided."""
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,7 +237,7 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                 n_frames = max(1, len(raw) // frame_bytes) if raw else 0
                 take = min(n_samples, n_frames)
                 for k in range(take):
-                    fi = (k * n_frames) // max(take, 1)
+                    fi = (k * n_frames) // take  # take >= 1 in the loop
                     ids.append(int(doc_id))
                     idxs.append(fi)
                     totals.append(n_frames)

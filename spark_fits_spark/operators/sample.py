@@ -383,10 +383,17 @@ def top_fraction_by_score(
     k-th largest score and rows with ``score >= threshold`` are kept —
     ties at the threshold are kept inclusively (deterministic,
     partition-independent; ``n_kept >= k`` by at most the tie width).
-    ``score_col`` must be integral (quantize floats first) so the
-    histogram is exact and the SQL oracle replays bit-for-bit.
+    ``k == 0`` (``frac·N < 1``) keeps nothing. ``score_col`` must be
+    integral (quantize floats first) so the histogram is exact and the
+    SQL oracle replays bit-for-bit.
 
-    Returns the input rows filtered, plus ``threshold``."""
+    Returns the input rows filtered, plus ``threshold``. Raises if the
+    input already carries a ``threshold`` column (the output name is
+    part of the contract — rename yours first)."""
+    if "threshold" in df.columns:
+        raise ValueError(
+            "input already has a 'threshold' column; rename it before "
+            "calling top_fraction_by_score")
     from pyspark.storagelevel import StorageLevel
 
     s = F.col(score_col) if isinstance(score_col, str) else score_col
@@ -404,7 +411,11 @@ def top_fraction_by_score(
         .crossJoin(F.broadcast(
             hist.agg(F.floor(F.sum("_n") * F.lit(float(frac)))
                      .cast("long").alias("_k"))))
-        .where(F.col("_cum") >= F.col("_k"))
+        # k == 0 keeps NOTHING: without this guard every histogram row
+        # satisfies cum >= 0 and "top 0%" would return the max-score
+        # tie group (threshold aggregates to NULL here, and s >= NULL
+        # filters every row)
+        .where((F.col("_k") > 0) & (F.col("_cum") >= F.col("_k")))
         .agg(F.max("_s").alias("threshold"))
     )
     return df.crossJoin(F.broadcast(thr)).where(s >= F.col("threshold"))

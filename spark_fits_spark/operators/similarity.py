@@ -27,11 +27,17 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _with_norm(df: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame:
+def _with_norm(df: DataFrame, vec_col: str, id_col: str, prefix: str,
+               extra_cols: dict[str, str] | None = None) -> DataFrame:
+    """(prefix)id / (prefix)v / (prefix)n projection; ``extra_cols``
+    maps additional source columns to output names carried along."""
     v = F.col(vec_col).cast("array<double>")
+    extras = [F.col(src).alias(out)
+              for src, out in (extra_cols or {}).items()]
     return df.select(
         F.col(id_col).alias(f"{prefix}id"),
         v.alias(f"{prefix}v"),
+        *extras,
     ).withColumn(f"{prefix}n", F.sqrt(_dot(F.col(f"{prefix}v"), F.col(f"{prefix}v"))))
 
 
@@ -87,17 +93,10 @@ def hard_negative_topk(
 
     Returns ``(query_id, query_label, vec_id, neg_label, cosine,
     rank)``."""
-    def _side(df, prefix):
-        v = F.col(vec_col).cast("array<double>")
-        return df.select(
-            F.col(id_col).alias(f"{prefix}id"),
-            F.col(label_col).alias(f"{prefix}l"),
-            v.alias(f"{prefix}v"),
-        ).withColumn(f"{prefix}n",
-                     F.sqrt(_dot(F.col(f"{prefix}v"), F.col(f"{prefix}v"))))
-
-    c = _side(corpus, "_c")
-    q = _side(queries, "_q")
+    c = _with_norm(corpus, vec_col, id_col, "_c",
+                   extra_cols={label_col: "_cl"})
+    q = _with_norm(queries, vec_col, id_col, "_q",
+                   extra_cols={label_col: "_ql"})
     pairs = c.join(F.broadcast(q), F.col("_cl") != F.col("_ql"))
     scored = pairs.select(
         F.col("_qid").alias("query_id"),

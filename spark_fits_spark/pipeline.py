@@ -57,6 +57,10 @@ def curate_corpus(
     from pyspark.storagelevel import StorageLevel
 
     def _p(df: DataFrame) -> DataFrame:
+        # never re-persist a DataFrame the CALLER already persisted —
+        # Spark throws on storage-level changes
+        if df.storageLevel != StorageLevel.NONE:
+            return df
         return df.persist(StorageLevel.MEMORY_AND_DISK)
 
     stages: list[tuple[str, DataFrame]] = []
@@ -66,13 +70,14 @@ def curate_corpus(
     scrubbed = _p(docs.withColumn(text_col, T.scrub_text(text_col)))
     stages.append(("scrub", scrubbed))
 
-    # 2. Gopher-style rule gate (map-side, zero shuffle)
-    nw = F.size(T.tokens(text_col))
+    # 2. Gopher-style rule gate (map-side, zero shuffle). The symbol
+    # class keeps letters of EITHER case and all whitespace — an
+    # ALL-CAPS or newline-heavy document contains no "symbols"
     gated = _p(scrubbed.where(
-        nw.between(min_words, max_words)
+        F.size(T.tokens(text_col)).between(min_words, max_words)
         & (T.dup_ngram_ratio(text_col, 3) <= max_dup_gram_ratio)
         & ((F.length(text_col)
-            - F.length(F.regexp_replace(text_col, "[^a-z0-9 ]", "")))
+            - F.length(F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", "")))
            / F.length(text_col) <= max_symbol_ratio)))
     stages.append(("gopher_gate", gated))
 
@@ -91,14 +96,16 @@ def curate_corpus(
     near_ded = _p(dedup.keep_representatives(line_ded, clusters, id_col))
     stages.append(("near_dedup", near_ded))
 
-    # 5. benchmark decontamination (broadcast anti-join on gram hits)
+    # 5. benchmark decontamination: the DROP list (contaminated ids —
+    # tiny by definition, benchmark grams are rare in the corpus) is
+    # broadcast into a left_anti join; the keep list would be
+    # corpus-sized and force a full shuffle join
     cur = near_ded
     if benchmark is not None:
         flags = dedup.decontaminate(
             near_ded, benchmark, text_col, id_col, n=3)
-        cur = _p(near_ded.join(
-            flags.where(~F.col("contaminated")).select(id_col), id_col,
-            "left_semi"))
+        drop = flags.where(F.col("contaminated")).select(id_col)
+        cur = _p(near_ded.join(F.broadcast(drop), id_col, "left_anti"))
         stages.append(("decontaminate", cur))
 
     # 6. quality gate: exact top-fraction histogram threshold

@@ -179,11 +179,15 @@ def stream_to_shards(
     batch, partitioning, or cluster size, and per-shard readers see a
     stable hash-partitioned layout.
 
-    Exactly-once: ``foreachBatch`` may replay an epoch after failure;
-    the write targets the epoch's own subdirectory with
-    ``mode("overwrite")``, so a replay rewrites that epoch atomically
-    instead of duplicating rows. State is zero (stateless sink) — the
-    only streaming state is the file-source offset log in
+    Exactly-once (eventual): ``foreachBatch`` may replay an epoch after
+    failure; the write targets the epoch's own subdirectory with
+    ``mode("overwrite")``, so a replay REPLACES that epoch instead of
+    duplicating rows. Note the overwrite is delete-then-write, not
+    atomic: a reader scanning ``out_dir`` DURING a replay can observe
+    the epoch partially rewritten — gate consumers on stream quiesce
+    (or on the ``_SUCCESS`` marker inside each epoch dir, which the
+    parquet committer writes last). State is zero (stateless sink) —
+    the only streaming state is the file-source offset log in
     ``checkpoint_dir``.
 
     Returns the started ``StreamingQuery`` (``availableNow`` drains the

@@ -1039,3 +1039,17 @@ def test_sample_frames_fan_out_and_stride(spark):
                for r in by_doc[0])
     assert [r["frame_index"] for r in by_doc[1]] == [0]
     assert 2 not in by_doc
+
+
+def test_top_fraction_k_zero_and_reserved_column(spark):
+    """frac·N < 1 keeps NOTHING (not the max-score tie group), and an
+    input that already has a 'threshold' column is rejected."""
+    from spark_fits_spark.operators import sample
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 5), (3, 1)], ["id", "s"])
+    assert sample.top_fraction_by_score(df, "s", 0.0).count() == 0
+    assert sample.top_fraction_by_score(df, "s", 0.1).count() == 0  # k=0
+    with pytest.raises(ValueError, match="threshold"):
+        sample.top_fraction_by_score(
+            df.withColumn("threshold", F.lit(1)), "s", 0.5)

@@ -9,14 +9,18 @@ SF = "/root/testdata/sf0.001"
 
 def test_curate_corpus_invariants(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    # plant an exact near-dup pair (ids ~1e9 avoid collisions with data)
+    # plant a near-dup pair whose LINES are distinct strings (so C4
+    # line dedup keeps both docs — a shared line would be stripped from
+    # the second doc) but whose token SETS are identical (each line of
+    # doc B is doc A's line word-reversed): Jaccard exactly 1.0, so the
+    # MinHash near-dedup stage MUST collapse them — the collapse cannot
+    # be line dedup's doing; ids ~1e9 avoid collisions with real data
+    line_a = ("the quick brown fox jumps over the lazy dog again and "
+              "again today with more words to pass the word floor")
+    line_b = " ".join(reversed(line_a.split(" ")))
     extra = spark.createDataFrame(
-        [(10**9, "the quick brown fox jumps over the lazy dog again and "
-                 "again today with more words to pass the word floor",
-          "en", "planted", 100),
-         (10**9 + 1, "the quick brown fox jumps over the lazy dog again "
-                     "and again today with more words to pass the word floor",
-          "en", "planted", 100)],
+        [(10**9, line_a, "en", "planted", 100),
+         (10**9 + 1, line_b, "en", "planted", 100)],
         docs.schema)
     corpus = docs.unionByName(extra)
     bench = spark.createDataFrame(
