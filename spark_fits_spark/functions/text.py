@@ -113,6 +113,25 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def _est_scan_partitions(sizes: list[int], parallelism: int,
+                         maxpb: int, opencost: int) -> int:
+    """Mirror of Spark's FilePartition packing estimate: split size =
+    ``min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))`` with
+    ``bytesPerCore = (Σsize + n·openCost) / parallelism``, then
+    open-cost-padded bytes binned at that split size. Used to decide
+    whether a scan is already spread without converting the plan to an
+    RDD (the expensive probe)."""
+    padded = sum(sizes) + len(sizes) * opencost
+    per_core = padded // max(parallelism, 1)
+    split = min(maxpb, max(opencost, per_core, 1))
+    # bin-packing closes bins EARLY (a bin never exceeds the split), so
+    # ceil over-counts by at most one bin; report the floor-leaning
+    # estimate so a borderline small input errs toward spreading (a
+    # cheap repartition of a by-construction small input) rather than
+    # leaving it near-serial
+    return max(1, -(-padded // split) - 1) if padded > split else 1
+
+
 def spread_for_cpu(df, npartitions: int | None = None):
     """Small-input guard for CPU-heavy map stages (tokenize + md5 gram
     hashing): a 100 TB scan arrives with thousands of partitions, but a
@@ -125,21 +144,56 @@ def spread_for_cpu(df, npartitions: int | None = None):
 
     Probe cost: pass ``npartitions`` (a caller hint) to skip probing
     entirely. Otherwise ``inputFiles()`` (driver-side file listing, no
-    plan conversion) settles the common many-file no-op case; only a
-    few-file/unlisted source falls back to ``rdd.getNumPartitions()``,
-    which converts the plan to an RDD (and, for a Python datasource,
-    re-runs its partition planning) — acceptable exactly when the input
-    is small."""
+    plan conversion) plus the session's file-packing confs estimate the
+    scan partition count — a raw file COUNT is not enough, because
+    Spark packs small files: with default ``openCostInBytes`` (4 MB)
+    64 tiny files plan as ~3 partitions, not 64. Local (``file:``)
+    inputs are stat'ed directly (µs each); non-local or unlisted
+    sources fall back to ``rdd.getNumPartitions()``, which converts
+    the plan to an RDD (and, for a Python datasource, re-runs its
+    partition planning) — acceptable exactly when the input is small,
+    and skipped for very large listings (≥1024 files pack to ≥ cores
+    partitions under any sane conf)."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     if npartitions is None:
         try:
-            nfiles = len(df.inputFiles())
+            files = df.inputFiles()
         except Exception:
-            nfiles = 0
-        if nfiles * 2 >= p:
-            return df  # ≥1 partition per file → already spread
-        npartitions = df.rdd.getNumPartitions()
+            files = []
+        if files and len(files) < 1024:
+            import os
+            from urllib.parse import urlparse
+
+            conf = df.sparkSession.conf
+
+            def _b(v: str) -> int:
+                v = v.strip().lower()
+                for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20),
+                                  ("gb", 1 << 30), ("k", 1 << 10),
+                                  ("m", 1 << 20), ("g", 1 << 30),
+                                  ("b", 1)):
+                    if v.endswith(suf):
+                        return int(float(v[:-len(suf)])) * mult
+                return int(v)
+
+            maxpb = _b(conf.get("spark.sql.files.maxPartitionBytes",
+                                "134217728"))
+            opencost = _b(conf.get("spark.sql.files.openCostInBytes",
+                                   "4194304"))
+            try:
+                sizes = [
+                    os.path.getsize(urlparse(f).path) for f in files
+                    if urlparse(f).scheme in ("file", "")]
+                if sizes:  # all-local listing → Spark's packing formula
+                    npartitions = _est_scan_partitions(
+                        sizes, p, maxpb, opencost)
+            except OSError:
+                pass
+        elif len(files) >= 1024:
+            return df
+        if npartitions is None:
+            npartitions = df.rdd.getNumPartitions()
     if npartitions * 2 < p:
         return df.repartition(p)
     return df

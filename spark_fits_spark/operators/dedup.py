@@ -952,7 +952,12 @@ def kmv_source_overlap(
 
     grams = tokens(text_col) if n == 1 else word_ngrams(text_col, n)
     tk = (
-        spread_for_cpu(df)
+        # NULL-text rows are dropped up front: Spark's word_ngrams
+        # otherwise-branch would turn NULL text into an '' gram
+        # (concat_ws never yields NULL) while the SQL oracle's
+        # array_to_string(NULL) yields a NULL gram — md5('') vs NULL
+        # would silently skew the sketch on NULL-bearing corpora
+        spread_for_cpu(df.where(F.col(text_col).isNotNull()))
         .select(F.col(group_col).alias("_g"),
                 F.explode(grams).alias("_tok"))
         .select("_g", F.md5("_tok").alias("_h"))

@@ -547,6 +547,17 @@ def ivfpq_topk(
     if centroids is None:
         centroids = ivf_centroids(n_centroids, dim, seed)
     m = len(codebooks)
+    sub_fit = len(codebooks[0][0][1])
+    if dim % m or dim // m != sub_fit:
+        # a mismatched dim/m/codebook silently NULLs every zip_with dot
+        # product downstream (garbage top-k, no error) — refuse instead
+        raise ValueError(
+            f"dim={dim} with m={m} codebooks of subdim {sub_fit} is "
+            "inconsistent (need dim == m * subdim)")
+    first = corpus.select(vec_col).first()  # bounded-collect: 1 row
+    if first is not None and len(first[0]) != dim:
+        raise ValueError(
+            f"corpus vectors have dim {len(first[0])}, expected {dim}")
     sub = dim // m
 
     c = _with_norm(corpus, vec_col, id_col, "_c").withColumn(

@@ -2520,6 +2520,26 @@ FROM j GROUP BY query_id
 """
 
 
+def _recall_vs_exact(exact, approx, *, n_col: str = "n_exact", extra=()):
+    """Shared recall@k harness (q81/q84/q88): join the approximate
+    retriever's (query_id, vec_id) pairs onto the exact top-k and
+    aggregate hits per query. Rank-rows only — never data-sized."""
+    hit = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
+    return (
+        exact.select("query_id", "vec_id")
+        .join(hit, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias(n_col),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id", *extra, n_col, "n_hit",
+            F.round(F.col("n_hit") / F.col(n_col), 4).alias("recall_at_k"),
+        )
+    )
+
+
 @query("q81_ann_recall", _RECALL_ORACLE)
 def q81_ann_recall(spark, sf):
     """ANN quality invariant: per-query recall@10 of IVF (nprobe=2 of 8
@@ -2535,21 +2555,7 @@ def q81_ann_recall(spark, sf):
     ivf = similarity.ivf_topk(
         e, q, "embedding", "vec_id",
         k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
-    hit = ivf.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
-    return (
-        exact.select("query_id", "vec_id")
-        .join(hit, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
-        )
-        .select(
-            "query_id", "n_exact", "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 4)
-            .alias("recall_at_k"),
-        )
-    )
+    return _recall_vs_exact(exact, ivf)
 
 
 @query("q82_pmi_collocations", """
@@ -2596,7 +2602,8 @@ WITH g3 AS (
            list_transform(range(1, len(w) - 1),
                           i -> array_to_string(w[i:i+2], ' '))
          ELSE [array_to_string(w, ' ')] END AS grams
-  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL)
 ), tk AS (
   SELECT DISTINCT source AS g, md5(gram) AS h
   FROM (SELECT source, unnest(grams) AS gram FROM g3)
@@ -2687,21 +2694,9 @@ def q84_mrl_truncated_recall(spark, sf):
         .alias("embedding"))
     trunc = similarity.cosine_topk(
         tr, tr.where(F.col("vec_id") < 5), "embedding", "vec_id", k=10)
-    hit = trunc.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
-    return (
-        full.select("query_id", "vec_id")
-        .join(hit, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_full"),
-            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
-        )
-        .select(
-            "query_id", F.lit(16).alias("trunc_dim"), "n_full", "n_hit",
-            F.round(F.col("n_hit") / F.col("n_full"), 4)
-            .alias("recall_at_k"),
-        )
-    )
+    return _recall_vs_exact(
+        full, trunc, n_col="n_full",
+        extra=(F.lit(16).alias("trunc_dim"),))
 
 
 def _pq_sub_sql(j: int, lo: int, hi: int) -> str:
@@ -2875,21 +2870,7 @@ def q88_ivfpq_recall(spark, sf):
         e, q, "embedding", "vec_id", codebooks=books, quantize=1_000_000,
         k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE, dim=64, seed=11)
     exact = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
-    hit = approx.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
-    return (
-        exact.select("query_id", "vec_id")
-        .join(hit, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
-        )
-        .select(
-            "query_id", "n_exact", "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 4)
-            .alias("recall_at_k"),
-        )
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 _Q87_ORACLE = """

@@ -1053,3 +1053,35 @@ def test_top_fraction_k_zero_and_reserved_column(spark):
     with pytest.raises(ValueError, match="threshold"):
         sample.top_fraction_by_score(
             df.withColumn("threshold", F.lit(1)), "s", 0.5)
+
+
+def test_spread_probe_estimates_packed_partitions(spark, tmp_path):
+    """The spread probe must estimate PACKED scan partitions from
+    sizes+conf (Spark's split formula incl. bytesPerCore), not assume
+    one partition per file: the estimate should track the planner
+    within 2x on real listings, and the end-to-end helper must still
+    spread a single small file to full parallelism."""
+    MB = 1 << 20
+    est = T._est_scan_partitions
+    # 64 tiny files, 32 cores, default confs: bytesPerCore dominates ->
+    # ~32 partitions (NOT 64 one-per-file, NOT 3 from naive total/maxpb)
+    assert 16 <= est([100_000] * 64, 32, 128 * MB, 4 * MB) <= 64
+    # one small file on 32 cores: few partitions -> helper will spread
+    assert est([20 * MB], 32, 128 * MB, 4 * MB) * 2 < 32
+    # estimate vs the actual planner on a real multi-file listing
+    d = str(tmp_path / "many_small")
+    spark.range(640).selectExpr("id", "repeat('x', 100) AS t") \
+        .repartition(64).write.parquet(d)
+    df = spark.read.parquet(d)
+    import os
+    from urllib.parse import urlparse
+    sizes = [os.path.getsize(urlparse(f).path) for f in df.inputFiles()]
+    p = spark.sparkContext.defaultParallelism
+    got = est(sizes, p, 128 * MB, 4 * MB)
+    actual = df.rdd.getNumPartitions()
+    assert actual / 2 <= got <= actual * 2, (got, actual)
+    # end-to-end: a single small file still spreads to parallelism
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    out = T.spread_for_cpu(spark.read.parquet(one))
+    assert out.rdd.getNumPartitions() == p
