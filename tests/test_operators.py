@@ -1085,3 +1085,20 @@ def test_spread_probe_estimates_packed_partitions(spark, tmp_path):
     spark.range(1000).coalesce(1).write.parquet(one)
     out = T.spread_for_cpu(spark.read.parquet(one))
     assert out.rdd.getNumPartitions() == p
+
+
+def test_ivfpq_rejects_mismatched_dims(spark, emb):
+    """dim/m/codebook inconsistency must raise, not silently NULL every
+    zip_with dot product into a garbage top-k."""
+    books = similarity.pq_fit(
+        emb, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1000)
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="inconsistent"):
+        similarity.ivfpq_topk(
+            emb, q, "embedding", "vec_id", codebooks=books,
+            quantize=1000, dim=48)  # 48 % 2 == 0 but subdim != 24
+    with pytest.raises(ValueError, match="corpus vectors have dim"):
+        similarity.ivfpq_topk(
+            emb, q, "embedding", "vec_id",
+            codebooks=[[(0, [0] * 16)], [(0, [0] * 16)]],
+            quantize=1000, dim=32)  # consistent 2x16 but vectors are 64
