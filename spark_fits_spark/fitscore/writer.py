@@ -213,9 +213,15 @@ def image_hdu(data: np.ndarray, primary: bool = False,
 
 
 def write_fits(path: str, hdus: list[bytes], include_primary: bool = True,
-               checksum: bool = False) -> None:
-    with open(path, "wb") as f:
+               checksum: bool = False, fobj=None) -> None:
+    """Serialize HDUs to ``path``, or into an already-open binary stream
+    ``fobj`` (the VFS writer path — fitscore.vfs — passes its own)."""
+    if fobj is not None:
         if include_primary:
-            f.write(primary_hdu(checksum=checksum))
+            fobj.write(primary_hdu(checksum=checksum))
         for h in hdus:
-            f.write(h)
+            fobj.write(h)
+        return
+    with open(path, "wb") as f:
+        write_fits(path, hdus, include_primary=include_primary,
+                   checksum=checksum, fobj=f)

@@ -35,9 +35,7 @@ which Spark schedules fine. Driver-side planning reads only headers
 
 from __future__ import annotations
 
-import glob as globmod
 import logging
-import os
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -71,6 +69,12 @@ from spark_fits_spark.fitscore.file import (
     open_hdu,
 )
 from spark_fits_spark.fitscore.types import parse_tform
+from spark_fits_spark.fitscore.vfs import (
+    LOCAL,
+    FitsFileSystem,
+    iter_path_specs,
+    resolve_fs,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -86,21 +90,19 @@ def search_fits_files(path: str) -> list[str]:
 
     Accepts a single file, a directory (recursive, ``.fits`` suffix
     filter), a glob pattern, or a comma-separated list of any of these
-    (``FitsSourceRelation.scala:133-177``)."""
+    (``FitsSourceRelation.scala:133-177``). Schemes other than local
+    (``s3://``, ``hdfs://``, ``memory://``, ...) dispatch through the
+    VFS layer, matching the reference's Hadoop-FS path resolution."""
     out: list[str] = []
-    for spec in (s.strip() for s in path.split(",")):
-        if not spec:
-            continue
-        if os.path.isdir(spec):
-            for root, _dirs, files in os.walk(spec):
-                out.extend(
-                    os.path.join(root, f) for f in files if f.lower().endswith(".fits")
-                )
+    for spec, fs in iter_path_specs(path):
+        if fs.isdir(spec):
+            out.extend(
+                f for f in fs.walk_files(spec) if f.lower().endswith(".fits")
+            )
         elif any(ch in spec for ch in "*?["):
-            matches = [p for p in globmod.glob(spec) if os.path.isfile(p)]
-            out.extend(matches)
+            out.extend(fs.glob(spec))
         else:
-            if not os.path.isfile(spec):
+            if not fs.isfile(spec):
                 raise FileNotFoundError(f"FITS path not found: {spec}")
             out.append(spec)
     if not out:
@@ -117,6 +119,10 @@ class FitsInputPartition(InputPartition):
     row_end: int
     # schema-ordered indices of selected columns (bintable only)
     col_indices: list[int] = field(default_factory=list)
+    # filesystem handle, resolved driver-side at plan time and pickled
+    # into the task (remote backends reconnect lazily; memory:// carries
+    # its bytes by value — see fitscore.vfs)
+    fs: FitsFileSystem = field(default_factory=lambda: LOCAL)
 
 
 def _bintable_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
@@ -208,7 +214,7 @@ class FitsDataSource(DataSource):
     def _first_hdu(self) -> HduInfo:
         files = search_fits_files(self._path())
         hdu_index = self._hdu_index()
-        with open(files[0], "rb") as f:
+        with resolve_fs(files[0]).open_input(files[0]) as f:
             return open_hdu(f, files[0], hdu_index)
 
     def schema(self) -> StructType:
@@ -258,12 +264,13 @@ class FitsDataSource(DataSource):
         from spark_fits_spark.sources.fits_writer import FitsArrowWriter
 
         path = self._path()
-        if overwrite and os.path.isdir(path):
-            for f in os.listdir(path):
+        fs = resolve_fs(path)
+        if overwrite and fs.isdir(path):
+            for f in fs.listdir(path):
                 if f.endswith(".fits"):
-                    os.remove(os.path.join(path, f))
-        os.makedirs(path, exist_ok=True)
-        return FitsArrowWriter(schema, path, self.options)
+                    fs.remove(fs.join(path, f))
+        fs.makedirs(path)
+        return FitsArrowWriter(schema, path, self.options, fs=fs)
 
     def reader(self, schema: StructType) -> "FitsScanReader":
         return FitsScanReader(
@@ -364,11 +371,23 @@ class FitsScanReader(DataSourceReader):
 
     def plan_for_files(self, files: list[str]) -> list[FitsInputPartition]:
 
+        # filesystems resolve once per scheme on the driver; partitions
+        # carry a picklable scoped handle (fitscore.vfs)
+        fs_cache: dict[str, FitsFileSystem] = {}
+
+        def _fs(fp: str) -> FitsFileSystem:
+            from spark_fits_spark.fitscore.vfs import split_scheme
+
+            scheme = split_scheme(fp)[0]
+            if scheme not in fs_cache:
+                fs_cache[scheme] = resolve_fs(fp)
+            return fs_cache[scheme]
+
         # open headers in parallel: planning cost is a few KB of reads per
         # file, but serial latency would dominate with thousands of files
         def _open(fp: str):
             try:
-                with open(fp, "rb") as f:
+                with _fs(fp).open_input(fp) as f:
                     return open_hdu(f, fp, self.hdu_index)
             except ValueError as e:
                 return e
@@ -452,6 +471,7 @@ class FitsScanReader(DataSourceReader):
 
         parts: list[FitsInputPartition] = []
         for hdu in hdus:
+            scoped_fs = _fs(hdu.path).scoped_for(hdu.path)
             col_indices = (
                 _select_columns(hdu, self.columns)
                 if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE)
@@ -475,6 +495,7 @@ class FitsScanReader(DataSourceReader):
                         row_start=start,
                         row_end=min(start + rows_per_part, hi),
                         col_indices=col_indices,
+                        fs=scoped_fs,
                     )
                 )
         # empty relation still needs one partition object for Spark
@@ -496,7 +517,8 @@ class FitsScanReader(DataSourceReader):
         batch_bytes = self.recordlength or DEFAULT_BATCH_BYTES
         rows_per_batch = max(1, batch_bytes // max(hdu.row_bytes, 1))
 
-        with open(hdu.path, "rb") as f:
+        fs = getattr(partition, "fs", None) or LOCAL
+        with fs.open_input(hdu.path) as f:
 
             def heap_read(off: int, length: int) -> bytes:
                 # variable-length (P/Q) heap access: one window per
@@ -646,10 +668,16 @@ class FitsStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             return []
         out = []
+        fs_cache: dict[str, FitsFileSystem] = {}
+        from spark_fits_spark.fitscore.vfs import split_scheme
+
         for p in files:
+            scheme = split_scheme(p)[0]
+            if scheme not in fs_cache:
+                fs_cache[scheme] = resolve_fs(p)
             try:
-                out.append((p, os.path.getmtime(p)))
-            except OSError:
+                out.append((p, fs_cache[scheme].mtime(p)))
+            except (OSError, FileNotFoundError):
                 continue  # raced with a delete
         return out
 

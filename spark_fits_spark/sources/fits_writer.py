@@ -34,7 +34,6 @@ data loss).
 
 from __future__ import annotations
 
-import os
 import uuid
 from dataclasses import dataclass
 
@@ -85,12 +84,21 @@ def _parse_width_options(options: dict | None) -> tuple[int | None, dict[str, in
 class FitsCommitMessage(WriterCommitMessage):
     path: str
     rows: int
+    # memory:// only — the part file's bytes, landed by the driver-side
+    # commit() (executor processes cannot mutate the driver's in-memory
+    # store; see fitscore.vfs module docstring). Real filesystems write
+    # in the task and leave this None.
+    payload: bytes | None = None
 
 
 class FitsArrowWriter(DataSourceArrowWriter):
-    def __init__(self, schema: StructType, path: str, options: dict | None = None):
+    def __init__(self, schema: StructType, path: str, options: dict | None = None,
+                 fs=None):
+        from spark_fits_spark.fitscore.vfs import LOCAL
+
         self.schema = schema
         self.path = path
+        self.fs = fs if fs is not None else LOCAL
         self.string_width, self.col_widths = _parse_width_options(options)
         opts = {k.lower(): v for k, v in (options or {}).items()}
         # .option("checksum", True): emit standard CHECKSUM/DATASUM
@@ -111,7 +119,7 @@ class FitsArrowWriter(DataSourceArrowWriter):
         batches = list(iterator)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc else 0
-        out = os.path.join(
+        out = self.fs.join(
             self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.fits")
 
         import pyarrow as pa
@@ -127,10 +135,26 @@ class FitsArrowWriter(DataSourceArrowWriter):
         columns = []
         for field, col in zip(self.schema.fields, table.columns):
             columns.append(self._to_fits_column(field.name, field.dataType, col, n))
-        os.makedirs(self.path, exist_ok=True)
-        fw.write_fits(out, [fw.bintable_hdu(columns, checksum=self.checksum)],
-                      checksum=self.checksum)
+        hdus = [fw.bintable_hdu(columns, checksum=self.checksum)]
+        if self.fs.needs_commit_payload:
+            # memory:// test FS: serialize here, land driver-side in
+            # commit() — the task-attempt → commit shape of an
+            # object-store committer
+            import io
+
+            buf = io.BytesIO()
+            fw.write_fits(out, hdus, checksum=self.checksum, fobj=buf)
+            return FitsCommitMessage(path=out, rows=n, payload=buf.getvalue())
+        self.fs.makedirs(self.path)
+        with self.fs.open_output(out) as f:
+            fw.write_fits(out, hdus, checksum=self.checksum, fobj=f)
         return FitsCommitMessage(path=out, rows=n)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None and getattr(m, "payload", None) is not None:
+                with self.fs.open_output(m.path) as f:
+                    f.write(m.payload)
 
     def _to_fits_column(self, name, dtype, col, n):
         import pyarrow.compute as pc

@@ -1,0 +1,215 @@
+"""VFS layer (fitscore.vfs): non-local filesystem access for the FITS
+datasource — scan, multi-file, streaming, and writer paths.
+
+Parity target: the reference reads through the Hadoop FileSystem API so
+``hdfs://``/``s3://`` work transparently (``FitsSourceRelation.scala:
+133-177``; S3 seek quirk ``FitsLib.scala:319-323``). Here ``mock://``
+(object-store URIs on shared local disk) drives the identical non-local
+code path end to end without network; ``memory://`` unit-tests the FS
+interface and the payload-commit writer path in-process.
+"""
+
+import os
+import pickle
+import shutil
+import tempfile
+
+import pytest
+
+from spark_fits_spark.fitscore import vfs
+
+
+@pytest.fixture()
+def mock_root():
+    root = os.path.join(tempfile.gettempdir(), "spark-fits-mockfs")
+    shutil.rmtree(root, ignore_errors=True)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+# -- scheme parsing and dispatch ------------------------------------------
+
+def test_split_scheme():
+    assert vfs.split_scheme("/a/b.fits") == ("", "/a/b.fits")
+    assert vfs.split_scheme("rel/a.fits") == ("", "rel/a.fits")
+    assert vfs.split_scheme("s3://bucket/key") == ("s3", "bucket/key")
+    assert vfs.split_scheme("S3A://b/k")[0] == "s3a"
+    assert vfs.split_scheme("file:///abs/p") == ("file", "/abs/p")
+    # a Windows drive letter is not a scheme
+    assert vfs.split_scheme("C:/x/y")[0] == ""
+
+
+def test_local_file_uri_strip(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    fs = vfs.resolve_fs(f"file://{p}")
+    assert isinstance(fs, vfs.LocalFileSystem)
+    assert fs.size(f"file://{p}") == 3
+    with fs.open_input(f"file://{p}") as f:
+        assert f.read() == b"abc"
+
+
+def test_resolve_unknown_scheme_raises():
+    with pytest.raises(ValueError, match="filesystem backend"):
+        vfs.resolve_fs("nosuchproto://bucket/key")
+
+
+def test_registry_override():
+    calls = []
+
+    def factory(scheme, sample):
+        calls.append((scheme, sample))
+        return vfs.LOCAL
+
+    vfs.register_filesystem("testscheme", factory)
+    try:
+        assert vfs.resolve_fs("testscheme://a/b") is vfs.LOCAL
+        assert calls == [("testscheme", "testscheme://a/b")]
+    finally:
+        vfs._REGISTRY.pop("testscheme", None)
+
+
+# -- memory:// interface + snapshot pickling ------------------------------
+
+def test_memory_fs_interface():
+    vfs.memory_store().clear()
+    fs = vfs.resolve_fs("memory://b/a/x.fits")
+    with fs.open_output("memory://b/a/x.fits") as f:
+        f.write(b"0123456789")
+    with fs.open_output("memory://b/a/y.fits") as f:
+        f.write(b"zz")
+    assert fs.isfile("memory://b/a/x.fits")
+    assert fs.isdir("memory://b/a") and fs.isdir("memory://b")
+    assert not fs.isdir("memory://b/a/x.fits")
+    assert fs.size("memory://b/a/x.fits") == 10
+    assert fs.mtime("memory://b/a/x.fits") > 0
+    assert fs.walk_files("memory://b") == [
+        "memory://b/a/x.fits", "memory://b/a/y.fits"]
+    assert fs.glob("memory://b/a/*.fits") == [
+        "memory://b/a/x.fits", "memory://b/a/y.fits"]
+    assert fs.listdir("memory://b/a") == ["x.fits", "y.fits"]
+    assert fs.listdir("memory://b") == ["a"]
+    # ranged read (the scan's seek+read pattern)
+    with fs.open_input("memory://b/a/x.fits") as f:
+        f.seek(4)
+        assert f.read(3) == b"456"
+    fs.remove("memory://b/a/y.fits")
+    assert not fs.isfile("memory://b/a/y.fits")
+    vfs.memory_store().clear()
+
+
+def test_memory_scoped_snapshot_survives_process_boundary():
+    """scoped_for carries bytes by value: after pickling, a process with
+    an empty store (simulated by clearing) can still serve the read."""
+    vfs.memory_store().clear()
+    fs = vfs.resolve_fs("memory://snap/f.fits")
+    with fs.open_output("memory://snap/f.fits") as f:
+        f.write(b"payload")
+    blob = pickle.dumps(fs.scoped_for("memory://snap/f.fits"))
+    vfs.memory_store().clear()          # "new process"
+    restored = pickle.loads(blob)
+    with restored.open_input("memory://snap/f.fits") as f:
+        assert f.read() == b"payload"
+
+
+def test_memory_writer_payload_commit_path():
+    """The writer's task→commit shape for payload filesystems: write()
+    returns bytes in the commit message instead of touching the store;
+    commit() lands them (fitscore.vfs module docstring)."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spark_fits_spark.sources.fits_writer import FitsArrowWriter
+
+    vfs.memory_store().clear()
+    schema = StructType([StructField("id", LongType())])
+    fs = vfs.MemoryFileSystem()
+    w = FitsArrowWriter(schema, "memory://wc/out", fs=fs)
+    batch = pa.record_batch([pa.array([1, 2, 3], pa.int64())], names=["id"])
+    msg = w.write(iter([batch]))
+    assert msg.payload is not None and msg.rows == 3
+    assert not fs.isfile(msg.path)      # nothing landed yet
+    w.commit([msg])
+    assert fs.isfile(msg.path)
+    # the landed bytes are a real FITS file
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    with fs.open_input(msg.path) as f:
+        hdu = open_hdu(f, msg.path, 1)
+    assert hdu.n_rows == 3 and hdu.col_names == ("id",)
+    vfs.memory_store().clear()
+
+
+# -- mock:// end-to-end through Spark -------------------------------------
+
+def test_mock_write_read_roundtrip(spark, mock_root):
+    df = spark.range(0, 500).selectExpr(
+        "id", "cast(id * 0.5 as double) as x", "concat('d', id) as s")
+    df.write.format("fits").mode("overwrite").save("mock://rt/out")
+    back = spark.read.format("fits").option("hdu", 1).load("mock://rt/out")
+    assert back.count() == 500
+    got = {r["id"]: (r["x"], r["s"]) for r in back.collect()}
+    assert got[7] == (3.5, "d7")
+    # overwrite actually clears previous part files through the VFS
+    df.limit(10).write.format("fits").mode("overwrite").save("mock://rt/out")
+    assert spark.read.format("fits").option("hdu", 1).load(
+        "mock://rt/out").count() == 10
+
+
+def test_mock_glob_prune_filter_and_comma_list(spark, mock_root):
+    spark.range(0, 300).selectExpr("id", "cast(id as double) as x") \
+        .write.format("fits").mode("overwrite").save("mock://gp/out")
+    # glob form
+    g = spark.read.format("fits").option("hdu", 1).load("mock://gp/out/*.fits")
+    assert g.count() == 300
+    # source-side column pruning over a remote scheme
+    p = (spark.read.format("fits").option("hdu", 1)
+         .option("columns", "x").load("mock://gp/out"))
+    assert p.columns == ["x"] and p.count() == 300
+    # pushed filter over a remote scheme
+    f = spark.read.format("fits").option("hdu", 1).load("mock://gp/out") \
+        .filter("id >= 295")
+    assert sorted(r["id"] for r in f.collect()) == [295, 296, 297, 298, 299]
+    # comma-separated list of mock URIs
+    part_dir = os.path.join(mock_root, "gp/out")
+    files = sorted(f"mock://gp/out/{n}" for n in os.listdir(part_dir)
+                   if n.endswith(".fits"))
+    assert len(files) >= 2
+    two = spark.read.format("fits").option("hdu", 1).load(",".join(files[:2]))
+    assert 0 < two.count() <= 300
+
+
+def test_mock_streaming_two_waves(spark, mock_root, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.range(0, 80).selectExpr("id", "cast(id as double) as x") \
+        .write.format("fits").mode("append").save("mock://st/in")
+
+    def drain():
+        q = (spark.readStream.format("fits").option("hdu", 1)
+             .load("mock://st/in")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 80
+    spark.range(80, 120).selectExpr("id", "cast(id as double) as x") \
+        .write.format("fits").mode("append").save("mock://st/in")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 120                       # no duplicates, no loss
+    assert got.select("id").distinct().count() == 120
+
+
+def test_mock_failfast_conformance(spark, mock_root):
+    spark.range(0, 10).selectExpr("id").write.format("fits") \
+        .mode("overwrite").save("mock://ff/out")
+    spark.range(0, 10).selectExpr("cast(id as double) as id") \
+        .write.format("fits").mode("append").save("mock://ff/out")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="FAILFAST|conform") as exc:
+        (spark.read.format("fits").option("hdu", 1)
+         .option("mode", "FAILFAST").load("mock://ff/out").count())
+    assert "conform" in str(exc.value)
