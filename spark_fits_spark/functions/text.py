@@ -185,7 +185,13 @@ def spread_for_cpu(df, npartitions: int | None = None):
                 sizes = [
                     os.path.getsize(urlparse(f).path) for f in files
                     if urlparse(f).scheme in ("file", "")]
-                if sizes:  # all-local listing → Spark's packing formula
+                # use the size estimate only when EVERY listed file is
+                # local: a mostly-remote (s3/hdfs) listing with one
+                # local file would otherwise be misjudged as tiny and
+                # hit with an unnecessary full repartition (r3 ADVICE);
+                # mixed/remote listings fall through to the
+                # getNumPartitions probe below
+                if sizes and len(sizes) == len(files):
                     npartitions = _est_scan_partitions(
                         sizes, p, maxpb, opencost)
             except OSError:

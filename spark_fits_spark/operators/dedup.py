@@ -997,7 +997,12 @@ def kmv_source_overlap(
         F.size(u).alias("union_k"),
         inter.cast("long").alias("n_inter"),
         F.round(inter.cast("double") / F.size(u), 4).alias("jaccard"),
-        F.when(kth_frac > 0,
-               F.round((F.size(u) - 1) / kth_frac, 0).cast("long"))
+        # small-sketch exact path (r3 ADVICE): when the union sketch is
+        # not full (|u| < k) it IS the full union — the KMV estimator
+        # (|u|-1)/h_k is badly biased there, and the exact count is
+        # already in hand
+        F.when(F.size(u) < k, F.size(u).cast("long"))
+        .when(kth_frac > 0,
+              F.round((F.size(u) - 1) / kth_frac, 0).cast("long"))
         .alias("union_est"),
     )

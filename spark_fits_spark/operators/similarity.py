@@ -449,6 +449,10 @@ def pq_fit(
     ``dim % m == 0``. Returns one ``(cluster_id, centroid)`` list per
     subspace."""
     first = corpus.select(vec_col).first()  # bounded collect: 1 row
+    if first is None or first[0] is None:
+        raise ValueError(
+            "pq_fit: empty corpus (or NULL first vector) — cannot infer "
+            "the embedding dimension; nothing to train on")
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -484,6 +488,14 @@ def pq_encode(
     m = len(codebooks)
     sub = len(codebooks[0][0][1])
     dim = m * sub
+    # same guard as ivfpq_topk (r3 ADVICE): a vector length that does
+    # not equal m·subdim would silently slice short and emit
+    # NULL/garbage codes and err_q2
+    first = df.select(vec_col).first()
+    if first is not None and first[0] is not None and len(first[0]) != dim:
+        raise ValueError(
+            f"pq_encode: vector length {len(first[0])} != m*subdim "
+            f"{m}*{sub}={dim} of the supplied codebooks")
     quantized = quantize is not None
     zero = F.lit(0).cast("long") if quantized else F.lit(0.0)
     out = df

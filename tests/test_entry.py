@@ -152,8 +152,9 @@ def test_query_against_oracle(spark, name):
 def test_driver_gate_invariants():
     """The correctness harness checks the FIRST 50 registrations: the
     explicit priority list must be exactly 50 unique names, lead the
-    dict, and every gated query must carry an oracle (q46 rows-only is
-    the single sanctioned exception)."""
+    dict, and every gated query must carry an oracle (as of r4, q46's
+    exact-side + tolerance-boolean reformulation closed the last
+    no-oracle hole)."""
     from spark_fits_spark.suite import _DRIVER_PRIORITY
 
     names = list(QUERIES)
@@ -161,6 +162,6 @@ def test_driver_gate_invariants():
     assert len(set(_DRIVER_PRIORITY)) == 50
     assert names[:50] == _DRIVER_PRIORITY
     missing_oracle = [n for n in _DRIVER_PRIORITY if n not in ORACLES]
-    assert missing_oracle in ([], ["q46_approx_stats"]), missing_oracle
+    assert missing_oracle == [], missing_oracle
     # every registered query resolves; no stale priority entries
     assert all(n in QUERIES for n in _DRIVER_PRIORITY)

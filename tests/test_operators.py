@@ -836,6 +836,12 @@ def test_kmv_source_overlap_identical_and_disjoint(spark):
     # sketch bounded by k even when vocab is larger
     big = dedup.kmv_source_overlap(df, "text", "src", k=4, n=1).collect()
     assert all(r["union_k"] <= 4 for r in big)
+    # small-sketch exact path (r3 ADVICE): union not full (< k) → the
+    # sketch IS the union, so union_est is the exact distinct count,
+    # not the high-variance (|u|-1)/h_k estimate
+    assert all(r["union_est"] == r["union_k"]
+               for r in out.values() if r["union_k"] < 8)
+    assert out[("a", "b")]["union_est"] == 6  # 6 distinct unigrams
 
 
 def test_pq_encode_exact_on_codebook_vectors(spark):
@@ -853,6 +859,15 @@ def test_pq_encode_exact_on_codebook_vectors(spark):
     assert len({(r["code0"], r["code1"]) for r in out}) == 4
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_fit(df, "embedding", "vec_id", m=3)
+    # empty corpus raises a clear error, not TypeError on None[0]
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.pq_fit(df.limit(0), "embedding", "vec_id", m=2)
+    # encode-side dim guard (mirrors ivfpq_topk, r3 ADVICE): vectors
+    # longer than m*subdim would silently slice short
+    with pytest.raises(ValueError, match="m\\*subdim"):
+        similarity.pq_encode(
+            spark.createDataFrame([(0, [0.0] * 12)], ["vec_id", "embedding"]),
+            "embedding", "vec_id", books, quantize=1000)
 
 
 def test_bpe_apply_matches_fit_segmentation(spark):
