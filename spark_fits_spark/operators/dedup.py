@@ -21,9 +21,11 @@ Caching note: several operators ``persist()`` intermediates (token /
 gram streams, shingle sets) that feed multiple subtrees of the returned
 plan — the cache is what keeps the corpus from being re-tokenized per
 subtree, and it cannot be unpersisted before the caller materializes
-the result. Long-lived sessions running many operator calls should
-``spark.catalog.clearCache()`` between pipeline stages (bench.py does),
-or the MEMORY_AND_DISK blocks accumulate for the session lifetime.
+the result. Two release paths (r4): wrap the operator call AND its
+consumption in ``spark_fits_spark.caching.release_after()`` (persist
+sites route through ``tracked_persist``, so the scope frees exactly
+these blocks), or keep the r1-r3 contract of
+``spark.catalog.clearCache()`` between pipeline stages (bench.py does).
 """
 
 from __future__ import annotations
@@ -31,6 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_fits_spark.caching import (
+    free_local_checkpoint,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from spark_fits_spark.functions.text import (
     content_fingerprint,
     md5_fingerprint,
@@ -86,15 +93,14 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
     # tokenized (and the CPU-heavy md5 gram hashing re-run) up to four
     # times. spread_for_cpu parallelizes the hashing for one-file
     # corpora (same convention as shingle_sets).
-    toks = (
+    toks = tracked_persist(
         spread_for_cpu(df)
         .select(F.col(id_col).alias("_id"), tokens(text_col).alias("_w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     gram_hash = lambda i: F.conv(  # noqa: E731 — md5(n-gram) → int64
         F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_w"), i, n))), 1, 15),
         16, 10).cast("long")
-    g = toks.select(
+    g = tracked_persist(toks.select(
         "_id",
         F.posexplode(
             F.when(
@@ -103,7 +109,7 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
                     F.sequence(F.lit(1), F.size("_w") - (n - 1)), gram_hash),
             ).otherwise(F.array().cast("array<long>"))
         ).alias("_gi", "_gh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     dup_keys = g.groupBy("_gh").count().where(F.col("count") > 1).select("_gh")
     dup_pos = g.join(dup_keys, "_gh").select("_id", "_gi")
     per_doc_dups = dup_pos.groupBy("_id").agg(
@@ -290,11 +296,10 @@ def minhash_lsh_pairs(
     # _rep = min member id. ONE window shuffle yields both the
     # doc→representative map and (by filtering to _id == _rep) the
     # distinct-set table, so the corpus is tokenized and shuffled once.
-    keyed = (
+    keyed = tracked_persist(
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
         .select("_id", F.array_sort("_hashes").alias("_set"))
         .withColumn("_rep", F.min("_id").over(Window.partitionBy("_set")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     membership = keyed.select("_id", "_rep")
     sets_df = keyed.where(F.col("_id") == F.col("_rep")).select(
@@ -341,11 +346,10 @@ def minhash_lsh_pairs(
     # it, and recomputing means running the n_hashes interpreted minhash
     # transforms over every set twice. Rows are bands+2 scalars per
     # (set, band) — a sliver of the corpus at any scale.
-    bands_df = (
+    bands_df = tracked_persist(
         sig.select("_id", F.array(*band_keys).alias("_ak"))
         .select("_id", F.posexplode("_ak").alias("_band", "_key"), "_ak")
         .select("_id", "_band", "_key", *prior_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # one scalar job materializes the persist AND yields every gating
@@ -498,14 +502,13 @@ def ngram_jaccard_pairs(
     of the dup ratio."""
     from pyspark.storagelevel import StorageLevel
 
-    keyed = (
+    keyed = tracked_persist(
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
         .join(df.select(F.col(id_col).alias("_id"),
                         F.col(block_col).alias("_blk")), "_id")
         .select("_id", "_blk", F.array_sort("_hashes").alias("_set"))
         .withColumn("_rep",
                     F.min("_id").over(Window.partitionBy("_blk", "_set")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets_df = keyed.where(F.col("_id") == F.col("_rep")).select(
         "_id", "_blk", F.col("_set").alias("_hashes"))
@@ -729,36 +732,38 @@ def connected_components(
     from pyspark.storagelevel import StorageLevel
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
+    edges = tracked_persist(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # localCheckpoint (not just persist) each round: the new plan
     # references the old labels twice (join + union), so without lineage
     # truncation the logical plan doubles per iteration — 2^rounds nodes
     # (the classic iterative-algorithm pitfall; GraphX checkpoints for
     # the same reason).
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("lbl"))
         )
-        new_labels = (
+        new_labels = tracked_local_checkpoint(
             labels.select("node", "lbl").union(nbr)
             .groupBy("node").agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "_old"), "node")
             .where(F.col("lbl") != F.col("_old"))
             .count()
         )
+        # the superseded round's checkpoint blocks are dead once
+        # `changed` is computed — free them now instead of waiting for
+        # Python+JVM GC and the ContextCleaner (each round's label
+        # table is corpus-keyed; this halves peak label storage)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -975,10 +980,10 @@ def kmv_source_overlap(
     # unpersisted, the distinct + two-window pipeline (the only
     # data-sized work here) would run twice. |groups|·k rows — tiny.
     from pyspark.storagelevel import StorageLevel
-    sk = (cand.withColumn("_rn", F.row_number().over(w2))
-          .where(F.col("_rn") <= k)
-          .groupBy("_g").agg(F.array_sort(F.collect_list("_h")).alias("_a"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sk = tracked_persist(
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .groupBy("_g").agg(F.array_sort(F.collect_list("_h")).alias("_a")))
 
     a = sk.select(F.col("_g").alias("source_a"), F.col("_a").alias("_aa"))
     b = sk.select(F.col("_g").alias("source_b"), F.col("_a").alias("_ab"))

@@ -26,6 +26,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_fits_spark.caching import tracked_local_checkpoint
+
 __all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
            "take_token_budget", "shuffle_shards", "take_n_per_stratum",
            "temperature_mix", "top_fraction_by_score"]
@@ -136,9 +138,9 @@ def pack_sequences(
     w = Window.partitionBy("_pid").orderBy(id_col)
     # localCheckpoint pins the partition layout: _pid must mean the same
     # partition in both branches below (totals vs rows)
-    local = ordered.withColumn(
+    local = tracked_local_checkpoint(ordered.withColumn(
         "_cum_in_part", F.sum("_n").over(w) - F.col("_n")
-    ).localCheckpoint(eager=False)
+    ), eager=False)
 
     prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
@@ -205,9 +207,9 @@ def take_token_budget(
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid", strata_col).orderBy("_hv", id_col)
-    local = ordered.withColumn(
+    local = tracked_local_checkpoint(ordered.withColumn(
         "_cum_in_part", F.sum("_n").over(w) - F.col("_n")
-    ).localCheckpoint(eager=False)
+    ), eager=False)
 
     prior = (
         Window.partitionBy(strata_col).orderBy("_pid")
@@ -338,9 +340,9 @@ def shuffle_shards(
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid", "shard").orderBy("_hv", id_col)
-    local = ordered.withColumn(
+    local = tracked_local_checkpoint(ordered.withColumn(
         "_rn", F.row_number().over(w).cast("long") - 1
-    ).localCheckpoint(eager=False)
+    ), eager=False)
 
     prior = (
         Window.partitionBy("shard").orderBy("_pid")
@@ -402,8 +404,10 @@ def top_fraction_by_score(
     # re-scan the INPUT (3 corpus passes instead of the 2-pass minimum
     # an exact quantile needs: one to build the histogram, one to
     # filter). ≤|distinct scores| rows — trivial memory at any scale.
-    hist = df.select(s.alias("_s")).groupBy("_s").agg(
-        F.count("*").alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+    from spark_fits_spark.caching import tracked_persist
+
+    hist = tracked_persist(df.select(s.alias("_s")).groupBy("_s").agg(
+        F.count("*").alias("_n")))
     cum_w = (Window.orderBy(F.desc("_s"))
              .rowsBetween(Window.unboundedPreceding, 0))
     thr = (

@@ -674,13 +674,15 @@ def semdedup(
 
     # persisted: the assignment feeds four subtrees (size gate, small
     # path, big path, final join) — without the cache the argmin would
-    # re-run per subtree. Freed by spark.catalog.clearCache() between
-    # pipeline stages (see bench.py); a long-lived session otherwise
-    # holds the blocks for its lifetime.
-    a = _assign_nearest(
+    # re-run per subtree. Freed by a caching.release_after() scope
+    # around the call, or by spark.catalog.clearCache() between
+    # pipeline stages (see bench.py).
+    from spark_fits_spark.caching import tracked_persist
+
+    a = tracked_persist(_assign_nearest(
         df.select(F.col(id_col), q.alias("_q")), F.col("_q"), cents,
         quantized=True, out_col=cluster_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
 
     # per-cluster max-cosine-to-a-lower-id via exact int64 GEMM: the
     # earlier pure-column self-join evaluated an interpreted

@@ -16,7 +16,10 @@ fundamentally needs it (line dedup, shingling).
 Stage boundaries are ``persist()``-ed (MEMORY_AND_DISK): the report
 counts and the next stage both consume each boundary, and without a
 persist every count would re-run the whole prefix of the pipeline.
-Call ``spark.catalog.clearCache()`` when done (bench.py pattern).
+Release: wrap the call and the consumption of ``clean``/``report`` in
+``spark_fits_spark.caching.release_after()`` (frees exactly the blocks
+this run pinned, checkpoints included), or call
+``spark.catalog.clearCache()`` when done (bench.py pattern).
 """
 
 from __future__ import annotations
@@ -61,7 +64,9 @@ def curate_corpus(
         # Spark throws on storage-level changes
         if df.storageLevel != StorageLevel.NONE:
             return df
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
+        from spark_fits_spark.caching import tracked_persist
+
+        return tracked_persist(df)
 
     stages: list[tuple[str, DataFrame]] = []
     stages.append(("input", _p(docs)))

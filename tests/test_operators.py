@@ -580,6 +580,39 @@ def test_bpe_segment_matches_reference_loop(spark):
     assert got == {w: (wc[w], segs[w]) for w in wc}
 
 
+def test_bpe_batched_fit_equals_sequential(spark):
+    """Batched merge selection (_safe_merge_batch) must be bit-identical
+    to the one-merge-per-job loop — on a heavy-interaction corpus (every
+    frequent pair shares symbols), a tie-dense corpus, and a disjoint
+    corpus where batching actually batches — while cutting job count on
+    the disjoint one (r3 VERDICT #5)."""
+    corpora = [
+        # classic toy corpus: merges chain into each other (es→est→...)
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3,
+        # tie-dense + self-interacting: "aaaa" pairs overlap themselves
+        ["aaaa"] * 4 + ["abab"] * 4 + ["bbbb"] * 4 + ["cdcd"] * 4,
+        # symbol-disjoint frequent pairs: th/qu/zx can merge in one job
+        ["that"] * 9 + ["queen"] * 8 + ["zxzy"] * 7 + ["mnop"] * 6,
+    ]
+    for words in corpora:
+        df = spark.createDataFrame(
+            [(0, " ".join(words))], ["doc_id", "text"])
+        seq_stats, bat_stats = {}, {}
+        seq_out, seq_merges = T.bpe_segment(
+            df, "text", n_merges=6, max_batch=1, job_stats=seq_stats)
+        bat_out, bat_merges = T.bpe_segment(
+            df, "text", n_merges=6, max_batch=64, job_stats=bat_stats)
+        assert bat_merges == seq_merges, (words[0], bat_merges, seq_merges)
+        assert sorted(map(tuple, bat_out.collect())) == \
+            sorted(map(tuple, seq_out.collect()))
+        assert bat_stats["jobs"] <= seq_stats["jobs"]
+    # the disjoint corpus must actually amortize: fewer jobs than merges
+    stats = {}
+    df = spark.createDataFrame([(0, " ".join(corpora[2]))], ["doc_id", "text"])
+    T.bpe_segment(df, "text", n_merges=6, max_batch=64, job_stats=stats)
+    assert stats["merges"] == 6 and stats["jobs"] < 6, stats
+
+
 def test_chunk_windows_cover_and_overlap(spark):
     """Chunks tile the token stream: starts at 1, 1+stride, ...; full
     windows have `window` tokens; reassembling every stride-th chunk

@@ -66,3 +66,48 @@ def test_curate_corpus_drops_contaminated(spark):
     ids = {r["doc_id"] for r in out["clean"].select("doc_id").collect()}
     assert 10**9 + 7 not in ids
     spark.catalog.clearCache()
+
+
+def test_release_after_frees_all_blocks(spark):
+    """caching.release_after: after a full curate_corpus run (which
+    exercises minhash band tables, connected-components localCheckpoints,
+    and every stage-boundary persist) is consumed inside the scope, the
+    session holds ZERO persisted RDDs — cache-manager persists AND
+    checkpoint blocks (r3 VERDICT #6)."""
+    from spark_fits_spark import caching
+
+    spark.catalog.clearCache()
+    before = caching.persistent_rdd_count(spark)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with caching.release_after():
+        out = curate_corpus(docs)
+        n_clean = out["clean"].count()
+        n_stages = out["report"].count()
+        assert n_clean > 0 and n_stages == 6  # consumed inside the scope
+        assert caching.persistent_rdd_count(spark) > before  # blocks live
+    assert caching.persistent_rdd_count(spark) == before
+
+
+def test_release_after_scopes_are_isolated(spark):
+    """An inner scope must not free an outer scope's blocks, and a
+    persist outside any scope is untouched (r3 behavior)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_fits_spark import caching
+
+    spark.catalog.clearCache()
+    unscoped = spark.range(100).persist(StorageLevel.MEMORY_AND_DISK)
+    unscoped.count()
+    with caching.release_after():
+        outer = caching.tracked_persist(spark.range(200))
+        outer.count()
+        with caching.release_after():
+            inner = caching.tracked_persist(spark.range(300))
+            inner.count()
+            assert inner.storageLevel != StorageLevel.NONE
+        assert inner.storageLevel == StorageLevel.NONE   # inner freed
+        assert outer.storageLevel != StorageLevel.NONE   # outer survives
+    assert outer.storageLevel == StorageLevel.NONE
+    assert unscoped.storageLevel != StorageLevel.NONE    # never tracked
+    unscoped.unpersist()
+    spark.catalog.clearCache()
