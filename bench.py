@@ -218,6 +218,43 @@ def fits_scan_multifile_seconds(spark) -> tuple[float, float]:
     return sec, mb
 
 
+def fits_plan_manyfile_seconds() -> tuple[float, int]:
+    """Driver-side planning cost over 2048 part files (r3 VERDICT #7 —
+    the 100x scale-up knob that bites first on real catalogs: planning
+    happens per action, and a 100 TB table is thousands of part files).
+    Spark-free: times plan_for_files (thread-pooled header walk +
+    row-aligned partition generation) directly; file generation is
+    untimed."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import FitsScanReader
+
+    d = tempfile.mkdtemp(prefix="fitsbench_plan")
+    n_files, rows = 2048, 50
+    cols = [("Index", "K", np.arange(rows, dtype=">i8")),
+            ("RA", "E", np.zeros(rows, dtype=">f4"))]
+    hdu = fw.bintable_hdu(cols)
+    for i in range(n_files):
+        fw.write_fits(os.path.join(d, f"f{i:04d}.fits"), [hdu])
+    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    r = FitsScanReader(d, 1, None, None, None, "PERMISSIVE",
+                       8 * 1024 * 1024, False)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        parts = r.plan_for_files(files)
+        best = min(best, time.perf_counter() - t0)
+        assert len(parts) == n_files
+    try:
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        os.rmdir(d)
+    except OSError:
+        pass
+    return best, n_files
+
+
 def main() -> None:
     from spark_fits_spark.plans import build_session
     from spark_fits_spark.suite import QUERIES
@@ -287,6 +324,8 @@ def main() -> None:
     timings["fits_scan_64mb"] = round(fits_sec, 3)
     multi_sec, multi_mb = fits_scan_multifile_seconds(spark)
     timings["fits_scan_multifile"] = round(multi_sec, 3)
+    plan_sec, plan_files = fits_plan_manyfile_seconds()
+    timings["fits_plan_2048files"] = round(plan_sec, 3)
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline set, for apples-to-apples round-over-round
@@ -300,7 +339,8 @@ def main() -> None:
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
                                           "q89", "q90", "q91", "q92",
-                                          "fits_scan_multifile"))), 3)
+                                          "fits_scan_multifile",
+                                          "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_total_seconds",
@@ -326,6 +366,10 @@ def main() -> None:
         # At 68 MB the distributed scan wall is dominated by fixed
         # job/scheduling cost (~0.3 s), not decode.
         "decode_mb_per_s_per_task": decode_rate,
+        # driver planning throughput over 2048 part files (header walk
+        # is thread-pooled; scheduling a 100 TB catalog's planning cost
+        # is this number x part-file count)
+        "fits_plan_files_per_s": round(plan_files / plan_sec, 1),
         # host-condition telemetry: the benchmark box is burstable —
         # effective parallelism has been observed anywhere from ~4 to 32
         # cores with zero code change; this contextualizes run-to-run

@@ -3112,6 +3112,48 @@ def q92_source_kl_drift(spark, sf):
     return T.source_kl_divergence(d, "text", "source")
 
 
+@query("q93_stream_shard_sink", """
+SELECT CAST(('0x' || substr(md5('shards|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 8 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
+""")
+def q93_stream_shard_sink(spark, sf):
+    """The STREAMING shard sink under the driver's rows+schema+hash gate
+    (r3 VERDICT #8; the batch writer is gated via q76): land the
+    documents table as a parquet landing directory, replay it through a
+    real Structured Streaming query (file source → ``stream_to_shards``
+    foreachBatch epoch-overwrite sink), read the shard layout back, and
+    summarize per shard. The oracle recomputes the salted-md5 bucket
+    rule (``hash_bucket``: int64 of md5 prefix mod n) directly over
+    ``documents`` — the hash can only match if the stream delivered
+    every document exactly once into exactly its deterministic shard
+    (``n_distinct`` pins replay duplicates; ``id_sum`` pins membership).
+    Fresh temp out/checkpoint dirs per call: streaming offsets must not
+    leak across runs (a stale checkpoint over a rewritten landing dir
+    would append a second epoch and double-count)."""
+    import tempfile
+
+    from spark_fits_spark.streaming.events import stream_to_shards
+
+    docs = _t(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="spark_fits_q93_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_to_shards(stream, out, ckpt,
+                         id_col="doc_id", n_shards=8, salt="shards")
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3151,13 +3193,14 @@ _DRIVER_PRIORITY = [
     "q53_text_scrub",
     # first-ever hash row: reformulated sketch validation
     "q46_approx_stats",
+    # r4-new: streaming shard sink end-to-end (first driver row)
+    "q93_stream_shard_sink",
     # changed-code repeats this round
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
     "q74_fits_image_roundtrip",
     "q69_bpe_segment", "q86_bpe_apply",
     "q83_kmv_source_overlap",
     "q22_dedup_minhash_lsh", "q88_ivfpq_recall",
-    "q65_semdedup",
 ]
 
 
