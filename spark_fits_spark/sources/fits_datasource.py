@@ -81,6 +81,45 @@ logger = logging.getLogger(__name__)
 DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 DEFAULT_BATCH_BYTES = 32 * 1024 * 1024
 
+# -- driver-side header-plan cache ----------------------------------------
+# The Python Data Source API re-plans on EVERY action (each query
+# execution instantiates a fresh reader and calls partitions()), so a
+# notebook running ten aggregations over the same 2,000-file catalog
+# re-reads 2,000 headers ten times. HduInfo is a frozen pure function
+# of the file bytes + hdu index, so cache it keyed by
+# (path, hdu, size, mtime) — exactly Spark's shared FileStatusCache
+# contract for file indexes: an in-place rewrite that preserves both
+# size and mtime within filesystem mtime granularity is stale, anything
+# else invalidates. A stat (or one object-store HEAD) replaces an
+# open + multi-KB header walk on hits. Bounded LRU; thread-safe because
+# plan_for_files opens headers from a thread pool.
+from collections import OrderedDict
+from threading import Lock
+
+_HDU_CACHE: "OrderedDict[tuple, HduInfo]" = OrderedDict()
+_HDU_CACHE_MAX = 65536
+_HDU_CACHE_LOCK = Lock()
+_HDU_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _hdu_cache_get(key):
+    with _HDU_CACHE_LOCK:
+        hit = _HDU_CACHE.get(key)
+        if hit is not None:
+            _HDU_CACHE.move_to_end(key)
+            _HDU_CACHE_STATS["hits"] += 1
+        else:
+            _HDU_CACHE_STATS["misses"] += 1
+        return hit
+
+
+def _hdu_cache_put(key, hdu: HduInfo) -> None:
+    with _HDU_CACHE_LOCK:
+        _HDU_CACHE[key] = hdu
+        _HDU_CACHE.move_to_end(key)
+        while len(_HDU_CACHE) > _HDU_CACHE_MAX:
+            _HDU_CACHE.popitem(last=False)
+
 #: schema of empty / ASCII-table HDUs (FitsSchema.scala:118-128)
 EMPTY_SCHEMA = StructType([StructField("empty", StringType(), True)])
 
@@ -214,8 +253,20 @@ class FitsDataSource(DataSource):
     def _first_hdu(self) -> HduInfo:
         files = search_fits_files(self._path())
         hdu_index = self._hdu_index()
-        with resolve_fs(files[0]).open_input(files[0]) as f:
-            return open_hdu(f, files[0], hdu_index)
+        fs = resolve_fs(files[0])
+        try:
+            key = (files[0], hdu_index, fs.size(files[0]), fs.mtime(files[0]))
+        except (OSError, FileNotFoundError, NotImplementedError):
+            key = None
+        if key is not None:
+            hit = _hdu_cache_get(key)
+            if hit is not None:
+                return hit
+        with fs.open_input(files[0]) as f:
+            hdu = open_hdu(f, files[0], hdu_index)
+        if key is not None:
+            _hdu_cache_put(key, hdu)
+        return hdu
 
     def schema(self) -> StructType:
         """Driver-side schema inference from the first file's header
@@ -384,13 +435,27 @@ class FitsScanReader(DataSourceReader):
             return fs_cache[scheme]
 
         # open headers in parallel: planning cost is a few KB of reads per
-        # file, but serial latency would dominate with thousands of files
+        # file, but serial latency would dominate with thousands of files.
+        # The (path, hdu, size, mtime) LRU above turns repeat plannings
+        # (one per action in the Python DS API) into stats.
         def _open(fp: str):
+            fs = _fs(fp)
             try:
-                with _fs(fp).open_input(fp) as f:
-                    return open_hdu(f, fp, self.hdu_index)
+                key = (fp, self.hdu_index, fs.size(fp), fs.mtime(fp))
+            except (OSError, FileNotFoundError, NotImplementedError):
+                key = None
+            if key is not None:
+                hit = _hdu_cache_get(key)
+                if hit is not None:
+                    return hit
+            try:
+                with fs.open_input(fp) as f:
+                    hdu = open_hdu(f, fp, self.hdu_index)
             except ValueError as e:
                 return e
+            if key is not None:
+                _hdu_cache_put(key, hdu)
+            return hdu
 
         if len(files) > 4:
             from concurrent.futures import ThreadPoolExecutor

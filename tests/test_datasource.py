@@ -575,3 +575,44 @@ def test_many_file_planning_is_pooled_and_fast(tmp_path):
     # a quadratic planner (re-walking earlier files per file) would
     # show ~64x here
     assert t_all < 16 * max(t_small, 0.05), (t_small, t_all)
+
+
+def test_header_plan_cache_hits_and_invalidates(tmp_path):
+    """The driver-side (path, hdu, size, mtime) header LRU: a repeat
+    planning over unchanged files reads zero headers (all hits, same
+    plan), and rewriting a file invalidates exactly its entry — the
+    Spark FileStatusCache contract (fits_datasource module comment)."""
+    import time as _time
+
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources import fits_datasource as ds
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    cols = [("Index", "K", np.arange(10, dtype=">i8"))]
+    for i in range(5):
+        fw.write_fits(str(d / f"f{i}.fits"), [fw.bintable_hdu(cols)])
+    files = sorted(str(p) for p in d.glob("*.fits"))
+    r = ds.FitsScanReader(str(d), 1, None, None, None, "PERMISSIVE",
+                          8 * 1024 * 1024, False)
+
+    ds._HDU_CACHE.clear()
+    ds._HDU_CACHE_STATS.update(hits=0, misses=0)
+    p1 = r.plan_for_files(files)
+    assert ds._HDU_CACHE_STATS == {"hits": 0, "misses": 5}
+    p2 = r.plan_for_files(files)
+    assert ds._HDU_CACHE_STATS["hits"] == 5
+    assert [(p.hdu.path, p.row_start, p.row_end) for p in p1] == \
+        [(p.hdu.path, p.row_start, p.row_end) for p in p2]
+
+    # rewrite one file with different content → its entry is stale by
+    # key, re-read; the other four still hit
+    _time.sleep(0.02)  # ensure mtime moves even on coarse filesystems
+    fw.write_fits(files[0], [fw.bintable_hdu(
+        [("Index", "K", np.arange(25, dtype=">i8"))])])
+    ds._HDU_CACHE_STATS.update(hits=0, misses=0)
+    p3 = r.plan_for_files(files)
+    assert ds._HDU_CACHE_STATS == {"hits": 4, "misses": 1}
+    assert sum(p.row_end - p.row_start for p in p3) == 25 + 4 * 10

@@ -213,3 +213,66 @@ def test_mock_failfast_conformance(spark, mock_root):
         (spark.read.format("fits").option("hdu", 1)
          .option("mode", "FAILFAST").load("mock://ff/out").count())
     assert "conform" in str(exc.value)
+
+
+class _S3LikeFile:
+    """Emulates the s3a behavior the reference works around
+    (FitsLib.scala:319-323, :458-462): absolute seek PAST the file end
+    raises, and so does a read issued at/past EOF. A bare end-relative
+    seek(0, 2) is allowed — fsspec/pyarrow resolve it client-side from
+    the known object size, no server round trip."""
+
+    def __init__(self, raw: bytes):
+        self._b = io.BytesIO(raw)
+        self._size = len(raw)
+
+    def seek(self, pos, whence=0):
+        if whence == 0 and pos > self._size:
+            raise ValueError(f"seek({pos}) past EOF ({self._size})")
+        return self._b.seek(pos, whence)
+
+    def read(self, n=-1):
+        if self._b.tell() >= self._size and (n is None or n != 0):
+            raise ValueError("read at/past EOF")
+        return self._b.read(n)
+
+    def tell(self):
+        return self._b.tell()
+
+
+import io
+
+
+def test_scan_path_never_seeks_past_eof():
+    """The whole byte-level path (HDU walk → header parse → bintable
+    decode incl. trailing-block padding) must stay strictly inside the
+    object — the reference needed a seek(EOF) fallback for s3a; this
+    repo's row-aligned reads make the hazard structurally absent, and
+    this test keeps it that way (SURVEY.md §3 regression item)."""
+    import numpy as np
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.decode import decode_bintable
+    from spark_fits_spark.fitscore.file import get_n_hdu, open_hdu
+    from spark_fits_spark.sources.fits_datasource import _bintable_schema
+
+    n = 137  # deliberately not a multiple of the 2880-byte block
+    cols = [("Index", "K", np.arange(n, dtype=">i8")),
+            ("RA", "E", np.linspace(0, 1, n).astype(">f4"))]
+    buf = io.BytesIO()
+    fw.write_fits(None, [fw.bintable_hdu(cols)], fobj=buf)
+    raw = buf.getvalue()
+
+    f = _S3LikeFile(raw)
+    assert get_n_hdu(f) == 2
+    f = _S3LikeFile(raw)
+    hdu = open_hdu(f, "<mem>", 1)
+    assert hdu.n_rows == n
+    f.seek(hdu.boundaries.data_start)
+    data = f.read(n * hdu.row_bytes)
+    batch = decode_bintable(
+        data, hdu, [0, 1], to_arrow_schema(_bintable_schema(hdu)))
+    assert batch.num_rows == n
+    assert batch.column(0).to_pylist()[-1] == n - 1
