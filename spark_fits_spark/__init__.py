@@ -141,12 +141,13 @@ def fits_info(spark, path: str):
         StructField("data_len", LongType()),
     ])
 
-    def _walk(fp: str):
+    def _walk(pair):
         from spark_fits_spark.fitscore.file import walk_hdus
         from spark_fits_spark.fitscore.header import header_value, parse_cards
 
+        fp, fs = pair
         out = []
-        with open(fp, "rb") as f:
+        with fs.open_input(fp) as f:
             for i, (b, cards) in enumerate(walk_hdus(f)):
                 h = parse_cards(cards)
                 out.append((
@@ -159,8 +160,25 @@ def fits_info(spark, path: str):
                 ))
         return out
 
-    rdd = spark.sparkContext.parallelize(files, max(1, len(files)))
+    rdd = spark.sparkContext.parallelize(
+        _with_scoped_fs(files), max(1, len(files)))
     return spark.createDataFrame(rdd.flatMap(_walk), schema)
+
+
+def _with_scoped_fs(files):
+    """(path, picklable FS handle) pairs for executor-side opens —
+    resolved once per scheme on the driver, like the scan's partitions
+    (fitscore.vfs)."""
+    from spark_fits_spark.fitscore.vfs import resolve_fs, split_scheme
+
+    cache = {}
+    out = []
+    for fp in files:
+        scheme = split_scheme(fp)[0]
+        if scheme not in cache:
+            cache[scheme] = resolve_fs(fp)
+        out.append((fp, cache[scheme].scoped_for(fp)))
+    return out
 
 
 def fits_verify_checksums(spark, path: str):
@@ -190,12 +208,13 @@ def fits_verify_checksums(spark, path: str):
         StructField("checksum_ok", BooleanType()),
     ])
 
-    def _verify(fp: str):
+    def _verify(pair):
         from spark_fits_spark.fitscore.checksum import sum32, verify_hdu
         from spark_fits_spark.fitscore.file import walk_hdus
 
+        fp, fs = pair
         out = []
-        with open(fp, "rb") as f:
+        with fs.open_input(fp) as f:
             bounds = [b for b, _ in walk_hdus(f)]
             for i, b in enumerate(bounds):
                 f.seek(b.header_start)
@@ -205,5 +224,6 @@ def fits_verify_checksums(spark, path: str):
                 out.append((fp, i, sum32(hdu[hlen:]), ds_ok, ck_ok))
         return out
 
-    rdd = spark.sparkContext.parallelize(files, max(1, len(files)))
+    rdd = spark.sparkContext.parallelize(
+        _with_scoped_fs(files), max(1, len(files)))
     return spark.createDataFrame(rdd.flatMap(_verify), schema)

@@ -460,7 +460,16 @@ class FitsScanReader(DataSourceReader):
         if len(files) > 4:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(32, len(files))) as ex:
+            from spark_fits_spark.fitscore.vfs import split_scheme
+
+            # local walks are disk-bound (32 threads saturate); remote
+            # walks are RTT-bound (~10-50 ms per few-KB header GET), so
+            # a wider pool is the difference between ~1k and ~4k
+            # files/s of planning against an object store
+            remote = any(split_scheme(fp)[0] not in ("", "file")
+                         for fp in files)
+            pool = min(128 if remote else 32, len(files))
+            with ThreadPoolExecutor(max_workers=pool) as ex:
                 opened = list(ex.map(_open, files))
         else:
             opened = [_open(fp) for fp in files]

@@ -319,3 +319,21 @@ def test_arrow_filesystem_backend(tmp_path):
     fs2 = pickle.loads(pickle.dumps(fs))
     with fs2.open_input(uri) as f:
         assert f.read(4) == b"0123"
+
+
+def test_fits_info_and_checksums_over_mock(spark, mock_root):
+    """The library-surface helpers (fits_info inventory,
+    fits_verify_checksums audit) open files in EXECUTOR tasks — they
+    must ride the VFS like the scan does, so a remote catalog can be
+    inventoried/audited without local staging."""
+    from spark_fits_spark import fits_info, fits_verify_checksums
+
+    spark.range(0, 50).selectExpr("id").write.format("fits") \
+        .option("checksum", "true").mode("overwrite").save("mock://lib/out")
+    info = fits_info(spark, "mock://lib/out")
+    rows = info.collect()
+    assert all(r["file"].startswith("mock://") for r in rows)
+    assert sum(r["n_rows"] for r in rows if r["hdu_type"] == "BINTABLE") == 50
+    audit = fits_verify_checksums(spark, "mock://lib/out").collect()
+    assert audit and all(r["datasum_ok"] and r["checksum_ok"]
+                         for r in audit if r["datasum_ok"] is not None)
