@@ -97,9 +97,12 @@ BENCH_QUERIES = [
 ]
 
 
-def _noop_consume(df) -> int:
-    """Materialize every row without driver collect."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+def _noop_consume(df) -> None:
+    """Materialize every row without driver collect. (r4 fix: this used
+    to be `save() or df.count()` — save() returns None, so every timed
+    query silently materialized TWICE, a full redundant count per rep
+    in r1-r3 rows. One noop sink pass is the honest cost.)"""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def decode_mb_per_s(path: str) -> float:

@@ -551,6 +551,15 @@ class FitsScanReader(DataSourceReader):
                 if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE)
                 else []
             )
+            # decode consumes only the typed HduInfo fields — the raw
+            # header dict is plan-time state. Telescope headers run
+            # 10-20 KB (hundreds of cards); at 800k part files that is
+            # GBs of driver partition-list memory and per-task
+            # serialization for bytes no executor reads. Ship a
+            # header-less copy.
+            from dataclasses import replace as _dc_replace
+
+            ship_hdu = _dc_replace(hdu, header={})
             # beyond-reference row-range pushdown: partitions are only
             # generated for [lo, hi), so the skipped rows' bytes are
             # never read — source-level pruning (per file; for images
@@ -565,7 +574,7 @@ class FitsScanReader(DataSourceReader):
             for start in range(lo, hi, rows_per_part):
                 parts.append(
                     FitsInputPartition(
-                        hdu=hdu,
+                        hdu=ship_hdu,
                         row_start=start,
                         row_end=min(start + rows_per_part, hi),
                         col_indices=col_indices,

@@ -616,3 +616,19 @@ def test_header_plan_cache_hits_and_invalidates(tmp_path):
     p3 = r.plan_for_files(files)
     assert ds._HDU_CACHE_STATS == {"hits": 4, "misses": 1}
     assert sum(p.row_end - p.row_start for p in p3) == 25 + 4 * 10
+
+
+def test_partitions_ship_without_raw_header(spark):
+    """Partitions carry only the typed HduInfo fields — the raw header
+    dict is plan-time state (telescope headers run 10-20 KB; at 800k
+    part files shipping them is GBs of dead weight). The longheader
+    fixture must still decode correctly without it."""
+    from spark_fits_spark.sources.fits_datasource import FitsScanReader
+
+    r = FitsScanReader(f"{REF}/test_longheader_file.fits", 1, None, None,
+                       None, "PERMISSIVE", 8 * 1024 * 1024, False)
+    parts = r.plan_for_files([f"{REF}/test_longheader_file.fits"])
+    assert all(p.hdu.header == {} for p in parts)
+    # and the DataFrame read over the same fixture stays correct
+    df = read_fits(spark, f"{REF}/test_longheader_file.fits")
+    assert df.count() == 100

@@ -207,8 +207,6 @@ def test_mock_failfast_conformance(spark, mock_root):
         .mode("overwrite").save("mock://ff/out")
     spark.range(0, 10).selectExpr("cast(id as double) as id") \
         .write.format("fits").mode("append").save("mock://ff/out")
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception, match="FAILFAST|conform") as exc:
         (spark.read.format("fits").option("hdu", 1)
          .option("mode", "FAILFAST").load("mock://ff/out").count())
