@@ -339,7 +339,16 @@ class FitsDataSource(DataSource):
             ascii_tables=self._ascii_enabled(),
             scaling=self._scaling_enabled(),
             rowrange=self._rowrange(),
+            plan_cache=self._plan_cache_enabled(),
         )
+
+    def _plan_cache_enabled(self) -> bool:
+        """``.option("plancache", False)`` bypasses the driver-side
+        header LRU — the escape hatch for the one staleness hole in its
+        (size, mtime) key: an in-place rewrite that preserves both
+        within filesystem mtime granularity (same contract knob as
+        Spark's file-index metadata cache TTL)."""
+        return (self._opt("plancache", default="true") or "").lower() != "false"
 
     def _rowrange(self) -> tuple[int, int] | None:
         """Beyond-reference: .option("rowrange", "a,b") scans only file
@@ -388,10 +397,11 @@ def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
 class FitsScanReader(DataSourceReader):
     def __init__(self, path, hdu_index, schema, columns, recordlength, mode,
                  partition_bytes, verbose, ascii_tables=False, scaling=False,
-                 rowrange=None):
+                 rowrange=None, plan_cache=True):
         self.ascii_tables = ascii_tables
         self.scaling = scaling
         self.rowrange = rowrange
+        self.plan_cache = plan_cache
         self.path = path
         self.hdu_index = hdu_index
         self.spark_schema = schema
@@ -440,10 +450,12 @@ class FitsScanReader(DataSourceReader):
         # (one per action in the Python DS API) into stats.
         def _open(fp: str):
             fs = _fs(fp)
-            try:
-                key = (fp, self.hdu_index, fs.size(fp), fs.mtime(fp))
-            except (OSError, FileNotFoundError, NotImplementedError):
-                key = None
+            key = None
+            if getattr(self, "plan_cache", True):
+                try:
+                    key = (fp, self.hdu_index, fs.size(fp), fs.mtime(fp))
+                except (OSError, FileNotFoundError, NotImplementedError):
+                    key = None
             if key is not None:
                 hit = _hdu_cache_get(key)
                 if hit is not None:

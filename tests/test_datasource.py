@@ -632,3 +632,24 @@ def test_partitions_ship_without_raw_header(spark):
     # and the DataFrame read over the same fixture stays correct
     df = read_fits(spark, f"{REF}/test_longheader_file.fits")
     assert df.count() == 100
+
+
+def test_plancache_option_bypasses_lru(tmp_path):
+    """.option('plancache', False): every planning re-reads headers —
+    the escape hatch for same-size same-mtime in-place rewrites."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources import fits_datasource as ds
+
+    f = str(tmp_path / "x.fits")
+    fw.write_fits(f, [fw.bintable_hdu(
+        [("Index", "K", np.arange(3, dtype=">i8"))])])
+    r = ds.FitsScanReader(f, 1, None, None, None, "PERMISSIVE",
+                          8 * 1024 * 1024, False, plan_cache=False)
+    ds._HDU_CACHE.clear()
+    ds._HDU_CACHE_STATS.update(hits=0, misses=0)
+    r.plan_for_files([f])
+    r.plan_for_files([f])
+    assert ds._HDU_CACHE_STATS == {"hits": 0, "misses": 0}
+    assert len(ds._HDU_CACHE) == 0
