@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "q90_hard_negatives",
     "q91_lm_fluency_gate",
     "q92_source_kl_drift",
+    # round-4 additions, appended for round-over-round comparability
+    "q46_approx_stats",
+    "q93_stream_shard_sink",
 ]
 
 
@@ -359,6 +362,7 @@ def main() -> None:
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
                                           "q89", "q90", "q91", "q92",
+                                          "q46", "q93",
                                           "fits_scan_multifile",
                                           "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -122,3 +122,16 @@ def persistent_rdd_count(spark) -> int:
     (cache-manager persists AND checkpoint blocks) — the observability
     hook the release test pins."""
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of RDDs currently holding storage blocks. Prefer comparing
+    SETS across a scope (new ids must not survive) over raw counts:
+    blocks left by unrelated earlier work can be garbage-collected by
+    the ContextCleaner at any moment, shifting counts underneath a
+    before/after comparison."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out

@@ -77,15 +77,18 @@ def test_release_after_frees_all_blocks(spark):
     from spark_fits_spark import caching
 
     spark.catalog.clearCache()
-    before = caching.persistent_rdd_count(spark)
+    # set-based comparison: unrelated earlier tests' checkpoint blocks
+    # can be ContextCleaner-collected mid-test, so raw counts shift;
+    # the invariant is that no id NEW to this scope survives it
+    before = caching.persistent_rdd_ids(spark)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with caching.release_after():
         out = curate_corpus(docs)
         n_clean = out["clean"].count()
         n_stages = out["report"].count()
         assert n_clean > 0 and n_stages == 6  # consumed inside the scope
-        assert caching.persistent_rdd_count(spark) > before  # blocks live
-    assert caching.persistent_rdd_count(spark) == before
+        assert caching.persistent_rdd_ids(spark) - before  # blocks live
+    assert caching.persistent_rdd_ids(spark) - before == set()
 
 
 def test_release_after_scopes_are_isolated(spark):
