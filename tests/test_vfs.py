@@ -335,3 +335,27 @@ def test_fits_info_and_checksums_over_mock(spark, mock_root):
     audit = fits_verify_checksums(spark, "mock://lib/out").collect()
     assert audit and all(r["datasum_ok"] and r["checksum_ok"]
                          for r in audit if r["datasum_ok"] is not None)
+
+
+def test_mixed_scheme_comma_list(spark, mock_root, tmp_path):
+    """One path option can mix schemes (local + mock://): each spec
+    resolves its own filesystem (iter_path_specs), the scan unions the
+    conforming files exactly as a single-scheme list would."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+
+    local = str(tmp_path / "local.fits")
+    fw.write_fits(local, [fw.bintable_hdu(
+        [("id", "K", np.arange(10, dtype=">i8"))])])
+    spark.createDataFrame([(int(i),) for i in range(10, 30)], "id long") \
+        .coalesce(1).write.format("fits").mode("overwrite") \
+        .save("mock://mix/out")
+    import os as _os
+
+    mock_file = "mock://mix/out/" + sorted(
+        f for f in _os.listdir(_os.path.join(mock_root, "mix/out"))
+        if f.endswith(".fits"))[0]
+    df = spark.read.format("fits").option("hdu", 1) \
+        .load(f"{local},{mock_file}")
+    assert sorted(r["id"] for r in df.collect()) == list(range(30))
