@@ -262,8 +262,14 @@ class MemoryFileSystem(FitsFileSystem):
         return sorted(k for k in self._keys() if k.startswith(prefix))
 
     def glob(self, pattern: str) -> list[str]:
-        pat = _norm_mem(pattern)
-        return sorted(k for k in self._keys() if fnmatch.fnmatchcase(k, pat))
+        # segment-wise match: like local glob (and fsspec), `*` must not
+        # cross `/` boundaries
+        pp = _norm_mem(pattern).split("/")
+        return sorted(
+            k for k in self._keys()
+            if len(k.split("/")) == len(pp)
+            and all(fnmatch.fnmatchcase(a, b)
+                    for a, b in zip(k.split("/"), pp)))
 
     def listdir(self, directory: str) -> list[str]:
         prefix = _norm_mem(directory).rstrip("/") + "/"
@@ -497,8 +503,13 @@ class ArrowFileSystem(FitsFileSystem):
             base.append(p)
         root = "/".join(base[:-1]) if base and base[-1] == parts[-1] else "/".join(base)
         hits = self.walk_files(self._uri(root or raw))
-        pat = self._uri(raw)
-        return sorted(h for h in hits if fnmatch.fnmatchcase(h, pat))
+        # segment-wise: `*` must not cross `/` (local-glob/fsspec parity)
+        pp = self._uri(raw).split("/")
+        return sorted(
+            h for h in hits
+            if len(h.split("/")) == len(pp)
+            and all(fnmatch.fnmatchcase(a, b)
+                    for a, b in zip(h.split("/"), pp)))
 
     def listdir(self, directory: str) -> list[str]:
         from pyarrow import fs as pafs

@@ -87,6 +87,8 @@ def test_memory_fs_interface():
         "memory://b/a/x.fits", "memory://b/a/y.fits"]
     assert fs.glob("memory://b/a/*.fits") == [
         "memory://b/a/x.fits", "memory://b/a/y.fits"]
+    # like local glob, `*` must not cross directory boundaries
+    assert fs.glob("memory://b/*.fits") == []
     assert fs.listdir("memory://b/a") == ["x.fits", "y.fits"]
     assert fs.listdir("memory://b") == ["a"]
     # ranged read (the scan's seek+read pattern)
@@ -304,6 +306,9 @@ def test_arrow_filesystem_backend(tmp_path):
         ["a.fits", "b.fits", "c.txt"]
     globbed = fs.glob(f"file://{d}/sub/*.fits")
     assert [g.rsplit("/", 1)[-1] for g in globbed] == ["b.fits"]
+    # `*` must not cross `/`: top-level glob excludes sub/b.fits
+    top = fs.glob(f"file://{d}/*.fits")
+    assert [g.rsplit("/", 1)[-1] for g in top] == ["a.fits"]
     assert fs.listdir(f"file://{d}") == ["a.fits", "sub"]
     # write + remove through the FS
     with fs.open_output(f"file://{d}/w.bin") as f:
