@@ -7,13 +7,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (noop-sink action, so results are
 fully materialized but never collected to the driver) and timed
 wall-clock, REPS (default 3) times back-to-back; the reported number is
-the per-query MEDIAN. Intra-query persists stay warm across a query's
-reps (the operators' documented cache discipline — rep 1 populates, reps
-2+ measure steady state), and the cache is cleared between queries so
-nothing leaks across. Medians make single rows robust to the burstable
-bench host (observed effective parallelism 0.11-0.6 of advertised cores
-run-to-run); the raw per-rep timings are emitted in "rep_seconds" so
-cold-start cost stays visible. A FITS-scan microbenchmark is included:
+the per-query MIN (see the timing-loop comment for why min, not median,
+on this burstable host — observed effective parallelism 0.11-0.6 of
+advertised cores, with 6x swings WITHIN one query's reps). Intra-query
+persists stay warm across a query's reps (the operators' documented
+cache discipline — rep 1 populates, reps 2+ measure steady state), and
+the cache is cleared between queries so nothing leaks across.
+"queries_median" and the raw per-rep "rep_seconds" are emitted
+alongside so the distribution and cold-start cost stay visible. A FITS-scan microbenchmark is included:
 it writes a ~64 MB bintable once to a temp dir and measures the
 vectorized scan+agg, to compare with the reference's ~16 MB/s/task
 decode note (FitsRecordReader.scala:379).

@@ -90,6 +90,12 @@ class FitsFileSystem:
     def mtime(self, path: str) -> float:
         raise NotImplementedError
 
+    def stat(self, path: str) -> tuple[int, float]:
+        """(size, mtime) in ONE backend round trip where the backend
+        allows — the plan cache keys on both, and separate size()+
+        mtime() calls double object-store HEAD requests."""
+        return self.size(path), self.mtime(path)
+
     def exists(self, path: str) -> bool:
         raise NotImplementedError
 
@@ -151,6 +157,10 @@ class LocalFileSystem(FitsFileSystem):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(self._strip(path))
+
+    def stat(self, path: str) -> tuple[int, float]:
+        st = os.stat(self._strip(path))
+        return st.st_size, st.st_mtime
 
     def exists(self, path: str) -> bool:
         return os.path.exists(self._strip(path))
@@ -391,6 +401,14 @@ class FsspecFileSystem(FitsFileSystem):
         m = self._fs.modified(self._strip(path))
         return m.timestamp() if hasattr(m, "timestamp") else float(m)
 
+    def stat(self, path: str) -> tuple[int, float]:
+        # one info() call instead of size()+modified() (2 HEADs)
+        info = self._fs.info(self._strip(path))
+        m = info.get("mtime") or info.get("LastModified") or 0.0
+        if hasattr(m, "timestamp"):
+            m = m.timestamp()
+        return int(info.get("size") or 0), float(m or 0.0)
+
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._strip(path))
 
@@ -467,6 +485,11 @@ class ArrowFileSystem(FitsFileSystem):
         m = self._info(path).mtime
         return m.timestamp() if m is not None else 0.0
 
+    def stat(self, path: str) -> tuple[int, float]:
+        info = self._info(path)  # one get_file_info round trip
+        m = info.mtime
+        return info.size, (m.timestamp() if m is not None else 0.0)
+
     def exists(self, path: str) -> bool:
         from pyarrow import fs as pafs
 
@@ -501,6 +524,14 @@ class ArrowFileSystem(FitsFileSystem):
             if any(ch in p for ch in "*?["):
                 break
             base.append(p)
+        if not base:
+            # pyarrow.fs cannot enumerate buckets, so a wildcard in the
+            # root segment has no listable parent — fail loud instead
+            # of walking the literal pattern string as a directory
+            raise ValueError(
+                f"glob with a wildcard in the bucket/root segment is not "
+                f"supported by the pyarrow.fs backend: {pattern!r} "
+                "(install fsspec for bucket-level globbing)")
         root = "/".join(base[:-1]) if base and base[-1] == parts[-1] else "/".join(base)
         hits = self.walk_files(self._uri(root or raw))
         # segment-wise: `*` must not cross `/` (local-glob/fsspec parity)

@@ -86,7 +86,6 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
     fingerprint is an anti-join of the token stream against covered
     positions — no step is quadratic and nothing leaves the executors.
     """
-    from pyspark.storagelevel import StorageLevel
 
     # persisted: tk, the position-gram stream, and the final n_toks
     # select all derive from it — without the cache the corpus would be
@@ -288,7 +287,6 @@ def minhash_lsh_pairs(
       they fit, making candidate generation and verification map-side;
       past the gate they fall back to shuffle joins (the gates are in
       BYTES — rows carry int64 arrays, so row counts under-estimate)."""
-    from pyspark.storagelevel import StorageLevel
 
     rows = n_hashes // bands
     # distinct shingle sets: the partition key is the sorted hash array
@@ -500,7 +498,6 @@ def ngram_jaccard_pairs(
     stage runs once per distinct (block, set), and member pairs rejoin
     at the end. Dup-heavy corpora shrink the verify work by the square
     of the dup ratio."""
-    from pyspark.storagelevel import StorageLevel
 
     keyed = tracked_persist(
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
@@ -729,7 +726,6 @@ def connected_components(
     so 2-3 in practice; ``max_iter`` bounds pathological chains). The
     driver-side loop only reads a scalar convergence count per round —
     no data is collected."""
-    from pyspark.storagelevel import StorageLevel
 
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = tracked_persist(
@@ -979,7 +975,6 @@ def kmv_source_overlap(
     # persisted: BOTH sides of the pair join read the sketch table;
     # unpersisted, the distinct + two-window pipeline (the only
     # data-sized work here) would run twice. |groups|·k rows — tiny.
-    from pyspark.storagelevel import StorageLevel
     sk = tracked_persist(
         cand.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= k)

@@ -396,7 +396,6 @@ def top_fraction_by_score(
         raise ValueError(
             "input already has a 'threshold' column; rename it before "
             "calling top_fraction_by_score")
-    from pyspark.storagelevel import StorageLevel
 
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     # persisted: the cumulative window AND the k-total both consume the

@@ -667,8 +667,6 @@ def semdedup(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    from pyspark.storagelevel import StorageLevel
-
     cents = kmeans_fit(df, vec_col, id_col, k=k, iters=iters, quantize=quantize)
     q = _quantized_vec(vec_col, quantize)
 

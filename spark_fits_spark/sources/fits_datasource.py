@@ -254,10 +254,12 @@ class FitsDataSource(DataSource):
         files = search_fits_files(self._path())
         hdu_index = self._hdu_index()
         fs = resolve_fs(files[0])
-        try:
-            key = (files[0], hdu_index, fs.size(files[0]), fs.mtime(files[0]))
-        except (OSError, FileNotFoundError, NotImplementedError):
-            key = None
+        key = None
+        if self._plan_cache_enabled():
+            try:
+                key = (files[0], hdu_index, *fs.stat(files[0]))
+            except (OSError, FileNotFoundError, NotImplementedError):
+                key = None
         if key is not None:
             hit = _hdu_cache_get(key)
             if hit is not None:
@@ -453,7 +455,7 @@ class FitsScanReader(DataSourceReader):
             key = None
             if getattr(self, "plan_cache", True):
                 try:
-                    key = (fp, self.hdu_index, fs.size(fp), fs.mtime(fp))
+                    key = (fp, self.hdu_index, *fs.stat(fp))
                 except (OSError, FileNotFoundError, NotImplementedError):
                     key = None
             if key is not None:
@@ -774,6 +776,14 @@ class FitsStreamReader(DataSourceStreamReader):
                 out.append((p, fs_cache[scheme].mtime(p)))
             except (OSError, FileNotFoundError):
                 continue  # raced with a delete
+            except NotImplementedError:
+                # fsspec backends without modified() (several protocol
+                # packages): a no-mtime listing cannot drive the
+                # watermark contract at all — fail loud once instead of
+                # silently dropping every file from every micro-batch
+                raise NotImplementedError(
+                    f"streaming FITS source requires file mtimes, but the "
+                    f"filesystem for {p!r} does not expose them")
         return out
 
     @staticmethod

@@ -2356,10 +2356,11 @@ def q68_multimodal_features(spark, sf):
 
 def _bpe_oracle_ctes(n_merges: int) -> str:
     """Unrolled BPE merge loop in SQL (CTE chain only, ending at
-    ``s{n_merges}`` = the segmented vocabulary): one (pair-count →
-    argmax → replace) CTE triple per merge, the exact arithmetic of
-    ``text.bpe_segment`` (left-to-right non-overlapping ``replace`` IS
-    greedy BPE application in both engines)."""
+    ``s{n_merges}`` = the segmented vocabulary, boundary-safe wrapped
+    encoding — each symbol stored ``chr(31)||sym||chr(30)`` exactly as
+    ``text.bpe_segment``): one (pair-count → argmax → replace) CTE
+    triple per merge; the wrapped pattern spans full symbols only, so
+    left-to-right replace IS exact greedy BPE in both engines."""
     sql = """
 WITH words AS (
   SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
@@ -2368,8 +2369,9 @@ WITH words AS (
 ),
 s0 AS (
   SELECT word, n,
-         array_to_string(list_transform(range(1, length(word) + 1),
-                                        i -> word[i:i]), chr(31)) AS s
+         chr(31) || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i:i]),
+           chr(30) || chr(31)) || chr(30) AS s
   FROM words
 )"""
     for i in range(1, n_merges + 1):
@@ -2379,14 +2381,18 @@ p{i} AS (
   SELECT pr, SUM(n) AS cnt FROM (
     SELECT n, unnest(list_transform(range(1, len(l)),
                      i -> l[i] || chr(31) || l[i + 1])) AS pr
-    FROM (SELECT n, string_split(s, chr(31)) AS l FROM s{j})
+    FROM (SELECT n, string_split(s[2:length(s) - 1],
+                                 chr(30) || chr(31)) AS l FROM s{j})
   ) GROUP BY pr
 ),
 m{i} AS (SELECT pr FROM p{i} ORDER BY cnt DESC, pr LIMIT 1),
 s{i} AS (
   SELECT word, n,
-         replace(s, (SELECT pr FROM m{i}),
-                 replace((SELECT pr FROM m{i}), chr(31), '')) AS s
+         replace(s,
+                 chr(31) || replace((SELECT pr FROM m{i}), chr(31),
+                                    chr(30) || chr(31)) || chr(30),
+                 chr(31) || replace((SELECT pr FROM m{i}), chr(31), '')
+                         || chr(30)) AS s
   FROM s{j}
 )"""
     return sql
@@ -2394,7 +2400,8 @@ s{i} AS (
 
 def _bpe_oracle(n_merges: int) -> str:
     return (_bpe_oracle_ctes(n_merges)
-            + f"\nSELECT word, n, s AS segments FROM s{n_merges}")
+            + f"\nSELECT word, n, replace(s[2:length(s) - 1], "
+              f"chr(30) || chr(31), chr(31)) AS segments FROM s{n_merges}")
 
 
 @query("q69_bpe_segment", _bpe_oracle(3))
@@ -2816,9 +2823,11 @@ docw AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(len(string_split(s, chr(31)))) AS BIGINT) AS n_bpe_tokens,
-       round(SUM(len(string_split(s, chr(31))))::DOUBLE / COUNT(*), 4)
-         AS bpe_ratio
+       CAST(SUM(len(string_split(s[2:length(s) - 1], chr(30) || chr(31))))
+            AS BIGINT) AS n_bpe_tokens,
+       round(SUM(len(string_split(s[2:length(s) - 1],
+                                  chr(30) || chr(31))))::DOUBLE
+             / COUNT(*), 4) AS bpe_ratio
 FROM docw JOIN s3 USING (word)
 GROUP BY doc_id
 """)
@@ -3134,9 +3143,23 @@ def q93_stream_shard_sink(spark, sf):
     Fresh temp out/checkpoint dirs per call: streaming offsets must not
     leak across runs (a stale checkpoint over a rewritten landing dir
     would append a second epoch and double-count)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
     import tempfile
+    import time as _time
 
     from spark_fits_spark.streaming.events import stream_to_shards
+
+    # reap earlier calls' trees (each holds two copies of documents);
+    # the hour margin keeps any plausibly-still-consumed result alive
+    for old in _glob.glob(_os.path.join(tempfile.gettempdir(),
+                                        "spark_fits_q93_*")):
+        try:
+            if _time.time() - _os.path.getmtime(old) > 3600:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
 
     docs = _t(spark, sf, "documents")
     base = tempfile.mkdtemp(prefix="spark_fits_q93_")

@@ -582,35 +582,83 @@ def test_bpe_segment_matches_reference_loop(spark):
 
 def test_bpe_batched_fit_equals_sequential(spark):
     """Batched merge selection (_safe_merge_batch) must be bit-identical
-    to the one-merge-per-job loop — on a heavy-interaction corpus (every
-    frequent pair shares symbols), a tie-dense corpus, and a disjoint
-    corpus where batching actually batches — while cutting job count on
-    the disjoint one (r3 VERDICT #5)."""
+    to the one-merge-per-job loop — on a heavy-interaction corpus, a
+    tie-dense corpus, a disjoint corpus where batching actually
+    batches, and the two r4-review counterexamples that broke the
+    original rule (max_batch cutoff skipping the ceiling scan; merge
+    output colliding with a pre-existing symbol)."""
     corpora = [
+        # (words, n_merges, max_batch)
         # classic toy corpus: merges chain into each other (es→est→...)
-        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3,
+        (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3,
+         6, 64),
         # tie-dense + self-interacting: "aaaa" pairs overlap themselves
-        ["aaaa"] * 4 + ["abab"] * 4 + ["bbbb"] * 4 + ["cdcd"] * 4,
+        (["aaaa"] * 4 + ["abab"] * 4 + ["bbbb"] * 4 + ["cdcd"] * 4, 6, 64),
         # symbol-disjoint frequent pairs: th/qu/zx can merge in one job
-        ["that"] * 9 + ["queen"] * 8 + ["zxzy"] * 7 + ["mnop"] * 6,
+        (["that"] * 9 + ["queen"] * 8 + ["zxzy"] * 7 + ["mnop"] * 6, 6, 64),
+        # r4-review counterexample 1: ties at the max_batch cutoff —
+        # the interacting (g,a):19 row sits just past the cutoff, and
+        # the merge of (a,h) creates (ah,e):19 which must beat (e,d)
+        (["eb"] * 16 + ["hgdbh"] * 1 + ["gahed"] * 19, 6, 2),
+        # r4-review counterexample 2: merged symbol "aa" pre-exists in
+        # other words; pattern (a,b) must not match inside "…aa|b"
+        (["aa"] * 50 + ["xaab"] * 8 + ["yxaa"] * 9 + ["ab"] * 18
+         + ["qr"] * 20 + ["mn"] * 12, 5, 64),
     ]
-    for words in corpora:
+    for words, n_merges, max_batch in corpora:
         df = spark.createDataFrame(
             [(0, " ".join(words))], ["doc_id", "text"])
         seq_stats, bat_stats = {}, {}
         seq_out, seq_merges = T.bpe_segment(
-            df, "text", n_merges=6, max_batch=1, job_stats=seq_stats)
+            df, "text", n_merges=n_merges, max_batch=1,
+            job_stats=seq_stats)
         bat_out, bat_merges = T.bpe_segment(
-            df, "text", n_merges=6, max_batch=64, job_stats=bat_stats)
+            df, "text", n_merges=n_merges, max_batch=max_batch,
+            job_stats=bat_stats)
         assert bat_merges == seq_merges, (words[0], bat_merges, seq_merges)
         assert sorted(map(tuple, bat_out.collect())) == \
             sorted(map(tuple, seq_out.collect()))
         assert bat_stats["jobs"] <= seq_stats["jobs"]
-    # the disjoint corpus must actually amortize: fewer jobs than merges
+    # amortization: when footprints are disjoint AND accepted counts
+    # clear the 4x interaction ceiling, one job emits several merges
     stats = {}
-    df = spark.createDataFrame([(0, " ".join(corpora[2]))], ["doc_id", "text"])
-    T.bpe_segment(df, "text", n_merges=6, max_batch=64, job_stats=stats)
-    assert stats["merges"] == 6 and stats["jobs"] < 6, stats
+    amort = ["ab"] * 100 + ["cd"] * 99 + ["xb"] * 2  # (x,b):2 = ceiling
+    df = spark.createDataFrame([(0, " ".join(amort))], ["doc_id", "text"])
+    _, merges = T.bpe_segment(
+        df, "text", n_merges=2, max_batch=64, job_stats=stats)
+    assert merges == ["a\x1fb", "c\x1fd"]
+    assert stats["merges"] == 2 and stats["jobs"] == 1, stats
+
+
+def test_bpe_boundary_safe_application(spark):
+    """The wrapped-symbol encoding makes replace exact symbol-level BPE:
+    after (a,a) merges, applying (a,b) must NOT match inside the tail
+    of symbol 'aa' (the r1-r3 bare encoding corrupted 'x|aa|b' into
+    'x|aab'). Checked against a pure-Python symbol-level reference."""
+    words = ["aa"] * 10 + ["xaab"] * 3 + ["ab"] * 8
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    segs = {w: list(w) for w in wc}
+    for _ in range(2):
+        pc = {}
+        for w, c in wc.items():
+            for a, b in zip(segs[w], segs[w][1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == top:
+                    out.append(s[i] + s[i + 1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            segs[w] = out
+    df = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    out, _ = T.bpe_segment(df, "text", n_merges=2, max_batch=1)
+    got = {r["word"]: r["segments"].split("\x1f") for r in out.collect()}
+    assert got == segs
+    assert got["xaab"] == ["x", "aa", "b"]  # the corruption case
 
 
 def test_chunk_windows_cover_and_overlap(spark):
