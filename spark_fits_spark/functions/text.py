@@ -663,23 +663,36 @@ def _safe_merge_batch(rows, sep: str, max_batch: int,
     could newly prefer. A post-merge count is bounded by the sum of at
     most FOUR pre-merge interacting counts (a new (ab,cd) occurrence
     comes from an old (ab,cd), (ab,c), (b,cd), or (b,c) context), i.e.
-    by 4·C — so accepted pairs with count strictly above 4·C are
-    un-overtakable at every intermediate sequential step. The global
-    argmax is kept unconditionally; ties among accepted pairs resolve
-    by the lexicographic order the sort already applied, and any
-    equal-count non-accepted row sorts lexicographically after."""
+    by 4·C — EXCEPT pairs spawned by a SELF-pair (a,a), whose source is
+    the accepted pair itself ((aa,a) ⇐ old (a,a)) and is bounded only
+    by its own count, so a self-pair terminates the batch (found by the
+    randomized property test: {'ccc':7,'bbb':2} has sequential order
+    c·c, cc·c, b·b — (cc,c) outruns (b,b)). With that, accepted pairs
+    with count strictly above 4·C are un-overtakable at every
+    intermediate sequential step. The global argmax is kept
+    unconditionally; ties among accepted pairs resolve by the
+    lexicographic order the sort already applied, and any equal-count
+    non-accepted row sorts lexicographically after."""
     accepted: list[tuple[str, int]] = []
     syms: set[str] = set()
     ceiling = None
     cut = None
     for idx, (pr, cnt) in enumerate(rows):
-        parts = set(pr.split(sep))
-        footprint = parts | {pr.replace(sep, "")}
+        left, _, right = pr.partition(sep)
+        footprint = {left, right, left + right}
         if accepted and (footprint & syms):
             # also stops on a merged-symbol collision: such a row's
             # count is stable, so sequential would pick it mid-batch —
             # it must terminate acceptance AND act as a ceiling
             ceiling = cnt
+            break
+        if left == right:
+            # self-pair: nothing after it is provably safe (see above)
+            if not accepted:
+                accepted.append((pr, cnt))
+                syms |= footprint
+            else:
+                ceiling = cnt  # stable count — sequential's next pick
             break
         accepted.append((pr, cnt))
         syms |= footprint

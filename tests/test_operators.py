@@ -1198,3 +1198,68 @@ def test_ivfpq_rejects_mismatched_dims(spark, emb):
             emb, q, "embedding", "vec_id",
             codebooks=[[(0, [0] * 16)], [(0, [0] * 16)]],
             quantize=1000, dim=32)  # consistent 2x16 but vectors are 64
+
+
+def test_bpe_batch_rule_randomized_property():
+    """Exhaustive-ish adversarial check of _safe_merge_batch: a pure-
+    Python mirror of the fit loop (wrapped-encoding pair count → batch
+    selection → replace application) run over 3000 seeded random
+    corpora (10k) with tiny alphabets (maximum interaction/tie density),
+    asserting batched merge lists and final segmentations are
+    bit-identical to the sequential loop. The Spark implementation is
+    pinned to this same arithmetic by test_bpe_segment_matches_
+    reference_loop / test_bpe_batched_fit_equals_sequential; this test
+    hammers the selection rule itself far beyond what per-example
+    Spark jobs could afford."""
+    import random
+
+    from spark_fits_spark.functions.text import _safe_merge_batch
+
+    SEP, CLOSE = "\x1f", "\x1e"
+
+    def encode(w):
+        return "".join(SEP + ch + CLOSE for ch in w)
+
+    def pairs_of(s):
+        core = s[1:-1]
+        return core.split(CLOSE + SEP) if core else []
+
+    def fit(wc, n_merges, max_batch, top_k):
+        state = {w: encode(w) for w in wc}
+        merges = []
+        while len(merges) < n_merges:
+            pc = {}
+            for w, c in wc.items():
+                l = pairs_of(state[w])
+                for a, b in zip(l, l[1:]):
+                    pc[a + SEP + b] = pc.get(a + SEP + b, 0) + c
+            if not pc:
+                break
+            rows = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows = rows[:top_k + 1]
+            batch = _safe_merge_batch(
+                rows, SEP, min(max_batch, n_merges - len(merges)),
+                saw_all=len(rows) <= top_k)
+            for pr in batch:
+                merges.append(pr)
+                pat = SEP + pr.replace(SEP, CLOSE + SEP) + CLOSE
+                rep = SEP + pr.replace(SEP, "") + CLOSE
+                for w in state:
+                    state[w] = state[w].replace(pat, rep)
+        return merges, state
+
+    rng = random.Random(20260814)
+    for trial in range(10000):
+        alpha = "ab" if trial % 3 == 0 else "abc" if trial % 3 == 1 else "abcd"
+        wc = {}
+        for _ in range(rng.randint(1, 6)):
+            w = "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(1, 7)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 20)
+        n_merges = rng.randint(1, 6)
+        max_batch = rng.choice([2, 3, 64])
+        top_k = rng.choice([3, 8, 64])  # small top_k forces saw_all=False
+        seq = fit(dict(wc), n_merges, 1, top_k)
+        bat = fit(dict(wc), n_merges, max_batch, top_k)
+        assert bat == seq, (trial, wc, n_merges, max_batch, top_k,
+                            seq[0], bat[0])
