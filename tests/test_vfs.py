@@ -364,3 +364,108 @@ def test_mixed_scheme_comma_list(spark, mock_root, tmp_path):
     df = spark.read.format("fits").option("hdu", 1) \
         .load(f"{local},{mock_file}")
     assert sorted(r["id"] for r in df.collect()) == list(range(30))
+
+
+def test_fsspec_wrapper_via_stub_module(tmp_path, monkeypatch):
+    """fsspec is absent from this environment, so the FsspecFileSystem
+    wrapper (the primary production remote path) would otherwise ship
+    untested: inject a minimal fsspec stub whose filesystem() serves a
+    local-directory AbstractFileSystem mimic, and drive the wrapper's
+    translation layer — scheme stripping, URI re-prefixing, datetime
+    mtime conversion, one-call stat(), find/glob/ls mapping."""
+    import datetime
+    import sys
+    import types
+
+    root = tmp_path / "bucket"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.fits").write_bytes(b"0123456789")
+    (root / "sub" / "b.fits").write_bytes(b"xy")
+
+    class _StubFS:
+        def _p(self, p):
+            return os.path.join(str(tmp_path), p)
+
+        def open(self, p, mode):
+            return open(self._p(p), mode)
+
+        def size(self, p):
+            return os.path.getsize(self._p(p))
+
+        def modified(self, p):
+            return datetime.datetime.fromtimestamp(
+                os.path.getmtime(self._p(p)))
+
+        def info(self, p):
+            st = os.stat(self._p(p))
+            return {"size": st.st_size,
+                    "mtime": datetime.datetime.fromtimestamp(st.st_mtime)}
+
+        def exists(self, p):
+            return os.path.exists(self._p(p))
+
+        def isdir(self, p):
+            return os.path.isdir(self._p(p))
+
+        def isfile(self, p):
+            return os.path.isfile(self._p(p))
+
+        def find(self, p):
+            out = []
+            for r, _d, fs in os.walk(self._p(p)):
+                out.extend(os.path.relpath(os.path.join(r, f),
+                                           str(tmp_path)).replace(os.sep, "/")
+                           for f in fs)
+            return out
+
+        def glob(self, p):
+            import glob as g
+
+            return [os.path.relpath(x, str(tmp_path)).replace(os.sep, "/")
+                    for x in g.glob(self._p(p))]
+
+        def ls(self, p, detail=False):
+            return [p.rstrip("/") + "/" + n
+                    for n in os.listdir(self._p(p))]
+
+        def makedirs(self, p, exist_ok=False):
+            os.makedirs(self._p(p), exist_ok=exist_ok)
+
+        def rm(self, p):
+            os.remove(self._p(p))
+
+    stub = types.ModuleType("fsspec")
+    stub.filesystem = lambda scheme: _StubFS()
+    monkeypatch.setitem(sys.modules, "fsspec", stub)
+
+    fs = vfs.resolve_fs("stubfs://bucket/a.fits")
+    assert isinstance(fs, vfs.FsspecFileSystem)
+    uri = "stubfs://bucket/a.fits"
+    assert fs.isfile(uri) and fs.exists(uri) and not fs.isdir(uri)
+    assert fs.size(uri) == 10
+    assert fs.mtime(uri) > 0                      # datetime → epoch float
+    size, mt = fs.stat(uri)                       # one info() call
+    assert size == 10 and mt > 0
+    with fs.open_input(uri) as f:
+        f.seek(4)
+        assert f.read(3) == b"456"
+    assert fs.walk_files("stubfs://bucket") == [
+        "stubfs://bucket/a.fits", "stubfs://bucket/sub/b.fits"]
+    assert fs.glob("stubfs://bucket/*.fits") == ["stubfs://bucket/a.fits"]
+    assert fs.listdir("stubfs://bucket") == ["a.fits", "sub"]
+    with fs.open_output("stubfs://bucket/w.bin") as f:
+        f.write(b"ok")
+    assert fs.size("stubfs://bucket/w.bin") == 2
+    fs.remove("stubfs://bucket/w.bin")
+    assert not fs.exists("stubfs://bucket/w.bin")
+    # the full scan byte path over the wrapper (no Spark: driver-side)
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    fw.write_fits(str(root / "t.fits"), [fw.bintable_hdu(
+        [("id", "K", np.arange(7, dtype=">i8"))])])
+    with fs.open_input("stubfs://bucket/t.fits") as f:
+        hdu = open_hdu(f, "stubfs://bucket/t.fits", 1)
+    assert hdu.n_rows == 7
