@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     # round-4 additions, appended for round-over-round comparability
     "q46_approx_stats",
     "q93_stream_shard_sink",
+    "q94_quality_classifier",
 ]
 
 
@@ -363,7 +364,7 @@ def main() -> None:
                                           "q82", "q83", "q84", "q85",
                                           "q86", "q87", "q88",
                                           "q89", "q90", "q91", "q92",
-                                          "q46", "q93",
+                                          "q46", "q93", "q94",
                                           "fits_scan_multifile",
                                           "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

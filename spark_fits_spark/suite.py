@@ -3177,6 +3177,82 @@ def q93_stream_shard_sink(spark, sf):
     )
 
 
+_Q94_ORACLE = """
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE -1 END AS y
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM lab)
+  WHERE tok != ''
+),
+bc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2),
+g1 AS (SELECT b, SUM(y * c) AS s FROM bc JOIN lab USING (doc_id)
+       WHERE y = 1 GROUP BY b),
+m1 AS (SELECT lab.doc_id,
+              COALESCE(SUM(COALESCE(g1.s, 0) * bc.c), 0) AS m
+       FROM lab LEFT JOIN bc USING (doc_id) LEFT JOIN g1 USING (b)
+       GROUP BY lab.doc_id),
+g2 AS (SELECT b, SUM(y * c) AS s
+       FROM bc JOIN lab USING (doc_id) JOIN m1 USING (doc_id)
+       WHERE (CASE WHEN m > 0 THEN 1 ELSE -1 END) != y GROUP BY b),
+m2 AS (SELECT lab.doc_id,
+              COALESCE(SUM((COALESCE(g1.s, 0) + COALESCE(g2.s, 0)) * bc.c),
+                       0) AS m
+       FROM lab LEFT JOIN bc USING (doc_id)
+            LEFT JOIN g1 USING (b) LEFT JOIN g2 USING (b)
+       GROUP BY lab.doc_id),
+g3 AS (SELECT b, SUM(y * c) AS s
+       FROM bc JOIN lab USING (doc_id) JOIN m2 USING (doc_id)
+       WHERE (CASE WHEN m > 0 THEN 1 ELSE -1 END) != y GROUP BY b),
+m3 AS (SELECT lab.doc_id,
+              COALESCE(SUM((COALESCE(g1.s, 0) + COALESCE(g2.s, 0)
+                            + COALESCE(g3.s, 0)) * bc.c), 0) AS m
+       FROM lab LEFT JOIN bc USING (doc_id)
+            LEFT JOIN g1 USING (b) LEFT JOIN g2 USING (b)
+            LEFT JOIN g3 USING (b)
+       GROUP BY lab.doc_id)
+SELECT lab.doc_id, CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS margin,
+       CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM lab JOIN m3 USING (doc_id)
+"""
+
+
+@query("q94_quality_classifier", _Q94_ORACLE)
+def q94_quality_classifier(spark, sf):
+    """Model-based quality filter — the fastText/LR role in GPT-3 /
+    CCNet curation: a linear classifier over hash-trick bag-of-words,
+    trained distributedly (3 batch-perceptron steps; driver traffic =
+    one 64-int gradient per step, the kmeans pattern) and applied as a
+    pure map-side integer margin. All-integer arithmetic keeps the
+    WHOLE training trajectory hash-checkable — the oracle replays every
+    step relationally (per-bucket Σ y·c gradients over the
+    misclassified set under the previous step's margins). Labels here
+    are a stand-in teacher signal (docs from src0/src1 = positive);
+    swap in human/LLM quality labels unchanged. On THIS synthetic
+    corpus the vocabulary carries no real source signal, so what the
+    hash gate verifies is the exact distributed training trajectory —
+    actual learning on a separable corpus is pinned by
+    ``test_perceptron_classifier_learns_planted_signal``."""
+    from spark_fits_spark.operators import classifier
+
+    d = _t(spark, sf, "documents")
+    labeled = d.withColumn(
+        "_y", F.when(F.col("source").isin("src0", "src1"),
+                     F.lit(1)).otherwise(F.lit(-1)))
+    w = classifier.perceptron_fit(labeled, "text", "_y", dim=64, steps=3)
+    m = classifier.score_margins(labeled, "text", w)
+    return labeled.select(
+        "doc_id",
+        F.col("_y").cast("long").alias("y"),
+        m.cast("long").alias("margin"),
+        F.when(m > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        .alias("pred"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3216,14 +3292,17 @@ _DRIVER_PRIORITY = [
     "q53_text_scrub",
     # first-ever hash row: reformulated sketch validation
     "q46_approx_stats",
-    # r4-new: streaming shard sink end-to-end (first driver row)
-    "q93_stream_shard_sink",
+    # r4-new: streaming shard sink + perceptron quality classifier
+    # (first driver rows)
+    "q93_stream_shard_sink", "q94_quality_classifier",
     # changed-code repeats this round
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
     "q74_fits_image_roundtrip",
     "q69_bpe_segment", "q86_bpe_apply",
     "q83_kmv_source_overlap",
-    "q22_dedup_minhash_lsh", "q88_ivfpq_recall",
+    "q22_dedup_minhash_lsh",
+    # (q88 IVF-PQ rotates to the local mirror: r03-green, unchanged
+    # this round)
 ]
 
 

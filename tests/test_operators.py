@@ -1263,3 +1263,31 @@ def test_bpe_batch_rule_randomized_property():
         bat = fit(dict(wc), n_merges, max_batch, top_k)
         assert bat == seq, (trial, wc, n_merges, max_batch, top_k,
                             seq[0], bat[0])
+
+
+def test_perceptron_classifier_learns_planted_signal(spark):
+    """The hashed-BoW batch perceptron separates a corpus with a real
+    token signal within 3 steps: positive docs share a 'quality'
+    vocabulary, negatives a 'spam' one. Also pins the zero-token doc
+    (margin 0 → pred -1) and early convergence (empty gradient stops
+    the loop; extra steps change nothing)."""
+    from pyspark.sql import functions as F
+
+    from spark_fits_spark.operators import classifier
+
+    pos = [(i, "excellent thorough prose with careful detailed writing", 1)
+           for i in range(8)]
+    neg = [(100 + i, "spam junk click bait buy now cheap pills", -1)
+           for i in range(8)]
+    rows = pos + neg + [(999, "", -1)]  # zero-token doc
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    w3 = classifier.perceptron_fit(df, "text", "y", dim=64, steps=3)
+    m = classifier.score_margins(df, "text", w3)
+    got = {r["doc_id"]: r["m"] for r in df.select("doc_id", m.alias("m")).collect()}
+    assert all(got[i] > 0 for i, _, _ in pos)
+    assert all(got[i] <= 0 for i, _, _ in neg)
+    assert got[999] == 0                      # no tokens → zero margin
+    # converged: more steps return the identical weight vector
+    w9 = classifier.perceptron_fit(df, "text", "y", dim=64, steps=9)
+    assert w9 == w3
+    spark.catalog.clearCache()
