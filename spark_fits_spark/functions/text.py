@@ -261,14 +261,19 @@ def minhash_perm_expr(hashes: Column, seed_idx: int) -> Column:
 def add_simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Per-document SimHash signature (``bits`` wide, default 16).
 
-    Token hash = first 4 hex chars of md5 → int; each bit position
-    accumulates +1/−1 over tokens; the signature sets bits with positive
-    sums. Pure DataFrame ops: one explode + one groupBy (map-side
-    partial agg keeps the shuffle small: ≤ one row per doc)."""
+    Token hash = first ``ceil(bits/4)`` hex chars of md5 → int (≤15 hex
+    chars so the value stays sign-safe in an int64, capping ``bits`` at
+    60); each bit position accumulates +1/−1 over tokens; the signature
+    sets bits with positive sums. Pure DataFrame ops: one explode + one
+    groupBy (map-side partial agg keeps the shuffle small: ≤ one row
+    per doc)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    nhex = -(-bits // 4)
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, nhex), 16, 10).cast("long")
     tok = tok.select(id_col, h.alias("_h"))
     bit_sums = [
         F.sum(

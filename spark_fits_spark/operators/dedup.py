@@ -39,6 +39,7 @@ from spark_fits_spark.caching import (
     tracked_persist,
 )
 from spark_fits_spark.functions.text import (
+    add_simhash,
     content_fingerprint,
     md5_fingerprint,
     minhash_expr,
@@ -570,6 +571,82 @@ def ngram_jaccard_pairs(
                 .otherwise(F.lit(None).cast("double")).alias("jaccard"))
     )
     return cross.unionAll(intra)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs whose SimHash signatures differ in at most
+    ``max_hamming`` bits → ``(doc_a, doc_b, hamming)``.
+
+    The naive formulation is an all-pairs join (O(n²) at 100 TB). This
+    uses the pigeonhole piece table instead: split the ``bits``-wide
+    signature into ``max_hamming + 1`` contiguous pieces — any pair
+    within Hamming distance ``max_hamming`` has at most ``max_hamming``
+    differing-bit pieces, so at least one piece is IDENTICAL. Candidate
+    generation is therefore an exact-recall equi-join on
+    ``(piece_index, piece_value)``; each candidate is verified map-side
+    with ``bit_count(sig_a XOR sig_b) <= max_hamming``.
+
+    Shuffle story: one corpus-sized exchange builds the signatures
+    (map-combined bit-sum agg, ≤1 row/doc), one exchange joins the
+    piece table with itself on the 2-int key. A pair sharing several
+    pieces is emitted once via the first-matching-piece rule (earlier
+    pieces must differ), evaluated from the two signatures already on
+    the joined row — no ``distinct`` shuffle. Hot piece values
+    (boilerplate clusters) split under AQE skew-join handling.
+
+    The DuckDB oracle intentionally uses the all-pairs formulation, so
+    the driver hash gate independently certifies the piece table's
+    exact-recall guarantee.
+    """
+    k = max_hamming + 1
+    if bits % k:
+        raise ValueError(
+            f"bits={bits} must be divisible by max_hamming+1={k} "
+            "(equal-width pieces keep the SQL mirror literal)")
+    w = bits // k
+    mask = (1 << w) - 1
+
+    def piece(col, i: int):
+        return F.shiftright(col, i * w).bitwiseAND(F.lit(mask))
+
+    sigs = tracked_persist(add_simhash(df, text_col, id_col, bits=bits))
+    pieces = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[piece(F.col("simhash"), i) for i in range(k)])
+        ).alias("_pidx", "_pval"),
+    )
+    a = pieces.select(
+        F.col(id_col).alias("_ida"), F.col("simhash").alias("_siga"),
+        "_pidx", "_pval")
+    b = pieces.select(
+        F.col(id_col).alias("_idb"), F.col("simhash").alias("_sigb"),
+        "_pidx", "_pval")
+    cand = a.join(b, ["_pidx", "_pval"]).where(F.col("_ida") < F.col("_idb"))
+    first_match = F.lit(True)
+    for j in range(k - 1):  # piece k-1 can never have an earlier match
+        first_match = first_match & (
+            (F.col("_pidx") <= F.lit(j))
+            | (piece(F.col("_siga"), j) != piece(F.col("_sigb"), j))
+        )
+    hd = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
+    return (
+        cand.where(first_match)
+        .where(hd <= F.lit(max_hamming))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            hd.cast("int").alias("hamming"),
+        )
+    )
 
 
 def embedding_near_dup_pairs(

@@ -3253,6 +3253,38 @@ def q94_quality_classifier(spark, sf):
     )
 
 
+@query("q95_simhash_hamming_pairs", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+  FROM tok
+), bitsum AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bits GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+           AS sh
+  FROM bitsum GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""")
+def q95_simhash_hamming_pairs(spark, sf):
+    """SimHash near-dup pairs at Hamming distance ≤ 3 over 60-bit
+    signatures, via the pigeonhole piece table (4 × 15-bit pieces;
+    exact recall, so the all-pairs oracle certifies the piece-table
+    candidate generation misses nothing). Complements q22/q23: SimHash
+    catches bag-of-words-level near-dups at O(n·pieces) join work where
+    the oracle's formulation is O(n²)."""
+    return dedup.simhash_hamming_pairs(
+        _docs(spark, sf), "text", "doc_id", bits=60, max_hamming=3)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3292,17 +3324,17 @@ _DRIVER_PRIORITY = [
     "q53_text_scrub",
     # first-ever hash row: reformulated sketch validation
     "q46_approx_stats",
-    # r4-new: streaming shard sink + perceptron quality classifier
-    # (first driver rows)
+    # r4-new: streaming shard sink + perceptron quality classifier +
+    # simhash Hamming-ball near-dup join (first driver rows)
     "q93_stream_shard_sink", "q94_quality_classifier",
+    "q95_simhash_hamming_pairs",
     # changed-code repeats this round
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
     "q74_fits_image_roundtrip",
     "q69_bpe_segment", "q86_bpe_apply",
-    "q83_kmv_source_overlap",
     "q22_dedup_minhash_lsh",
-    # (q88 IVF-PQ rotates to the local mirror: r03-green, unchanged
-    # this round)
+    # (q88 IVF-PQ and q83 KMV rotate to the local mirror: r03-green;
+    # q83's small-sketch exact path is pinned by its unit test)
 ]
 
 

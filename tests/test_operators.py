@@ -105,6 +105,40 @@ def test_simhash_similar_docs_close(spark):
     assert d01 < d02, (sig, d01, d02)
 
 
+def test_simhash_hamming_pairs_matches_bruteforce(spark):
+    """Piece-table output == brute-force all-pairs (exact recall via
+    pigeonhole), each qualifying pair emitted exactly once despite
+    near-dups sharing SEVERAL pieces (the first-matching-piece rule)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base), (2, base + " extra"),
+            (3, base.replace("alpha", "lambda")),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "red orange yellow green blue indigo violet pink")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in (2, 3):
+        got = sorted(
+            (x["doc_a"], x["doc_b"], x["hamming"])
+            for x in dedup.simhash_hamming_pairs(
+                df, "text", "doc_id", bits=60, max_hamming=r).collect())
+        sig = {x["doc_id"]: x["simhash"]
+               for x in T.add_simhash(df, "text", "doc_id", bits=60).collect()}
+        want = sorted(
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a in sig for b in sig
+            if a < b and bin(sig[a] ^ sig[b]).count("1") <= r)
+        assert got == want, (r, got, want)
+        # identical docs pair at distance 0, and only once
+        assert (0, 1, 0) in got
+        assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
+def test_simhash_hamming_pairs_rejects_uneven_pieces(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_hamming_pairs(df, "text", "doc_id",
+                                    bits=60, max_hamming=6)
+
+
 def test_cosine_topk_matches_numpy(spark, emb):
     got = similarity.cosine_topk(
         emb, emb.where(F.col("vec_id") < 3), "embedding", "vec_id", k=5).collect()
