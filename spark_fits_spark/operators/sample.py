@@ -30,7 +30,7 @@ from spark_fits_spark.caching import tracked_local_checkpoint
 
 __all__ = ["hash_bucket", "stratified_sample", "hash_split", "pack_sequences",
            "take_token_budget", "shuffle_shards", "take_n_per_stratum",
-           "temperature_mix", "top_fraction_by_score"]
+           "temperature_mix", "top_fraction_by_score", "weighted_sample"]
 
 #: hash-bucket resolution: rates are quantized to 1/10000ths.
 N_BUCKETS = 10_000
@@ -422,3 +422,53 @@ def top_fraction_by_score(
         .agg(F.max("_s").alias("threshold"))
     )
     return df.crossJoin(F.broadcast(thr)).where(s >= F.col("threshold"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each row gets the key ``ln(u) / w`` with ``u`` a
+    deterministic hash uniform in (0, 1] and ``w`` its weight; the
+    ``k`` rows with the LARGEST keys are the sample. Equivalent to
+    drawing rows one by one with probability proportional to weight —
+    the primitive behind quality-weighted corpus selection ("sample 10M
+    docs ∝ quality score").
+
+    Deterministic like everything in this module: ``u`` comes from
+    ``md5(salt|id)`` (first 15 hex digits + 1, over 2^60), so a row's
+    key — and therefore the whole sample — is a pure function of
+    (id, weight, salt), reproducible across runs/partitionings and
+    replayable in SQL. Keys are quantized to int64 (×1e9) so the
+    oracle comparison never rides raw float bits; ties break by id.
+
+    Scale: the key is a map-side expression; selection is
+    ``orderBy(key).limit(k)`` → ``TakeOrderedAndProject`` (per-partition
+    partial top-k, merge of #partitions·k rows — no global sort, no
+    full shuffle). For huge k (≥10⁷) prefer the histogram-threshold
+    pattern of :func:`top_fraction_by_score` on the quantized key.
+
+    Rows with NULL or non-positive weight are excluded (they can never
+    be drawn). Returns the sampled rows with ``key_col`` appended."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if key_col in df.columns:
+        raise ValueError(
+            f"input already has a {key_col!r} column — rename it first")
+    salted = F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w * F.lit(1e9)).cast("long")
+    return (
+        df.where(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )

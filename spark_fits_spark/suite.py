@@ -3285,6 +3285,31 @@ def q95_simhash_hamming_pairs(spark, sf):
         _docs(spark, sf), "text", "doc_id", bits=60, max_hamming=3)
 
 
+@query("q96_weighted_sample", """
+SELECT doc_id, n_chars,
+       CAST(round(ln((CAST(('0x' || substr(md5('wsel|' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                     / 1152921504606846976.0)
+                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id
+LIMIT 200
+""")
+def q96_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES keys ln(u)/w, u = deterministic md5 uniform, w = n_chars;
+    top-200 largest keys). Selection ∝ weight, reproducible across
+    runs/partitionings; the plan is map-side keys +
+    TakeOrderedAndProject — no global sort. The oracle replays the
+    exact key arithmetic (int64-quantized ×1e9) and the same
+    tie-break."""
+    got = sample.weighted_sample(
+        _docs(spark, sf), id_col="doc_id", weight_col="n_chars",
+        k=200, salt="wsel")
+    return got.select("doc_id", "n_chars", "es_key")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

@@ -1325,3 +1325,69 @@ def test_perceptron_classifier_learns_planted_signal(spark):
     w9 = classifier.perceptron_fit(df, "text", "y", dim=64, steps=9)
     assert w9 == w3
     spark.catalog.clearCache()
+
+
+def test_weighted_sample_matches_pure_python(spark):
+    """The A-ES selection is a pure function of (id, weight, salt):
+    a hashlib+math replication picks the identical set, in the same
+    key order."""
+    import hashlib
+    import math
+
+    from spark_fits_spark.operators import sample
+
+    rows = [(i, (i % 7) * 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sample.weighted_sample(
+        df, id_col="id", weight_col="w", k=25, salt="t").collect()
+
+    def key(i, w):
+        h = int(hashlib.md5(f"t|{i}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / float(1 << 60)
+        v = math.log(u) / float(w) * 1e9
+        # Spark round() = HALF_UP (away from zero)
+        import decimal
+        return int(decimal.Decimal(v).quantize(
+            0, rounding=decimal.ROUND_HALF_UP))
+
+    want = sorted(((key(i, w), i, w) for i, w in rows),
+                  key=lambda t: (-t[0], t[1]))[:25]
+    assert [(r["id"], r["w"], r["es_key"]) for r in got] == [
+        (i, w, k_) for k_, i, w in want]
+
+
+def test_weighted_sample_proportional_and_guards(spark):
+    """Heavy-weight rows are drawn at a far higher per-row rate;
+    NULL/zero weights can never be drawn; bad args raise."""
+    import pytest as _pytest
+
+    from spark_fits_spark.operators import sample
+
+    # 10 heavy rows (w=50) vs 90 light rows (w=1); k=10 per salt
+    rows = ([(i, 50) for i in range(10)]
+            + [(i, 1) for i in range(10, 100)]
+            + [(100, 0), (101, None)])
+    df = spark.createDataFrame(rows, ["id", "w"])
+    heavy = light = 0
+    for s in range(8):
+        picked = [r["id"] for r in sample.weighted_sample(
+            df, id_col="id", weight_col="w", k=10, salt=f"s{s}").collect()]
+        assert len(picked) == 10 and len(set(picked)) == 10
+        assert all(p < 100 for p in picked)  # w<=0 / NULL never drawn
+        heavy += sum(1 for p in picked if p < 10)
+        light += sum(1 for p in picked if p >= 10)
+    # per-row draw rate: heavy ~50x light; even loosely, the 10 heavy
+    # rows should supply well over half of the 80 draws
+    assert heavy > light, (heavy, light)
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sample.weighted_sample(df, id_col="id", weight_col="w", k=0)
+    with _pytest.raises(ValueError, match="es_key"):
+        sample.weighted_sample(
+            df.withColumn("es_key", F.lit(1)),
+            id_col="id", weight_col="w", k=1)
+    # plan shape: partial per-partition top-k, no global sort
+    plan = sample.weighted_sample(
+        df, id_col="id", weight_col="w", k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
