@@ -5,6 +5,8 @@ from spark_fits_spark.operators import (
     relational,
     sample,
     similarity,
+    sketch,
 )
 
-__all__ = ["dedup", "images", "multimodal", "relational", "sample", "similarity"]
+__all__ = ["dedup", "images", "multimodal", "relational", "sample",
+           "similarity", "sketch"]

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_fits_spark.functions import text as T
+from spark_fits_spark.caching import tracked_persist
 from spark_fits_spark.operators import (
     dedup, multimodal, relational, sample, similarity)
 
@@ -3308,6 +3309,63 @@ def q96_weighted_sample(spark, sf):
         _docs(spark, sf), id_col="doc_id", weight_col="n_chars",
         k=200, salt="wsel")
     return got.select("doc_id", "n_chars", "es_key")
+
+
+@query("q97_heavy_hitters", """
+WITH t AS (
+  SELECT string_split(text, ' ') AS a FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT unnest(CASE WHEN len(a) >= 3 THEN
+           list_transform(range(1, len(a) - 1),
+                          i -> array_to_string(a[i:i+2], ' '))
+         ELSE [array_to_string(a, ' ')] END) AS gram
+  FROM t
+), cnt AS (SELECT gram, COUNT(*) AS exact_count FROM g GROUP BY gram)
+SELECT gram, exact_count,
+       TRUE AS est_le_exact, TRUE AS err_within_bound,
+       TRUE AS containment_ok
+FROM cnt ORDER BY exact_count DESC, gram LIMIT 20
+""")
+def q97_heavy_hitters(spark, sf):
+    """Top-20 corpus 3-grams certified through the Misra–Gries
+    heavy-hitter sketch. The sketch moves only capacity-sized summaries
+    per partition (the 100 TB alternative to a vocabulary-sized
+    exchange); the q46 pattern makes its guarantees hash-checkable:
+    Spark computes sketch AND exact side and emits the three MG
+    THEOREMS as booleans — est ≤ exact, exact − est ≤ bound (holds for
+    non-candidates too: missing every partition's top-cap means exact ≤
+    Σ cuts), and containment (exact > bound ⇒ candidate) — while the
+    oracle replays the exact side with literal TRUEs. The booleans are
+    distribution-free invariants, so they certify the sketch under real
+    truncation: capacity=512 over 8 hash partitions is far below the
+    per-partition 3-gram vocabulary at every SF (≥2k at sf0.01)."""
+    from spark_fits_spark.operators import sketch as sk
+
+    grams = (
+        _docs(spark, sf)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(T.word_ngrams("text", 3)).alias("item"))
+    )
+    hh = tracked_persist(
+        sk.heavy_hitters(grams, "item", capacity=512, n_parts=8))
+    bound = hh.select(F.max("bound").alias("bound"))
+    exact = grams.groupBy("item").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "item").limit(20)
+    est = F.coalesce(F.col("est"), F.lit(0))
+    return (
+        top.join(hh.select("item", "est"), "item", "left")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            F.col("item").alias("gram"),
+            "exact_count",
+            (est <= F.col("exact_count")).alias("est_le_exact"),
+            ((F.col("exact_count") - est) <= F.col("bound"))
+            .alias("err_within_bound"),
+            (F.col("est").isNotNull()
+             | (F.col("exact_count") <= F.col("bound")))
+            .alias("containment_ok"),
+        )
+    )
 
 
 # =====================================================================

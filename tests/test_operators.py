@@ -1391,3 +1391,53 @@ def test_weighted_sample_proportional_and_guards(spark):
         df, id_col="id", weight_col="w", k=10)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    """Misra-Gries theorems on a planted zipf-ish stream under REAL
+    truncation (distinct items >> capacity): underestimation, error
+    <= sum-of-cuts bound, containment of every item above the bound;
+    plus determinism under input repartitioning and the
+    natural-partition mode."""
+    from collections import Counter
+
+    from spark_fits_spark.operators import sketch
+
+    items = []
+    for i in range(10):
+        items += [f"h{i}"] * (100 + 10 * i)
+    items += [f"t{j}" for j in range(2000)]
+    exact = Counter(items)
+    df = spark.createDataFrame([(x,) for x in items], ["item"])
+
+    hh = sketch.heavy_hitters(df, "item", capacity=64, n_parts=4).collect()
+    bound = hh[0]["bound"]
+    assert bound > 0, "capacity=64 over 2010 distinct must truncate"
+    cand = {r["item"]: r["est"] for r in hh}
+    assert len(cand) == len(hh), "duplicate candidate rows"
+    for item, est in cand.items():
+        assert 0 < est <= exact[item], (item, est, exact[item])
+        assert exact[item] - est <= bound
+    for item, c in exact.items():
+        if c > bound:
+            assert item in cand, (item, c, bound)
+    # the planted heavies dominate any bound this sketch can produce
+    assert all(f"h{i}" in cand for i in range(10))
+
+    # deterministic: input partitioning must not matter (n_parts pins it)
+    hh2 = sketch.heavy_hitters(
+        df.repartition(11), "item", capacity=64, n_parts=4).collect()
+    assert sorted(map(tuple, hh)) == sorted(map(tuple, hh2))
+
+    # natural-partition mode: no repartition shuffle, guarantees hold
+    hh3 = sketch.heavy_hitters(df, "item", capacity=64, n_parts=None).collect()
+    b3 = hh3[0]["bound"]
+    for r in hh3:
+        assert r["est"] <= exact[r["item"]]
+        assert exact[r["item"]] - r["est"] <= b3
+    for item, c in exact.items():
+        if c > b3:
+            assert any(r["item"] == item for r in hh3)
+
+    with pytest.raises(ValueError, match="capacity"):
+        sketch.heavy_hitters(df, "item", capacity=0)
