@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "q46_approx_stats",
     "q93_stream_shard_sink",
     "q94_quality_classifier",
+    "q95_simhash_hamming_pairs",
+    "q96_weighted_sample",
+    "q97_heavy_hitters",
 ]
 
 

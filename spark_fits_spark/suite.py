@@ -3407,17 +3407,23 @@ _DRIVER_PRIORITY = [
     "q53_text_scrub",
     # first-ever hash row: reformulated sketch validation
     "q46_approx_stats",
-    # r4-new: streaming shard sink + perceptron quality classifier +
-    # simhash Hamming-ball near-dup join (first driver rows)
+    # r4-new (first driver rows): streaming shard sink, perceptron
+    # quality classifier, simhash Hamming-ball join, A-ES weighted
+    # sampling, Misra-Gries heavy hitters
     "q93_stream_shard_sink", "q94_quality_classifier",
-    "q95_simhash_hamming_pairs",
-    # changed-code repeats this round
+    "q95_simhash_hamming_pairs", "q96_weighted_sample",
+    "q97_heavy_hitters",
+    # changed-code repeats this round (FITS paths over the new VFS
+    # layer; BPE batched fit via its apply superset; q22 bench watch)
     "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
-    "q74_fits_image_roundtrip",
-    "q69_bpe_segment", "q86_bpe_apply",
+    "q86_bpe_apply",
     "q22_dedup_minhash_lsh",
-    # (q88 IVF-PQ and q83 KMV rotate to the local mirror: r03-green;
-    # q83's small-sketch exact path is pinned by its unit test)
+    # (q88 IVF-PQ, q83 KMV, q74 image roundtrip, and q69 BPE-segment
+    # rotate to the local mirror: all r03-green; the r4 code changes
+    # they share are each pinned elsewhere on the gate or by unit
+    # tests — q49/q80 cover the VFS scan+writer, q86's fit→apply
+    # covers the batched-merge fit, and the KMV small-sketch exact
+    # path has its own unit test)
 ]
 
 
