@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q95_simhash_hamming_pairs",
     "q96_weighted_sample",
     "q97_heavy_hitters",
+    "q98_rag_chunk_retrieval",
 ]
 
 

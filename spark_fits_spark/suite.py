@@ -3368,6 +3368,63 @@ def q97_heavy_hitters(spark, sf):
     )
 
 
+@query("q98_rag_chunk_retrieval", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), x AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1, 16)) AS st, w FROM t
+), ch AS (
+  SELECT doc_id * 1000 + CAST((st - 1) // 16 AS BIGINT) AS chunk_key,
+         array_to_string(w[st:st+31], ' ') AS chunk_text
+  FROM x
+), tk AS (
+  SELECT chunk_key, unnest(string_split(chunk_text, ' ')) AS tok FROM ch
+), lens AS (
+  SELECT chunk_key, len(string_split(chunk_text, ' ')) AS dl FROM ch
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM ch)::DOUBLE AS ndocs,
+         (SELECT AVG(dl) FROM lens) AS avglen
+), tf AS (
+  SELECT chunk_key, tok, COUNT(*) AS tf FROM tk
+  WHERE tok IN ('spark', 'window', 'join') GROUP BY chunk_key, tok
+), idf AS (
+  SELECT tok, ln((ndocs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+  FROM tf, stats GROUP BY tok, ndocs
+), contrib AS (
+  SELECT tf.chunk_key,
+         CAST(round(idf * (tf * 2.2)
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avglen))
+                    * 1000000) AS BIGINT) AS c6
+  FROM tf JOIN idf USING (tok) JOIN lens USING (chunk_key), stats
+), scored AS (
+  SELECT chunk_key, CAST(SUM(c6) AS BIGINT) AS score6_sum FROM contrib
+  GROUP BY chunk_key
+)
+SELECT chunk_key, score6_sum,
+       round(score6_sum::DOUBLE / 1000000, 4) AS bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY score6_sum DESC, chunk_key) AS INT)
+         AS rank
+FROM scored
+ORDER BY score6_sum DESC, chunk_key LIMIT 20
+""")
+def q98_rag_chunk_retrieval(spark, sf):
+    """RAG index preparation end-to-end: sliding-window chunking (q70's
+    operator, zero-shuffle map-side) feeding BM25 retrieval (q61's
+    operator) over the CHUNK table — retrieve the top-20 32-token
+    passages for a bag of query terms, the passage-level retrieval a
+    RAG system actually serves. Composition only: term filter before
+    any shuffle, one-row broadcast stats, distributed top-k; the chunk
+    key is doc_id·1000+chunk_id so passages stay scalar-keyed for the
+    driver hash."""
+    d = _docs(spark, sf)
+    chunks = T.chunk_windows(d, "text", "doc_id", window=32, stride=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "chunk_text")
+    return T.bm25_topk(keyed, "chunk_text", "chunk_key",
+                       ("spark", "window", "join"), k=20)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
