@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q96_weighted_sample",
     "q97_heavy_hitters",
     "q98_rag_chunk_retrieval",
+    "q99_cluster_balanced_sample",
 ]
 
 

@@ -3425,6 +3425,64 @@ def q98_rag_chunk_retrieval(spark, sf):
                        ("spark", "window", "join"), k=20)
 
 
+@query("q99_cluster_balanced_sample", f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q AS c FROM v ORDER BY vec_id LIMIT 4
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             {{dist0}}, c0.cid) AS rn
+    FROM v CROSS JOIN c0) WHERE rn = 1
+), u1 AS (
+  SELECT cid, pos, CAST(floor(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS m
+  FROM (SELECT a1.cid, unnest(range(1, 65)) AS pos, unnest(v.q) AS val
+        FROM a1 JOIN v USING (vec_id))
+  GROUP BY cid, pos
+), c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM u1 GROUP BY cid
+), asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT v.vec_id, c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             {{dist1}}, c1.cid) AS rn
+    FROM v CROSS JOIN c1) WHERE rn = 1
+), h AS (
+  SELECT vec_id, cluster,
+         CAST(('0x' || substr(md5('divs|' || CAST(vec_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS hv
+  FROM asg
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rn
+  FROM h) WHERE rn <= 40
+""".format(dist0=_KMEANS_DIST_SQL.format(c='c0'),
+           dist1=_KMEANS_DIST_SQL.format(c='c1')))
+def q99_cluster_balanced_sample(spark, sf):
+    """Diversity (cluster-balanced) sampling — the embedding-space
+    coverage counterpart to q73's source-level temperature mix: k-means
+    the corpus (q58's in-engine deterministic training), then cap each
+    cluster at 40 docs chosen in hash order (q72's distributed prefix
+    sum — no per-cluster single-partition window). Over-represented
+    semantic regions are downsampled to the cap; rare regions survive
+    whole. The oracle composes the q58 training SQL verbatim into the
+    q72 selection SQL."""
+    e = _emb(spark, sf)
+    cents = similarity.kmeans_fit(
+        e, "embedding", "vec_id", k=4, iters=1, quantize=1_000_000)
+    assigned = similarity.kmeans_assign(
+        e, "embedding", "vec_id", cents, quantize=1_000_000,
+    ).select("vec_id", "cluster")
+    return sample.take_n_per_stratum(
+        assigned, "cluster", 40, id_col="vec_id", salt="divs")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
