@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q97_heavy_hitters",
     "q98_rag_chunk_retrieval",
     "q99_cluster_balanced_sample",
+    "q100_bloom_decontaminate",
 ]
 
 

@@ -934,6 +934,107 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    salt: str = "b",
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER of the test
+    set's word n-grams — the memory-bounded form of
+    :func:`decontaminate` for when even the benchmark's distinct gram
+    table is too large to broadcast: the filter is a fixed ``m_bits``
+    bits (as ``m_bits/32`` int64 words) no matter how many grams feed
+    it. Flags every training doc with at least one bloom-positive gram.
+
+    Guarantee (the Bloom theorem): NO false negatives — every doc
+    :func:`decontaminate` would flag is flagged here too; the price is
+    a bounded false-positive overhang (~``(1-e^(-kn/m))^k`` per gram).
+    Returns one row per training doc: ``(id, bloom_hit, exact_hit,
+    no_false_negative)`` with the exact side computed alongside so the
+    guarantee (and the realized FP set) is checkable row by row; all
+    three columns are md5-deterministic, so a SQL oracle replays them
+    bit-for-bit, realized false positives included.
+
+    Scale: the filter build is one ``bit_or`` agg over the test grams'
+    ``n_hashes`` probe bits (output ≤ ``m_bits/32`` rows); membership
+    is a broadcast join of that word table against the exploded corpus
+    probes — no benchmark-sized structure is ever broadcast or
+    collected, and nothing touches the driver."""
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+
+    def probe(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col("_g"))), 1, 15),
+                16, 10,
+            ).cast("long") % F.lit(m_bits)
+        )
+
+    def grams(df: DataFrame) -> DataFrame:
+        return shingle_sets(df, text_col, id_col, n=n).select(
+            "_id", F.explode("_shingles").alias("_g"))
+
+    # shiftleft/shiftright take a literal shift count in the Python API;
+    # the per-row mask shift goes through expr()
+    word = lambda bit: F.shiftright(bit, 5)
+    mask_expr = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit & 31 AS INT))")
+
+    test_bits = grams(test).select(
+        F.explode(F.array(*[probe(j) for j in range(n_hashes)])).alias("_bit"))
+    words = (
+        test_bits.select(word(F.col("_bit")).alias("_w"),
+                         mask_expr.alias("_m"))
+        .groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+    )
+
+    train_g = tracked_persist(grams(train))
+    probes = train_g.select(
+        "_id", "_g",
+        F.explode(F.array(*[probe(j) for j in range(n_hashes)])).alias("_bit"))
+    hit_j = (
+        probes.select("_id", "_g", word(F.col("_bit")).alias("_w"),
+                      mask_expr.alias("_m"))
+        .join(F.broadcast(words), "_w", "left")
+        .select(
+            "_id", "_g",
+            (F.coalesce(F.col("_bits"), F.lit(0))
+             .bitwiseAND(F.col("_m")) != 0).alias("_hit"))
+    )
+    gram_pos = hit_j.groupBy("_id", "_g").agg(
+        (F.sum(F.when(F.col("_hit"), 1).otherwise(0)) == n_hashes)
+        .alias("_gpos"))
+    bloom_doc = gram_pos.groupBy("_id").agg(
+        F.max(F.when(F.col("_gpos"), 1).otherwise(0)).alias("_bh"))
+
+    test_set = grams(test).select("_g").distinct()
+    exact_doc = (
+        train_g.join(F.broadcast(test_set), "_g", "left_semi")
+        .select("_id").distinct().withColumn("_eh", F.lit(1))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(bloom_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(exact_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce("_bh", F.lit(0)) == 1).alias("bloom_hit"),
+            (F.coalesce("_eh", F.lit(0)) == 1).alias("exact_hit"),
+            ((F.coalesce("_bh", F.lit(0)) == 1)
+             | (F.coalesce("_eh", F.lit(0)) == 0)).alias("no_false_negative"),
+        )
+    )
+
+
 def minhash_estimate_quality(
     df: DataFrame,
     text_col: str,

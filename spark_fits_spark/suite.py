@@ -3483,6 +3483,70 @@ def q99_cluster_balanced_sample(spark, sf):
         assigned, "cluster", 40, id_col="vec_id", salt="divs")
 
 
+@query("q100_bloom_decontaminate", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g0 AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ELSE [array_to_string(w, ' ')] END) AS grams
+  FROM t
+), bmg AS (
+  SELECT DISTINCT unnest(grams) AS g FROM g0 WHERE doc_id % 97 = 0
+), bbit AS (
+  SELECT CAST(('0x' || substr(md5('b' || j::VARCHAR || '|' || g), 1, 15))
+              AS BIGINT) % 16384 AS bit
+  FROM bmg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+), words AS (
+  SELECT bit >> 5 AS w, bit_or(1::BIGINT << CAST(bit & 31 AS INT)) AS bits
+  FROM bbit GROUP BY 1
+), cg AS (
+  SELECT doc_id, unnest(grams) AS g FROM g0 WHERE doc_id % 97 != 0
+), cp AS (
+  SELECT doc_id, g,
+         CAST(('0x' || substr(md5('b' || j::VARCHAR || '|' || g), 1, 15))
+              AS BIGINT) % 16384 AS bit
+  FROM cg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) u
+), hj AS (
+  SELECT doc_id, g,
+         (COALESCE(words.bits, 0)
+          & (1::BIGINT << CAST(bit & 31 AS INT))) != 0 AS hit
+  FROM cp LEFT JOIN words ON (cp.bit >> 5) = words.w
+), gp AS (
+  SELECT doc_id, g, SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 4 AS gpos
+  FROM hj GROUP BY doc_id, g
+), bh AS (
+  SELECT doc_id, MAX(CASE WHEN gpos THEN 1 ELSE 0 END) AS b
+  FROM gp GROUP BY doc_id
+), eh AS (
+  SELECT doc_id, MAX(CASE WHEN g IN (SELECT g FROM bmg) THEN 1 ELSE 0 END)
+           AS e
+  FROM cg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(bh.b, 0) = 1 AS bloom_hit,
+       COALESCE(eh.e, 0) = 1 AS exact_hit,
+       (COALESCE(bh.b, 0) = 1 OR COALESCE(eh.e, 0) = 0) AS no_false_negative
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+LEFT JOIN bh USING (doc_id) LEFT JOIN eh USING (doc_id)
+""")
+def q100_bloom_decontaminate(spark, sf):
+    """Memory-bounded decontamination: the benchmark's 3-gram set
+    compressed to a 16384-bit Bloom filter (512 int64 words — fixed
+    size no matter how large the benchmark grows), corpus docs flagged
+    by probe-bit membership. Same %97 split as q64. Because every probe
+    bit is md5 arithmetic, the oracle replays the FILTER itself —
+    bloom_hit matches bit-for-bit including any realized false
+    positives, and the no-false-negative theorem (exact ⇒ bloom) is
+    asserted per row."""
+    d = _t(spark, sf, "documents")
+    return dedup.bloom_decontaminate(
+        d.where(F.col("doc_id") % 97 != 0),
+        d.where(F.col("doc_id") % 97 == 0),
+        "text", "doc_id", n=3, m_bits=16384, n_hashes=4, salt="b")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

@@ -1441,3 +1441,61 @@ def test_heavy_hitters_mg_guarantees(spark):
 
     with pytest.raises(ValueError, match="capacity"):
         sketch.heavy_hitters(df, "item", capacity=0)
+
+
+def test_bloom_decontaminate_no_false_negatives_and_replayable(spark):
+    """Planted contamination: exact hits are always bloom hits (the
+    Bloom theorem); with a deliberately tiny filter the realized false
+    positives match a pure-Python replication bit-for-bit."""
+    import hashlib
+
+    bench = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta"), (1001, "one two three four")],
+        ["doc_id", "text"])
+    corpus_rows = [
+        (0, "alpha beta gamma delta epsilon"),   # shares grams -> exact hit
+        (1, "xx yy zz ww vv"),
+        (2, "one two three nine"),               # 'one two three' -> exact
+    ] + [(10 + i, f"u{i} v{i} w{i} x{i}") for i in range(40)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+
+    for m in (32, 1 << 14):  # tiny (forces FPs) and realistic
+        got = {r["doc_id"]: r for r in dedup.bloom_decontaminate(
+            corpus, bench, "text", "doc_id",
+            n=3, m_bits=m, n_hashes=3, salt="t").collect()}
+        assert len(got) == len(corpus_rows)
+        assert all(r["no_false_negative"] for r in got.values())
+        assert got[0]["exact_hit"] and got[0]["bloom_hit"]
+        assert got[2]["exact_hit"] and got[2]["bloom_hit"]
+
+        # pure-Python replication of the filter and the probes
+        def grams(text):
+            w = text.split(" ")
+            if len(w) >= 3:
+                return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+            return {" ".join(w)}
+
+        def bits(g):
+            return [int(hashlib.md5(f"t{j}|{g}".encode())
+                        .hexdigest()[:15], 16) % m for j in range(3)]
+
+        filt = set()
+        for _, text in [(1000, "alpha beta gamma delta"),
+                        (1001, "one two three four")]:
+            for g in grams(text):
+                filt.update(bits(g))
+        for doc_id, text in corpus_rows:
+            want = any(all(b in filt for b in bits(g)) for g in grams(text))
+            assert got[doc_id]["bloom_hit"] == want, (m, doc_id)
+
+    # the tiny filter must have produced at least one false positive
+    # (otherwise this test isn't exercising the FP path)
+    got32 = dedup.bloom_decontaminate(
+        corpus, bench, "text", "doc_id",
+        n=3, m_bits=32, n_hashes=3, salt="t").collect()
+    assert any(r["bloom_hit"] and not r["exact_hit"] for r in got32)
+
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.bloom_decontaminate(corpus, bench, "text", "doc_id", m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        dedup.bloom_decontaminate(corpus, bench, "text", "doc_id", n_hashes=0)
