@@ -34,6 +34,9 @@ HDU_TYPE_BINTABLE = "bintable"
 HDU_TYPE_IMAGE = "image"
 HDU_TYPE_TABLE = "table"   # ASCII table — recognized, not implemented
 HDU_TYPE_EMPTY = "empty"
+# tiled-compressed image (fpack convention): physically a BINTABLE with
+# ZIMAGE=T, logically an image — scanned as (Image, ImgIndex) rows
+HDU_TYPE_COMPIMAGE = "compimage"
 
 
 @dataclass(frozen=True)
@@ -156,6 +159,12 @@ class HduInfo:
     # image fields
     naxis: tuple[int, ...] = ()             # (NAXIS1, NAXIS2, ...)
     image_tform: str = ""                   # element type letter from BITPIX
+    # tiled-compression fields (ZIMAGE bintables; fitscore/tilecomp.py)
+    z_bitpix: int = 0                       # ZBITPIX: logical pixel type
+    z_naxis: tuple[int, ...] = ()           # ZNAXISn: logical image dims
+    z_tile: tuple[int, ...] = ()            # ZTILEn: tile grid
+    z_cmptype: str = ""                     # ZCMPTYPE
+    z_data_col: str = ""                    # compressed-payload column name
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -218,7 +227,7 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
             tzero.append(float(header_value(header, f"TZERO{i}", "0") or "0"))
             nv = header_value(header, f"TNULL{i}", None)
             tnull.append(int(float(nv)) if nv is not None else None)
-        return HduInfo(
+        info = HduInfo(
             path=path, hdu_index=hdu_index, hdu_type=hdu_type,
             boundaries=boundaries, header=header,
             row_bytes=row_bytes, n_rows=n_rows,
@@ -228,6 +237,37 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
             theap=int(header.get("THEAP", str(row_bytes * n_rows))
                       or str(row_bytes * n_rows)),
         )
+        if (header_value(header, "ZIMAGE", "") or "").strip() == "T":
+            # tiled-compressed image (fpack convention): reclassify;
+            # n_rows stays the TILE count (the unit of distribution)
+            zn = int(header.get("ZNAXIS", "0"))
+            z_naxis = tuple(int(header.get(f"ZNAXIS{i}", "0"))
+                            for i in range(1, zn + 1))
+            z_tile = tuple(
+                int(header_value(header, f"ZTILE{i}",
+                                 str(z_naxis[0] if i == 1 else 1))
+                    or (z_naxis[0] if i == 1 else 1))
+                for i in range(1, zn + 1))
+            data_col = next(
+                (c for c in ("COMPRESSED_DATA", "GZIP_COMPRESSED_DATA")
+                 if c in info.col_names), "")
+            if not data_col:
+                raise ValueError(
+                    f"ZIMAGE table in {path} has no COMPRESSED_DATA / "
+                    f"GZIP_COMPRESSED_DATA column (columns: "
+                    f"{list(info.col_names)})")
+            from dataclasses import replace as _replace
+
+            info = _replace(
+                info,
+                hdu_type=HDU_TYPE_COMPIMAGE,
+                z_bitpix=int(header.get("ZBITPIX", "0")),
+                z_naxis=z_naxis,
+                z_tile=z_tile,
+                z_cmptype=(header_value(header, "ZCMPTYPE", "") or "").strip(),
+                z_data_col=data_col,
+            )
+        return info
 
     if hdu_type == HDU_TYPE_IMAGE:
         n_axis = int(header.get("NAXIS", "0"))

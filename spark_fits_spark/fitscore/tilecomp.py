@@ -1,0 +1,194 @@
+"""FITS tiled-image compression (the `fpack` convention): read and
+write compressed image HDUs with GZIP_1 / GZIP_2 tile codecs.
+
+A tile-compressed image (FITS 4.0 §10 / the registered Tiled Image
+Compression convention; what ``fpack`` and CFITSIO's imcomp produce) is
+PHYSICALLY a BINTABLE whose rows are compressed tiles:
+
+- ``ZIMAGE = T`` marks the table as a compressed image; ``ZBITPIX`` /
+  ``ZNAXIS`` / ``ZNAXISn`` describe the LOGICAL image; ``ZTILEn`` the
+  tile grid (default: row-by-row — ``ZTILE1 = ZNAXIS1``, others 1);
+  ``ZCMPTYPE`` names the codec.
+- Each table row holds one tile's compressed bytes in a variable-length
+  ``COMPRESSED_DATA`` column (``1PB(...)`` descriptors into the heap).
+
+The reference connector has no compression support at all; this module
+is beyond-reference but interops with standard tools for the gzip
+codecs, because the payloads are plain RFC-1952 gzip streams:
+
+- ``GZIP_1``: the tile's big-endian pixel bytes, gzipped.
+- ``GZIP_2``: the tile's bytes shuffled so each byte plane is stored
+  contiguously (all MSBs, then the next byte, ...), then gzipped —
+  usually compresses better on smooth integer data.
+- ``RICE_1`` / ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected
+  with a clear error (no codec implementation in this environment).
+
+Scan model: tiles ARE the unit of distribution — a scan partition
+covers a contiguous range of table rows (tiles), decompresses each from
+its heap window, and emits the logical image rows with the same
+``(Image, ImgIndex)`` schema as an uncompressed image HDU, so
+``spark.read.format("fits")`` is compression-transparent exactly like
+CFITSIO. Tiles never span z-planes (``ZTILEn = 1`` for n ≥ 3 is
+required, matching the row-tile layouts fpack writes by default).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from spark_fits_spark.fitscore.types import parse_tform
+
+SUPPORTED_CODECS = ("GZIP_1", "GZIP_2")
+_KNOWN_UNSUPPORTED = ("RICE_1", "RICE_ONE", "PLIO_1", "HCOMPRESS_1",
+                      "NOCOMPRESS")
+
+
+_BITPIX_NP = {16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def _np_dtype(bitpix: int) -> np.dtype:
+    try:
+        return np.dtype(_BITPIX_NP[int(bitpix)])
+    except KeyError:
+        raise NotImplementedError(
+            f"ZBITPIX={bitpix} is not supported for compressed images "
+            f"(supported: {sorted(_BITPIX_NP)})")
+
+
+def shuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    """GZIP_2 byte shuffle: (npix, itemsize) → transpose → each byte
+    plane contiguous."""
+    if itemsize == 1:
+        return raw
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, itemsize)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def unshuffle_bytes(raw: bytes, itemsize: int) -> bytes:
+    if itemsize == 1:
+        return raw
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(itemsize, -1)
+    return np.ascontiguousarray(a.T).tobytes()
+
+
+def compress_tile(pixels: np.ndarray, cmptype: str) -> bytes:
+    """Compress one tile's pixels (any shape; stored big-endian)."""
+    raw = np.ascontiguousarray(
+        pixels.astype(pixels.dtype.newbyteorder(">"), copy=False)).tobytes()
+    if cmptype == "GZIP_1":
+        return gzip.compress(raw, mtime=0)
+    if cmptype == "GZIP_2":
+        return gzip.compress(shuffle_bytes(raw, pixels.dtype.itemsize),
+                             mtime=0)
+    raise _codec_error(cmptype)
+
+
+def decompress_tile(payload: bytes, cmptype: str, dtype: np.dtype,
+                    n_pix: int) -> np.ndarray:
+    raw = gzip.decompress(bytes(payload))
+    if cmptype == "GZIP_2":
+        raw = unshuffle_bytes(raw, dtype.itemsize)
+    got = len(raw) // dtype.itemsize
+    if got != n_pix:
+        raise ValueError(
+            f"tile decompressed to {got} pixels, expected {n_pix}")
+    return np.frombuffer(raw, dtype=dtype)
+
+
+def _codec_error(cmptype: str) -> Exception:
+    if cmptype in _KNOWN_UNSUPPORTED:
+        return NotImplementedError(
+            f"ZCMPTYPE {cmptype!r} is recognized but not implemented "
+            f"(supported: {', '.join(SUPPORTED_CODECS)})")
+    return ValueError(f"unknown ZCMPTYPE {cmptype!r}")
+
+
+def tile_layout(z_naxis: tuple[int, ...],
+                z_tile: tuple[int, ...]) -> tuple[int, int, int]:
+    """Validate the tile grid and return ``(tile_rows, tiles_per_plane,
+    n_planes)``. Only full-row tiles that never span z-planes are
+    supported (fpack's default layouts)."""
+    if not z_naxis:
+        return (0, 0, 0)
+    if z_tile and z_tile[0] != z_naxis[0]:
+        raise NotImplementedError(
+            f"ZTILE1={z_tile[0]} != ZNAXIS1={z_naxis[0]}: only full-row "
+            "tiles are supported")
+    if any(t != 1 for t in z_tile[2:]):
+        raise NotImplementedError(
+            f"ZTILEn={z_tile} spans z-planes; only ZTILEn=1 for n>=3 is "
+            "supported")
+    tile_rows = z_tile[1] if len(z_tile) >= 2 else 1
+    plane_rows = z_naxis[1] if len(z_naxis) >= 2 else 1
+    tiles_per_plane = -(-plane_rows // max(tile_rows, 1))
+    n_planes = 1
+    for n in z_naxis[2:]:
+        n_planes *= n
+    return (tile_rows, tiles_per_plane, n_planes)
+
+
+def decode_compressed_image(
+    buf: bytes | memoryview,
+    hdu,                       # HduInfo with z_* fields populated
+    tile_offset: int,
+    arrow_schema: pa.Schema,
+    heap_read: Callable[[int, int], bytes],
+) -> pa.RecordBatch:
+    """Decode a run of compressed-tile table rows starting at global
+    tile index ``tile_offset`` into image rows ``(Image, ImgIndex)`` —
+    the same logical output as :func:`decode_image` on the uncompressed
+    image. One heap window is read per batch (min..max over the batch's
+    descriptors), mirroring the plain VLA decode path."""
+    if hdu.z_cmptype not in SUPPORTED_CODECS:
+        raise _codec_error(hdu.z_cmptype)
+    dtype = _np_dtype(hdu.z_bitpix)
+    width = hdu.z_naxis[0] if hdu.z_naxis else 0
+    tile_rows, tiles_per_plane, _ = tile_layout(hdu.z_naxis, hdu.z_tile)
+    plane_rows = hdu.z_naxis[1] if len(hdu.z_naxis) >= 2 else 1
+
+    n_tiles = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
+    col = hdu.col_names.index(hdu.z_data_col)
+    col_off = hdu.split_locations[col]
+    desc = np.ndarray(
+        (n_tiles, 2), dtype=">i4", buffer=bytes(buf),
+        offset=col_off, strides=(hdu.row_bytes, 4),
+    ).astype(np.int64)
+
+    if n_tiles and desc.size:
+        lo = int(min(desc[i, 1] for i in range(n_tiles)))
+        hi = int(max(desc[i, 1] + desc[i, 0] for i in range(n_tiles)))
+        window = heap_read(lo, hi - lo)
+    else:
+        lo, window = 0, b""
+
+    rows_vals: list[np.ndarray] = []
+    idx: list[int] = []
+    for i in range(n_tiles):
+        t = tile_offset + i
+        nbytes, off = int(desc[i, 0]), int(desc[i, 1])
+        payload = window[off - lo:off - lo + nbytes]
+        plane = t // max(tiles_per_plane, 1)
+        start_row = (t % max(tiles_per_plane, 1)) * tile_rows
+        n_rows = min(tile_rows, plane_rows - start_row)
+        pix = decompress_tile(payload, hdu.z_cmptype, dtype, n_rows * width)
+        rows_vals.append(pix)
+        idx.extend([plane] * n_rows)
+
+    flat = (np.concatenate(rows_vals) if rows_vals
+            else np.empty(0, dtype=dtype))
+    values = pa.array(flat.astype(flat.dtype.newbyteorder("="), copy=False))
+    total_rows = len(idx)
+    offsets = np.arange(0, (total_rows + 1) * width, width, dtype=np.int32)
+    image = pa.ListArray.from_arrays(pa.array(offsets), values)
+    arrays = [image, pa.array(np.asarray(idx, dtype=np.int64))]
+    out = []
+    for pos, arr in enumerate(arrays):
+        field = arrow_schema.field(pos)
+        if arr.type != field.type:
+            arr = arr.cast(field.type)
+        out.append(arr)
+    return pa.RecordBatch.from_arrays(out, schema=arrow_schema)

@@ -212,6 +212,59 @@ def image_hdu(data: np.ndarray, primary: bool = False,
     return _finish(_header_block(cards) + _pad_data(big.tobytes()), checksum)
 
 
+def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
+                         tile_rows: int = 1,
+                         extra_cards: list[bytes] | None = None,
+                         checksum: bool = False) -> bytes:
+    """Build a tiled-compressed image HDU (the fpack convention;
+    ``fitscore/tilecomp.py`` documents the layout): a BINTABLE whose
+    rows are gzip tiles of ``tile_rows`` consecutive image rows (tiles
+    never span z-planes), with ``ZIMAGE``/``ZBITPIX``/``ZNAXISn``/
+    ``ZTILEn``/``ZCMPTYPE`` describing the logical image. GZIP payloads
+    are standard RFC-1952 streams, so other FITS tools can decompress
+    these files."""
+    from spark_fits_spark.fitscore import tilecomp
+
+    if cmptype not in tilecomp.SUPPORTED_CODECS:
+        raise NotImplementedError(
+            f"cmptype {cmptype!r} not supported "
+            f"(supported: {', '.join(tilecomp.SUPPORTED_CODECS)})")
+    kind_map = {"i2": 16, "i4": 32, "i8": 64, "f4": -32, "f8": -64}
+    key = f"{data.dtype.kind}{data.dtype.itemsize}"
+    if key not in kind_map:
+        raise NotImplementedError(
+            f"dtype {data.dtype} not supported for compressed images")
+    bitpix = kind_map[key]
+    if data.ndim < 2:
+        data = data.reshape(1, -1)
+    plane_rows, width = data.shape[-2], data.shape[-1]
+    planes = data.reshape(-1, plane_rows, width)
+    payloads: list[bytes] = []
+    for p in range(planes.shape[0]):
+        for r0 in range(0, plane_rows, tile_rows):
+            tile = planes[p, r0:r0 + tile_rows, :]
+            payloads.append(tilecomp.compress_tile(tile, cmptype))
+    lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    maxlen = int(lengths.max()) if len(lengths) else 0
+    zcards = [
+        _card("ZIMAGE", True, "tile-compressed image"),
+        _card("ZBITPIX", bitpix, "logical image BITPIX"),
+        _card("ZNAXIS", data.ndim),
+    ]
+    for i, n in enumerate(reversed(data.shape), start=1):
+        zcards.append(_card(f"ZNAXIS{i}", n))
+    ztile = [width, tile_rows] + [1] * (data.ndim - 2)
+    for i, t in enumerate(ztile, start=1):
+        zcards.append(_card(f"ZTILE{i}", t))
+    zcards.append(_card("ZCMPTYPE", cmptype, "tile codec"))
+    return bintable_hdu(
+        [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))],
+        extra_cards=zcards + (extra_cards or []),
+        checksum=checksum,
+    )
+
+
 def write_fits(path: str, hdus: list[bytes], include_primary: bool = True,
                checksum: bool = False, fobj=None) -> None:
     """Serialize HDUs to ``path``, or into an already-open binary stream

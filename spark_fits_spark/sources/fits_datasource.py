@@ -63,12 +63,13 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from spark_fits_spark.fitscore.file import (
     HDU_TYPE_BINTABLE,
+    HDU_TYPE_COMPIMAGE,
     HDU_TYPE_IMAGE,
     HDU_TYPE_TABLE,
     HduInfo,
     open_hdu,
 )
-from spark_fits_spark.fitscore.types import parse_tform
+from spark_fits_spark.fitscore.types import bitpix_to_tform, parse_tform
 from spark_fits_spark.fitscore.vfs import (
     LOCAL,
     FitsFileSystem,
@@ -212,6 +213,8 @@ def _schema_signature(hdu: HduInfo, scaling: bool = False):
                       for f in _bintable_schema(hdu, scaling=scaling)))
     if hdu.hdu_type == HDU_TYPE_IMAGE:
         return ("image", hdu.naxis[:1], hdu.image_tform)
+    if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+        return ("compimage", hdu.z_naxis[:1], hdu.z_bitpix, hdu.z_cmptype)
     if hdu.hdu_type == HDU_TYPE_TABLE:
         return ("table", hdu.col_names, hdu.col_tforms, hdu.col_tbcols)
     return ("empty",)
@@ -285,6 +288,20 @@ class FitsDataSource(DataSource):
             return schema
         if hdu.hdu_type == HDU_TYPE_IMAGE:
             return _image_schema(hdu, scaling=self._scaling_enabled())
+        if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+            # tiled-compressed image: logical (Image, ImgIndex) schema
+            # from ZBITPIX; fail fast at planning time on unsupported
+            # codecs/pixel types/tile grids rather than per task
+            from spark_fits_spark.fitscore import tilecomp
+
+            tilecomp._np_dtype(hdu.z_bitpix)
+            tilecomp.tile_layout(hdu.z_naxis, hdu.z_tile)
+            if hdu.z_cmptype not in tilecomp.SUPPORTED_CODECS:
+                raise tilecomp._codec_error(hdu.z_cmptype)
+            from dataclasses import replace as _replace
+
+            return _image_schema(_replace(
+                hdu, image_tform=bitpix_to_tform(hdu.z_bitpix)))
         if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
             # beyond-reference: opt-in ASCII-table parsing (the default
             # stays an empty DataFrame for parity, ReadFitsTest.scala:118-125)
@@ -499,8 +516,9 @@ class FitsScanReader(DataSourceReader):
                     first_sig = ("empty",)
                 continue  # PERMISSIVE: HDU out of range → skip file
             sig = _schema_signature(hdu, scaling=self.scaling)
-            scannable_types = (HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE) + (
-                (HDU_TYPE_TABLE,) if self.ascii_tables else ())
+            scannable_types = (
+                HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE, HDU_TYPE_COMPIMAGE,
+            ) + ((HDU_TYPE_TABLE,) if self.ascii_tables else ())
             # a 0-row BINTABLE/IMAGE header still carries the full column
             # schema — it defines/participates in conformance (a writer
             # may legitimately emit 0-row part files for empty partitions)
@@ -580,9 +598,21 @@ class FitsScanReader(DataSourceReader):
             # this slices planes/rows, ImgIndex stays global)
             lo, hi = 0, hdu.n_rows
             if self.rowrange is not None:
+                if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+                    raise ValueError(
+                        "rowrange addresses logical image rows and is not "
+                        "supported on tile-compressed image HDUs (the scan "
+                        "unit is the tile); filter on ImgIndex instead")
                 lo = min(max(0, self.rowrange[0]), hdu.n_rows)
                 hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
-            data_len = (hi - lo) * hdu.row_bytes
+            # partition sizing: for compressed images the fixed table is
+            # 8 B/tile descriptors — the real bytes are the heap, so size
+            # by total data length per tile instead
+            est_row_bytes = hdu.row_bytes
+            if hdu.hdu_type == HDU_TYPE_COMPIMAGE and hdu.n_rows:
+                est_row_bytes = max(
+                    hdu.row_bytes, hdu.boundaries.data_len // hdu.n_rows)
+            data_len = (hi - lo) * est_row_bytes
             n_parts = max(1, -(-data_len // self.partition_bytes))
             rows_per_part = max(1, -(-(hi - lo) // n_parts))
             for start in range(lo, hi, rows_per_part):
@@ -613,6 +643,12 @@ class FitsScanReader(DataSourceReader):
         arrow_schema = to_arrow_schema(self.spark_schema)
         batch_bytes = self.recordlength or DEFAULT_BATCH_BYTES
         rows_per_batch = max(1, batch_bytes // max(hdu.row_bytes, 1))
+        if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+            # batch by DECOMPRESSED tile size, not the 8 B descriptors
+            t_rows = hdu.z_tile[1] if len(hdu.z_tile) >= 2 else 1
+            width = hdu.z_naxis[0] if hdu.z_naxis else 1
+            item = max(abs(hdu.z_bitpix) // 8, 1)
+            rows_per_batch = max(1, batch_bytes // max(t_rows * width * item, 1))
 
         fs = getattr(partition, "fs", None) or LOCAL
         with fs.open_input(hdu.path) as f:
@@ -637,6 +673,13 @@ class FitsScanReader(DataSourceReader):
                     from spark_fits_spark.fitscore.decode import decode_ascii_table
 
                     batch = decode_ascii_table(buf, hdu, partition.col_indices, arrow_schema)
+                elif hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+                    from spark_fits_spark.fitscore.tilecomp import (
+                        decode_compressed_image,
+                    )
+
+                    batch = decode_compressed_image(
+                        buf, hdu, row, arrow_schema, heap_read)
                 else:
                     batch = decode_image(buf, hdu, row, arrow_schema,
                                          scaling=self.scaling)

@@ -3547,6 +3547,44 @@ def q100_bloom_decontaminate(spark, sf):
         "text", "doc_id", n=3, m_bits=16384, n_hashes=4, salt="b")
 
 
+@query("q101_fits_compressed_roundtrip", """
+SELECT n_nationkey AS img_index, CAST(t.pos AS BIGINT) AS pos,
+       CAST(n_nationkey * 100 + r.rw * 10 + t.pos AS BIGINT) AS pixel
+FROM nation, range(0, 4) r(rw), range(0, 6) t(pos)
+""")
+def q101_fits_compressed_roundtrip(spark, sf):
+    """Tiled-compression (fpack convention, beyond-reference) under the
+    driver gate: build an N-plane cube with 4 rows per plane, write it
+    GZIP_2-compressed with 3-row tiles (so every plane has a partial
+    trailing tile), scan it back transparently through the compimage
+    path, and explode to scalars. Pixel values encode (plane, row, pos)
+    so the hash pins tile reassembly order exactly."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    img = np.array(
+        [[[k * 100 + rw * 10 + pos for pos in range(6)]
+          for rw in range(4)] for k in keys], dtype="i8")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q101_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits.fz")
+    fw.write_fits(path, [fw.compressed_image_hdu(img, "GZIP_2", tile_rows=3)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    return df.select(
+        F.col("ImgIndex").alias("img_index"),
+        F.posexplode("Image").alias("pos", "pixel"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
