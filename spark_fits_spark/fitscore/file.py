@@ -165,6 +165,8 @@ class HduInfo:
     z_tile: tuple[int, ...] = ()            # ZTILEn: tile grid
     z_cmptype: str = ""                     # ZCMPTYPE
     z_data_col: str = ""                    # compressed-payload column name
+    z_bytepix: int = 0                      # RICE_1 BYTEPIX (ZNAMEn/ZVALn)
+    z_blocksize: int = 32                   # RICE_1 BLOCKSIZE
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -258,14 +260,27 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                     f"{list(info.col_names)})")
             from dataclasses import replace as _replace
 
+            # codec parameters ride ZNAMEn/ZVALn pairs (BLOCKSIZE /
+            # BYTEPIX for RICE_1); defaults per the convention
+            znames = {}
+            for i in range(1, 10):
+                zn_name = header_value(header, f"ZNAME{i}", None)
+                if zn_name is None:
+                    break
+                znames[zn_name.strip().upper()] = (
+                    header_value(header, f"ZVAL{i}", "") or "")
+            z_bitpix = int(header.get("ZBITPIX", "0"))
             info = _replace(
                 info,
                 hdu_type=HDU_TYPE_COMPIMAGE,
-                z_bitpix=int(header.get("ZBITPIX", "0")),
+                z_bitpix=z_bitpix,
                 z_naxis=z_naxis,
                 z_tile=z_tile,
                 z_cmptype=(header_value(header, "ZCMPTYPE", "") or "").strip(),
                 z_data_col=data_col,
+                z_bytepix=int(float(znames.get("BYTEPIX")
+                                    or min(abs(z_bitpix) // 8 or 4, 4))),
+                z_blocksize=int(float(znames.get("BLOCKSIZE") or 32)),
             )
         return info
 

@@ -42,9 +42,8 @@ import pyarrow as pa
 
 from spark_fits_spark.fitscore.types import parse_tform
 
-SUPPORTED_CODECS = ("GZIP_1", "GZIP_2")
-_KNOWN_UNSUPPORTED = ("RICE_1", "RICE_ONE", "PLIO_1", "HCOMPRESS_1",
-                      "NOCOMPRESS")
+SUPPORTED_CODECS = ("GZIP_1", "GZIP_2", "RICE_1")
+_KNOWN_UNSUPPORTED = ("RICE_ONE", "PLIO_1", "HCOMPRESS_1", "NOCOMPRESS")
 
 
 _BITPIX_NP = {16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
@@ -75,8 +74,20 @@ def unshuffle_bytes(raw: bytes, itemsize: int) -> bytes:
     return np.ascontiguousarray(a.T).tobytes()
 
 
-def compress_tile(pixels: np.ndarray, cmptype: str) -> bytes:
-    """Compress one tile's pixels (any shape; stored big-endian)."""
+def compress_tile(pixels: np.ndarray, cmptype: str, *,
+                  bytepix: int = 0, blocksize: int = 32) -> bytes:
+    """Compress one tile's pixels (any shape; stored big-endian for the
+    gzip codecs; difference-coded for RICE_1)."""
+    if cmptype == "RICE_1":
+        if pixels.dtype.kind != "i":
+            raise NotImplementedError(
+                "RICE_1 compresses integer pixels only (float images "
+                "require quantization, which is not implemented)")
+        from spark_fits_spark.fitscore.rice import rice_encode
+
+        return rice_encode(pixels.reshape(-1),
+                           bytepix=bytepix or pixels.dtype.itemsize,
+                           blocksize=blocksize)
     raw = np.ascontiguousarray(
         pixels.astype(pixels.dtype.newbyteorder(">"), copy=False)).tobytes()
     if cmptype == "GZIP_1":
@@ -88,7 +99,19 @@ def compress_tile(pixels: np.ndarray, cmptype: str) -> bytes:
 
 
 def decompress_tile(payload: bytes, cmptype: str, dtype: np.dtype,
-                    n_pix: int) -> np.ndarray:
+                    n_pix: int, *, bytepix: int = 0,
+                    blocksize: int = 32) -> np.ndarray:
+    if cmptype == "RICE_1":
+        if dtype.kind != "i":
+            raise NotImplementedError(
+                "RICE_1 tiles hold integer pixels; quantized-float "
+                "reconstruction is not implemented")
+        from spark_fits_spark.fitscore.rice import rice_decode
+
+        vals = rice_decode(bytes(payload), n_pix,
+                           bytepix=bytepix or dtype.itemsize,
+                           blocksize=blocksize)
+        return vals.astype(dtype.newbyteorder("="))
     raw = gzip.decompress(bytes(payload))
     if cmptype == "GZIP_2":
         raw = unshuffle_bytes(raw, dtype.itemsize)
@@ -174,7 +197,9 @@ def decode_compressed_image(
         plane = t // max(tiles_per_plane, 1)
         start_row = (t % max(tiles_per_plane, 1)) * tile_rows
         n_rows = min(tile_rows, plane_rows - start_row)
-        pix = decompress_tile(payload, hdu.z_cmptype, dtype, n_rows * width)
+        pix = decompress_tile(payload, hdu.z_cmptype, dtype, n_rows * width,
+                              bytepix=hdu.z_bytepix,
+                              blocksize=hdu.z_blocksize)
         rows_vals.append(pix)
         idx.extend([plane] * n_rows)
 

@@ -235,6 +235,10 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
         raise NotImplementedError(
             f"dtype {data.dtype} not supported for compressed images")
     bitpix = kind_map[key]
+    if cmptype == "RICE_1" and bitpix not in (16, 32):
+        raise NotImplementedError(
+            f"RICE_1 writes int16/int32 images only (got dtype "
+            f"{data.dtype}); use GZIP_1/GZIP_2 for floats and int64")
     if data.ndim < 2:
         data = data.reshape(1, -1)
     plane_rows, width = data.shape[-2], data.shape[-1]
@@ -258,6 +262,11 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     for i, t in enumerate(ztile, start=1):
         zcards.append(_card(f"ZTILE{i}", t))
     zcards.append(_card("ZCMPTYPE", cmptype, "tile codec"))
+    if cmptype == "RICE_1":
+        zcards.append(_card("ZNAME1", "BLOCKSIZE"))
+        zcards.append(_card("ZVAL1", 32))
+        zcards.append(_card("ZNAME2", "BYTEPIX"))
+        zcards.append(_card("ZVAL2", data.dtype.itemsize))
     return bintable_hdu(
         [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))],
         extra_cards=zcards + (extra_cards or []),

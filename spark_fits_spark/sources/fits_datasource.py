@@ -298,6 +298,11 @@ class FitsDataSource(DataSource):
             tilecomp.tile_layout(hdu.z_naxis, hdu.z_tile)
             if hdu.z_cmptype not in tilecomp.SUPPORTED_CODECS:
                 raise tilecomp._codec_error(hdu.z_cmptype)
+            if hdu.z_cmptype == "RICE_1" and hdu.z_bitpix not in (16, 32):
+                raise NotImplementedError(
+                    f"RICE_1 supports ZBITPIX 16/32 here (got "
+                    f"{hdu.z_bitpix}); floats need quantization and "
+                    "64-bit ints are outside the RICE bytepix table")
             from dataclasses import replace as _replace
 
             return _image_schema(_replace(

@@ -119,8 +119,10 @@ def test_unsupported_codecs_and_grids_fail_loud(spark, tmp_path):
         fw.write_fits(p, [hdu])
         return p
 
-    with pytest.raises(Exception, match="RICE_1.*not implemented"):
-        _scan(spark, write_with({"ZCMPTYPE": "RICE_1"})).schema
+    with pytest.raises(Exception, match="HCOMPRESS_1.*not implemented"):
+        _scan(spark, write_with({"ZCMPTYPE": "HCOMPRESS_1"})).schema
+    with pytest.raises(Exception, match="RICE_1 supports ZBITPIX"):
+        _scan(spark, write_with({"ZCMPTYPE": "RICE_1", "ZBITPIX": -32})).schema
     with pytest.raises(Exception, match="full-row tiles"):
         _scan(spark, write_with({"ZTILE1": 2})).schema
     with pytest.raises(Exception, match="ZBITPIX=8"):
@@ -130,8 +132,8 @@ def test_unsupported_codecs_and_grids_fail_loud(spark, tmp_path):
     with pytest.raises(Exception, match="rowrange"):
         _scan(spark, write_with({}), rowrange="0,2").collect()
     # writer-side gates
-    with pytest.raises(NotImplementedError, match="RICE"):
-        fw.compressed_image_hdu(img, "RICE_1")
+    with pytest.raises(NotImplementedError, match="RICE_1 writes"):
+        fw.compressed_image_hdu(img.astype("f4"), "RICE_1")
     with pytest.raises(NotImplementedError, match="dtype"):
         fw.compressed_image_hdu(img.astype("u1"), "GZIP_1")
 
@@ -159,3 +161,76 @@ def test_compressed_multifile_scan_and_conformance(spark, tmp_path):
     assert _scan(spark, str(d)).count() == 3 * 2 * 4  # PERMISSIVE skips
     with pytest.raises(Exception, match="conform"):
         _scan(spark, str(d), mode="FAILFAST").count()
+
+
+@pytest.mark.parametrize("dt", ["i2", "i4"])
+def test_rice_roundtrip_matches_plain(spark, tmp_path, dt):
+    """RICE_1 (the fpack default for integer images): scan equals the
+    uncompressed scan, including multi-row tiles and a non-default
+    blocksize honored from ZNAMEn/ZVALn."""
+    rng = np.random.default_rng(11)
+    # smooth + extreme values: exercises zero-blocks, FS blocks, and
+    # the raw (incompressible) escape
+    lim = 30000 if dt == "i2" else 2**31 - 1
+    smooth = np.cumsum(rng.integers(-3, 4, size=3 * 10 * 7)) % 1000
+    cube = smooth.reshape(3, 10, 7).astype(dt)
+    cube[0, 0, :3] = [lim, -lim, lim]
+    plain, comp = str(tmp_path / "p.fits"), str(tmp_path / "c.fits")
+    fw.write_fits(plain, [fw.image_hdu(cube)])
+    fw.write_fits(comp,
+                  [fw.compressed_image_hdu(cube, "RICE_1", tile_rows=4)])
+    assert _rows(spark, comp) == _rows(spark, plain)
+
+
+def test_rice_foreign_blocksize_bytepix(spark, tmp_path):
+    """A hand-built RICE file with blocksize 16 and bytepix 2 declared
+    via ZNAMEn/ZVALn decodes correctly (parameters honored, not
+    assumed)."""
+    from spark_fits_spark.fitscore import rice
+
+    img = (np.arange(5 * 6, dtype="i2") % 40).reshape(5, 6)
+    payloads = [rice.rice_encode(img[r], bytepix=2, blocksize=16)
+                for r in range(5)]
+    lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    cards = [
+        fw._card("ZIMAGE", True), fw._card("ZBITPIX", 16),
+        fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 6),
+        fw._card("ZNAXIS2", 5), fw._card("ZTILE1", 6),
+        fw._card("ZTILE2", 1), fw._card("ZCMPTYPE", "RICE_1"),
+        fw._card("ZNAME1", "BLOCKSIZE"), fw._card("ZVAL1", 16),
+        fw._card("ZNAME2", "BYTEPIX"), fw._card("ZVAL2", 2),
+    ]
+    hdu = fw.bintable_hdu(
+        [("COMPRESSED_DATA", f"1PB({int(lengths.max())})",
+          (lengths, flat))], extra_cards=cards)
+    path = str(tmp_path / "rice.fits")
+    fw.write_fits(path, [hdu])
+    plain = str(tmp_path / "plain.fits")
+    fw.write_fits(plain, [fw.image_hdu(img)])
+    assert _rows(spark, path) == _rows(spark, plain)
+
+
+def test_rice_codec_properties():
+    """Codec-level: exhaustive-ish randomized round-trip across widths,
+    plus the spec's block structure on a constant array (first value
+    raw + one all-zero code per block — near-total compression)."""
+    from spark_fits_spark.fitscore import rice
+
+    rng = np.random.default_rng(5)
+    for bp, dt in ((1, "i1"), (2, "i2"), (4, "i4")):
+        for n in (0, 1, 31, 32, 33, 257):
+            info = np.iinfo(dt)
+            a = rng.integers(info.min, info.max + 1, size=n).astype(dt)
+            dec = rice.rice_decode(rice.rice_encode(a, bytepix=bp), n,
+                                   bytepix=bp)
+            assert np.array_equal(dec, a.astype(np.int64)), (bp, n)
+    const = np.full(3200, 123, dtype="i4")
+    enc = rice.rice_encode(const, bytepix=4)
+    # 4 bytes first value + 100 blocks x 5 bits ≈ 67 bytes
+    assert len(enc) <= 4 + (3200 // 32 * 5 + 7) // 8 + 1
+    assert np.array_equal(rice.rice_decode(enc, 3200, bytepix=4), const)
+    with pytest.raises(ValueError, match="bytepix"):
+        rice.rice_encode(const, bytepix=8)
+    with pytest.raises(ValueError, match="truncated"):
+        rice.rice_decode(enc[:3], 3200, bytepix=4)
