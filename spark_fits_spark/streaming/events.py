@@ -223,3 +223,58 @@ def text_dedup_stream(docs: DataFrame, watermark: str = "1 hour",
     if docs.isStreaming:
         return with_fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
     return with_fp.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the static
+    dimension (re-read per batch, so slowly-changing dims pick up
+    updates). Spark plans the static side as a broadcast when it fits
+    `autoBroadcastJoinThreshold` — the per-batch cost is a map-side
+    hash join, no stream-side shuffle. Left join keeps events whose key
+    has no dimension row (NULL-extended), matching the batch analog
+    exactly."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    within_minutes: int = 10,
+    watermark: str = "30 minutes",
+    on: str = "user_id",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: pair each left event
+    with the right-stream events of the same key within
+    ``[0, within_minutes]`` AFTER it (click→purchase attribution, the
+    canonical funnel correlation). Both sides carry watermarks and the
+    join predicate bounds the time skew, so each side's buffered state
+    is limited to the watermark + interval horizon — the requirement
+    for a stream-stream join to run with bounded memory at all.
+
+    Works identically on batch frames (watermarks no-op), which is how
+    the tests cross-check the streaming answer against a plain SQL
+    interval join."""
+    l = left.select(
+        F.col(on).alias("_k"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+        F.col("event_type").alias("l_type"))
+    r = right.select(
+        F.col(on).alias("_rk"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("r_type"))
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l["_k"] == r["_rk"])
+        & (r["r_ts"] >= l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return (
+        l.join(r, cond)
+        .select(F.col("_k").alias(on), "l_id", "l_type", "l_ts",
+                "r_id", "r_type", "r_ts")
+    )

@@ -140,3 +140,62 @@ def test_stream_to_shards_exactly_once_and_stable(spark, tmp_path, events_batch)
     ).collect()}
     for r in got.select("event_id", "shard").collect():
         assert r["shard"] == expect[r["event_id"]], r
+
+
+def test_enrich_stream_matches_batch(spark, stream_dir, tmp_path, events_batch):
+    """Stream-static broadcast enrichment: every micro-batch event joins
+    the dimension; result set equals the batch left join exactly
+    (no watermark semantics involved)."""
+    dim = (
+        events_batch.select("user_id").distinct()
+        .where(F.col("user_id") % 2 == 0)   # half the keys: NULL path too
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    stream = se.read_events_stream(spark, stream_dir)
+    q = (
+        se.enrich_stream(stream, dim)
+        .writeStream.format("memory").queryName("enrich_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.sql("SELECT event_id, user_id, segment FROM enrich_sink")
+           .collect()}
+    want = {tuple(r) for r in
+            se.enrich_stream(events_batch, dim)
+            .select("event_id", "user_id", "segment").collect()}
+    assert got == want
+    q.stop()
+
+
+def test_correlate_streams_matches_batch_interval_join(
+        spark, stream_dir, tmp_path, events_batch):
+    """Watermarked stream-stream interval join vs the identical batch
+    join: appended pairs are a subset (the final watermark leaves the
+    last horizon open under availableNow) with substantial overlap."""
+    lf = F.col("event_id") % 2 == 0
+    rf = F.col("event_id") % 2 == 1
+    stream_l = se.read_events_stream(spark, stream_dir).where(lf)
+    stream_r = se.read_events_stream(spark, stream_dir).where(rf)
+    q = (
+        se.correlate_streams(stream_l, stream_r, within_minutes=10)
+        .writeStream.format("memory").queryName("corr_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_corr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in
+           spark.sql("SELECT l_id, r_id FROM corr_sink").collect()}
+    want = {tuple(r) for r in
+            se.correlate_streams(
+                events_batch.where(lf), events_batch.where(rf),
+                within_minutes=10).select("l_id", "r_id").collect()}
+    assert got.issubset(want)
+    assert len(want) > 0
+    assert len(got) >= len(want) * 0.8, (len(got), len(want))
+    q.stop()
