@@ -186,6 +186,44 @@ def fits_scan_seconds(spark) -> tuple[float, float, float]:
     return sec, mb, decode_rate
 
 
+def fits_scan_compressed_seconds(spark) -> tuple[float, float]:
+    """(seconds, logical MB) for a full scan+agg of a GZIP_2
+    tile-compressed image (~64 MB logical int32 pixels, 16 files × 32
+    row-tiles each): pins the tiled-decompression path (r4) — per-tile
+    heap window reads + zlib inflate inside the Arrow batch loop."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    d = tempfile.mkdtemp(prefix="fitsbench_comp")
+    n_files, rows, width = 16, 512, 2048  # 16 x 4 MB logical
+    for fi in range(n_files):
+        base = np.arange(rows * width, dtype=np.int64) + fi
+        img = ((base % 1000) + (base // width)).astype("i4").reshape(rows, width)
+        writer.write_fits(
+            os.path.join(d, f"part{fi:03d}.fits"),
+            [writer.compressed_image_hdu(img, "GZIP_2", tile_rows=16)])
+    logical_mb = n_files * rows * width * 4 / 1e6
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("fits").option("hdu", 1).load(d)
+    df.count()  # warm-up
+    t0 = time.perf_counter()
+    got = df.agg(
+        F.sum(F.aggregate("Image", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).alias("s"),
+        F.count("*")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert got[1] == n_files * rows, got
+    try:
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        os.rmdir(d)
+    except OSError:
+        pass
+    return sec, logical_mb
+
+
 def fits_scan_multifile_seconds(spark) -> tuple[float, float]:
     """(seconds, MB) for the same ~64 MB bintable payload split across
     32 separate FITS files (32 scan partitions): pins multi-file
@@ -354,6 +392,8 @@ def main() -> None:
     timings["fits_scan_64mb"] = round(fits_sec, 3)
     multi_sec, multi_mb = fits_scan_multifile_seconds(spark)
     timings["fits_scan_multifile"] = round(multi_sec, 3)
+    comp_sec, comp_mb = fits_scan_compressed_seconds(spark)
+    timings["fits_scan_compressed"] = round(comp_sec, 3)
     plan_sec, plan_warm_sec, plan_files = fits_plan_manyfile_seconds()
     timings["fits_plan_2048files"] = round(plan_sec, 3)
     timings["fits_plan_2048files_cached"] = round(plan_warm_sec, 3)
@@ -371,7 +411,10 @@ def main() -> None:
                                           "q86", "q87", "q88",
                                           "q89", "q90", "q91", "q92",
                                           "q46", "q93", "q94",
+                                          "q95", "q96", "q97", "q98",
+                                          "q99", "q100", "q101",
                                           "fits_scan_multifile",
+                                          "fits_scan_compressed",
                                           "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -398,6 +441,9 @@ def main() -> None:
         # same payload over 32 files / 32 scan partitions: multi-file
         # planning (thread-pooled driver header walk) + scheduling cost
         "fits_scan_multifile_mb_per_s": round(multi_mb / multi_sec, 1),
+        # GZIP_2 tile-compressed image scan, in LOGICAL (decompressed)
+        # MB/s: per-tile heap windows + zlib inflate + pixel-sum agg
+        "fits_scan_compressed_mb_per_s": round(comp_mb / comp_sec, 1),
         # single-thread pure decode (no Spark overhead): the honest
         # per-task comparison against the reference's ~16 MB/s/task.
         # At 68 MB the distributed scan wall is dominated by fixed
