@@ -176,9 +176,18 @@ def decode_compressed_image(
     n_tiles = len(buf) // hdu.row_bytes if hdu.row_bytes else 0
     col = hdu.col_names.index(hdu.z_data_col)
     col_off = hdu.split_locations[col]
+    tform = hdu.col_tforms[col].lstrip("1")
+    if tform.startswith("P"):
+        desc_t, desc_w = ">i4", 4
+    elif tform.startswith("Q"):
+        desc_t, desc_w = ">i8", 8   # 64-bit heap descriptors (>2 GiB heaps)
+    else:
+        raise ValueError(
+            f"compressed-data column {hdu.z_data_col!r} has TFORM "
+            f"{hdu.col_tforms[col]!r}; expected a P or Q array descriptor")
     desc = np.ndarray(
-        (n_tiles, 2), dtype=">i4", buffer=bytes(buf),
-        offset=col_off, strides=(hdu.row_bytes, 4),
+        (n_tiles, 2), dtype=desc_t, buffer=bytes(buf),
+        offset=col_off, strides=(hdu.row_bytes, desc_w),
     ).astype(np.int64)
 
     if n_tiles and desc.size:

@@ -234,3 +234,27 @@ def test_rice_codec_properties():
         rice.rice_encode(const, bytepix=8)
     with pytest.raises(ValueError, match="truncated"):
         rice.rice_decode(enc[:3], 3200, bytepix=4)
+
+
+def test_q_descriptor_compressed_column(spark, tmp_path):
+    """Foreign files with 64-bit Q heap descriptors (heaps >2 GiB)
+    decode identically to the P form."""
+    img = np.arange(4 * 5, dtype="i4").reshape(4, 5)
+    payloads = [tilecomp.compress_tile(img[r:r + 1], "GZIP_1")
+                for r in range(4)]
+    lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    cards = [
+        fw._card("ZIMAGE", True), fw._card("ZBITPIX", 32),
+        fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 5),
+        fw._card("ZNAXIS2", 4), fw._card("ZTILE1", 5),
+        fw._card("ZTILE2", 1), fw._card("ZCMPTYPE", "GZIP_1"),
+    ]
+    hdu = fw.bintable_hdu(
+        [("COMPRESSED_DATA", f"1QB({int(lengths.max())})",
+          (lengths, flat))], extra_cards=cards)
+    path = str(tmp_path / "qdesc.fits")
+    fw.write_fits(path, [hdu])
+    plain = str(tmp_path / "plain.fits")
+    fw.write_fits(plain, [fw.image_hdu(img)])
+    assert _rows(spark, path) == _rows(spark, plain)
