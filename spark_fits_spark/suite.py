@@ -3585,6 +3585,51 @@ def q101_fits_compressed_roundtrip(spark, sf):
     ).withColumn("pos", F.col("pos").cast("long"))
 
 
+@query("q102_zone_crossmatch", """
+WITH a AS (
+  SELECT c_custkey AS id_a,
+         CAST(('0x' || substr(md5('ax|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS xa,
+         CAST(('0x' || substr(md5('ay|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS ya
+  FROM customer
+), b AS (
+  SELECT s_suppkey AS id_b,
+         CAST(('0x' || substr(md5('bx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS xb,
+         CAST(('0x' || substr(md5('by|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS yb
+  FROM supplier
+)
+SELECT id_a, id_b,
+       (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist_sq
+FROM a, b
+WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 16000000
+""")
+def q102_zone_crossmatch(spark, sf):
+    """Catalog crossmatch (the astronomy-survey join a spark-fits user
+    runs next: match detections across two catalogs) via the Zones
+    algorithm — B maps to its radius-sized cell, A explodes into the
+    3×3 neighborhood, every qualifying pair meets on the cell equi-join
+    exactly once, exact integer residual filter. The fixture derives
+    deterministic md5-grid coordinates (100k × 100k) for the customer
+    and supplier tables, radius 4000; the oracle is the all-pairs
+    formulation, so the green hash certifies the blocking loses
+    nothing."""
+    def grid(df, idc, sx, sy):
+        def h(salt):
+            return (
+                F.conv(F.substring(F.md5(F.concat(
+                    F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+                    16, 10).cast("long") % 100000)
+        return df.select(F.col(idc).alias("id"),
+                         h(sx).alias("x"), h(sy).alias("y"))
+
+    a = grid(_t(spark, sf, "customer"), "c_custkey", "ax", "ay")
+    b = grid(_t(spark, sf, "supplier"), "s_suppkey", "bx", "by")
+    return relational.zone_crossmatch(a, b, radius=4000)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

@@ -1499,3 +1499,31 @@ def test_bloom_decontaminate_no_false_negatives_and_replayable(spark):
         dedup.bloom_decontaminate(corpus, bench, "text", "doc_id", m_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         dedup.bloom_decontaminate(corpus, bench, "text", "doc_id", n_hashes=0)
+
+
+def test_zone_crossmatch_matches_bruteforce(spark):
+    """Zones blocking == brute force all-pairs, each pair exactly once,
+    boundary-inclusive (dist == radius kept), cell-edge pairs caught."""
+    from spark_fits_spark.operators import relational
+
+    rows_a = [(0, 10, 10), (1, 99, 99), (2, 100, 100), (3, 205, 10),
+              (4, 0, 0), (5, 150, 150)]
+    rows_b = [(10, 12, 14), (11, 101, 101), (12, 200, 10), (13, 0, 5),
+              (14, 160, 140), (15, 500, 500)]
+    a = spark.createDataFrame(rows_a, ["id", "x", "y"])
+    b = spark.createDataFrame(rows_b, ["id", "x", "y"])
+    for r in (5, 15, 100):
+        got = sorted(tuple(x) for x in relational.zone_crossmatch(
+            a, b, radius=r).collect())
+        want = sorted(
+            (ia, ib, (xa - xb) ** 2 + (ya - yb) ** 2)
+            for ia, xa, ya in rows_a for ib, xb, yb in rows_b
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r)
+        assert got == want, (r, got, want)
+        assert len(got) == len(set((p[0], p[1]) for p in got))
+    # boundary: exactly at radius is included ((0,0)-(0,5), r=5)
+    got5 = relational.zone_crossmatch(a, b, radius=5).collect()
+    assert any(r["id_a"] == 4 and r["id_b"] == 13 and r["dist_sq"] == 25
+               for r in got5)
+    with pytest.raises(ValueError, match="radius"):
+        relational.zone_crossmatch(a, b, radius=0)
