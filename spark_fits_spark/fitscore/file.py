@@ -270,6 +270,11 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 znames[zn_name.strip().upper()] = (
                     header_value(header, f"ZVAL{i}", "") or "")
             z_bitpix = int(header.get("ZBITPIX", "0"))
+            try:
+                z_tform = bitpix_to_tform(z_bitpix)
+            except ValueError:
+                z_tform = ""
+            bnull = header_value(header, "BLANK", None)
             info = _replace(
                 info,
                 hdu_type=HDU_TYPE_COMPIMAGE,
@@ -278,8 +283,21 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 z_tile=z_tile,
                 z_cmptype=(header_value(header, "ZCMPTYPE", "") or "").strip(),
                 z_data_col=data_col,
-                z_bytepix=int(float(znames.get("BYTEPIX")
-                                    or min(abs(z_bitpix) // 8 or 4, 4))),
+                # the logical image's element letter + BSCALE/BZERO/
+                # BLANK (the convention carries the uncompressed
+                # image's cards in the table header) — so scaling mode
+                # stays compression-transparent, like decode_image
+                image_tform=z_tform,
+                col_tscal=(float(header_value(header, "BSCALE", "1")
+                                 or "1"),),
+                col_tzero=(float(header_value(header, "BZERO", "0")
+                                 or "0"),),
+                col_tnull=(int(float(bnull)) if bnull is not None
+                           else None,),
+                # convention default when the BYTEPIX card is absent is
+                # 4 (the 32-bit RICE parameter table), NOT the image's
+                # pixel width — CFITSIO decodes such files with fsbits=5
+                z_bytepix=int(float(znames.get("BYTEPIX") or 4)),
                 z_blocksize=int(float(znames.get("BLOCKSIZE") or 32)),
             )
         return info

@@ -20,8 +20,11 @@ codecs, because the payloads are plain RFC-1952 gzip streams:
 - ``GZIP_2``: the tile's bytes shuffled so each byte plane is stored
   contiguously (all MSBs, then the next byte, ...), then gzipped —
   usually compresses better on smooth integer data.
-- ``RICE_1`` / ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected
-  with a clear error (no codec implementation in this environment).
+- ``RICE_1``: the fpack default for integer images — independent
+  implementation of the published Rice spec in ``fitscore/rice.py``
+  (BLOCKSIZE/BYTEPIX honored from ``ZNAMEn``/``ZVALn``).
+- ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected with a
+  clear error (no codec implementation in this environment).
 
 Scan model: tiles ARE the unit of distribution — a scan partition
 covers a contiguous range of table rows (tiles), decompresses each from
@@ -39,8 +42,6 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
-
-from spark_fits_spark.fitscore.types import parse_tform
 
 SUPPORTED_CODECS = ("GZIP_1", "GZIP_2", "RICE_1")
 _KNOWN_UNSUPPORTED = ("RICE_ONE", "PLIO_1", "HCOMPRESS_1", "NOCOMPRESS")
@@ -160,11 +161,14 @@ def decode_compressed_image(
     tile_offset: int,
     arrow_schema: pa.Schema,
     heap_read: Callable[[int, int], bytes],
+    scaling: bool = False,
 ) -> pa.RecordBatch:
     """Decode a run of compressed-tile table rows starting at global
     tile index ``tile_offset`` into image rows ``(Image, ImgIndex)`` —
     the same logical output as :func:`decode_image` on the uncompressed
-    image. One heap window is read per batch (min..max over the batch's
+    image (including BSCALE/BZERO/BLANK physical-value scaling when
+    ``scaling`` is on — compression stays transparent either way). One
+    heap window is read per batch (min..max over the batch's
     descriptors), mirroring the plain VLA decode path."""
     if hdu.z_cmptype not in SUPPORTED_CODECS:
         raise _codec_error(hdu.z_cmptype)
@@ -214,7 +218,15 @@ def decode_compressed_image(
 
     flat = (np.concatenate(rows_vals) if rows_vals
             else np.empty(0, dtype=dtype))
-    values = pa.array(flat.astype(flat.dtype.newbyteorder("="), copy=False))
+    flat = flat.astype(flat.dtype.newbyteorder("="), copy=False)
+    if scaling and hdu.col_tscal:
+        from spark_fits_spark.fitscore.decode import _scaled_flat_array
+
+        values = _scaled_flat_array(
+            flat, hdu.image_tform, hdu.col_tscal[0], hdu.col_tzero[0],
+            hdu.col_tnull[0] if hdu.col_tnull else None)
+    else:
+        values = pa.array(flat)
     total_rows = len(idx)
     offsets = np.arange(0, (total_rows + 1) * width, width, dtype=np.int32)
     image = pa.ListArray.from_arrays(pa.array(offsets), values)

@@ -964,8 +964,11 @@ def bloom_decontaminate(
     Scale: the filter build is one ``bit_or`` agg over the test grams'
     ``n_hashes`` probe bits (output ≤ ``m_bits/32`` rows); membership
     is a broadcast join of that word table against the exploded corpus
-    probes — no benchmark-sized structure is ever broadcast or
-    collected, and nothing touches the driver."""
+    probes — the BLOOM path never broadcasts or collects a
+    benchmark-sized structure. The ``exact_hit`` column is the
+    verification harness for the correctness gate (it recomputes the
+    answer the bloom path approximates, via an unhinted join AQE can
+    plan as a shuffle); drop it in production use."""
     if m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     if n_hashes < 1:
@@ -989,7 +992,8 @@ def bloom_decontaminate(
     word = lambda bit: F.shiftright(bit, 5)
     mask_expr = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit & 31 AS INT))")
 
-    test_bits = grams(test).select(
+    test_g = tracked_persist(grams(test))
+    test_bits = test_g.select(
         F.explode(F.array(*[probe(j) for j in range(n_hashes)])).alias("_bit"))
     words = (
         test_bits.select(word(F.col("_bit")).alias("_w"),
@@ -1016,9 +1020,13 @@ def bloom_decontaminate(
     bloom_doc = gram_pos.groupBy("_id").agg(
         F.max(F.when(F.col("_gpos"), 1).otherwise(0)).alias("_bh"))
 
-    test_set = grams(test).select("_g").distinct()
+    # exact side: VERIFICATION harness for the gate (production runs
+    # bloom only). No broadcast hint — in the regime this operator
+    # exists for, the distinct gram table is exactly what cannot be
+    # broadcast; AQE picks the strategy from actual sizes.
+    test_set = test_g.select("_g").distinct()
     exact_doc = (
-        train_g.join(F.broadcast(test_set), "_g", "left_semi")
+        train_g.join(test_set, "_g", "left_semi")
         .select("_id").distinct().withColumn("_eh", F.lit(1))
     )
     return (

@@ -209,8 +209,13 @@ def zone_crossmatch(
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
 
-    def cell(c: Column) -> Column:
-        return F.floor(c / radius).cast("long")
+    def cell(name: str) -> Column:
+        # integer floor division (pmod-corrected `div`): double-based
+        # floor(c / r) loses precision past 2^53 and can misplace a
+        # row by one cell, silently breaking the exact-recall invariant
+        return F.expr(
+            f"(({name}) - pmod(({name}), {radius})) div {radius}"
+        ).cast("long")
 
     a = cat_a.select(
         F.col(id_col).alias("id_a"),
@@ -218,15 +223,15 @@ def zone_crossmatch(
     a = (
         a.withColumn(
             "_cx",
-            F.explode(F.array(*[cell(F.col("_xa")) + d for d in (-1, 0, 1)])))
+            F.explode(F.array(*[cell("_xa") + d for d in (-1, 0, 1)])))
         .withColumn(
             "_cy",
-            F.explode(F.array(*[cell(F.col("_ya")) + d for d in (-1, 0, 1)])))
+            F.explode(F.array(*[cell("_ya") + d for d in (-1, 0, 1)])))
     )
     b = cat_b.select(
         F.col(id_col).alias("id_b"),
         F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
-        cell(F.col(x_col)).alias("_cx"), cell(F.col(y_col)).alias("_cy"))
+        cell(x_col).alias("_cx"), cell(y_col).alias("_cy"))
     dist = (
         (F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
         + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb"))

@@ -88,7 +88,13 @@ def heavy_hitters(
         out.append((None, cut, True))  # sentinel: this partition's cut
         yield pd.DataFrame(out, columns=["item", "est", "is_cut"])
 
-    sk = items.mapInPandas(sketch, schema="item string, est long, is_cut boolean")
+    from spark_fits_spark.caching import tracked_persist
+
+    # cand and bound both read the sketch output; persist it so the
+    # corpus is scanned and sketched ONCE per action, not per subtree
+    sk = tracked_persist(
+        items.mapInPandas(sketch,
+                          schema="item string, est long, is_cut boolean"))
     cand = (
         sk.where(~F.col("is_cut"))
         .groupBy("item")

@@ -69,7 +69,7 @@ from spark_fits_spark.fitscore.file import (
     HduInfo,
     open_hdu,
 )
-from spark_fits_spark.fitscore.types import bitpix_to_tform, parse_tform
+from spark_fits_spark.fitscore.types import parse_tform
 from spark_fits_spark.fitscore.vfs import (
     LOCAL,
     FitsFileSystem,
@@ -214,7 +214,12 @@ def _schema_signature(hdu: HduInfo, scaling: bool = False):
     if hdu.hdu_type == HDU_TYPE_IMAGE:
         return ("image", hdu.naxis[:1], hdu.image_tform)
     if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
-        return ("compimage", hdu.z_naxis[:1], hdu.z_bitpix, hdu.z_cmptype)
+        # same KIND as a plain image: compressed and uncompressed parts
+        # of one logical dataset (or parts using different codecs)
+        # decode to the identical (Image, ImgIndex) schema, so they
+        # must conform — mirroring the bintable rule of comparing
+        # logical types, not physical encodings
+        return ("image", hdu.z_naxis[:1], hdu.image_tform)
     if hdu.hdu_type == HDU_TYPE_TABLE:
         return ("table", hdu.col_names, hdu.col_tforms, hdu.col_tbcols)
     return ("empty",)
@@ -290,8 +295,9 @@ class FitsDataSource(DataSource):
             return _image_schema(hdu, scaling=self._scaling_enabled())
         if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
             # tiled-compressed image: logical (Image, ImgIndex) schema
-            # from ZBITPIX; fail fast at planning time on unsupported
-            # codecs/pixel types/tile grids rather than per task
+            # from ZBITPIX (scaling-aware via the BSCALE/BZERO cards
+            # open_hdu carried over); fail fast at planning time on
+            # unsupported codecs/pixel types/tile grids, not per task
             from spark_fits_spark.fitscore import tilecomp
 
             tilecomp._np_dtype(hdu.z_bitpix)
@@ -303,10 +309,7 @@ class FitsDataSource(DataSource):
                     f"RICE_1 supports ZBITPIX 16/32 here (got "
                     f"{hdu.z_bitpix}); floats need quantization and "
                     "64-bit ints are outside the RICE bytepix table")
-            from dataclasses import replace as _replace
-
-            return _image_schema(_replace(
-                hdu, image_tform=bitpix_to_tform(hdu.z_bitpix)))
+            return _image_schema(hdu, scaling=self._scaling_enabled())
         if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
             # beyond-reference: opt-in ASCII-table parsing (the default
             # stays an empty DataFrame for parity, ReadFitsTest.scala:118-125)
@@ -684,7 +687,8 @@ class FitsScanReader(DataSourceReader):
                     )
 
                     batch = decode_compressed_image(
-                        buf, hdu, row, arrow_schema, heap_read)
+                        buf, hdu, row, arrow_schema, heap_read,
+                        scaling=self.scaling)
                 else:
                     batch = decode_image(buf, hdu, row, arrow_schema,
                                          scaling=self.scaling)

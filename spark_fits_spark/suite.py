@@ -3374,7 +3374,7 @@ WITH t AS (
 ), x AS (
   SELECT doc_id, unnest(range(1, len(w) + 1, 16)) AS st, w FROM t
 ), ch AS (
-  SELECT doc_id * 1000 + CAST((st - 1) // 16 AS BIGINT) AS chunk_key,
+  SELECT doc_id * 1000000 + CAST((st - 1) // 16 AS BIGINT) AS chunk_key,
          array_to_string(w[st:st+31], ' ') AS chunk_text
   FROM x
 ), tk AS (
@@ -3414,12 +3414,12 @@ def q98_rag_chunk_retrieval(spark, sf):
     passages for a bag of query terms, the passage-level retrieval a
     RAG system actually serves. Composition only: term filter before
     any shuffle, one-row broadcast stats, distributed top-k; the chunk
-    key is doc_id·1000+chunk_id so passages stay scalar-keyed for the
-    driver hash."""
+    key is doc_id·10⁶+chunk_id (collision-free up to 16M-token docs)
+    so passages stay scalar-keyed for the driver hash."""
     d = _docs(spark, sf)
     chunks = T.chunk_windows(d, "text", "doc_id", window=32, stride=16)
     keyed = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("chunk_key"),
         "chunk_text")
     return T.bm25_topk(keyed, "chunk_text", "chunk_key",
                        ("spark", "window", "join"), k=20)

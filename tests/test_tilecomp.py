@@ -258,3 +258,44 @@ def test_q_descriptor_compressed_column(spark, tmp_path):
     plain = str(tmp_path / "plain.fits")
     fw.write_fits(plain, [fw.image_hdu(img)])
     assert _rows(spark, path) == _rows(spark, plain)
+
+
+def test_mixed_codec_and_plain_parts_conform(spark, tmp_path):
+    """Compression is an ENCODING, not a schema: a dataset mixing
+    GZIP_1, GZIP_2, RICE_1, and an UNCOMPRESSED image part decodes to
+    one conforming (Image, ImgIndex) DataFrame (the bintable rule —
+    compare logical types, not physical TFORMs — applied to images)."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    cubes = []
+    for i, style in enumerate(("GZIP_1", "GZIP_2", "RICE_1", None)):
+        cube = (np.arange(2 * 3 * 4, dtype="i4") + 100 * i).reshape(2, 3, 4)
+        hdu = (fw.image_hdu(cube) if style is None
+               else fw.compressed_image_hdu(cube, style, tile_rows=2))
+        fw.write_fits(str(d / f"p{i}.fits"), [hdu])
+        cubes.append(cube)
+    df = _scan(spark, str(d), mode="FAILFAST")
+    assert df.count() == 4 * 2 * 3
+    got = sum(int(sum(r["Image"])) for r in df.collect())
+    assert got == int(sum(c.sum() for c in cubes))
+
+
+def test_compressed_scaling_transparency(spark, tmp_path):
+    """BSCALE/BZERO/BLANK scaling produces identical physical values
+    through the compressed and uncompressed paths."""
+    img = np.arange(4 * 5, dtype="i2").reshape(4, 5)
+    img[0, 0] = -999  # BLANK sentinel -> NULL
+    cards = [fw._card("BSCALE", 0.5), fw._card("BZERO", 100.0),
+             fw._card("BLANK", -999)]
+    plain, comp = str(tmp_path / "p.fits"), str(tmp_path / "c.fits")
+    fw.write_fits(plain, [fw.image_hdu(img, extra_cards=cards)])
+    fw.write_fits(comp, [fw.compressed_image_hdu(
+        img, "RICE_1", tile_rows=2, extra_cards=cards)])
+    key = lambda t: (t[0], tuple(-1e30 if v is None else v for v in t[1]))
+    a = sorted(((r["ImgIndex"], tuple(r["Image"])) for r in
+                _scan(spark, plain, scaling=True).collect()), key=key)
+    b = sorted(((r["ImgIndex"], tuple(r["Image"])) for r in
+                _scan(spark, comp, scaling=True).collect()), key=key)
+    assert a == b
+    assert a[0][1][0] is None          # BLANK -> NULL survived both paths
+    assert a[0][1][1] == 0.5 * 1 + 100  # physical value
