@@ -126,3 +126,27 @@ def test_fits_stream_to_training_shards(spark, tmp_path):
               .collect()}
     for r in got.select("doc_id", "shard").collect():
         assert r["shard"] == expect[r["doc_id"]]
+
+
+def test_fits_stream_over_compressed_images(spark, tmp_path):
+    """The streaming source composes with tiled compression: compressed
+    image files landing in the directory stream out as the same
+    (Image, ImgIndex) rows the batch scan produces."""
+    from spark_fits_spark.fitscore import writer
+
+    src = tmp_path / "in"
+    src.mkdir()
+    cubes = []
+    for i in range(3):
+        cube = (np.arange(2 * 4 * 5, dtype="i4") + 100 * i).reshape(2, 4, 5)
+        writer.write_fits(
+            str(src / f"c{i}.fits"),
+            [writer.compressed_image_hdu(
+                cube, ["GZIP_1", "GZIP_2", "RICE_1"][i], tile_rows=3)])
+        cubes.append(cube)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_once(spark, str(src), out, ckpt)
+    back = spark.read.parquet(out)
+    assert back.count() == 3 * 2 * 4
+    got = sum(int(sum(r["Image"])) for r in back.collect())
+    assert got == int(sum(c.sum() for c in cubes))
