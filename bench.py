@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q99_cluster_balanced_sample",
     "q100_bloom_decontaminate",
     "q102_zone_crossmatch",
+    "q103_bigram_logprob",
 ]
 
 
@@ -413,7 +414,7 @@ def main() -> None:
                                           "q89", "q90", "q91", "q92",
                                           "q46", "q93", "q94",
                                           "q95", "q96", "q97", "q98",
-                                          "q99", "q100", "q101", "q102",
+                                          "q99", "q100", "q101", "q102", "q103",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_plan"))), 3)

@@ -1004,3 +1004,70 @@ def source_kl_divergence(df, text_col: str, group_col: str):
             .alias("kl_divergence"),
         )
     )
+
+
+def bigram_logprob(df, text_col: str, id_col: str, *, lam: float = 0.7):
+    """Per-document interpolated bigram log-probability under the
+    corpus's own bigram model — the KenLM-style fluency signal one
+    notch above :func:`corpus_unigram_logprob`: word-ORDER violations
+    (shuffled/garbled text) now score low even when the unigram mix
+    looks normal.
+
+    Model (derived entirely from the corpus bigram table):
+    ``P(b|a) = lam·c(a,b)/c(a,·) + (1−lam)·c(·,b)/N`` with ``c(a,·)``/
+    ``c(·,b)`` the bigram-table marginals and ``N`` the corpus bigram
+    count. Docs shorter than 2 tokens carry no bigram and are omitted.
+
+    Shuffle story: bigrams are extracted MAP-SIDE from the token array
+    (no self-join, no window over positions); one corpus-sized exchange
+    builds the bigram count table (map-side combined), marginals and
+    the log term are computed once per DISTINCT bigram
+    (vocabulary²-bounded), and the scoring join back to the bigram
+    stream is a plain equi-join AQE broadcasts when the vocabulary is
+    small. Per-(doc,position) contributions are int64-quantized (×1e6)
+    before the per-doc sum — order-independent, SQL-replayable.
+    Returns ``(id, n_bigrams, blp6_sum, avg_logprob)``.
+    """
+    w = tokens(text_col)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(w)),
+            lambda i: F.struct(
+                F.element_at(w, i - 1).alias("a"),
+                F.element_at(w, i).alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = tracked_persist(
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("_bg"))
+        .select("_id", F.col("_bg.a").alias("_a"), F.col("_bg.b").alias("_b"))
+    )
+    big = tracked_persist(
+        pairs.groupBy("_a", "_b").agg(F.count("*").alias("_cab")))
+    ca = big.groupBy("_a").agg(F.sum("_cab").alias("_ca"))
+    cb = big.groupBy("_b").agg(F.sum("_cab").alias("_cb"))
+    n = big.agg(F.sum("_cab").cast("double").alias("_n"))
+    scored = (
+        big.join(ca, "_a").join(cb, "_b").crossJoin(F.broadcast(n))
+        .select(
+            "_a", "_b",
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("_cab") / F.col("_ca")
+                    + F.lit(1.0 - lam) * F.col("_cb") / F.col("_n")
+                ) * 1_000_000, 0,
+            ).cast("long").alias("_blp6"),
+        )
+    )
+    return (
+        pairs.join(scored, ["_a", "_b"])
+        .groupBy("_id")
+        .agg(F.sum("_blp6").alias("blp6_sum"),
+             F.count("*").alias("n_bigrams"))
+        .select(
+            F.col("_id").alias(id_col), "n_bigrams", "blp6_sum",
+            F.round(F.col("blp6_sum") / (F.col("n_bigrams") * 1_000_000), 4)
+            .alias("avg_logprob"),
+        )
+    )

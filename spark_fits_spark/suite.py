@@ -3630,6 +3630,44 @@ def q102_zone_crossmatch(spark, sf):
     return relational.zone_crossmatch(a, b, radius=4000)
 
 
+@query("q103_bigram_logprob", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), x AS (
+  SELECT doc_id, unnest(range(2, len(w) + 1)) AS i, w FROM t
+), p AS (
+  SELECT doc_id, w[i-1] AS a, w[i] AS b FROM x
+), big AS (
+  SELECT a, b, COUNT(*) AS cab FROM p GROUP BY a, b
+), ca AS (SELECT a, SUM(cab) AS ca FROM big GROUP BY a),
+cb AS (SELECT b, SUM(cab) AS cb FROM big GROUP BY b),
+n AS (SELECT SUM(cab)::DOUBLE AS n FROM big),
+sc AS (
+  SELECT a, b,
+         CAST(round(ln(0.7 * cab / ca + (1.0 - 0.7) * cb / n) * 1000000)
+              AS BIGINT) AS blp6
+  FROM big JOIN ca USING (a) JOIN cb USING (b), n
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(blp6) AS BIGINT) AS blp6_sum
+  FROM p JOIN sc USING (a, b) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, blp6_sum,
+       round(blp6_sum / (n_bigrams * 1000000.0), 4) AS avg_logprob
+FROM agg
+""")
+def q103_bigram_logprob(spark, sf):
+    """Interpolated bigram LM fluency scoring (the KenLM-style signal
+    one notch above q60's unigram model): word-ORDER violations now
+    score low. Bigrams extracted map-side from the token array (no
+    position window/self-join); the log term is computed once per
+    DISTINCT bigram (vocab²-bounded) and joined back; per-position
+    contributions int64-quantized before the per-doc sum. The oracle
+    writes the interpolation weight as (1.0 - 0.7) so both engines use
+    the identical IEEE double."""
+    return T.bigram_logprob(_docs(spark, sf), "text", "doc_id", lam=0.7)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

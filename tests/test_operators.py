@@ -1527,3 +1527,24 @@ def test_zone_crossmatch_matches_bruteforce(spark):
                for r in got5)
     with pytest.raises(ValueError, match="radius"):
         relational.zone_crossmatch(a, b, radius=0)
+
+
+def test_bigram_logprob_penalizes_word_order_violations(spark):
+    """The bigram model separates natural from shuffled word order —
+    the signal q60's unigram model cannot see (same token multiset);
+    docs shorter than 2 tokens are omitted."""
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on and sat dog the rug cat the on sat the"
+    corpus = [(i, natural) for i in range(8)] + [(100, shuffled), (101, "one")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           T.bigram_logprob(df, "text", "doc_id").collect()}
+    assert 101 not in got                     # 1-token doc: no bigram
+    assert got[0]["n_bigrams"] == 12
+    # identical docs share a score; shuffled doc scores strictly lower
+    assert got[0]["avg_logprob"] == got[7]["avg_logprob"]
+    assert got[100]["avg_logprob"] < got[0]["avg_logprob"]
+    # unigram model CANNOT separate them (same token multiset)
+    uni = {r["doc_id"]: r["avg_logprob"] for r in
+           T.corpus_unigram_logprob(df, "text", "doc_id").collect()}
+    assert abs(uni[100] - uni[0]) < 1e-6
