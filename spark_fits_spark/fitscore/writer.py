@@ -26,7 +26,10 @@ def _card(keyword: str, value, comment: str | None = None) -> bytes:
         elif isinstance(value, (int, np.integer)):
             vstr = f"{value:>20d}"
         elif isinstance(value, float):
-            vstr = f"{value:>20G}"
+            # shortest round-trip repr (uppercased exponent): %G's six
+            # significant digits would corrupt stats cards (TDMINn/
+            # TDMAXn) whose consumers rely on exact bounds
+            vstr = f"{repr(value).upper():>20}"
         else:
             s = str(value).replace("'", "''")
             vstr = f"'{s:<8}'"

@@ -585,6 +585,17 @@ class FitsScanReader(DataSourceReader):
 
         parts: list[FitsInputPartition] = []
         for hdu in hdus:
+            # file-level data skipping: TDMINn/TDMAXn zone maps (written
+            # by the FITS sink, standard keywords) vs pushed filters —
+            # a file whose column range provably excludes every pushed
+            # predicate contributes NO partitions and is never opened
+            # again. Disabled under scaling (stats describe raw values;
+            # a negative TSCAL flips the order).
+            if self.pushed and not self.scaling and _stats_prune(
+                    hdu, self.pushed):
+                logger.info("fits scan: stats-pruned %s (TDMIN/TDMAX "
+                            "exclude all pushed filters)", hdu.path)
+                continue
             scoped_fs = _fs(hdu.path).scoped_for(hdu.path)
             col_indices = (
                 _select_columns(hdu, self.columns)
@@ -697,6 +708,66 @@ class FitsScanReader(DataSourceReader):
                 if batch.num_rows:
                     yield batch
                 row += n
+
+
+def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
+    """True iff the file's TDMINn/TDMAXn zone map PROVES no row can
+    satisfy the conjunction of pushed filters. Conservative: any
+    missing/unparseable stat, non-numeric comparison value, or filter
+    shape outside the simple range family contributes nothing (never
+    prunes). Values compare as doubles — exact for every stat the
+    writer emits below 2^53; a conservative no-prune fallback would
+    need exact int compares only past that, where stats cards are rare.
+    """
+    import math
+
+    stats: dict[str, tuple[float, float]] = {}
+    for i, name in enumerate(hdu.col_names, start=1):
+        lo_s = hdu.header.get(f"TDMIN{i}")
+        hi_s = hdu.header.get(f"TDMAX{i}")
+        if lo_s is None or hi_s is None:
+            continue
+        try:
+            lo, hi = float(lo_s), float(hi_s)
+        except ValueError:
+            continue
+        if math.isfinite(lo) and math.isfinite(hi):
+            stats[name] = (lo, hi)
+    if not stats:
+        return False
+
+    def num(x) -> bool:
+        return (isinstance(x, (int, float)) and not isinstance(x, bool)
+                and math.isfinite(float(x)))
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if isinstance(f, Not) or attr is None or len(attr) != 1:
+            continue
+        rng = stats.get(attr[0])
+        if rng is None:
+            continue
+        lo, hi = rng
+        v = getattr(f, "value", None)
+        if isinstance(f, (EqualTo, EqualNullSafe)) and num(v):
+            if float(v) < lo or float(v) > hi:
+                return True
+        elif isinstance(f, GreaterThan) and num(v):
+            if hi <= float(v):
+                return True
+        elif isinstance(f, GreaterThanOrEqual) and num(v):
+            if hi < float(v):
+                return True
+        elif isinstance(f, LessThan) and num(v):
+            if lo >= float(v):
+                return True
+        elif isinstance(f, LessThanOrEqual) and num(v):
+            if lo > float(v):
+                return True
+        elif isinstance(f, In) and v and all(num(x) for x in v):
+            if all(float(x) < lo or float(x) > hi for x in v):
+                return True
+    return False
 
 
 # -- pushed-filter evaluation (numpy/Arrow-side) ---------------------------

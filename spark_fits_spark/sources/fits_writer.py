@@ -104,6 +104,10 @@ class FitsArrowWriter(DataSourceArrowWriter):
         # .option("checksum", True): emit standard CHECKSUM/DATASUM
         # cards per HDU (FITS 4.0 §4.4.2.7) for end-to-end integrity
         self.checksum = str(opts.get("checksum", "false")).lower() == "true"
+        # .option("stats", False) disables the per-column TDMINn/TDMAXn
+        # min-max cards (standard FITS keywords) that the scan uses for
+        # file-level data skipping against pushed filters
+        self.stats = str(opts.get("stats", "true")).lower() != "false"
 
     def _fixed_width(self, name: str, is_string: bool) -> int | None:
         w = self.col_widths.get(name.lower())
@@ -135,7 +139,9 @@ class FitsArrowWriter(DataSourceArrowWriter):
         columns = []
         for field, col in zip(self.schema.fields, table.columns):
             columns.append(self._to_fits_column(field.name, field.dataType, col, n))
-        hdus = [fw.bintable_hdu(columns, checksum=self.checksum)]
+        stats_cards = self._stats_cards(table, n) if self.stats else []
+        hdus = [fw.bintable_hdu(columns, extra_cards=stats_cards,
+                                checksum=self.checksum)]
         if self.fs.needs_commit_payload:
             # memory:// test FS: serialize here, land driver-side in
             # commit() — the task-attempt → commit shape of an
@@ -155,6 +161,38 @@ class FitsArrowWriter(DataSourceArrowWriter):
             if m is not None and getattr(m, "payload", None) is not None:
                 with self.fs.open_output(m.path) as f:
                     f.write(m.payload)
+
+    def _stats_cards(self, table, n: int) -> list[bytes]:
+        """Per-column min/max as standard TDMINn/TDMAXn cards — the
+        file-level zone map the scan prunes against when filters are
+        pushed. Numeric scalar columns only; skipped when the column is
+        empty/all-NULL or its extremes are non-finite (a NaN bound
+        proves nothing)."""
+        import math
+
+        import pyarrow.compute as pc
+
+        from spark_fits_spark.fitscore import writer as fw
+
+        numeric = (ByteType, ShortType, IntegerType, LongType,
+                   FloatType, DoubleType)
+        cards: list[bytes] = []
+        for i, (field, col) in enumerate(
+                zip(self.schema.fields, table.columns), start=1):
+            if not isinstance(field.dataType, numeric) or n == 0:
+                continue
+            if col.null_count == n:
+                continue
+            mm = pc.min_max(col).as_py()
+            lo, hi = mm["min"], mm["max"]
+            if lo is None or hi is None:
+                continue
+            if isinstance(lo, float) and not (
+                    math.isfinite(lo) and math.isfinite(hi)):
+                continue
+            cards.append(fw._card(f"TDMIN{i}", lo, f"min of {field.name}"))
+            cards.append(fw._card(f"TDMAX{i}", hi, f"max of {field.name}"))
+        return cards
 
     def _to_fits_column(self, name, dtype, col, n):
         import pyarrow.compute as pc

@@ -653,3 +653,53 @@ def test_plancache_option_bypasses_lru(tmp_path):
     r.plan_for_files([f])
     assert ds._HDU_CACHE_STATS == {"hits": 0, "misses": 0}
     assert len(ds._HDU_CACHE) == 0
+
+
+def test_stats_file_pruning(spark, tmp_path):
+    """File-level data skipping: the sink's TDMINn/TDMAXn zone maps let
+    the scan drop whole files whose range contradicts pushed filters —
+    plan-level (fewer partitions) and end-to-end correct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from spark_fits_spark.sources.fits_datasource import FitsDataSource
+
+    d = str(tmp_path / "zoned")
+    df = spark.range(300).select(
+        F.col("id").alias("Index"),
+        (F.col("id") * 0.5).alias("val"))
+    (df.repartitionByRange(3, "Index")
+       .write.format("fits").mode("overwrite").save(d))
+
+    def planned_files(filters):
+        ds = FitsDataSource(options={"path": d, "hdu": "1"})
+        r = ds.reader(ds.schema())
+        leftover = list(r.pushFilters(filters))
+        assert leftover == []
+        return {p.hdu.path for p in r.partitions() if p.hdu is not None}
+
+    assert len(planned_files([])) == 3
+    assert len(planned_files([LessThan(("Index",), 50)])) == 1
+    assert len(planned_files([GreaterThan(("Index",), 150)])) <= 2
+    # double-precision stats prune on the float column too
+    assert len(planned_files([LessThan(("val",), 10.0)])) == 1
+    # a range no file covers -> zero files planned
+    assert len(planned_files([GreaterThan(("Index",), 10_000)])) == 0
+
+    # end-to-end: pruned scan returns the same rows as the full scan
+    got = (spark.read.format("fits").option("hdu", 1).load(d)
+           .where(F.col("Index") < 50).agg(F.sum("Index")).first()[0])
+    assert got == sum(range(50))
+    # the empty-after-pruning scan is a valid empty DataFrame
+    assert (spark.read.format("fits").option("hdu", 1).load(d)
+            .where(F.col("Index") > 10_000).count()) == 0
+
+    # .option("stats", False) writes no cards -> nothing prunes
+    d2 = str(tmp_path / "nostats")
+    (df.repartitionByRange(3, "Index").write.format("fits")
+       .option("stats", False).mode("overwrite").save(d2))
+    ds2 = FitsDataSource(options={"path": d2, "hdu": "1"})
+    r2 = ds2.reader(ds2.schema())
+    list(r2.pushFilters([LessThan(("Index",), 50)]))
+    assert len({p.hdu.path for p in r2.partitions()
+                if p.hdu is not None}) == 3
