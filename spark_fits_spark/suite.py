@@ -3668,6 +3668,44 @@ def q103_bigram_logprob(spark, sf):
     return T.bigram_logprob(_docs(spark, sf), "text", "doc_id", lam=0.7)
 
 
+@query("q104_fits_zonemap_scan", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(MIN(o_orderkey) AS BIGINT) AS key_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+FROM orders WHERE o_orderkey < (SELECT MAX(o_orderkey) / 4 FROM orders)
+""")
+def q104_fits_zonemap_scan(spark, sf):
+    """File-level data skipping under the driver gate: orders written
+    to range-partitioned FITS parts (the sink emits TDMINn/TDMAXn
+    zone-map cards), then scanned with a pushed range predicate — the
+    planner opens only the files whose range intersects (verified
+    plan-level in test_stats_file_pruning; here the hash gate pins the
+    pruned scan's ANSWER against the parquet source). A wrong prune
+    (dropped file that still had matching rows) breaks count/sum/min/
+    max immediately."""
+    import hashlib
+    import os as _os
+
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q104_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    (o.repartitionByRange(8, "o_orderkey")
+     .write.format("fits").mode("overwrite").save(d))
+    cut = o.agg((F.max("o_orderkey") / 4).alias("c")).first()["c"]
+    back = spark.read.format("fits").option("hdu", 1).load(d)
+    return (
+        back.where(F.col("o_orderkey") < F.lit(cut))
+        .agg(F.count("*").alias("n"),
+             F.sum("o_orderkey").alias("key_sum"),
+             F.min("o_orderkey").alias("key_min"),
+             F.max("o_orderkey").alias("key_max"))
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
