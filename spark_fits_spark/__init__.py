@@ -139,6 +139,9 @@ def fits_info(spark, path: str):
         StructField("n_cols", IntegerType()),
         StructField("data_start", LongType()),
         StructField("data_len", LongType()),
+        # tiled-compression codec (ZCMPTYPE) when the HDU is a
+        # compressed image (ZIMAGE=T); NULL otherwise
+        StructField("compression", StringType()),
     ])
 
     def _walk(pair):
@@ -150,6 +153,7 @@ def fits_info(spark, path: str):
         with fs.open_input(fp) as f:
             for i, (b, cards) in enumerate(walk_hdus(f)):
                 h = parse_cards(cards)
+                zimage = (header_value(h, "ZIMAGE", "") or "").strip() == "T"
                 out.append((
                     fp, i,
                     header_value(h, "XTENSION", "primary") or "primary",
@@ -157,6 +161,8 @@ def fits_info(spark, path: str):
                     int(h.get("NAXIS2", "0") or "0"),
                     int(h.get("TFIELDS", "0") or "0"),
                     b.data_start, b.data_len,
+                    (header_value(h, "ZCMPTYPE", "") or "").strip() or None
+                    if zimage else None,
                 ))
         return out
 

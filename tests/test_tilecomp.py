@@ -299,3 +299,16 @@ def test_compressed_scaling_transparency(spark, tmp_path):
     assert a == b
     assert a[0][1][0] is None          # BLANK -> NULL survived both paths
     assert a[0][1][1] == 0.5 * 1 + 100  # physical value
+
+
+def test_fits_info_reports_compression(spark, tmp_path):
+    import spark_fits_spark as sfs
+
+    cube = np.arange(2 * 3 * 4, dtype="i4").reshape(2, 3, 4)
+    fw.write_fits(str(tmp_path / "c.fits"),
+                  [fw.compressed_image_hdu(cube, "RICE_1")])
+    fw.write_fits(str(tmp_path / "p.fits"), [fw.image_hdu(cube)])
+    rows = {(r["file"].rsplit("/", 1)[-1], r["hdu"]): r["compression"]
+            for r in sfs.fits_info(spark, str(tmp_path)).collect()}
+    assert rows[("c.fits", 1)] == "RICE_1"
+    assert rows[("p.fits", 1)] is None
