@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q100_bloom_decontaminate",
     "q102_zone_crossmatch",
     "q103_bigram_logprob",
+    "q105_late_supplier_blame",
 ]
 
 
@@ -414,7 +415,7 @@ def main() -> None:
                                           "q89", "q90", "q91", "q92",
                                           "q46", "q93", "q94",
                                           "q95", "q96", "q97", "q98",
-                                          "q99", "q100", "q101", "q102", "q103",
+                                          "q99", "q100", "q101", "q102", "q103", "q105",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_plan"))), 3)

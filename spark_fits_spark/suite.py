@@ -3706,6 +3706,59 @@ def q104_fits_zonemap_scan(spark, sf):
     )
 
 
+@query("q105_late_supplier_blame", """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM l JOIN orders ON l.l_orderkey = o_orderkey
+  WHERE l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT l1.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+WHERE EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey)
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, suppkey LIMIT 20
+""")
+def q105_late_supplier_blame(spark, sf):
+    """TPC-H Q21's shape (the planner's hardest standard query): which
+    suppliers were the SOLE late shipper on multi-supplier orders —
+    a correlated EXISTS (decorrelated to a left-semi self-join on the
+    order key with a supplier inequality) AND a correlated NOT EXISTS
+    (left-anti on the late set), then a counted top-20. 'Late' adapts
+    Q21's receipt/commit rule to this schema: shipped >60 days after
+    the order date. Both semi and anti are equi-joins on l_orderkey
+    (the inequality rides as a residual), so the plan is two
+    hash/SMJ joins — no cross product, AQE-broadcastable."""
+    l = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = tracked_persist(
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey"))
+    l2 = l.select(F.col("l_orderkey").alias("_ok2"),
+                  F.col("l_suppkey").alias("_sk2"))
+    sem = late.join(
+        l2, (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")), "left_semi")
+    l3 = late.select(F.col("l_orderkey").alias("_ok3"),
+                     F.col("l_suppkey").alias("_sk3"))
+    ant = sem.join(
+        l3, (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")), "left_anti")
+    return (
+        ant.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey")).limit(20)
+        .select(F.col("l_suppkey").alias("suppkey"), "numwait")
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
