@@ -312,3 +312,45 @@ def test_fits_info_reports_compression(spark, tmp_path):
             for r in sfs.fits_info(spark, str(tmp_path)).collect()}
     assert rows[("c.fits", 1)] == "RICE_1"
     assert rows[("p.fits", 1)] is None
+
+
+def test_rice_roundtrip_hypothesis():
+    """Property: decode(encode(x)) == x for arbitrary int arrays, every
+    bytepix, fuzzing block-boundary lengths and extreme values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_fits_spark.fitscore import rice
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.data(),
+        st.sampled_from([(1, "i1"), (2, "i2"), (4, "i4")]),
+        st.integers(min_value=0, max_value=70),
+    )
+    def prop(data, bp_dt, n):
+        bp, dt = bp_dt
+        info = np.iinfo(dt)
+        vals = data.draw(st.lists(
+            st.integers(min_value=int(info.min), max_value=int(info.max)),
+            min_size=n, max_size=n))
+        a = np.asarray(vals, dtype=dt)
+        dec = rice.rice_decode(rice.rice_encode(a, bytepix=bp), n, bytepix=bp)
+        assert np.array_equal(dec, a.astype(np.int64))
+
+    prop()
+
+
+def test_shuffle_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=0, max_size=256),
+           st.sampled_from([1, 2, 4, 8]))
+    def prop(raw, itemsize):
+        raw = raw[:len(raw) - len(raw) % itemsize]
+        assert tilecomp.unshuffle_bytes(
+            tilecomp.shuffle_bytes(raw, itemsize), itemsize) == raw
+
+    prop()
