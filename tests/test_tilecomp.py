@@ -354,3 +354,29 @@ def test_shuffle_roundtrip_hypothesis():
             tilecomp.shuffle_bytes(raw, itemsize), itemsize) == raw
 
     prop()
+
+
+def test_compressed_hdu_checksums_verify(spark, tmp_path):
+    """CHECKSUM/DATASUM cards compose with tiled compression: the
+    distributed audit verifies a compressed HDU and catches a flipped
+    heap byte."""
+    import spark_fits_spark as sfs
+
+    cube = np.arange(2 * 4 * 3, dtype="i4").reshape(2, 4, 3)
+    p = str(tmp_path / "c.fits")
+    fw.write_fits(p, [fw.compressed_image_hdu(cube, "GZIP_1",
+                                              checksum=True)],
+                  checksum=True)
+    rows = sfs.fits_verify_checksums(spark, p).collect()
+    assert rows and all(r["checksum_ok"] for r in rows
+                        if r["checksum_ok"] is not None)
+    # corrupt one data byte (inside the tile table/heap) -> flagged
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    with open(p, "rb") as f:
+        ds = open_hdu(f, p, 1).boundaries.data_start
+    raw = bytearray(open(p, "rb").read())
+    raw[ds + 3] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    rows2 = sfs.fits_verify_checksums(spark, p).collect()
+    assert any(r["checksum_ok"] is False for r in rows2)
