@@ -167,6 +167,7 @@ class HduInfo:
     z_data_col: str = ""                    # compressed-payload column name
     z_bytepix: int = 0                      # RICE_1 BYTEPIX (ZNAMEn/ZVALn)
     z_blocksize: int = 32                   # RICE_1 BLOCKSIZE
+    z_quantiz: str = ""                     # ZQUANTIZ (float quantization)
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -299,6 +300,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 # pixel width — CFITSIO decodes such files with fsbits=5
                 z_bytepix=int(float(znames.get("BYTEPIX") or 4)),
                 z_blocksize=int(float(znames.get("BLOCKSIZE") or 32)),
+                z_quantiz=(header_value(header, "ZQUANTIZ", "")
+                           or "").strip(),
             )
         return info
 

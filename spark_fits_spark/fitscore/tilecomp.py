@@ -173,6 +173,19 @@ def decode_compressed_image(
     if hdu.z_cmptype not in SUPPORTED_CODECS:
         raise _codec_error(hdu.z_cmptype)
     dtype = _np_dtype(hdu.z_bitpix)
+    # quantized-float RICE (fpack's float layout): integer tiles plus
+    # per-tile ZSCALE/ZZERO columns; value = zzero + zscale·q. Only the
+    # deterministic NO_DITHER mode is supported (subtractive dithering
+    # needs the convention's specific RNG stream).
+    quantized = (hdu.z_cmptype == "RICE_1" and hdu.z_bitpix < 0)
+    if quantized:
+        if hdu.z_quantiz not in ("", "NO_DITHER"):
+            raise NotImplementedError(
+                f"ZQUANTIZ={hdu.z_quantiz!r} is not supported (only "
+                "NO_DITHER quantization)")
+        if not {"ZSCALE", "ZZERO"} <= set(hdu.col_names):
+            raise ValueError(
+                "RICE_1 float image lacks per-tile ZSCALE/ZZERO columns")
     width = hdu.z_naxis[0] if hdu.z_naxis else 0
     tile_rows, tiles_per_plane, _ = tile_layout(hdu.z_naxis, hdu.z_tile)
     plane_rows = hdu.z_naxis[1] if len(hdu.z_naxis) >= 2 else 1
@@ -189,10 +202,20 @@ def decode_compressed_image(
         raise ValueError(
             f"compressed-data column {hdu.z_data_col!r} has TFORM "
             f"{hdu.col_tforms[col]!r}; expected a P or Q array descriptor")
+    bbuf = bytes(buf)
     desc = np.ndarray(
-        (n_tiles, 2), dtype=desc_t, buffer=bytes(buf),
+        (n_tiles, 2), dtype=desc_t, buffer=bbuf,
         offset=col_off, strides=(hdu.row_bytes, desc_w),
     ).astype(np.int64)
+    if quantized:
+        def _dcol(name: str) -> np.ndarray:
+            ci = hdu.col_names.index(name)
+            return np.ndarray(
+                (n_tiles,), dtype=">f8", buffer=bbuf,
+                offset=hdu.split_locations[ci], strides=(hdu.row_bytes,),
+            ).astype(np.float64)
+
+        zscale, zzero = _dcol("ZSCALE"), _dcol("ZZERO")
 
     if n_tiles and desc.size:
         lo = int(min(desc[i, 1] for i in range(n_tiles)))
@@ -210,9 +233,16 @@ def decode_compressed_image(
         plane = t // max(tiles_per_plane, 1)
         start_row = (t % max(tiles_per_plane, 1)) * tile_rows
         n_rows = min(tile_rows, plane_rows - start_row)
-        pix = decompress_tile(payload, hdu.z_cmptype, dtype, n_rows * width,
-                              bytepix=hdu.z_bytepix,
-                              blocksize=hdu.z_blocksize)
+        if quantized:
+            q = decompress_tile(
+                payload, hdu.z_cmptype, np.dtype(">i4"), n_rows * width,
+                bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
+            pix = (zzero[i] + zscale[i] * q.astype(np.float64)).astype(
+                dtype.newbyteorder("="))
+        else:
+            pix = decompress_tile(
+                payload, hdu.z_cmptype, dtype, n_rows * width,
+                bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
         rows_vals.append(pix)
         idx.extend([plane] * n_rows)
 

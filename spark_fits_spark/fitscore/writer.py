@@ -238,19 +238,39 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
         raise NotImplementedError(
             f"dtype {data.dtype} not supported for compressed images")
     bitpix = kind_map[key]
-    if cmptype == "RICE_1" and bitpix not in (16, 32):
+    quantize = cmptype == "RICE_1" and bitpix < 0
+    if cmptype == "RICE_1" and bitpix == 64:
         raise NotImplementedError(
-            f"RICE_1 writes int16/int32 images only (got dtype "
-            f"{data.dtype}); use GZIP_1/GZIP_2 for floats and int64")
+            "RICE_1 cannot write int64 images (outside the RICE bytepix "
+            "table); use GZIP_1/GZIP_2")
+    if quantize and not np.isfinite(data).all():
+        raise NotImplementedError(
+            "RICE_1 float quantization requires finite pixels "
+            "(NaN/Inf handling via ZBLANK is not implemented)")
     if data.ndim < 2:
         data = data.reshape(1, -1)
     plane_rows, width = data.shape[-2], data.shape[-1]
     planes = data.reshape(-1, plane_rows, width)
     payloads: list[bytes] = []
+    zscales: list[float] = []
+    zzeros: list[float] = []
     for p in range(planes.shape[0]):
         for r0 in range(0, plane_rows, tile_rows):
             tile = planes[p, r0:r0 + tile_rows, :]
-            payloads.append(tilecomp.compress_tile(tile, cmptype))
+            if quantize:
+                # per-tile linear quantization (the fpack float layout,
+                # NO_DITHER): ~16-bit resolution over the tile's range.
+                # Lossy by design — max error zscale/2 per pixel.
+                lo = float(tile.min()) if tile.size else 0.0
+                hi = float(tile.max()) if tile.size else 0.0
+                zs = (hi - lo) / 65000.0 or 1.0
+                q = np.round((tile.astype(np.float64) - lo) / zs)
+                payloads.append(
+                    tilecomp.compress_tile(q.astype("i4"), cmptype))
+                zscales.append(zs)
+                zzeros.append(lo)
+            else:
+                payloads.append(tilecomp.compress_tile(tile, cmptype))
     lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
     flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
     maxlen = int(lengths.max()) if len(lengths) else 0
@@ -269,9 +289,14 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
         zcards.append(_card("ZNAME1", "BLOCKSIZE"))
         zcards.append(_card("ZVAL1", 32))
         zcards.append(_card("ZNAME2", "BYTEPIX"))
-        zcards.append(_card("ZVAL2", data.dtype.itemsize))
+        zcards.append(_card("ZVAL2", 4 if quantize else data.dtype.itemsize))
+    columns = [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))]
+    if quantize:
+        zcards.append(_card("ZQUANTIZ", "NO_DITHER", "quantization mode"))
+        columns.append(("ZSCALE", "D", np.asarray(zscales, dtype=">f8")))
+        columns.append(("ZZERO", "D", np.asarray(zzeros, dtype=">f8")))
     return bintable_hdu(
-        [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))],
+        columns,
         extra_cards=zcards + (extra_cards or []),
         checksum=checksum,
     )

@@ -305,10 +305,18 @@ class FitsDataSource(DataSource):
             if hdu.z_cmptype not in tilecomp.SUPPORTED_CODECS:
                 raise tilecomp._codec_error(hdu.z_cmptype)
             if hdu.z_cmptype == "RICE_1" and hdu.z_bitpix not in (16, 32):
-                raise NotImplementedError(
-                    f"RICE_1 supports ZBITPIX 16/32 here (got "
-                    f"{hdu.z_bitpix}); floats need quantization and "
-                    "64-bit ints are outside the RICE bytepix table")
+                quant_ok = (
+                    hdu.z_bitpix in (-32, -64)
+                    and {"ZSCALE", "ZZERO"} <= set(hdu.col_names)
+                    and hdu.z_quantiz in ("", "NO_DITHER"))
+                if not quant_ok:
+                    raise NotImplementedError(
+                        f"RICE_1 supports ZBITPIX 16/32, or quantized "
+                        f"floats with per-tile ZSCALE/ZZERO columns and "
+                        f"ZQUANTIZ=NO_DITHER (got ZBITPIX={hdu.z_bitpix}, "
+                        f"ZQUANTIZ={hdu.z_quantiz!r}, columns="
+                        f"{list(hdu.col_names)}); subtractive dithering "
+                        "and 64-bit ints are not implemented")
             return _image_schema(hdu, scaling=self._scaling_enabled())
         if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
             # beyond-reference: opt-in ASCII-table parsing (the default

@@ -131,9 +131,10 @@ def test_unsupported_codecs_and_grids_fail_loud(spark, tmp_path):
         _scan(spark, write_with({"ZCMPTYPE": "WAT_9"})).schema
     with pytest.raises(Exception, match="rowrange"):
         _scan(spark, write_with({}), rowrange="0,2").collect()
-    # writer-side gates
-    with pytest.raises(NotImplementedError, match="RICE_1 writes"):
-        fw.compressed_image_hdu(img.astype("f4"), "RICE_1")
+    # writer-side gates (float RICE is supported via quantization now;
+    # int64 RICE and unsupported dtypes still fail loud)
+    with pytest.raises(NotImplementedError, match="int64"):
+        fw.compressed_image_hdu(img.astype("i8"), "RICE_1")
     with pytest.raises(NotImplementedError, match="dtype"):
         fw.compressed_image_hdu(img.astype("u1"), "GZIP_1")
 
@@ -380,3 +381,62 @@ def test_compressed_hdu_checksums_verify(spark, tmp_path):
     open(p, "wb").write(bytes(raw))
     rows2 = sfs.fits_verify_checksums(spark, p).collect()
     assert any(r["checksum_ok"] is False for r in rows2)
+
+
+@pytest.mark.parametrize("dt", ["f4", "f8"])
+def test_rice_quantized_float_roundtrip(spark, tmp_path, dt):
+    """fpack's float layout: RICE integer tiles + per-tile ZSCALE/ZZERO
+    columns (NO_DITHER). Reconstruction is within the quantization
+    error and bit-identical to the layout's defined arithmetic."""
+    rng = np.random.default_rng(9)
+    cube = np.cumsum(rng.normal(size=(2, 6, 5)), axis=-1).astype(dt)
+    p = str(tmp_path / "qf.fits")
+    fw.write_fits(p, [fw.compressed_image_hdu(cube, "RICE_1", tile_rows=4)])
+    got = sorted((r["ImgIndex"], tuple(r["Image"]))
+                 for r in _scan(spark, p).collect())
+    assert len(got) == cube.shape[0] * cube.shape[1]
+    # expected = the layout's exact arithmetic (per-tile linear
+    # quantization, reconstructed in float64, cast to the pixel type)
+    want = []
+    for plane in range(cube.shape[0]):
+        for r0 in range(0, cube.shape[1], 4):
+            tile = cube[plane, r0:r0 + 4, :].astype(np.float64)
+            lo, hi = tile.min(), tile.max()
+            zs = (hi - lo) / 65000.0 or 1.0
+            rec = (lo + zs * np.round((tile - lo) / zs)).astype(dt)
+            # lossy but bounded: max error zscale/2
+            assert np.abs(rec.astype(np.float64) - tile).max() <= zs
+            for rr in range(tile.shape[0]):
+                want.append((plane, tuple(rec[rr].tolist())))
+    assert got == sorted(want)
+
+    # dithered foreign files and NaN inputs are rejected loud
+    with pytest.raises(NotImplementedError, match="finite"):
+        bad = cube.copy()
+        bad[0, 0, 0] = np.nan
+        fw.compressed_image_hdu(bad, "RICE_1")
+
+
+def test_rice_dithered_foreign_rejected(spark, tmp_path):
+    from spark_fits_spark.fitscore import rice
+
+    img = (np.arange(12, dtype="i4") % 7).reshape(3, 4)
+    payloads = [rice.rice_encode(img[r], bytepix=4) for r in range(3)]
+    lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    cards = [
+        fw._card("ZIMAGE", True), fw._card("ZBITPIX", -32),
+        fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 4),
+        fw._card("ZNAXIS2", 3), fw._card("ZTILE1", 4),
+        fw._card("ZTILE2", 1), fw._card("ZCMPTYPE", "RICE_1"),
+        fw._card("ZQUANTIZ", "SUBTRACTIVE_DITHER_1"),
+    ]
+    hdu = fw.bintable_hdu(
+        [("COMPRESSED_DATA", f"1PB({int(lengths.max())})", (lengths, flat)),
+         ("ZSCALE", "D", np.ones(3, dtype=">f8")),
+         ("ZZERO", "D", np.zeros(3, dtype=">f8"))],
+        extra_cards=cards)
+    p = str(tmp_path / "dith.fits")
+    fw.write_fits(p, [hdu])
+    with pytest.raises(Exception, match="SUBTRACTIVE_DITHER"):
+        _scan(spark, p).schema
