@@ -22,7 +22,11 @@ codecs, because the payloads are plain RFC-1952 gzip streams:
   usually compresses better on smooth integer data.
 - ``RICE_1``: the fpack default for integer images — independent
   implementation of the published Rice spec in ``fitscore/rice.py``
-  (BLOCKSIZE/BYTEPIX honored from ``ZNAMEn``/``ZVALn``).
+  (BLOCKSIZE/BYTEPIX honored from ``ZNAMEn``/``ZVALn``). Float images
+  use fpack's quantized layout: integer tiles plus per-tile
+  ``ZSCALE``/``ZZERO`` columns, supported for ``ZQUANTIZ=NO_DITHER``
+  (subtractive dithering needs the convention's specific RNG stream
+  and is rejected loud).
 - ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected with a
   clear error (no codec implementation in this environment).
 
