@@ -323,6 +323,9 @@ def main() -> None:
     from spark_fits_spark.plans import build_session
     from spark_fits_spark.suite import QUERIES
 
+    unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
+    assert not unknown, f"BENCH_QUERIES names not in the suite: {unknown}"
+
     spark = build_session(app_name="spark-fits-spark-bench",
                           shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
