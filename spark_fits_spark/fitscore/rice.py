@@ -25,10 +25,27 @@ implementation):
 Arithmetic wraps modulo ``2^(bytepix×8)`` like the C reference, so
 extreme-valued differences round-trip.
 
-The per-pixel decode loop is Python — fine for the tile sizes this
-convention uses (a row to a few rows per tile) and embarrassingly
-parallel across tiles/tasks, but GZIP_2 is the fast path when you
-control the writer.
+Implementation (r5, was a per-pixel Python loop — the one
+row-at-a-time pattern flagged by the r4 plan audit): both directions
+are numpy-vectorized.
+
+- ENCODE: diffs/zigzag/block-sums/fs selection are whole-array ops;
+  every value's bit length is known up front, so all bit positions come
+  from prefix sums and the stream is materialized by setting bits in a
+  0/1 array (≤ ``bbits`` vectorized passes per field) + ``packbits``.
+- DECODE: the only sequential state is the bit POSITION (the pixel
+  values themselves decouple: decode all zigzag diffs, then one cumsum
+  reconstructs the pixels). Per tile the payload is unpacked once to a
+  bit array; unary terminators are walked through the precomputed
+  sorted 1-bit positions (a few Python int ops per value — no
+  bit-by-bit reads), and the ``fs``-bit remainders / raw blocks are
+  gathered in one batched windowed read per block (5 byte-gathers for
+  any ≤32-bit field at arbitrary bit offsets).
+
+``rice_encode_scalar`` / ``rice_decode_scalar`` keep the original
+bit-at-a-time implementations as the differential-test oracle
+(`tests/test_tilecomp.py` asserts vectorized == scalar on randomized
+corpora).
 """
 
 from __future__ import annotations
@@ -100,12 +117,238 @@ class _BitReader:
             n += 1
 
 
-def rice_encode(values: np.ndarray, bytepix: int = 4,
-                blocksize: int = 32) -> bytes:
-    """Encode a 1-D integer array (any byte order) as a RICE_1 stream."""
+def _check_bytepix(bytepix: int) -> tuple[int, int]:
     if bytepix not in _PARAMS:
         raise ValueError(f"RICE_1 bytepix must be 1, 2 or 4, got {bytepix}")
-    fsbits, fsmax = _PARAMS[bytepix]
+    return _PARAMS[bytepix]
+
+
+def _mapped_diffs(values: np.ndarray, wrap: int, half: int) -> np.ndarray:
+    """Zigzag-mapped wrapped differences (pixel 0's difference is 0 —
+    its raw value is carried separately at the head of the stream)."""
+    a = np.asarray(values).astype(np.int64) % wrap  # unsigned view
+    d = (a - np.concatenate([a[:1], a[:-1]])) % wrap
+    np.subtract(d, wrap, out=d, where=d >= half)    # signed, wrapped
+    return np.where(d >= 0, 2 * d, -2 * d - 1)
+
+
+def rice_encode(values: np.ndarray, bytepix: int = 4,
+                blocksize: int = 32) -> bytes:
+    """Encode a 1-D integer array (any byte order) as a RICE_1 stream.
+
+    Vectorized: identical bitstream to :func:`rice_encode_scalar`."""
+    fsbits, fsmax = _check_bytepix(bytepix)
+    bbits = bytepix * 8
+    wrap = 1 << bbits
+    half = wrap >> 1
+    a = np.asarray(values).astype(np.int64) % wrap
+    n = a.size
+    if n == 0:
+        return b""
+    m = _mapped_diffs(a, wrap, half)
+
+    nb = -(-n // blocksize)
+    pad = nb * blocksize - n
+    M = np.concatenate([m, np.zeros(pad, dtype=np.int64)]).reshape(
+        nb, blocksize)
+    this = np.full(nb, blocksize, dtype=np.int64)
+    if pad:
+        this[-1] = blocksize - pad
+    psum = M.sum(axis=1)
+    # fs selection, matching the scalar loop bit-for-bit: clamp the
+    # adjusted mean at 0, halve, count bits. Values stay ≤ 2^37 so
+    # float64 is exact here.
+    dpsum = (psum - this / 2.0 - 1.0) / this
+    v = np.maximum(dpsum, 0.0).astype(np.int64) >> 1
+    fs = np.zeros(nb, dtype=np.int64)
+    nz = v > 0
+    fs[nz] = np.frexp(v[nz].astype(np.float64))[1]  # == bit_length(v)
+
+    is_zero = psum == 0
+    is_raw = ~is_zero & (fs >= fsmax)
+    is_coded = ~is_zero & ~is_raw
+
+    # per-value bit lengths → every bit position via prefix sums
+    valid = np.arange(blocksize) < this[:, None]
+    Lv = np.zeros((nb, blocksize), dtype=np.int64)
+    if is_coded.any():
+        fs_c = fs[:, None]
+        Lv = np.where(is_coded[:, None] & valid, (M >> fs_c) + 1 + fs_c, Lv)
+    Lv = np.where(is_raw[:, None] & valid, bbits, Lv)
+    block_bits = fsbits + Lv.sum(axis=1)
+    block_start = bbits + np.concatenate(
+        [[0], np.cumsum(block_bits)[:-1]])
+    val_start = (block_start[:, None] + fsbits
+                 + np.cumsum(Lv, axis=1) - Lv)
+    total_bits = int(bbits + block_bits.sum())
+
+    bits = np.zeros(total_bits, dtype=np.uint8)
+
+    def _set_field(starts: np.ndarray, vals: np.ndarray, width: int) -> None:
+        for b in range(width):
+            bits[starts + b] = (vals >> (width - 1 - b)) & 1
+
+    _set_field(np.zeros(1, dtype=np.int64),
+               np.array([a[0]], dtype=np.int64), bbits)
+    codes = np.where(is_zero, 0, np.where(is_raw, fsmax + 1, fs + 1))
+    _set_field(block_start, codes, fsbits)
+    if is_raw.any():
+        sel = is_raw[:, None] & valid
+        _set_field(val_start[sel], M[sel], bbits)
+    if is_coded.any():
+        sel = is_coded[:, None] & valid
+        starts = val_start[sel]
+        vals = M[sel]
+        fs_v = np.broadcast_to(fs[:, None], M.shape)[sel]
+        tops = vals >> fs_v
+        bits[starts + tops] = 1                      # unary terminators
+        for f in np.unique(fs_v):
+            f = int(f)
+            if f == 0:
+                continue
+            fsel = fs_v == f
+            _set_field(starts[fsel] + tops[fsel] + 1, vals[fsel], f)
+    return np.packbits(bits).tobytes()
+
+
+def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
+                blocksize: int = 32) -> np.ndarray:
+    """Decode ``n_pix`` values from a RICE_1 stream → int64 array
+    (signed, per the ``bytepix`` width).
+
+    Vectorized scan path: one ``unpackbits`` per tile, unary runs
+    walked over the precomputed 1-bit position list, remainders and raw
+    blocks gathered in one batched read per block, then a single cumsum
+    reconstructs the pixels from the zigzag diffs."""
+    fsbits, fsmax = _check_bytepix(bytepix)
+    bbits = bytepix * 8
+    wrap = 1 << bbits
+    half = wrap >> 1
+    if n_pix == 0:
+        return np.empty(0, dtype=np.int64)
+    data = bytes(payload)
+    nbits = len(data) * 8
+    # padded byte view: any ≤32-bit field at bit offset p reads from a
+    # 40-bit window of 5 gathered bytes (truncation is caught by the
+    # explicit position checks below, never by the padding)
+    pb = np.frombuffer(data + b"\0" * 8, dtype=np.uint8).astype(np.int64)
+
+    def _read_batch(pos: np.ndarray, width: int) -> np.ndarray:
+        byte = pos >> 3
+        sh = pos & 7
+        w = ((pb[byte] << 32) | (pb[byte + 1] << 24) | (pb[byte + 2] << 16)
+             | (pb[byte + 3] << 8) | pb[byte + 4])
+        return (w >> (40 - sh - width)) & ((1 << width) - 1)
+
+    def _read1(pos: int, width: int) -> int:
+        if pos + width > nbits:
+            raise ValueError("RICE_1 bitstream truncated")
+        b0 = pos >> 3
+        w = int.from_bytes(data[b0:b0 + 6].ljust(6, b"\0"), "big")
+        return (w >> (48 - (pos & 7) - width)) & ((1 << width) - 1)
+
+    # Pass 1 (sequential, pure Python ints — the bit POSITION is the
+    # only sequential state): walk block headers and unary terminators,
+    # accumulating flat lists. All numpy work is deferred to one
+    # batched pass per field so its per-call overhead amortizes over
+    # the whole tile, not per 32-value block.
+    first = _read1(0, bbits)
+    p = bbits
+    i = 0
+    all_terms: list[int] = []          # terminator bit positions
+    coded_blocks: list[tuple] = []     # (i0, this, fs, p_start)
+    raw_blocks: list[tuple] = []       # (i0, this, p_start)
+    while i < n_pix:
+        this = min(blocksize, n_pix - i)
+        code = _read1(p, fsbits)
+        p += fsbits
+        fs = code - 1
+        if fs < 0:
+            i += this            # all-zero block: diffs stay 0
+            continue
+        if fs == fsmax:          # raw block: bbits-wide mapped diffs
+            if p + this * bbits > nbits:
+                raise ValueError("RICE_1 bitstream truncated")
+            raw_blocks.append((i, this, p))
+            p += this * bbits
+            i += this
+            continue
+        # fs-coded block: walk the unary terminators — each value
+        # consumes (top+1) unary bits then fs remainder bits, so the
+        # next terminator is the first 1-bit at ≥ the position past
+        # the previous value's remainder. Byte-level scan: Rice picks
+        # fs so the mean unary run is ~2 bits, so the terminator is
+        # almost always in the current byte — mask off the already-
+        # consumed low-position bits, then `bit_length` locates the
+        # MSB-first 1; zero bytes (long runs) are skipped whole.
+        coded_blocks.append((i, this, fs, p))
+        step = 1 + fs
+        s = p
+        app = all_terms.append
+        try:
+            for _ in range(this):
+                y = s >> 3
+                b = data[y] & (255 >> (s & 7))
+                while not b:
+                    y += 1
+                    b = data[y]
+                t = (y << 3) + 8 - b.bit_length()
+                app(t)
+                s = t + step
+        except IndexError:
+            raise ValueError("RICE_1 bitstream truncated") from None
+        p = s
+        i += this
+    if p > nbits:
+        raise ValueError("RICE_1 bitstream truncated")
+
+    # Pass 2 (vectorized over the whole tile)
+    mapped = np.zeros(n_pix, dtype=np.int64)
+    if coded_blocks:
+        i0 = np.array([b[0] for b in coded_blocks], dtype=np.int64)
+        cnt = np.array([b[1] for b in coded_blocks], dtype=np.int64)
+        bfs = np.array([b[2] for b in coded_blocks], dtype=np.int64)
+        bp0 = np.array([b[3] for b in coded_blocks], dtype=np.int64)
+        total = int(cnt.sum())
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        vidx = np.repeat(i0, cnt) + within
+        fs_v = np.repeat(bfs, cnt)
+        step_v = fs_v + 1
+        ta = np.array(all_terms, dtype=np.int64)
+        starts = np.empty(total, dtype=np.int64)
+        starts[0] = bp0[0]
+        starts[1:] = ta[:-1] + step_v[:-1]
+        firsts = np.cumsum(cnt) - cnt           # block-first value slots
+        starts[firsts] = bp0
+        u = (ta - starts) << fs_v
+        for f in np.unique(bfs):
+            f = int(f)
+            if f == 0:
+                continue
+            m = fs_v == f
+            u[m] |= _read_batch(ta[m] + 1, f)
+        mapped[vidx] = u
+    if raw_blocks:
+        i0 = np.array([b[0] for b in raw_blocks], dtype=np.int64)
+        cnt = np.array([b[1] for b in raw_blocks], dtype=np.int64)
+        bp0 = np.array([b[2] for b in raw_blocks], dtype=np.int64)
+        within = (np.arange(int(cnt.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        mapped[np.repeat(i0, cnt) + within] = _read_batch(
+            np.repeat(bp0, cnt) + within * bbits, bbits)
+    # zigzag-unmap, integrate, reinterpret as signed bytepix-width ints
+    d = np.where(mapped & 1 == 0, mapped >> 1, -((mapped >> 1) + 1))
+    out = (first + np.cumsum(d)) % wrap
+    out[out >= half] -= wrap
+    return out
+
+
+def rice_encode_scalar(values: np.ndarray, bytepix: int = 4,
+                       blocksize: int = 32) -> bytes:
+    """Bit-at-a-time reference encoder (the pre-r5 implementation);
+    kept as the differential-test oracle for :func:`rice_encode`."""
+    fsbits, fsmax = _check_bytepix(bytepix)
     bbits = bytepix * 8
     wrap = 1 << bbits
     half = wrap >> 1
@@ -151,13 +394,11 @@ def rice_encode(values: np.ndarray, bytepix: int = 4,
     return w.getvalue()
 
 
-def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
-                blocksize: int = 32) -> np.ndarray:
-    """Decode ``n_pix`` values from a RICE_1 stream → int64 array
-    (signed, per the ``bytepix`` width)."""
-    if bytepix not in _PARAMS:
-        raise ValueError(f"RICE_1 bytepix must be 1, 2 or 4, got {bytepix}")
-    fsbits, fsmax = _PARAMS[bytepix]
+def rice_decode_scalar(payload: bytes, n_pix: int, bytepix: int = 4,
+                       blocksize: int = 32) -> np.ndarray:
+    """Bit-at-a-time reference decoder (the pre-r5 implementation);
+    kept as the differential-test oracle for :func:`rice_decode`."""
+    fsbits, fsmax = _check_bytepix(bytepix)
     bbits = bytepix * 8
     wrap = 1 << bbits
     half = wrap >> 1

@@ -342,6 +342,87 @@ def test_rice_roundtrip_hypothesis():
     prop()
 
 
+def test_rice_vectorized_matches_scalar():
+    """r5: the vectorized codec (numpy batch passes + byte-level unary
+    walk) against the original bit-at-a-time scalar implementation —
+    ENCODE must be byte-identical, DECODE value-identical — across data
+    shapes that hit every block class (zero / fs-coded / raw), all
+    bytepix widths, and non-default/non-dividing blocksizes."""
+    from spark_fits_spark.fitscore import rice
+
+    rng = np.random.default_rng(11)
+    for bp, dt in ((1, "i1"), (2, "i2"), (4, "i4")):
+        info = np.iinfo(dt)
+        for kind in range(6):
+            n = int(rng.integers(0, 1200))
+            if kind == 0:    # raw-heavy
+                a = rng.integers(info.min, info.max + 1, n)
+            elif kind == 1:  # constant (all-zero blocks)
+                a = np.full(n, int(rng.integers(info.min, info.max + 1)))
+            elif kind == 2:  # smooth ramp + noise (small fs)
+                a = np.arange(n) // 7 + rng.integers(-3, 4, n)
+            elif kind == 3:  # random walk (mid fs)
+                a = (rng.integers(-5, 6, n).cumsum() if n
+                     else np.zeros(0, np.int64))
+            elif kind == 4:  # mixed: random with zero runs
+                a = rng.integers(info.min, info.max + 1, n)
+                a[::3] = 0
+            else:            # sparse spikes (long unary runs)
+                a = np.zeros(n, dtype=np.int64)
+                if n:
+                    a[rng.integers(0, n, max(1, n // 50))] = rng.integers(
+                        1, info.max + 1, max(1, n // 50))
+            a = ((a.astype(np.int64) - info.min) % (1 << (bp * 8))
+                 + info.min)
+            for bs in (32, 16, 7):
+                enc = rice.rice_encode(a, bytepix=bp, blocksize=bs)
+                assert enc == rice.rice_encode_scalar(
+                    a, bytepix=bp, blocksize=bs), (bp, kind, bs)
+                dec = rice.rice_decode(enc, n, bytepix=bp, blocksize=bs)
+                assert np.array_equal(dec, rice.rice_decode_scalar(
+                    enc, n, bytepix=bp, blocksize=bs)), (bp, kind, bs)
+                assert np.array_equal(dec, a), (bp, kind, bs)
+
+
+def test_rice_golden_bitstreams():
+    """Hand-assembled golden bitstreams (r4 VERDICT #4: pin the
+    BITSTREAM conventions, not just the self round-trip). Each payload
+    was derived by hand from the published convention (Pence, Seaman &
+    White 2009 §5.1) — first value raw big-endian, zigzag-mapped diffs,
+    MSB-first fs codes / unary / remainders — so a convention drift in
+    either codec direction fails against bytes it cannot regenerate.
+
+    Golden 1 (bytepix=1, blocksize=4), pixels [3,4,4,2,2,2,2,2]:
+      raw first 00000011; block1 diffs [0,1,0,-2] → mapped [0,2,0,3],
+      fs=0 → code 001, unary 1/001/1/0001; block2 all-zero → code 000
+      ⇒ 00000011 0011 0011 0001000(0) = 03 33 10.
+    Golden 2 (bytepix=1, blocksize=2), pixels [0,100]:
+      mapped [0,200] → fs ≥ fsmax ⇒ raw-escape code 111 + 8-bit
+      mapped diffs ⇒ 00000000 111 00000000 11001000 (00000) =
+      00 E0 19 00.
+    Golden 3 (bytepix=1, blocksize=2), pixels [0,6]:
+      mapped [0,12], fs=2 → code 011; 12 = top 3 → unary 0001 +
+      remainder 00 ⇒ 00000000 011 100 0001 00(0...) = 00 70 40.
+    Golden 4 (bytepix=1, blocksize=2), pixels [5,3]:
+      negative diff −2 → odd zigzag 3; fs=0 → code 001, unary 1/0001
+      ⇒ 00000101 001 1 0001 = 05 31."""
+    from spark_fits_spark.fitscore import rice
+
+    goldens = [
+        (bytes([0x03, 0x33, 0x10]), [3, 4, 4, 2, 2, 2, 2, 2], 4),
+        (bytes([0x00, 0xE0, 0x19, 0x00]), [0, 100], 2),
+        (bytes([0x00, 0x70, 0x40]), [0, 6], 2),
+        (bytes([0x05, 0x31]), [5, 3], 2),
+    ]
+    for payload, pixels, bs in goldens:
+        a = np.asarray(pixels, dtype="i1")
+        for dec in (rice.rice_decode, rice.rice_decode_scalar):
+            got = dec(payload, len(pixels), bytepix=1, blocksize=bs)
+            assert np.array_equal(got, a.astype(np.int64)), (payload, dec)
+        for enc in (rice.rice_encode, rice.rice_encode_scalar):
+            assert enc(a, bytepix=1, blocksize=bs) == payload, (payload, enc)
+
+
 def test_shuffle_roundtrip_hypothesis():
     from hypothesis import given, settings
     from hypothesis import strategies as st
