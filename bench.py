@@ -227,6 +227,47 @@ def fits_scan_compressed_seconds(spark) -> tuple[float, float]:
     return sec, logical_mb
 
 
+def fits_scan_rice_seconds(spark) -> tuple[float, float]:
+    """(seconds, logical MB) for a full scan+agg of a RICE_1
+    tile-compressed image — fpack's DEFAULT codec for integer images,
+    so a real compressed archive is mostly this path (r4 VERDICT #3).
+    Same shape as the GZIP_2 row (16 files × 32 row-tiles, ~64 MB
+    logical int32) so the two logical-MB/s numbers compare directly;
+    the pixel data is a smooth ramp + texture, the fs-coded case a sky
+    image mostly hits."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    d = tempfile.mkdtemp(prefix="fitsbench_rice")
+    n_files, rows, width = 16, 512, 2048  # 16 x 4 MB logical
+    for fi in range(n_files):
+        base = np.arange(rows * width, dtype=np.int64) + fi
+        img = ((base % 1000) + (base // width)).astype("i4").reshape(rows, width)
+        writer.write_fits(
+            os.path.join(d, f"part{fi:03d}.fits"),
+            [writer.compressed_image_hdu(img, "RICE_1", tile_rows=16)])
+    logical_mb = n_files * rows * width * 4 / 1e6
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("fits").option("hdu", 1).load(d)
+    df.count()  # warm-up
+    t0 = time.perf_counter()
+    got = df.agg(
+        F.sum(F.aggregate("Image", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).alias("s"),
+        F.count("*")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert got[1] == n_files * rows, got
+    try:
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        os.rmdir(d)
+    except OSError:
+        pass
+    return sec, logical_mb
+
+
 def fits_scan_multifile_seconds(spark) -> tuple[float, float]:
     """(seconds, MB) for the same ~64 MB bintable payload split across
     32 separate FITS files (32 scan partitions): pins multi-file
@@ -400,6 +441,8 @@ def main() -> None:
     timings["fits_scan_multifile"] = round(multi_sec, 3)
     comp_sec, comp_mb = fits_scan_compressed_seconds(spark)
     timings["fits_scan_compressed"] = round(comp_sec, 3)
+    rice_sec, rice_mb = fits_scan_rice_seconds(spark)
+    timings["fits_scan_rice"] = round(rice_sec, 3)
     plan_sec, plan_warm_sec, plan_files = fits_plan_manyfile_seconds()
     timings["fits_plan_2048files"] = round(plan_sec, 3)
     timings["fits_plan_2048files_cached"] = round(plan_warm_sec, 3)
@@ -421,9 +464,46 @@ def main() -> None:
                                           "q99", "q100", "q101", "q102", "q103", "q105",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
+                                          "fits_scan_rice",
                                           "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    metrics = {
+        "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
+        # same payload over 32 files / 32 scan partitions: multi-file
+        # planning (thread-pooled driver header walk) + scheduling cost
+        "fits_scan_multifile_mb_per_s": round(multi_mb / multi_sec, 1),
+        # GZIP_2 / RICE_1 tile-compressed image scans, in LOGICAL
+        # (decompressed) MB/s: per-tile heap windows + codec inflate +
+        # pixel-sum agg. RICE is fpack's default int codec (r4 VERDICT
+        # #3: measure it, not just GZIP).
+        "fits_scan_compressed_mb_per_s": round(comp_mb / comp_sec, 1),
+        "fits_scan_rice_mb_per_s": round(rice_mb / rice_sec, 1),
+        # single-thread pure decode (no Spark overhead): the honest
+        # per-task comparison against the reference's ~16 MB/s/task.
+        # At 68 MB the distributed scan wall is dominated by fixed
+        # job/scheduling cost (~0.3 s), not decode.
+        "decode_mb_per_s_per_task": decode_rate,
+        # driver planning throughput over 2048 part files: cold = pooled
+        # header walk; cached = stat-validated header LRU re-plan (what
+        # the 2nd..Nth action over an unchanged catalog pays)
+        "fits_plan_files_per_s": round(plan_files / plan_sec, 1),
+        "fits_plan_cached_files_per_s": round(plan_files / plan_warm_sec, 1),
+        # host-condition telemetry: the benchmark box is burstable —
+        # effective parallelism has been observed anywhere from ~4 to 32
+        # cores with zero code change; this contextualizes run-to-run
+        # variance (1.0 = all CPUS really available)
+        "parallel_efficiency": _parallel_efficiency(),
+    }
+    # Full-detail record (long query names, medians, raw per-rep
+    # timings): printed FIRST and also written to BENCH_DETAIL.json so
+    # the distribution stays inspectable. The harness that captures
+    # this process's stdout keeps only a bounded tail (r4 post-mortem:
+    # the 68-entry rep_seconds arrays pushed the single output line
+    # past the capture window and the committed artifact lost the
+    # whole queries dict), so the machine-read line printed LAST must
+    # stay compact — headline totals + per-query MINs under short qNN
+    # keys + throughput metrics, ~1.5 KB.
+    detail = {
         "metric": "suite_total_seconds",
         "value": total,
         "core_total_seconds_r1set": core,
@@ -443,29 +523,39 @@ def main() -> None:
         "reps": REPS,
         "queries_median": medians,
         "rep_seconds": rep_seconds,
-        "fits_scan_mb_per_s": round(fits_mb / fits_sec, 1),
-        # same payload over 32 files / 32 scan partitions: multi-file
-        # planning (thread-pooled driver header walk) + scheduling cost
-        "fits_scan_multifile_mb_per_s": round(multi_mb / multi_sec, 1),
-        # GZIP_2 tile-compressed image scan, in LOGICAL (decompressed)
-        # MB/s: per-tile heap windows + zlib inflate + pixel-sum agg
-        "fits_scan_compressed_mb_per_s": round(comp_mb / comp_sec, 1),
-        # single-thread pure decode (no Spark overhead): the honest
-        # per-task comparison against the reference's ~16 MB/s/task.
-        # At 68 MB the distributed scan wall is dominated by fixed
-        # job/scheduling cost (~0.3 s), not decode.
-        "decode_mb_per_s_per_task": decode_rate,
-        # driver planning throughput over 2048 part files: cold = pooled
-        # header walk; cached = stat-validated header LRU re-plan (what
-        # the 2nd..Nth action over an unchanged catalog pays)
-        "fits_plan_files_per_s": round(plan_files / plan_sec, 1),
-        "fits_plan_cached_files_per_s": round(plan_files / plan_warm_sec, 1),
-        # host-condition telemetry: the benchmark box is burstable —
-        # effective parallelism has been observed anywhere from ~4 to 32
-        # cores with zero code change; this contextualizes run-to-run
-        # variance (1.0 = all CPUS really available)
-        "parallel_efficiency": _parallel_efficiency(),
-    }))
+        **metrics,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    # Headline line (LAST, compact): per-query keys shortened to their
+    # unique qNN prefix ("q22" = q22_dedup_minhash_lsh, ...); the
+    # fits_* microbench rows keep full names. Values are the per-query
+    # MIN over REPS, identical to detail["queries"].
+    short = {}
+    for k, v in timings.items():
+        key = k.split("_", 1)[0] if k.startswith("q") else k
+        assert key not in short, f"qNN prefix collision: {k}"
+        short[key] = v
+    print(json.dumps({
+        "metric": "suite_total_seconds",
+        "value": total,
+        "core_total_seconds_r1set": core,
+        "unit": "sec",
+        "queries": short,
+        "key_style": "qNN-prefix; full names in BENCH_DETAIL.json",
+        "sf": float(sf),
+        "cpus": CPUS,
+        "warmed": warmed,
+        "reps": REPS,
+        **metrics,
+    }, separators=(",", ":")))
     spark.stop()
 
 

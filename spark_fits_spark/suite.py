@@ -3766,55 +3766,50 @@ def q105_late_supplier_blame(spark, sf):
 # insertion order (observed: CORRECTNESS_r02 rows == the first 50
 # registrations, exactly).  Standing rotation invariant (r3 VERDICT #4):
 # every query gets a green driver row within the trailing two rounds.
-# Round 4 therefore front-loads the 40 queries whose last driver row is
-# r02 (the whole relational block q01-q21/q23-q45 oddments, plus
-# q47/q50/q52/q53 and the r2 LLM-pipeline picks that rotated off in
-# r3), then q46 — newly reformulated to a hash-checkable exact-side +
-# tolerance-boolean shape, taking its FIRST-ever hash row — and fills
-# the remaining slots with this round's changed-code repeats: the three
-# FITS round-trip queries (the scan/writer paths now route through the
-# fitscore.vfs filesystem layer), the BPE pair (batched-merge fit), the
-# KMV overlap (small-sketch exact path per r3 ADVICE), q22 minhash
-# (bench-stability watch), and q88 IVF-PQ (heaviest ANN path). The 39
-# r3-green queries that rotate off stay under the local type-sensitive
-# mirror (tests/test_entry.py), which runs all 90+ every round.
+# Round 5 (per r4 VERDICT #2) leads with the 8 queries that have NEVER
+# had a driver row (q98-q105 — r4-new, past r4's 50-cap, each
+# mirror-green), then rotates back the full r03-green block now aging
+# out. Arithmetic is tight: 103 queries minus r04's 50 green rows
+# leaves 53 candidates for 50 slots, so a two-round union of 100 rows
+# cannot cover 103 queries — 3 must slip to r6. The slips are chosen
+# to be PURE COMPOSITIONS whose component operators are themselves
+# hash-gated inside the trailing window and whose oracle SQL is the
+# composition of the components' oracles verbatim: q63_hybrid_rrf
+# (= q31 LSH + q50 IVF retrievers), q81_ann_recall (= q26 exact +
+# q50 IVF), q84_mrl_truncated_recall (= q26's cosine_topk at two
+# dims). All three stay green in the local type-sensitive mirror
+# (tests/test_entry.py runs every query against DuckDB each round)
+# and lead the r6 gate.
 _DRIVER_PRIORITY = [
-    # last-green-in-r02: relational block
-    "q01_pricing_summary", "q02_filter_project", "q03_top_building_orders",
-    "q05_supplier_nation_revenue", "q07_region_rollup",
-    "q08_window_running", "q09_window_events_lag", "q10_distinct_agg",
-    "q11_set_ops", "q12_semi_anti", "q13_scalar_functions",
-    "q14_date_functions", "q15_topk_orders", "q16_global_stats",
-    "q17_events_hourly", "q18_events_json", "q19_sessionize",
-    "q32_pivot_segments", "q33_grouping_sets", "q34_outer_joins",
-    "q37_percentiles", "q38_stats_moments", "q39_explode_tokens",
-    "q40_cube", "q41_above_cust_avg", "q43_collect_sorted",
-    "q44_ranking_windows",
-    # last-green-in-r02: dedup/text/ANN/multimodal picks
-    "q20_dedup_exact", "q21_dedup_normalized", "q23_dedup_ngram_jaccard",
-    "q24_dedup_simhash", "q26_ann_cosine_topk", "q27_text_stats",
-    "q28_text_langid", "q29_text_quality", "q30_multimodal_meta",
-    "q47_winnow_fingerprints", "q50_ann_ivf_topk", "q52_text_repetition",
-    "q53_text_scrub",
-    # first-ever hash row: reformulated sketch validation
-    "q46_approx_stats",
-    # r4-new (first driver rows): streaming shard sink, perceptron
-    # quality classifier, simhash Hamming-ball join, A-ES weighted
-    # sampling, Misra-Gries heavy hitters
-    "q93_stream_shard_sink", "q94_quality_classifier",
-    "q95_simhash_hamming_pairs", "q96_weighted_sample",
-    "q97_heavy_hitters",
-    # changed-code repeats this round (FITS paths over the new VFS
-    # layer; BPE batched fit via its apply superset; q22 bench watch)
-    "q49_fits_scan_roundtrip", "q80_fits_pruned_scan",
-    "q86_bpe_apply",
-    "q22_dedup_minhash_lsh",
-    # (q88 IVF-PQ, q83 KMV, q74 image roundtrip, and q69 BPE-segment
-    # rotate to the local mirror: all r03-green; the r4 code changes
-    # they share are each pinned elsewhere on the gate or by unit
-    # tests — q49/q80 cover the VFS scan+writer, q86's fit→apply
-    # covers the batched-merge fit, and the KMV small-sketch exact
-    # path has its own unit test)
+    # never-driver-checked (first rows): RAG retrieval composition,
+    # cluster-balanced sampling, Bloom decontamination, compressed-
+    # image roundtrip, Zones crossmatch, bigram-LM fluency, zone-map
+    # pruned scan, TPC-H Q21 shape
+    "q98_rag_chunk_retrieval", "q99_cluster_balanced_sample",
+    "q100_bloom_decontaminate", "q101_fits_compressed_roundtrip",
+    "q102_zone_crossmatch", "q103_bigram_logprob",
+    "q104_fits_zonemap_scan", "q105_late_supplier_blame",
+    # last-green-in-r03: relational/operator block rotating back on
+    "q25_embedding_near_dup", "q31_ann_lsh_topk",
+    "q35_asof_join", "q36_range_join_pairs", "q42_grouped_zscore",
+    "q45_salted_join_agg", "q48_dedup_clusters", "q51_dedup_corpus",
+    "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
+    "q57_line_dedup", "q58_kmeans_assign", "q59_quantize_error",
+    "q60_unigram_logprob", "q61_bm25_topk", "q62_token_budget_mix",
+    "q64_decontaminate", "q65_semdedup", "q66_shuffle_shards",
+    "q67_boilerplate_ngrams", "q68_multimodal_features",
+    "q69_bpe_segment", "q70_chunk_windows", "q71_corpus_report",
+    "q72_fixed_n_sample", "q73_temperature_mix",
+    "q74_fits_image_roundtrip", "q75_dsir_weights",
+    "q76_shard_manifest", "q77_gopher_filter", "q78_incremental_dedup",
+    "q79_exact_substring_dedup", "q82_pmi_collocations",
+    "q83_kmv_source_overlap", "q85_pq_encode",
+    "q87_minhash_estimator_error", "q88_ivfpq_recall",
+    "q89_quality_top_fraction", "q90_hard_negatives",
+    "q91_lm_fluency_gate", "q92_source_kl_drift",
+    # (slipped to r6, see the note above: q63_hybrid_rrf,
+    # q81_ann_recall, q84_mrl_truncated_recall — compositions of
+    # in-window gated components, mirror-green)
 ]
 
 
