@@ -168,6 +168,7 @@ class HduInfo:
     z_bytepix: int = 0                      # RICE_1 BYTEPIX (ZNAMEn/ZVALn)
     z_blocksize: int = 32                   # RICE_1 BLOCKSIZE
     z_quantiz: str = ""                     # ZQUANTIZ (float quantization)
+    z_blank: int | None = None              # ZBLANK: undefined-pixel sentinel
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -302,6 +303,12 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 z_blocksize=int(float(znames.get("BLOCKSIZE") or 32)),
                 z_quantiz=(header_value(header, "ZQUANTIZ", "")
                            or "").strip(),
+                # quantized-float undefined-pixel sentinel (header-card
+                # form; the per-tile ZBLANK column form is detected at
+                # decode time from col_names)
+                z_blank=(int(float(header_value(header, "ZBLANK", None)))
+                         if header_value(header, "ZBLANK", None) is not None
+                         else None),
             )
         return info
 

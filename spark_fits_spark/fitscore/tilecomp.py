@@ -212,14 +212,25 @@ def decode_compressed_image(
         offset=col_off, strides=(hdu.row_bytes, desc_w),
     ).astype(np.int64)
     if quantized:
-        def _dcol(name: str) -> np.ndarray:
+        def _dcol(name: str, dt: str = ">f8") -> np.ndarray:
             ci = hdu.col_names.index(name)
             return np.ndarray(
-                (n_tiles,), dtype=">f8", buffer=bbuf,
+                (n_tiles,), dtype=dt, buffer=bbuf,
                 offset=hdu.split_locations[ci], strides=(hdu.row_bytes,),
-            ).astype(np.float64)
+            ).astype(np.float64 if dt == ">f8" else np.int64)
 
         zscale, zzero = _dcol("ZSCALE"), _dcol("ZZERO")
+        # Undefined-pixel sentinel (ZBLANK): quantized integers equal
+        # to it reconstruct to NaN, not zzero+zscale·sentinel. Both
+        # convention forms: the per-tile ZBLANK column (1J) wins over
+        # the header card; absent both, no pixel is undefined.
+        if "ZBLANK" in hdu.col_names:
+            ci = hdu.col_names.index("ZBLANK")
+            zw = hdu.split_locations[ci + 1] - hdu.split_locations[ci]
+            zblank_col = _dcol("ZBLANK", {4: ">i4", 8: ">i8", 2: ">i2"}
+                               .get(zw, ">i4"))
+        else:
+            zblank_col = None
 
     if n_tiles and desc.size:
         lo = int(min(desc[i, 1] for i in range(n_tiles)))
@@ -243,6 +254,10 @@ def decode_compressed_image(
                 bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
             pix = (zzero[i] + zscale[i] * q.astype(np.float64)).astype(
                 dtype.newbyteorder("="))
+            sentinel = (int(zblank_col[i]) if zblank_col is not None
+                        else hdu.z_blank)
+            if sentinel is not None:
+                pix[q == sentinel] = np.nan
         else:
             pix = decompress_tile(
                 payload, hdu.z_cmptype, dtype, n_rows * width,

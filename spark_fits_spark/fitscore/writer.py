@@ -14,28 +14,47 @@ import numpy as np
 
 from spark_fits_spark.fitscore.constants import FITS_BLOCK_SIZE, FITS_CARD_SIZE
 
+# the tiled-compression convention's default undefined-pixel sentinel
+# (what fpack writes for ZBLANK when quantizing floats with NaNs)
+ZBLANK_DEFAULT = -2147483647
+
 
 def _card(keyword: str, value, comment: str | None = None) -> bytes:
     kw = f"{keyword:<8}"
     if value is None:
         body = kw + (f"  {comment}" if comment else "")
+        card = body.encode("ascii")[:FITS_CARD_SIZE]
+        return card.ljust(FITS_CARD_SIZE)
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        vstr = f"{v:>20}"
+    elif isinstance(value, (int, np.integer)):
+        vstr = f"{value:>20d}"
+    elif isinstance(value, float):
+        # shortest round-trip repr (uppercased exponent): %G's six
+        # significant digits would corrupt stats cards (TDMINn/
+        # TDMAXn) whose consumers rely on exact bounds. repr can run
+        # to 24 chars (> the 20-char fixed field) — legal free-format,
+        # handled by the comment-first truncation below. Non-finite
+        # floats have no FITS representation: fail loud, never emit
+        # 'INF'/'NAN' garbage into a header.
+        if not np.isfinite(value):
+            raise ValueError(
+                f"card {keyword}: non-finite float {value!r} has no "
+                "FITS header representation")
+        vstr = f"{repr(value).upper():>20}"
     else:
-        if isinstance(value, bool):
-            v = "T" if value else "F"
-            vstr = f"{v:>20}"
-        elif isinstance(value, (int, np.integer)):
-            vstr = f"{value:>20d}"
-        elif isinstance(value, float):
-            # shortest round-trip repr (uppercased exponent): %G's six
-            # significant digits would corrupt stats cards (TDMINn/
-            # TDMAXn) whose consumers rely on exact bounds
-            vstr = f"{repr(value).upper():>20}"
-        else:
-            s = str(value).replace("'", "''")
-            vstr = f"'{s:<8}'"
-        body = f"{kw}= {vstr}"
-        if comment:
-            body += f" / {comment}"
+        s = str(value).replace("'", "''")
+        vstr = f"'{s:<8}'"
+    body = f"{kw}= {vstr}"
+    if comment:
+        with_comment = f"{body} / {comment}"
+        # the 80-byte cap must never clip the VALUE: if keyword+value
+        # leave too little room, shorten or drop the comment instead
+        if len(with_comment) > FITS_CARD_SIZE:
+            room = FITS_CARD_SIZE - len(body) - 3
+            with_comment = f"{body} / {comment[:room]}" if room > 0 else body
+        body = with_comment
     card = body.encode("ascii")
     if len(card) > FITS_CARD_SIZE:
         card = card[:FITS_CARD_SIZE]
@@ -243,10 +262,11 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
         raise NotImplementedError(
             "RICE_1 cannot write int64 images (outside the RICE bytepix "
             "table); use GZIP_1/GZIP_2")
-    if quantize and not np.isfinite(data).all():
+    if quantize and np.isinf(data).any():
         raise NotImplementedError(
-            "RICE_1 float quantization requires finite pixels "
-            "(NaN/Inf handling via ZBLANK is not implemented)")
+            "RICE_1 float quantization cannot represent Inf pixels "
+            "(NaN maps to the ZBLANK undefined-pixel sentinel; Inf has "
+            "no representation in the quantized layout)")
     if data.ndim < 2:
         data = data.reshape(1, -1)
     plane_rows, width = data.shape[-2], data.shape[-1]
@@ -254,17 +274,27 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     payloads: list[bytes] = []
     zscales: list[float] = []
     zzeros: list[float] = []
+    has_blank = False
     for p in range(planes.shape[0]):
         for r0 in range(0, plane_rows, tile_rows):
             tile = planes[p, r0:r0 + tile_rows, :]
             if quantize:
                 # per-tile linear quantization (the fpack float layout,
                 # NO_DITHER): ~16-bit resolution over the tile's range.
-                # Lossy by design — max error zscale/2 per pixel.
-                lo = float(tile.min()) if tile.size else 0.0
-                hi = float(tile.max()) if tile.size else 0.0
+                # Lossy by design — max error zscale/2 per pixel. NaN
+                # pixels store the ZBLANK sentinel (the convention's
+                # default -2147483647) and a ZBLANK header card is
+                # emitted; quantized values are ≥ 0 so the sentinel
+                # never collides with a real pixel.
+                finite = np.isfinite(tile)
+                vals = tile[finite]
+                lo = float(vals.min()) if vals.size else 0.0
+                hi = float(vals.max()) if vals.size else 0.0
                 zs = (hi - lo) / 65000.0 or 1.0
                 q = np.round((tile.astype(np.float64) - lo) / zs)
+                if not finite.all():
+                    has_blank = True
+                    q = np.where(finite, q, float(ZBLANK_DEFAULT))
                 payloads.append(
                     tilecomp.compress_tile(q.astype("i4"), cmptype))
                 zscales.append(zs)
@@ -293,6 +323,9 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     columns = [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))]
     if quantize:
         zcards.append(_card("ZQUANTIZ", "NO_DITHER", "quantization mode"))
+        if has_blank:
+            zcards.append(_card("ZBLANK", ZBLANK_DEFAULT,
+                                "undefined-pixel sentinel"))
         columns.append(("ZSCALE", "D", np.asarray(zscales, dtype=">f8")))
         columns.append(("ZZERO", "D", np.asarray(zzeros, dtype=">f8")))
     return bintable_hdu(

@@ -723,9 +723,19 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
     satisfy the conjunction of pushed filters. Conservative: any
     missing/unparseable stat, non-numeric comparison value, or filter
     shape outside the simple range family contributes nothing (never
-    prunes). Values compare as doubles — exact for every stat the
-    writer emits below 2^53; a conservative no-prune fallback would
-    need exact int compares only past that, where stats cards are rare.
+    prunes). Values compare as doubles, which is SAFE for any
+    magnitude because float64 rounding is monotone: for the
+    inclusive-bound prunes (=, >=, <=, In) a float-side exclusion
+    implies the exact-side exclusion, and the strict compares (>, <)
+    use strict float inequalities so an int64 bound past 2^53 that
+    ties its comparison value after rounding never prunes (hi > v
+    exactly ⟹ float(hi) ≥ float(v) ⟹ no prune) — marginally
+    conservative for genuinely-equal float bounds, never wrong.
+
+    Columns with non-trivial TSCALn/TZEROn never prune: the standard
+    defines TDMINn/TDMAXn as PHYSICAL (scaled) values, while a scan
+    with scaling off compares raw stored values (scaling ON disables
+    pruning wholesale at the call site).
     """
     import math
 
@@ -734,6 +744,10 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
         lo_s = hdu.header.get(f"TDMIN{i}")
         hi_s = hdu.header.get(f"TDMAX{i}")
         if lo_s is None or hi_s is None:
+            continue
+        tscal = hdu.col_tscal[i - 1] if i <= len(hdu.col_tscal) else None
+        tzero = hdu.col_tzero[i - 1] if i <= len(hdu.col_tzero) else None
+        if tscal != 1.0 or tzero != 0.0:
             continue
         try:
             lo, hi = float(lo_s), float(hi_s)
@@ -761,13 +775,15 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
             if float(v) < lo or float(v) > hi:
                 return True
         elif isinstance(f, GreaterThan) and num(v):
-            if hi <= float(v):
+            # strict: hi == v after float rounding may hide exact
+            # hi > v for int64 stats past 2^53 (see docstring)
+            if hi < float(v):
                 return True
         elif isinstance(f, GreaterThanOrEqual) and num(v):
             if hi < float(v):
                 return True
         elif isinstance(f, LessThan) and num(v):
-            if lo >= float(v):
+            if lo > float(v):
                 return True
         elif isinstance(f, LessThanOrEqual) and num(v):
             if lo > float(v):

@@ -703,3 +703,57 @@ def test_stats_file_pruning(spark, tmp_path):
     list(r2.pushFilters([LessThan(("Index",), 50)]))
     assert len({p.hdu.path for p in r2.partitions()
                 if p.hdu is not None}) == 3
+
+
+def test_stats_prune_never_wrong_on_scaled_columns(spark, tmp_path):
+    """Adversarial zone-map cases that must NEVER prune a matching file.
+
+    (a) Foreign file with TSCAL/TZERO scaling: the standard defines
+    TDMINn/TDMAXn as PHYSICAL (scaled) values, but a scan with scaling
+    off compares RAW stored values — raw 0..9 under TZERO=50000 carries
+    TDMIN=50000/TDMAX=50009, so pruning against `Raw < 10` on the
+    physical stats would wrongly drop a file where every raw row
+    matches. Scaled columns must contribute nothing to pruning.
+
+    (b) int64 stats past 2^53: float64 rounds 2^53+1 to 2^53, so a
+    non-strict `hi <= v` prune on GreaterThan(2^53) would drop a file
+    whose exact TDMAX=2^53+1 row satisfies the filter. The strict
+    compare keeps it."""
+    import numpy as np
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsDataSource, _stats_prune,
+    )
+
+    # (a) end-to-end: foreign scaled file
+    d = tmp_path / "scaled"
+    d.mkdir()
+    raw = np.arange(10, dtype=">i8")
+    cards = [
+        fw._card("TZERO1", 50000.0), fw._card("TSCAL1", 1.0),
+        fw._card("TDMIN1", 50000), fw._card("TDMAX1", 50009),
+    ]
+    fw.write_fits(str(d / "f.fits"),
+                  [fw.bintable_hdu([("Raw", "K", raw)], extra_cards=cards)])
+    ds = FitsDataSource(options={"path": str(d), "hdu": "1"})
+    r = ds.reader(ds.schema())
+    list(r.pushFilters([LessThan(("Raw",), 10)]))
+    kept = {p.hdu.path for p in r.partitions() if p.hdu is not None}
+    assert len(kept) == 1  # physical-valued stats never prune a raw scan
+
+    # (b) unit-level: exact int bounds past float53 under strict compares
+    from spark_fits_spark.fitscore.file import BlockBoundaries, HduInfo
+
+    hdu = HduInfo(
+        path="x", hdu_index=1, hdu_type="BINTABLE",
+        boundaries=BlockBoundaries(0, 0, 0, 0),
+        header={"TDMIN1": "0", "TDMAX1": "9007199254740993"},  # 2^53+1
+        col_names=("Index",), col_tforms=("K",),
+        col_tscal=(1.0,), col_tzero=(0.0,),
+    )
+    assert not _stats_prune(hdu, [GreaterThan(("Index",), 2 ** 53)])
+    # sanity: a genuinely excluded range still prunes
+    assert _stats_prune(hdu, [GreaterThan(("Index",), 2 ** 53 + 2)])
+    assert _stats_prune(hdu, [LessThan(("Index",), -1)])

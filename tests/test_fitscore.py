@@ -161,6 +161,30 @@ def test_parse_cards_duplicate_keyword_last_wins():
     assert parse_comments(cards)["EXPTIME"] == "second exposure"
 
 
+def test_writer_card_float_edge_cases():
+    """_card guards: a non-finite float raises (no 'INF'/'NAN' garbage
+    cards), and a full-precision repr longer than the 20-char fixed
+    field shortens the COMMENT rather than clipping the value."""
+    import pytest
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.header import split_card
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            fw._card("BSCALE", bad)
+    # 24-char repr + a comment: the value must survive verbatim
+    v = -1.2345678901234567e-222
+    card = fw._card("TDMIN1", v, "min of a very long column name here")
+    assert len(card) == 80
+    kw, val, _com = split_card(card.decode("ascii"))
+    assert kw == "TDMIN1"
+    assert float(val) == v
+    # and with no comment at all
+    kw2, val2, _ = split_card(fw._card("TDMAX1", v).decode("ascii"))
+    assert float(val2) == v
+
+
 def test_short_string_value():
     assert short_string_value("'NGC0000001'") == "NGC0000001"
     assert short_string_value("'padded    '") == "padded"

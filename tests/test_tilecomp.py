@@ -491,11 +491,87 @@ def test_rice_quantized_float_roundtrip(spark, tmp_path, dt):
                 want.append((plane, tuple(rec[rr].tolist())))
     assert got == sorted(want)
 
-    # dithered foreign files and NaN inputs are rejected loud
-    with pytest.raises(NotImplementedError, match="finite"):
+    # Inf has no representation in the quantized layout -> loud reject
+    with pytest.raises(NotImplementedError, match="Inf"):
         bad = cube.copy()
-        bad[0, 0, 0] = np.nan
+        bad[0, 0, 0] = np.inf
         fw.compressed_image_hdu(bad, "RICE_1")
+
+
+@pytest.mark.parametrize("form", ["card", "column"])
+def test_rice_quantized_float_zblank_nan(spark, tmp_path, form):
+    """Undefined pixels through the quantized-float layout: NaN pixels
+    write the ZBLANK sentinel and read back as NaN — not the silently
+    wrong zzero+zscale*sentinel a ZBLANK-ignorant reconstruction would
+    produce. Covers both convention forms: the writer's header-card
+    ZBLANK, and a hand-built foreign file with the per-tile ZBLANK
+    column (which takes precedence over any card)."""
+    img = np.linspace(0.0, 5.0, 4 * 6).reshape(4, 6).astype("f4")
+    img[0, 2] = np.nan
+    img[3, 5] = np.nan
+    p = str(tmp_path / f"zb_{form}.fits")
+    if form == "card":
+        fw.write_fits(p, [fw.compressed_image_hdu(img, "RICE_1",
+                                                  tile_rows=2)])
+        # the writer emitted the convention's ZBLANK card
+        from spark_fits_spark.fitscore.file import open_hdu
+
+        with open(p, "rb") as f:
+            assert open_hdu(f, p, 1).z_blank == fw.ZBLANK_DEFAULT
+    else:
+        # foreign layout: per-tile ZBLANK column, sentinel 7 (chosen to
+        # collide with a plausible quantized value range so the test
+        # proves the COLUMN is honored, not a default)
+        from spark_fits_spark.fitscore import rice
+
+        sent = 7
+        payloads, zs, zz = [], [], []
+        for r0 in range(0, 4, 2):
+            tile = img[r0:r0 + 2].astype(np.float64)
+            finite = np.isfinite(tile)
+            lo = tile[finite].min()
+            scale = (tile[finite].max() - lo) / 65000.0 or 1.0
+            q = np.round((tile - lo) / scale)
+            q = np.where(finite, q, float(sent))
+            # shift real values clear of the sentinel so decode can't
+            # confuse them (foreign writers guarantee this disjointness)
+            q = np.where(finite & (q == sent), sent + 1, q)
+            payloads.append(rice.rice_encode(q.astype("i4").reshape(-1),
+                                             bytepix=4))
+            zs.append(scale)
+            zz.append(lo)
+        lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        cards = [
+            fw._card("ZIMAGE", True), fw._card("ZBITPIX", -32),
+            fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 6),
+            fw._card("ZNAXIS2", 4), fw._card("ZTILE1", 6),
+            fw._card("ZTILE2", 2), fw._card("ZCMPTYPE", "RICE_1"),
+            fw._card("ZQUANTIZ", "NO_DITHER"),
+        ]
+        hdu = fw.bintable_hdu(
+            [("COMPRESSED_DATA", f"1PB({int(lengths.max())})",
+              (lengths, flat)),
+             ("ZSCALE", "D", np.asarray(zs, dtype=">f8")),
+             ("ZZERO", "D", np.asarray(zz, dtype=">f8")),
+             ("ZBLANK", "J", np.full(2, sent, dtype=">i4"))],
+            extra_cards=cards)
+        fw.write_fits(p, [hdu])
+    rows = [list(r["Image"]) for r in _scan(spark, p).collect()]
+    assert len(rows) == 4
+    # 2-D image => ImgIndex is the (single) plane for every row; the
+    # linspace rows are strictly increasing, so the finite minimum
+    # recovers original row order regardless of collect order
+    rows.sort(key=lambda vals: min(v for v in vals if v == v))
+    got_nan = {(ri, ci) for ri, vals in enumerate(rows)
+               for ci, v in enumerate(vals) if v != v}
+    assert got_nan == {(0, 2), (3, 5)}
+    # finite pixels reconstruct within the quantization error
+    for ri, vals in enumerate(rows):
+        for ci, v in enumerate(vals):
+            if (ri, ci) in got_nan:
+                continue
+            assert abs(v - float(img[ri, ci])) < 1e-3
 
 
 def test_rice_dithered_foreign_rejected(spark, tmp_path):
