@@ -366,6 +366,67 @@ def test_mixed_scheme_comma_list(spark, mock_root, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == list(range(30))
 
 
+class _StubFsspecFS:
+    """Local-directory mimic of an fsspec AbstractFileSystem (module
+    level so instances pickle, like real fsspec filesystems do)."""
+
+    def __init__(self, root):
+        self.root = root
+
+    def _p(self, p):
+        return os.path.join(self.root, p)
+
+    def open(self, p, mode):
+        return open(self._p(p), mode)
+
+    def size(self, p):
+        return os.path.getsize(self._p(p))
+
+    def modified(self, p):
+        import datetime
+
+        return datetime.datetime.fromtimestamp(os.path.getmtime(self._p(p)))
+
+    def info(self, p):
+        import datetime
+
+        st = os.stat(self._p(p))
+        return {"size": st.st_size,
+                "mtime": datetime.datetime.fromtimestamp(st.st_mtime)}
+
+    def exists(self, p):
+        return os.path.exists(self._p(p))
+
+    def isdir(self, p):
+        return os.path.isdir(self._p(p))
+
+    def isfile(self, p):
+        return os.path.isfile(self._p(p))
+
+    def find(self, p):
+        out = []
+        for r, _d, fs in os.walk(self._p(p)):
+            out.extend(os.path.relpath(os.path.join(r, f),
+                                       self.root).replace(os.sep, "/")
+                       for f in fs)
+        return out
+
+    def glob(self, p):
+        import glob as g
+
+        return [os.path.relpath(x, self.root).replace(os.sep, "/")
+                for x in g.glob(self._p(p))]
+
+    def ls(self, p, detail=False):
+        return [p.rstrip("/") + "/" + n for n in os.listdir(self._p(p))]
+
+    def makedirs(self, p, exist_ok=False):
+        os.makedirs(self._p(p), exist_ok=exist_ok)
+
+    def rm(self, p):
+        os.remove(self._p(p))
+
+
 def test_fsspec_wrapper_via_stub_module(tmp_path, monkeypatch):
     """fsspec is absent from this environment, so the FsspecFileSystem
     wrapper (the primary production remote path) would otherwise ship
@@ -382,60 +443,8 @@ def test_fsspec_wrapper_via_stub_module(tmp_path, monkeypatch):
     (root / "a.fits").write_bytes(b"0123456789")
     (root / "sub" / "b.fits").write_bytes(b"xy")
 
-    class _StubFS:
-        def _p(self, p):
-            return os.path.join(str(tmp_path), p)
-
-        def open(self, p, mode):
-            return open(self._p(p), mode)
-
-        def size(self, p):
-            return os.path.getsize(self._p(p))
-
-        def modified(self, p):
-            return datetime.datetime.fromtimestamp(
-                os.path.getmtime(self._p(p)))
-
-        def info(self, p):
-            st = os.stat(self._p(p))
-            return {"size": st.st_size,
-                    "mtime": datetime.datetime.fromtimestamp(st.st_mtime)}
-
-        def exists(self, p):
-            return os.path.exists(self._p(p))
-
-        def isdir(self, p):
-            return os.path.isdir(self._p(p))
-
-        def isfile(self, p):
-            return os.path.isfile(self._p(p))
-
-        def find(self, p):
-            out = []
-            for r, _d, fs in os.walk(self._p(p)):
-                out.extend(os.path.relpath(os.path.join(r, f),
-                                           str(tmp_path)).replace(os.sep, "/")
-                           for f in fs)
-            return out
-
-        def glob(self, p):
-            import glob as g
-
-            return [os.path.relpath(x, str(tmp_path)).replace(os.sep, "/")
-                    for x in g.glob(self._p(p))]
-
-        def ls(self, p, detail=False):
-            return [p.rstrip("/") + "/" + n
-                    for n in os.listdir(self._p(p))]
-
-        def makedirs(self, p, exist_ok=False):
-            os.makedirs(self._p(p), exist_ok=exist_ok)
-
-        def rm(self, p):
-            os.remove(self._p(p))
-
     stub = types.ModuleType("fsspec")
-    stub.filesystem = lambda scheme: _StubFS()
+    stub.filesystem = lambda scheme: _StubFsspecFS(str(tmp_path))
     monkeypatch.setitem(sys.modules, "fsspec", stub)
 
     fs = vfs.resolve_fs("stubfs://bucket/a.fits")
@@ -469,3 +478,23 @@ def test_fsspec_wrapper_via_stub_module(tmp_path, monkeypatch):
     with fs.open_input("stubfs://bucket/t.fits") as f:
         hdu = open_hdu(f, "stubfs://bucket/t.fits", 1)
     assert hdu.n_rows == 7
+    # ... and the scan reader's plan+read path over the wrapper: plan
+    # partitions for the stub URI, pickle one (what Spark does shipping
+    # it to an executor), and decode its rows through the wrapper FS
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsScanReader, _HDU_CACHE,
+    )
+
+    _HDU_CACHE.clear()
+    from spark_fits_spark.sources.fits_datasource import FitsDataSource
+
+    ds = FitsDataSource(options={"path": "stubfs://bucket/t.fits",
+                                 "hdu": "1"})
+    reader = FitsScanReader("stubfs://bucket/t.fits", 1, ds.schema(), None,
+                            None, "PERMISSIVE", 8 * 1024 * 1024, False)
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].hdu is not None
+    part = pickle.loads(pickle.dumps(parts[0]))
+    batches = list(reader.read(part))
+    got = [v for b in batches for v in b.column(0).to_pylist()]
+    assert got == list(range(7))
