@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "q102_zone_crossmatch",
     "q103_bigram_logprob",
     "q105_late_supplier_blame",
+    # round-5 addition: the composed survey pipeline (FITS sink with
+    # checksums -> audit -> streaming source -> zone crossmatch)
+    "q106_survey_pipeline",
 ]
 
 
@@ -461,7 +464,8 @@ def main() -> None:
                                           "q89", "q90", "q91", "q92",
                                           "q46", "q93", "q94",
                                           "q95", "q96", "q97", "q98",
-                                          "q99", "q100", "q101", "q102", "q103", "q105",
+                                          "q99", "q100", "q101", "q102",
+                                          "q103", "q105", "q106",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",
