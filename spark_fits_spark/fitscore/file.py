@@ -169,6 +169,7 @@ class HduInfo:
     z_blocksize: int = 32                   # RICE_1 BLOCKSIZE
     z_quantiz: str = ""                     # ZQUANTIZ (float quantization)
     z_blank: int | None = None              # ZBLANK: undefined-pixel sentinel
+    z_dither0: int = 0                      # ZDITHER0: dither seed (1..10000)
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -309,6 +310,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 z_blank=(int(float(header_value(header, "ZBLANK", None)))
                          if header_value(header, "ZBLANK", None) is not None
                          else None),
+                z_dither0=int(float(header_value(header, "ZDITHER0", "0")
+                                    or "0")),
             )
         return info
 

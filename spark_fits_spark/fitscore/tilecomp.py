@@ -24,9 +24,14 @@ codecs, because the payloads are plain RFC-1952 gzip streams:
   implementation of the published Rice spec in ``fitscore/rice.py``
   (BLOCKSIZE/BYTEPIX honored from ``ZNAMEn``/``ZVALn``). Float images
   use fpack's quantized layout: integer tiles plus per-tile
-  ``ZSCALE``/``ZZERO`` columns, supported for ``ZQUANTIZ=NO_DITHER``
-  (subtractive dithering needs the convention's specific RNG stream
-  and is rejected loud).
+  ``ZSCALE``/``ZZERO`` columns, for ``ZQUANTIZ=NO_DITHER`` and (r5)
+  ``SUBTRACTIVE_DITHER_1`` — the fpack float DEFAULT — whose per-pixel
+  offsets both sides regenerate from the convention's portable RNG
+  (``dither_randoms``; the published 1043618065 seed self-check is
+  asserted) seeded by the ``ZDITHER0`` card. ``SUBTRACTIVE_DITHER_2``
+  (zero-preserving) stays a loud rejection. Undefined pixels ride the
+  ``ZBLANK`` sentinel (header card or per-tile column) and surface as
+  NaN.
 - ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected with a
   clear error (no codec implementation in this environment).
 
@@ -49,6 +54,76 @@ import pyarrow as pa
 
 SUPPORTED_CODECS = ("GZIP_1", "GZIP_2", "RICE_1")
 _KNOWN_UNSUPPORTED = ("RICE_ONE", "PLIO_1", "HCOMPRESS_1", "NOCOMPRESS")
+
+# ---------------------------------------------------------------------
+# Subtractive dithering (the convention's §"Preserving undefined pixels
+# / Dithering" — what fpack does to floats BY DEFAULT). Quantization
+# adds a per-pixel pseudo-random offset r ∈ [0,1) before rounding and
+# the reader subtracts the SAME offset, so quantization error
+# decorrelates from the signal (no banding on smooth backgrounds) while
+# staying exactly reproducible: both sides regenerate the offsets from
+# the published portable RNG and the ZDITHER0 seed card.
+# ---------------------------------------------------------------------
+
+N_RANDOM = 10000
+_DITHER_CHECK_SEED = 1043618065   # published self-check after 10000 steps
+_dither_cache: np.ndarray | None = None
+
+
+def dither_randoms() -> np.ndarray:
+    """The convention's portable random sequence: Park–Miller minimal
+    standard LCG, x_{n+1} = 16807·x_n mod (2³¹−1), x_0 = 1, emitting
+    exactly 10000 values x_n / (2³¹−1) ∈ (0,1). The convention
+    publishes a self-check — the seed after 10000 iterations must be
+    1043618065 — which this implementation asserts, pinning the
+    generator against the spec rather than against itself. (Double
+    arithmetic is exact here: 16807·x < 2^45.)"""
+    global _dither_cache
+    if _dither_cache is None:
+        m = 2147483647.0
+        seed = 1.0
+        vals = np.empty(N_RANDOM, dtype=np.float64)
+        for i in range(N_RANDOM):
+            temp = 16807.0 * seed
+            seed = temp - m * int(temp / m)
+            vals[i] = seed / m
+        if int(seed) != _DITHER_CHECK_SEED:
+            raise AssertionError(
+                "dither RNG self-check failed: seed after 10000 steps is "
+                f"{int(seed)}, convention requires {_DITHER_CHECK_SEED}")
+        _dither_cache = vals
+    return _dither_cache
+
+
+def dither_offsets(tile_num: int, zdither0: int, n_pix: int) -> np.ndarray:
+    """Per-pixel dither offsets for tile ``tile_num`` (1-based, global
+    across the image) under seed ``zdither0`` (the ZDITHER0 card,
+    1..10000). Indexing follows CFITSIO's quantize loop: the tile's
+    effective row R = tile_num + zdither0 − 1 picks iseed = (R−1) mod
+    10000, the walk starts at int(rand[iseed]·500), and on reaching the
+    end of the sequence iseed advances and the start is re-derived the
+    same way. Built from contiguous slices — no per-pixel Python."""
+    rv = dither_randoms()
+    iseed = (tile_num + zdither0 - 2) % N_RANDOM
+    nextrand = int(rv[iseed] * 500.0)
+    out = np.empty(n_pix, dtype=np.float64)
+    filled = 0
+    while filled < n_pix:
+        take = min(N_RANDOM - nextrand, n_pix - filled)
+        out[filled:filled + take] = rv[nextrand:nextrand + take]
+        filled += take
+        nextrand += take
+        if nextrand == N_RANDOM:
+            iseed = (iseed + 1) % N_RANDOM
+            nextrand = int(rv[iseed] * 500.0)
+    return out
+
+
+def nint(x: np.ndarray) -> np.ndarray:
+    """C-style NINT (round half away from zero) — numpy's round is
+    banker's rounding, which would diverge from the convention's
+    arithmetic on exact .5 ties."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
 _BITPIX_NP = {16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
@@ -182,11 +257,17 @@ def decode_compressed_image(
     # deterministic NO_DITHER mode is supported (subtractive dithering
     # needs the convention's specific RNG stream).
     quantized = (hdu.z_cmptype == "RICE_1" and hdu.z_bitpix < 0)
+    dithered = False
     if quantized:
-        if hdu.z_quantiz not in ("", "NO_DITHER"):
+        if hdu.z_quantiz not in ("", "NO_DITHER", "SUBTRACTIVE_DITHER_1"):
             raise NotImplementedError(
-                f"ZQUANTIZ={hdu.z_quantiz!r} is not supported (only "
-                "NO_DITHER quantization)")
+                f"ZQUANTIZ={hdu.z_quantiz!r} is not supported (NO_DITHER "
+                "and SUBTRACTIVE_DITHER_1 quantization only)")
+        dithered = hdu.z_quantiz == "SUBTRACTIVE_DITHER_1"
+        if dithered and not 1 <= hdu.z_dither0 <= N_RANDOM:
+            raise ValueError(
+                f"SUBTRACTIVE_DITHER_1 requires a ZDITHER0 card in "
+                f"1..{N_RANDOM}, got {hdu.z_dither0}")
         if not {"ZSCALE", "ZZERO"} <= set(hdu.col_names):
             raise ValueError(
                 "RICE_1 float image lacks per-tile ZSCALE/ZZERO columns")
@@ -252,8 +333,16 @@ def decode_compressed_image(
             q = decompress_tile(
                 payload, hdu.z_cmptype, np.dtype(">i4"), n_rows * width,
                 bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
-            pix = (zzero[i] + zscale[i] * q.astype(np.float64)).astype(
-                dtype.newbyteorder("="))
+            if dithered:
+                # v = (q − r + ½)·zscale + zzero, r regenerated from the
+                # same RNG walk the writer used (tile numbers are GLOBAL,
+                # so a partition-split scan reproduces identical offsets)
+                r = dither_offsets(t + 1, hdu.z_dither0, q.size)
+                pix = ((q.astype(np.float64) - r + 0.5) * zscale[i]
+                       + zzero[i]).astype(dtype.newbyteorder("="))
+            else:
+                pix = (zzero[i] + zscale[i] * q.astype(np.float64)).astype(
+                    dtype.newbyteorder("="))
             sentinel = (int(zblank_col[i]) if zblank_col is not None
                         else hdu.z_blank)
             if sentinel is not None:

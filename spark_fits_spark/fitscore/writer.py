@@ -237,14 +237,25 @@ def image_hdu(data: np.ndarray, primary: bool = False,
 def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
                          tile_rows: int = 1,
                          extra_cards: list[bytes] | None = None,
-                         checksum: bool = False) -> bytes:
+                         checksum: bool = False,
+                         quantize_method: str = "NO_DITHER",
+                         zdither0: int = 1) -> bytes:
     """Build a tiled-compressed image HDU (the fpack convention;
     ``fitscore/tilecomp.py`` documents the layout): a BINTABLE whose
     rows are gzip tiles of ``tile_rows`` consecutive image rows (tiles
     never span z-planes), with ``ZIMAGE``/``ZBITPIX``/``ZNAXISn``/
     ``ZTILEn``/``ZCMPTYPE`` describing the logical image. GZIP payloads
     are standard RFC-1952 streams, so other FITS tools can decompress
-    these files."""
+    these files.
+
+    Float images under RICE_1 quantize per tile; ``quantize_method``
+    picks ``NO_DITHER`` (deterministic linear) or
+    ``SUBTRACTIVE_DITHER_1`` (the fpack float default: per-pixel
+    pseudo-random offsets from the convention's portable RNG, seed
+    recorded in ``ZDITHER0``; quantization error decorrelates from the
+    signal). NaN pixels map to ZBLANK under NO_DITHER; under dithering
+    they are rejected (write NO_DITHER for images with undefined
+    pixels)."""
     from spark_fits_spark.fitscore import tilecomp
 
     if cmptype not in tilecomp.SUPPORTED_CODECS:
@@ -258,6 +269,15 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
             f"dtype {data.dtype} not supported for compressed images")
     bitpix = kind_map[key]
     quantize = cmptype == "RICE_1" and bitpix < 0
+    dither = quantize and quantize_method == "SUBTRACTIVE_DITHER_1"
+    if quantize and quantize_method not in ("NO_DITHER",
+                                            "SUBTRACTIVE_DITHER_1"):
+        raise NotImplementedError(
+            f"quantize_method {quantize_method!r} not supported "
+            "(NO_DITHER or SUBTRACTIVE_DITHER_1)")
+    if dither and not 1 <= int(zdither0) <= tilecomp.N_RANDOM:
+        raise ValueError(
+            f"zdither0 must be in 1..{tilecomp.N_RANDOM}, got {zdither0}")
     if cmptype == "RICE_1" and bitpix == 64:
         raise NotImplementedError(
             "RICE_1 cannot write int64 images (outside the RICE bytepix "
@@ -267,6 +287,10 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
             "RICE_1 float quantization cannot represent Inf pixels "
             "(NaN maps to the ZBLANK undefined-pixel sentinel; Inf has "
             "no representation in the quantized layout)")
+    if dither and np.isnan(data).any():
+        raise NotImplementedError(
+            "SUBTRACTIVE_DITHER_1 write does not support NaN pixels "
+            "(use quantize_method='NO_DITHER', which maps NaN to ZBLANK)")
     if data.ndim < 2:
         data = data.reshape(1, -1)
     plane_rows, width = data.shape[-2], data.shape[-1]
@@ -275,9 +299,11 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     zscales: list[float] = []
     zzeros: list[float] = []
     has_blank = False
+    tile_num = 0                     # 1-based global tile counter (dither)
     for p in range(planes.shape[0]):
         for r0 in range(0, plane_rows, tile_rows):
             tile = planes[p, r0:r0 + tile_rows, :]
+            tile_num += 1
             if quantize:
                 # per-tile linear quantization (the fpack float layout,
                 # NO_DITHER): ~16-bit resolution over the tile's range.
@@ -291,10 +317,19 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
                 lo = float(vals.min()) if vals.size else 0.0
                 hi = float(vals.max()) if vals.size else 0.0
                 zs = (hi - lo) / 65000.0 or 1.0
-                q = np.round((tile.astype(np.float64) - lo) / zs)
-                if not finite.all():
-                    has_blank = True
-                    q = np.where(finite, q, float(ZBLANK_DEFAULT))
+                if dither:
+                    # q = NINT((v − zzero)/zscale + r − ½); the reader
+                    # regenerates r from (tile_num, ZDITHER0)
+                    r = tilecomp.dither_offsets(
+                        tile_num, int(zdither0), tile.size)
+                    q = tilecomp.nint(
+                        (tile.astype(np.float64).reshape(-1) - lo) / zs
+                        + r - 0.5).reshape(tile.shape)
+                else:
+                    q = np.round((tile.astype(np.float64) - lo) / zs)
+                    if not finite.all():
+                        has_blank = True
+                        q = np.where(finite, q, float(ZBLANK_DEFAULT))
                 payloads.append(
                     tilecomp.compress_tile(q.astype("i4"), cmptype))
                 zscales.append(zs)
@@ -322,7 +357,10 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
         zcards.append(_card("ZVAL2", 4 if quantize else data.dtype.itemsize))
     columns = [("COMPRESSED_DATA", f"1PB({maxlen})", (lengths, flat))]
     if quantize:
-        zcards.append(_card("ZQUANTIZ", "NO_DITHER", "quantization mode"))
+        zcards.append(_card("ZQUANTIZ", quantize_method,
+                            "quantization mode"))
+        if dither:
+            zcards.append(_card("ZDITHER0", int(zdither0), "dither seed"))
         if has_blank:
             zcards.append(_card("ZBLANK", ZBLANK_DEFAULT,
                                 "undefined-pixel sentinel"))

@@ -574,7 +574,7 @@ def test_rice_quantized_float_zblank_nan(spark, tmp_path, form):
             assert abs(v - float(img[ri, ci])) < 1e-3
 
 
-def test_rice_dithered_foreign_rejected(spark, tmp_path):
+def _foreign_dither_file(tmp_path, quantiz, with_seed):
     from spark_fits_spark.fitscore import rice
 
     img = (np.arange(12, dtype="i4") % 7).reshape(3, 4)
@@ -586,8 +586,10 @@ def test_rice_dithered_foreign_rejected(spark, tmp_path):
         fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 4),
         fw._card("ZNAXIS2", 3), fw._card("ZTILE1", 4),
         fw._card("ZTILE2", 1), fw._card("ZCMPTYPE", "RICE_1"),
-        fw._card("ZQUANTIZ", "SUBTRACTIVE_DITHER_1"),
+        fw._card("ZQUANTIZ", quantiz),
     ]
+    if with_seed:
+        cards.append(fw._card("ZDITHER0", 42))
     hdu = fw.bintable_hdu(
         [("COMPRESSED_DATA", f"1PB({int(lengths.max())})", (lengths, flat)),
          ("ZSCALE", "D", np.ones(3, dtype=">f8")),
@@ -595,5 +597,80 @@ def test_rice_dithered_foreign_rejected(spark, tmp_path):
         extra_cards=cards)
     p = str(tmp_path / "dith.fits")
     fw.write_fits(p, [hdu])
-    with pytest.raises(Exception, match="SUBTRACTIVE_DITHER"):
+    return p
+
+
+def test_rice_dither2_foreign_rejected(spark, tmp_path):
+    """SUBTRACTIVE_DITHER_2 (zero-preserving dithering) stays a loud
+    rejection — its zero-pixel special-casing is not implemented."""
+    p = _foreign_dither_file(tmp_path, "SUBTRACTIVE_DITHER_2", True)
+    with pytest.raises(Exception, match="SUBTRACTIVE_DITHER_2"):
         _scan(spark, p).schema
+
+
+def test_rice_dither1_foreign_without_seed_rejected(spark, tmp_path):
+    """A SUBTRACTIVE_DITHER_1 file missing its ZDITHER0 card cannot be
+    reconstructed — loud error, never silently-undithered pixels."""
+    p = _foreign_dither_file(tmp_path, "SUBTRACTIVE_DITHER_1", False)
+    with pytest.raises(Exception, match="ZDITHER0"):
+        _scan(spark, p).schema
+
+
+def test_dither_rng_matches_published_convention():
+    """The portable RNG is pinned against the CONVENTION, not against
+    itself: the spec publishes the self-check (seed = 1043618065 after
+    10000 steps, asserted inside dither_randoms) and the sequence is
+    the Park-Miller minimal standard, so the first value must be
+    16807/(2^31-1) exactly."""
+    rv = tilecomp.dither_randoms()
+    assert rv.shape == (10000,)
+    assert rv[0] == 16807.0 / 2147483647.0
+    assert ((rv > 0) & (rv < 1)).all()
+    # offsets: deterministic, tile- and seed-dependent, full coverage
+    a = tilecomp.dither_offsets(1, 42, 4096)
+    assert np.array_equal(a, tilecomp.dither_offsets(1, 42, 4096))
+    assert not np.array_equal(a, tilecomp.dither_offsets(2, 42, 4096))
+    assert not np.array_equal(a, tilecomp.dither_offsets(1, 43, 4096))
+    # the walk past the end of the 10000-value table stays in range and
+    # keeps producing valid offsets (the wrap re-derives its start)
+    big = tilecomp.dither_offsets(3, 9999, 25000)
+    assert ((big > 0) & (big < 1)).all()
+
+
+@pytest.mark.parametrize("dt", ["f4", "f8"])
+def test_rice_subtractive_dither1_roundtrip(spark, tmp_path, dt):
+    """fpack's float DEFAULT mode end-to-end: write with
+    SUBTRACTIVE_DITHER_1, scan back, reconstruction within the
+    quantization error (the ±r offsets cancel exactly between writer
+    and reader because both regenerate the same RNG walk from
+    ZDITHER0 and the global tile number). Also pins determinism (same
+    seed → identical bytes) and that dithering actually changed the
+    quantized payload vs NO_DITHER."""
+    rng = np.random.default_rng(17)
+    cube = np.cumsum(rng.normal(size=(2, 6, 5)), axis=-1).astype(dt)
+    p = str(tmp_path / "d1.fits")
+    h1 = fw.compressed_image_hdu(cube, "RICE_1", tile_rows=2,
+                                 quantize_method="SUBTRACTIVE_DITHER_1",
+                                 zdither0=7)
+    assert h1 == fw.compressed_image_hdu(
+        cube, "RICE_1", tile_rows=2,
+        quantize_method="SUBTRACTIVE_DITHER_1", zdither0=7)
+    assert h1 != fw.compressed_image_hdu(cube, "RICE_1", tile_rows=2)
+    fw.write_fits(p, [h1])
+    got = {}
+    for r in _scan(spark, p).collect():
+        got.setdefault(r["ImgIndex"], []).append(list(r["Image"]))
+    # per-tile error bound: |v' - v| <= zscale (NINT error 1/2 each way)
+    flat = np.array(sorted(v for plane in got.values()
+                           for row in plane for v in row))
+    want = np.sort(cube.astype(np.float64).reshape(-1))
+    zs_max = max((cube[pl, r0:r0 + 2].max() - cube[pl, r0:r0 + 2].min())
+                 / 65000.0
+                 for pl in range(2) for r0 in range(0, 6, 2))
+    assert np.abs(flat - want).max() <= zs_max * 1.001
+    # NaN under dithering is a loud write-side rejection
+    bad = cube.copy()
+    bad[0, 0, 0] = np.nan
+    with pytest.raises(NotImplementedError, match="NO_DITHER"):
+        fw.compressed_image_hdu(bad, "RICE_1", tile_rows=2,
+                                quantize_method="SUBTRACTIVE_DITHER_1")
