@@ -635,6 +635,19 @@ def test_dither_rng_matches_published_convention():
     # keeps producing valid offsets (the wrap re-derives its start)
     big = tilecomp.dither_offsets(3, 9999, 25000)
     assert ((big > 0) & (big < 1)).all()
+    # the slice-vectorized walk is value-identical to the naive
+    # one-value-at-a-time loop it replaces (incl. across table wraps)
+    for tile, seed, n in [(1, 1, 10), (5, 42, 700), (3, 9999, 23000)]:
+        iseed = (tile + seed - 2) % tilecomp.N_RANDOM
+        nxt = int(rv[iseed] * 500.0)
+        out = np.empty(n)
+        for i in range(n):
+            out[i] = rv[nxt]
+            nxt += 1
+            if nxt == tilecomp.N_RANDOM:
+                iseed = (iseed + 1) % tilecomp.N_RANDOM
+                nxt = int(rv[iseed] * 500.0)
+        assert np.array_equal(out, tilecomp.dither_offsets(tile, seed, n))
 
 
 @pytest.mark.parametrize("dt", ["f4", "f8"])
