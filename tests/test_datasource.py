@@ -40,6 +40,25 @@ def test_schema_inference(spark):
         "string", "float", "double", "long", "integer"]
 
 
+def test_sql_create_view_using_fits(spark):
+    """Pure-SQL access path: `CREATE TEMPORARY VIEW ... USING fits` —
+    the session-registered Python datasource resolves through SQL DDL
+    exactly like a built-in format, so SQL-only users (the reference's
+    Scala users go through the DataFrame API; this engine also serves
+    `spark.sql`) can query FITS without touching Python."""
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW fits_sql_tbl USING fits "
+        f"OPTIONS (path '{REF}/test_file.fits', hdu '1')")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(Index) AS s FROM fits_sql_tbl").first()
+    assert (got["n"], got["s"]) == (20000, 199990000)
+    # pushdown works through the SQL surface too
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM fits_sql_tbl WHERE Index < 5"
+    ).first()["n"] == 5
+    spark.catalog.dropTempView("fits_sql_tbl")
+
+
 def test_select_count(spark):
     # ReadFitsTest.scala:128-133
     df = read_fits(spark, f"{REF}/test_file.fits")
