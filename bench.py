@@ -317,17 +317,23 @@ def fits_scan_multifile_seconds(spark) -> tuple[float, float]:
     return sec, mb
 
 
-def fits_plan_manyfile_seconds() -> tuple[float, float, int]:
+def fits_plan_manyfile_seconds() -> tuple[float, float, float, int]:
     """Driver-side planning cost over 2048 part files (r3 VERDICT #7 —
     the 100x scale-up knob that bites first on real catalogs: planning
     happens per action, and a 100 TB table is thousands of part files).
     Spark-free: times plan_for_files (thread-pooled header walk +
     row-aligned partition generation) directly; file generation is
-    untimed."""
+    untimed. Third number: cold planning FROM THE MANIFEST
+    (_fits_manifest.json, r5) — one metadata read + a stat per file
+    instead of a header read per file."""
     import numpy as np
 
     from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.vfs import LOCAL
     from spark_fits_spark.sources.fits_datasource import FitsScanReader
+    from spark_fits_spark.sources.fits_writer import (
+        build_manifest_entry, write_manifest,
+    )
 
     d = tempfile.mkdtemp(prefix="fitsbench_plan")
     n_files, rows = 2048, 50
@@ -336,11 +342,12 @@ def fits_plan_manyfile_seconds() -> tuple[float, float, int]:
     hdu = fw.bintable_hdu(cols)
     for i in range(n_files):
         fw.write_fits(os.path.join(d, f"f{i:04d}.fits"), [hdu])
-    files = sorted(os.path.join(d, f) for f in os.listdir(d))
+    files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".fits"))
     from spark_fits_spark.sources.fits_datasource import _HDU_CACHE
 
     r = FitsScanReader(d, 1, None, None, None, "PERMISSIVE",
-                       8 * 1024 * 1024, False)
+                       8 * 1024 * 1024, False, use_manifest=False)
     _HDU_CACHE.clear()
     t0 = time.perf_counter()
     parts = r.plan_for_files(files)
@@ -354,13 +361,23 @@ def fits_plan_manyfile_seconds() -> tuple[float, float, int]:
         parts = r.plan_for_files(files)
         warm = min(warm, time.perf_counter() - t0)
         assert len(parts) == n_files
+    # manifest path: entry build is untimed (the sink does it at write)
+    entry = build_manifest_entry(LOCAL, files[0])
+    write_manifest(LOCAL, d, {os.path.basename(f): entry for f in files})
+    rm = FitsScanReader(d, 1, None, None, None, "PERMISSIVE",
+                        8 * 1024 * 1024, False)
+    _HDU_CACHE.clear()
+    t0 = time.perf_counter()
+    parts = rm.plan_for_files(files)
+    mani = time.perf_counter() - t0
+    assert len(parts) == n_files
     try:
         for f in os.listdir(d):
             os.remove(os.path.join(d, f))
         os.rmdir(d)
     except OSError:
         pass
-    return cold, warm, n_files
+    return cold, warm, mani, n_files
 
 
 def main() -> None:
@@ -446,9 +463,11 @@ def main() -> None:
     timings["fits_scan_compressed"] = round(comp_sec, 3)
     rice_sec, rice_mb = fits_scan_rice_seconds(spark)
     timings["fits_scan_rice"] = round(rice_sec, 3)
-    plan_sec, plan_warm_sec, plan_files = fits_plan_manyfile_seconds()
+    plan_sec, plan_warm_sec, plan_mani_sec, plan_files = (
+        fits_plan_manyfile_seconds())
     timings["fits_plan_2048files"] = round(plan_sec, 3)
     timings["fits_plan_2048files_cached"] = round(plan_warm_sec, 3)
+    timings["fits_plan_2048files_manifest"] = round(plan_mani_sec, 3)
 
     total = round(sum(timings.values()), 3)
     # the round-1 headline set, for apples-to-apples round-over-round
@@ -489,9 +508,13 @@ def main() -> None:
         "decode_mb_per_s_per_task": decode_rate,
         # driver planning throughput over 2048 part files: cold = pooled
         # header walk; cached = stat-validated header LRU re-plan (what
-        # the 2nd..Nth action over an unchanged catalog pays)
+        # the 2nd..Nth action over an unchanged catalog pays); manifest
+        # = cold plan from _fits_manifest.json (r5 — one metadata read
+        # + a stat per file, no header reads)
         "fits_plan_files_per_s": round(plan_files / plan_sec, 1),
         "fits_plan_cached_files_per_s": round(plan_files / plan_warm_sec, 1),
+        "fits_plan_manifest_files_per_s": round(
+            plan_files / plan_mani_sec, 1),
         # host-condition telemetry: the benchmark box is burstable —
         # effective parallelism has been observed anywhere from ~4 to 32
         # cores with zero code change; this contextualizes run-to-run

@@ -360,8 +360,10 @@ class FitsDataSource(DataSource):
         path = self._path()
         fs = resolve_fs(path)
         if overwrite and fs.isdir(path):
+            from spark_fits_spark.sources.fits_writer import MANIFEST_NAME
+
             for f in fs.listdir(path):
-                if f.endswith(".fits"):
+                if f.endswith(".fits") or f == MANIFEST_NAME:
                     fs.remove(fs.join(path, f))
         fs.makedirs(path)
         return FitsArrowWriter(schema, path, self.options, fs=fs)
@@ -383,6 +385,8 @@ class FitsDataSource(DataSource):
             scaling=self._scaling_enabled(),
             rowrange=self._rowrange(),
             plan_cache=self._plan_cache_enabled(),
+            use_manifest=(self._opt("manifest", default="true")
+                          or "").lower() != "false",
         )
 
     def _plan_cache_enabled(self) -> bool:
@@ -440,11 +444,12 @@ def _select_columns(hdu: HduInfo, columns: str | None) -> list[int]:
 class FitsScanReader(DataSourceReader):
     def __init__(self, path, hdu_index, schema, columns, recordlength, mode,
                  partition_bytes, verbose, ascii_tables=False, scaling=False,
-                 rowrange=None, plan_cache=True):
+                 rowrange=None, plan_cache=True, use_manifest=True):
         self.ascii_tables = ascii_tables
         self.scaling = scaling
         self.rowrange = rowrange
         self.plan_cache = plan_cache
+        self.use_manifest = use_manifest
         self.path = path
         self.hdu_index = hdu_index
         self.spark_schema = schema
@@ -487,6 +492,39 @@ class FitsScanReader(DataSourceReader):
                 fs_cache[scheme] = resolve_fs(fp)
             return fs_cache[scheme]
 
+        # _fits_manifest.json (written by the sink): per-directory
+        # metadata — one small read replaces a header walk over every
+        # part file. Entries are size-validated against the live stat
+        # before use; misses and mismatches fall back to the header
+        # read, so a foreign/stale file self-heals. At 100 TB this is
+        # the difference between planning from ONE object GET per
+        # directory and a million header GETs.
+        manifests: dict[str, dict] = {}
+
+        def _manifest_for(fp: str) -> dict:
+            dirname = fp.rstrip("/").rsplit("/", 1)[0] if "/" in fp else ""
+            if dirname not in manifests:
+                manifests[dirname] = {}
+                if getattr(self, "use_manifest", True) and dirname:
+                    import json as _json
+
+                    from spark_fits_spark.sources.fits_writer import (
+                        MANIFEST_NAME,
+                    )
+
+                    fs = _fs(fp)
+                    mpath = fs.join(dirname, MANIFEST_NAME)
+                    try:
+                        if fs.exists(mpath):
+                            with fs.open_input(mpath) as f:
+                                doc = _json.loads(f.read().decode("utf-8"))
+                            if (doc.get("version") == 1
+                                    and doc.get("hdu") == self.hdu_index):
+                                manifests[dirname] = doc.get("files", {})
+                    except (OSError, ValueError):
+                        pass  # unreadable manifest: plan from headers
+            return manifests[dirname]
+
         # open headers in parallel: planning cost is a few KB of reads per
         # file, but serial latency would dominate with thousands of files.
         # The (path, hdu, size, mtime) LRU above turns repeat plannings
@@ -494,15 +532,27 @@ class FitsScanReader(DataSourceReader):
         def _open(fp: str):
             fs = _fs(fp)
             key = None
-            if getattr(self, "plan_cache", True):
+            size = None
+            if getattr(self, "plan_cache", True) or getattr(
+                    self, "use_manifest", True):
                 try:
-                    key = (fp, self.hdu_index, *fs.stat(fp))
+                    st = fs.stat(fp)
+                    size = st[0]
+                    key = ((fp, self.hdu_index, *st)
+                           if getattr(self, "plan_cache", True) else None)
                 except (OSError, FileNotFoundError, NotImplementedError):
                     key = None
             if key is not None:
                 hit = _hdu_cache_get(key)
                 if hit is not None:
                     return hit
+            entry = _manifest_for(fp).get(fp.rstrip("/").rsplit("/", 1)[-1])
+            if (entry is not None and size is not None
+                    and entry.get("size") == size):
+                hdu = _hdu_from_manifest(fp, self.hdu_index, entry)
+                if key is not None:
+                    _hdu_cache_put(key, hdu)
+                return hdu
             try:
                 with fs.open_input(fp) as f:
                     hdu = open_hdu(f, fp, self.hdu_index)
@@ -511,6 +561,15 @@ class FitsScanReader(DataSourceReader):
             if key is not None:
                 _hdu_cache_put(key, hdu)
             return hdu
+
+        # preload manifests serially (one tiny read per distinct dir)
+        # so the pooled header walk below is read-only on `manifests`
+        seen_dirs: set[str] = set()
+        for fp in files:
+            d = fp.rstrip("/").rsplit("/", 1)[0] if "/" in fp else ""
+            if d not in seen_dirs:
+                seen_dirs.add(d)
+                _manifest_for(fp)
 
         if len(files) > 4:
             from concurrent.futures import ThreadPoolExecutor
@@ -724,6 +783,31 @@ class FitsScanReader(DataSourceReader):
                 if batch.num_rows:
                     yield batch
                 row += n
+
+
+def _hdu_from_manifest(path: str, hdu_index: int, e: dict) -> HduInfo:
+    """Reconstruct the planner's HduInfo from a manifest entry (sink
+    layout: one BINTABLE data HDU). The header dict carries only the
+    zone-map stats cards — exactly what ``_stats_prune`` consumes —
+    mirroring the header-less copy shipped to executors."""
+    from spark_fits_spark.fitscore.file import BlockBoundaries
+
+    n = len(e["col_names"])
+    return HduInfo(
+        path=path,
+        hdu_index=hdu_index if isinstance(hdu_index, int) else 1,
+        hdu_type=HDU_TYPE_BINTABLE,
+        boundaries=BlockBoundaries(*e["boundaries"]),
+        header=dict(e.get("stats") or {}),
+        row_bytes=int(e["row_bytes"]),
+        n_rows=int(e["n_rows"]),
+        col_names=tuple(e["col_names"]),
+        col_tforms=tuple(e["col_tforms"]),
+        col_tscal=tuple(e.get("col_tscal") or (1.0,) * n),
+        col_tzero=tuple(e.get("col_tzero") or (0.0,) * n),
+        col_tnull=tuple(e.get("col_tnull") or (None,) * n),
+        theap=int(e["theap"]),
+    )
 
 
 def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:

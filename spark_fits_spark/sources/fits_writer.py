@@ -89,6 +89,73 @@ class FitsCommitMessage(WriterCommitMessage):
     # store; see fitscore.vfs module docstring). Real filesystems write
     # in the task and leave this None.
     payload: bytes | None = None
+    # per-file manifest entry (HDU boundaries + schema + zone-map
+    # stats), merged driver-side into _fits_manifest.json by commit()
+    manifest_entry: dict | None = None
+
+
+MANIFEST_NAME = "_fits_manifest.json"
+
+
+def manifest_entry_from_hdu(hdu, size: int) -> dict:
+    """Serialize the HduInfo fields the scan planner needs (plus the
+    TDMINn/TDMAXn zone-map cards, so file-level data skipping works
+    straight off the manifest) into a JSON-safe dict."""
+    b = hdu.boundaries
+    return {
+        "size": int(size),
+        "boundaries": [b.header_start, b.data_start, b.data_stop,
+                       b.block_stop],
+        "row_bytes": hdu.row_bytes,
+        "n_rows": hdu.n_rows,
+        "col_names": list(hdu.col_names),
+        "col_tforms": list(hdu.col_tforms),
+        "col_tscal": list(hdu.col_tscal),
+        "col_tzero": list(hdu.col_tzero),
+        "col_tnull": list(hdu.col_tnull),
+        "theap": hdu.theap,
+        "stats": {k: v for k, v in hdu.header.items()
+                  if k.startswith(("TDMIN", "TDMAX"))},
+    }
+
+
+def build_manifest_entry(fs, path: str, hdu_index: int = 1) -> dict:
+    """Manifest entry for an existing FITS file (used by the writer
+    after landing each part, and by tools/benchmarks building a
+    manifest over files written outside the Spark sink)."""
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    with fs.open_input(path) as f:
+        hdu = open_hdu(f, path, hdu_index)
+    return manifest_entry_from_hdu(hdu, fs.size(path))
+
+
+def write_manifest(fs, directory: str, entries: dict[str, dict],
+                   hdu_index: int = 1, merge: bool = True) -> None:
+    """Write ``_fits_manifest.json`` for ``directory``: one entry per
+    part-file BASENAME (relocatable — the manifest moves with the
+    directory). ``merge=True`` folds entries into any existing
+    manifest (the append-mode story); entries for files that no longer
+    exist are dropped on merge."""
+    import json as _json
+
+    out = {}
+    mpath = fs.join(directory, MANIFEST_NAME)
+    if merge and fs.exists(mpath):
+        try:
+            with fs.open_input(mpath) as f:
+                prev = _json.loads(f.read().decode("utf-8"))
+            if prev.get("version") == 1 and prev.get("hdu") == hdu_index:
+                out = {
+                    name: e for name, e in prev.get("files", {}).items()
+                    if fs.exists(fs.join(directory, name))
+                }
+        except (OSError, ValueError):
+            out = {}  # unreadable manifest: rebuild from this job's files
+    out.update(entries)
+    doc = {"version": 1, "hdu": hdu_index, "files": out}
+    with fs.open_output(mpath) as f:
+        f.write(_json.dumps(doc, indent=0).encode("utf-8"))
 
 
 class FitsArrowWriter(DataSourceArrowWriter):
@@ -108,6 +175,11 @@ class FitsArrowWriter(DataSourceArrowWriter):
         # min-max cards (standard FITS keywords) that the scan uses for
         # file-level data skipping against pushed filters
         self.stats = str(opts.get("stats", "true")).lower() != "false"
+        # .option("manifest", False) disables _fits_manifest.json — the
+        # directory-level metadata file (HDU boundaries + schema +
+        # zone-map stats per part) that lets the scan plan a
+        # many-thousand-file dataset without opening any data file
+        self.manifest = str(opts.get("manifest", "true")).lower() != "false"
 
     def _fixed_width(self, name: str, is_string: bool) -> int | None:
         w = self.col_widths.get(name.lower())
@@ -150,17 +222,35 @@ class FitsArrowWriter(DataSourceArrowWriter):
 
             buf = io.BytesIO()
             fw.write_fits(out, hdus, checksum=self.checksum, fobj=buf)
-            return FitsCommitMessage(path=out, rows=n, payload=buf.getvalue())
+            raw = buf.getvalue()
+            entry = None
+            if self.manifest:
+                from spark_fits_spark.fitscore.file import open_hdu
+
+                entry = manifest_entry_from_hdu(
+                    open_hdu(io.BytesIO(raw), out, 1), len(raw))
+            return FitsCommitMessage(path=out, rows=n, payload=raw,
+                                     manifest_entry=entry)
         self.fs.makedirs(self.path)
         with self.fs.open_output(out) as f:
             fw.write_fits(out, hdus, checksum=self.checksum, fobj=f)
-        return FitsCommitMessage(path=out, rows=n)
+        entry = (build_manifest_entry(self.fs, out)
+                 if self.manifest else None)
+        return FitsCommitMessage(path=out, rows=n, manifest_entry=entry)
 
     def commit(self, messages):
         for m in messages:
             if m is not None and getattr(m, "payload", None) is not None:
                 with self.fs.open_output(m.path) as f:
                     f.write(m.payload)
+        if self.manifest:
+            entries = {
+                m.path.rstrip("/").rsplit("/", 1)[-1]: m.manifest_entry
+                for m in messages
+                if m is not None and getattr(m, "manifest_entry", None)
+            }
+            if entries:
+                write_manifest(self.fs, self.path, entries)
 
     def _stats_cards(self, table, n: int) -> list[bytes]:
         """Per-column min/max as standard TDMINn/TDMAXn cards — the

@@ -724,6 +724,113 @@ def test_stats_file_pruning(spark, tmp_path):
                 if p.hdu is not None}) == 3
 
 
+def test_manifest_planning(spark, tmp_path, monkeypatch):
+    """_fits_manifest.json (r5): the sink records per-part HDU
+    boundaries + schema + zone-map stats, and the planner builds
+    partitions from ONE manifest read instead of opening every part
+    file — the metadata-file pattern (Delta/Iceberg) applied to FITS,
+    where planning cost is the first thing that bites at a
+    100k-part-file catalog. Entries are size-validated; stale or
+    foreign files fall back to a header read and self-heal."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import LessThan
+
+    import spark_fits_spark.sources.fits_datasource as ds
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsDataSource, FitsScanReader, _HDU_CACHE,
+    )
+
+    d = str(tmp_path / "mdir")
+    df = spark.range(1000).select(
+        F.col("id").alias("Index"), (F.col("id") * 0.5).alias("val"))
+    df.repartitionByRange(4, "Index").write.format("fits").mode(
+        "overwrite").save(d)
+    mpath = os.path.join(d, "_fits_manifest.json")
+    m = json.load(open(mpath))
+    assert m["version"] == 1 and m["hdu"] == 1 and len(m["files"]) == 4
+    entry = next(iter(m["files"].values()))
+    assert {"boundaries", "row_bytes", "n_rows", "col_names",
+            "col_tforms", "theap", "size", "stats"} <= set(entry)
+    assert "TDMIN1" in entry["stats"]  # zone maps ride the manifest
+
+    src = FitsDataSource(options={"path": d, "hdu": "1"})
+    schema = src.schema()
+    calls = []
+    orig = ds.open_hdu
+    monkeypatch.setattr(
+        ds, "open_hdu", lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    def plan(filters=None, **kw):
+        _HDU_CACHE.clear()
+        calls.clear()
+        r = FitsScanReader(d, 1, schema, None, None, "PERMISSIVE",
+                           8 * 1024 * 1024, False, plan_cache=False, **kw)
+        if filters:
+            list(r.pushFilters(filters))
+        return r.partitions()
+
+    # manifest planning opens ZERO data files
+    parts = plan()
+    assert len(calls) == 0
+    assert sum(p.row_end - p.row_start for p in parts
+               if p.hdu is not None) == 1000
+    # zone-map pruning works straight off manifest stats
+    pruned = plan(filters=[LessThan(("Index",), 100)])
+    assert len(calls) == 0
+    assert len({p.hdu.path for p in pruned if p.hdu is not None}) == 1
+    # .option("manifest", False) => full header walk
+    plan(use_manifest=False)
+    assert len(calls) == 4
+    # a rewritten (stale-size) part self-heals with exactly one read
+    import numpy as np
+
+    victim = sorted(f for f in os.listdir(d) if f.endswith(".fits"))[0]
+    fw.write_fits(os.path.join(d, victim), [fw.bintable_hdu(
+        [("Index", "K", np.arange(7, dtype=">i8")),
+         ("val", "D", np.zeros(7))])])
+    parts2 = plan()
+    assert len(calls) == 1
+    assert sum(p.row_end - p.row_start for p in parts2
+               if p.hdu is not None) == 757  # 3 x 250 + 7
+
+    monkeypatch.undo()
+    # end-to-end equality: scan with and without the manifest
+    with_m = (spark.read.format("fits").option("hdu", 1).load(d)
+              .agg(F.count("*"), F.sum("Index")).first())
+    no_m = (spark.read.format("fits").option("hdu", 1)
+            .option("manifest", False).load(d)
+            .agg(F.count("*"), F.sum("Index")).first())
+    assert with_m == no_m
+
+
+def test_manifest_append_merges(spark, tmp_path):
+    """mode('append') folds the new parts into the existing manifest —
+    the layout stays plannable from one read as the dataset grows."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "adir")
+    base = spark.range(100).select(F.col("id").alias("Index"))
+    base.coalesce(2).write.format("fits").mode("overwrite").save(d)
+    more = spark.range(100, 150).select(F.col("id").alias("Index"))
+    more.coalesce(1).write.format("fits").mode("append").save(d)
+    m = json.load(open(os.path.join(d, "_fits_manifest.json")))
+    n_fits = len([f for f in os.listdir(d) if f.endswith(".fits")])
+    assert len(m["files"]) == n_fits == 3
+    got = (spark.read.format("fits").option("hdu", 1).load(d)
+           .agg(F.count("*"), F.sum("Index")).first())
+    assert tuple(got) == (150, sum(range(150)))
+    # write-side opt-out produces no manifest
+    d2 = str(tmp_path / "nodir")
+    base.coalesce(1).write.format("fits").option("manifest", False).mode(
+        "overwrite").save(d2)
+    assert not os.path.exists(os.path.join(d2, "_fits_manifest.json"))
+
+
 def test_stats_prune_never_wrong_on_scaled_columns(spark, tmp_path):
     """Adversarial zone-map cases that must NEVER prune a matching file.
 
