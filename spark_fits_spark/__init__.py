@@ -233,3 +233,47 @@ def fits_verify_checksums(spark, path: str):
     rdd = spark.sparkContext.parallelize(
         _with_scoped_fs(files), max(1, len(files)))
     return spark.createDataFrame(rdd.flatMap(_verify), schema)
+
+
+def fits_build_manifest(directory: str, hdu: int = 1) -> int:
+    """Build ``_fits_manifest.json`` for an EXISTING directory of FITS
+    files (archives not written by this engine's sink): a thread-pooled
+    header walk over the ``.fits`` files records each BINTABLE's
+    boundaries + schema + zone-map stats, after which every scan of the
+    directory plans from one metadata read instead of re-walking
+    headers. Non-BINTABLE HDUs are skipped (the planner only trusts
+    BINTABLE entries and falls back to a header read otherwise).
+    Returns the number of entries written.
+
+    Driver-side utility — the walk is a few KB per file, thread-pooled
+    like ``plan_for_files``; re-run it (or delete the manifest) after
+    modifying files outside the sink.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from spark_fits_spark.fitscore.file import HDU_TYPE_BINTABLE, open_hdu
+    from spark_fits_spark.fitscore.vfs import resolve_fs
+    from spark_fits_spark.sources.fits_datasource import search_fits_files
+    from spark_fits_spark.sources.fits_writer import (
+        manifest_entry_from_hdu, write_manifest,
+    )
+
+    fs = resolve_fs(directory)
+    files = [f for f in search_fits_files(directory)
+             if f.lower().endswith(".fits")]
+
+    def _entry(fp: str):
+        try:
+            with fs.open_input(fp) as f:
+                info = open_hdu(f, fp, hdu)
+        except ValueError:
+            return None
+        if info.hdu_type != HDU_TYPE_BINTABLE:
+            return None
+        name = fp.rstrip("/").rsplit("/", 1)[-1]
+        return name, manifest_entry_from_hdu(info, fs.size(fp))
+
+    with ThreadPoolExecutor(max_workers=min(32, max(1, len(files)))) as ex:
+        entries = dict(e for e in ex.map(_entry, files) if e is not None)
+    write_manifest(fs, directory, entries, hdu_index=hdu, merge=False)
+    return len(entries)

@@ -548,7 +548,9 @@ class FitsScanReader(DataSourceReader):
                     return hit
             entry = _manifest_for(fp).get(fp.rstrip("/").rsplit("/", 1)[-1])
             if (entry is not None and size is not None
-                    and entry.get("size") == size):
+                    and entry.get("size") == size
+                    and entry.get("hdu_type",
+                                  HDU_TYPE_BINTABLE) == HDU_TYPE_BINTABLE):
                 hdu = _hdu_from_manifest(fp, self.hdu_index, entry)
                 if key is not None:
                     _hdu_cache_put(key, hdu)

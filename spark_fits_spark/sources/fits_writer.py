@@ -104,6 +104,7 @@ def manifest_entry_from_hdu(hdu, size: int) -> dict:
     b = hdu.boundaries
     return {
         "size": int(size),
+        "hdu_type": hdu.hdu_type,
         "boundaries": [b.header_start, b.data_start, b.data_stop,
                        b.block_stop],
         "row_bytes": hdu.row_bytes,

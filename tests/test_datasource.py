@@ -831,6 +831,52 @@ def test_manifest_append_merges(spark, tmp_path):
     assert not os.path.exists(os.path.join(d2, "_fits_manifest.json"))
 
 
+def test_fits_build_manifest_over_existing_archive(spark, tmp_path,
+                                                   monkeypatch):
+    """`fits_build_manifest`: catalog a directory of FITS files written
+    OUTSIDE the sink, after which scans plan from the manifest. Files
+    whose selected HDU is not a BINTABLE are skipped (recorded
+    nowhere), and the planner header-walks them as before."""
+    import numpy as np
+
+    import spark_fits_spark as sfs
+    import spark_fits_spark.sources.fits_datasource as ds
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsDataSource, FitsScanReader, _HDU_CACHE,
+    )
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    for i in range(3):
+        fw.write_fits(str(d / f"t{i}.fits"), [fw.bintable_hdu(
+            [("Index", "K", np.arange(i * 10, i * 10 + 10, dtype=">i8"))])])
+    n = sfs.fits_build_manifest(str(d))
+    assert n == 3
+
+    src = FitsDataSource(options={"path": str(d), "hdu": "1"})
+    schema = src.schema()
+    calls = []
+    orig = ds.open_hdu
+    monkeypatch.setattr(
+        ds, "open_hdu", lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    _HDU_CACHE.clear()
+    r = FitsScanReader(str(d), 1, schema, None, None, "PERMISSIVE",
+                       8 * 1024 * 1024, False, plan_cache=False)
+    parts = r.partitions()
+    assert len(calls) == 0
+    assert sum(p.row_end - p.row_start for p in parts
+               if p.hdu is not None) == 30
+    monkeypatch.undo()
+    got = (spark.read.format("fits").option("hdu", 1).load(str(d))
+           .agg(F.count("*"), F.sum("Index")).first())
+    assert tuple(got) == (30, sum(range(30)))
+    # an image HDU in the mix is skipped by the builder
+    fw.write_fits(str(d / "img.fits"),
+                  [fw.image_hdu(np.arange(12, dtype="i4").reshape(3, 4))])
+    assert sfs.fits_build_manifest(str(d)) == 3
+
+
 def test_stats_prune_never_wrong_on_scaled_columns(spark, tmp_path):
     """Adversarial zone-map cases that must NEVER prune a matching file.
 
