@@ -277,3 +277,119 @@ def fits_build_manifest(directory: str, hdu: int = 1) -> int:
         entries = dict(e for e in ex.map(_entry, files) if e is not None)
     write_manifest(fs, directory, entries, hdu_index=hdu, merge=False)
     return len(entries)
+
+
+def fits_recompress(spark, src: str, dst_dir: str, *,
+                    cmptype: str = "RICE_1", tile_rows: int = 16,
+                    quantize_method: str = "NO_DITHER",
+                    zdither0: int = 1, checksum: bool = True):
+    """Distributed archive re-compression — the fpack batch job, one
+    task per file: every IMAGE HDU (including a primary image, which
+    moves into a compressed extension under a fresh empty primary,
+    exactly like fpack) is rewritten as a tiled-compressed HDU
+    (``fitscore.tilecomp``); every other HDU is copied byte-verbatim
+    (its CHECKSUM cards stay valid). Float images under RICE_1
+    quantize per tile — LOSSY by design (``quantize_method`` NO_DITHER
+    or SUBTRACTIVE_DITHER_1); the gzip codecs are lossless for every
+    pixel type.
+
+    Returns one row per input file: output path, HDUs converted/copied,
+    byte sizes, and the error string for files the codec cannot take
+    (e.g. int64 under RICE_1) — those files are reported, not written.
+    """
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from spark_fits_spark.fitscore.vfs import resolve_fs
+    from spark_fits_spark.sources.fits_datasource import search_fits_files
+
+    files = search_fits_files(src)
+    dst_fs = resolve_fs(dst_dir)
+    dst_fs.makedirs(dst_dir)
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("out_file", StringType()),
+        StructField("hdus_converted", IntegerType()),
+        StructField("hdus_copied", IntegerType()),
+        StructField("in_bytes", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("error", StringType()),
+    ])
+    dst_scoped = dst_fs.scoped_for(dst_dir)
+
+    def _convert(pair):
+        import io
+
+        import numpy as np
+
+        from spark_fits_spark.fitscore import writer as fw
+        from spark_fits_spark.fitscore.file import walk_hdus
+        from spark_fits_spark.fitscore.header import header_value, parse_cards
+        from spark_fits_spark.fitscore.tilecomp import _BITPIX_NP
+
+        fp, fs = pair
+        name = fp.rstrip("/").rsplit("/", 1)[-1]
+        base = name[:-5] if name.lower().endswith(".fits") else name
+        out_path = dst_scoped.join(dst_dir, f"{base}.fz.fits")
+        converted = copied = 0
+        try:
+            with fs.open_input(fp) as f:
+                raw = f.read()
+            out_hdus: list[bytes] = []
+            for i, (b, cards) in enumerate(walk_hdus(io.BytesIO(raw))):
+                h = parse_cards(cards)
+                naxis = int(h.get("NAXIS", "0") or "0")
+                bitpix = int(h.get("BITPIX", "0") or "0")
+                xt = (header_value(h, "XTENSION", "") or "").strip().upper()
+                is_image = naxis > 0 and (i == 0 or xt == "IMAGE")
+                if is_image:
+                    dims = [int(h.get(f"NAXIS{k}", "0") or "0")
+                            for k in range(1, naxis + 1)]
+                    dt = np.dtype(_BITPIX_NP[bitpix])
+                    count = 1
+                    for d in dims:
+                        count *= d
+                    img = np.frombuffer(
+                        raw, dtype=dt, count=count, offset=b.data_start,
+                    ).reshape(tuple(reversed(dims)))
+                    # physical-value cards ride along so scaling stays
+                    # compression-transparent (the convention keeps the
+                    # uncompressed image's cards in the table header)
+                    extra = []
+                    for kw in ("BSCALE", "BZERO", "BLANK", "EXTNAME"):
+                        v = header_value(h, kw, None)
+                        if v is not None:
+                            try:
+                                extra.append(fw._card(
+                                    kw, int(v) if kw == "BLANK"
+                                    else (v if kw == "EXTNAME"
+                                          else float(v))))
+                            except ValueError:
+                                pass
+                    rows_clamp = (min(tile_rows, dims[1])
+                                  if naxis >= 2 else 1)
+                    out_hdus.append(fw.compressed_image_hdu(
+                        img, cmptype, tile_rows=rows_clamp,
+                        extra_cards=extra, checksum=checksum,
+                        quantize_method=quantize_method, zdither0=zdither0))
+                    converted += 1
+                elif i == 0:
+                    continue  # data-less primary: fresh one written below
+                else:
+                    out_hdus.append(raw[b.header_start:b.block_stop])
+                    copied += 1
+            payload = io.BytesIO()
+            fw.write_fits(out_path, out_hdus, checksum=checksum,
+                          fobj=payload)
+            data = payload.getvalue()
+            with dst_scoped.open_output(out_path) as f:
+                f.write(data)
+            return [(fp, out_path, converted, copied, len(raw),
+                     len(data), None)]
+        except Exception as e:  # noqa: BLE001 — per-file error reporting
+            return [(fp, None, 0, 0, 0, 0, f"{type(e).__name__}: {e}")]
+
+    rdd = spark.sparkContext.parallelize(
+        _with_scoped_fs(files), max(1, len(files)))
+    return spark.createDataFrame(rdd.flatMap(_convert), schema)

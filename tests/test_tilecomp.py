@@ -423,6 +423,50 @@ def test_rice_golden_bitstreams():
             assert enc(a, bytepix=1, blocksize=bs) == payload, (payload, enc)
 
 
+def test_fits_recompress_archive(spark, tmp_path):
+    """`fits_recompress` (r5): the distributed fpack batch job — every
+    IMAGE HDU rewritten tile-compressed (primary image moves under a
+    fresh empty primary, like fpack), other HDUs byte-verbatim, one
+    task per file. Int pixels round-trip exactly; float quantization
+    error is bounded; unsupported combos land as error rows, not
+    crashes; output checksums verify."""
+    import spark_fits_spark as sfs
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    img = (np.arange(64 * 80, dtype="i4") % 97).reshape(64, 80)
+    fw.write_fits(str(src / "a.fits"), [
+        fw.image_hdu(img),
+        fw.bintable_hdu([("Index", "K", np.arange(9, dtype=">i8"))])])
+    fimg = np.cumsum(np.ones((8, 10)) * 0.25, axis=1)
+    fw.write_fits(str(src / "b.fits"), [fw.image_hdu(fimg)])
+    fw.write_fits(str(src / "c.fits"),
+                  [fw.image_hdu(np.arange(12, dtype="i8").reshape(3, 4))])
+
+    rep = {r["file"].rsplit("/", 1)[-1]: r for r in
+           sfs.fits_recompress(spark, str(src), str(dst),
+                               cmptype="RICE_1", tile_rows=4).collect()}
+    assert rep["a.fits"]["hdus_converted"] == 1
+    assert rep["a.fits"]["hdus_copied"] == 1
+    assert rep["a.fits"]["out_bytes"] < rep["a.fits"]["in_bytes"]
+    assert rep["b.fits"]["error"] is None
+    assert "int64" in rep["c.fits"]["error"]
+
+    assert _rows(spark, str(dst / "a.fz.fits")) == _rows(
+        spark, str(src / "a.fits"))
+    t = (spark.read.format("fits").option("hdu", 2)
+         .load(str(dst / "a.fz.fits")))
+    assert t.count() == 9  # the bintable rode along byte-verbatim
+    got = np.array(sorted(
+        v for r in _scan(spark, str(dst / "b.fz.fits")).collect()
+        for v in r["Image"]))
+    want = np.sort(fimg.reshape(-1))
+    zs = (fimg.max() - fimg.min()) / 65000.0
+    assert np.abs(got - want).max() <= zs
+    audit = sfs.fits_verify_checksums(spark, str(dst)).collect()
+    assert audit and all(r["checksum_ok"] in (True, None) for r in audit)
+
+
 def test_shuffle_roundtrip_hypothesis():
     from hypothesis import given, settings
     from hypothesis import strategies as st
