@@ -137,7 +137,13 @@ def write_manifest(fs, directory: str, entries: dict[str, dict],
     part-file BASENAME (relocatable — the manifest moves with the
     directory). ``merge=True`` folds entries into any existing
     manifest (the append-mode story); entries for files that no longer
-    exist are dropped on merge."""
+    exist are dropped on merge.
+
+    Concurrency: two jobs committing to one directory race on the
+    merge read-modify-write — last writer wins and the loser's entries
+    are simply absent, which costs those files a header read at plan
+    time but can never mis-describe them (entries are size-validated
+    against the live file before use)."""
     import json as _json
 
     out = {}
