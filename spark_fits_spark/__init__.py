@@ -154,6 +154,14 @@ def fits_info(spark, path: str):
             for i, (b, cards) in enumerate(walk_hdus(f)):
                 h = parse_cards(cards)
                 zimage = (header_value(h, "ZIMAGE", "") or "").strip() == "T"
+                ztable = (header_value(h, "ZTABLE", "") or "").strip() == "T"
+                if zimage:
+                    comp = (header_value(h, "ZCMPTYPE", "") or "").strip() \
+                        or None
+                elif ztable:
+                    comp = "TILED_TABLE"   # per-column ZCTYPn codecs
+                else:
+                    comp = None
                 out.append((
                     fp, i,
                     header_value(h, "XTENSION", "primary") or "primary",
@@ -161,8 +169,7 @@ def fits_info(spark, path: str):
                     int(h.get("NAXIS2", "0") or "0"),
                     int(h.get("TFIELDS", "0") or "0"),
                     b.data_start, b.data_len,
-                    (header_value(h, "ZCMPTYPE", "") or "").strip() or None
-                    if zimage else None,
+                    comp,
                 ))
         return out
 

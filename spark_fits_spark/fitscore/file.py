@@ -37,6 +37,8 @@ HDU_TYPE_EMPTY = "empty"
 # tiled-compressed image (fpack convention): physically a BINTABLE with
 # ZIMAGE=T, logically an image — scanned as (Image, ImgIndex) rows
 HDU_TYPE_COMPIMAGE = "compimage"
+# tiled-compressed BINTABLE (ZTABLE=T; the fpack table convention)
+HDU_TYPE_COMPTABLE = "comptable"
 
 
 @dataclass(frozen=True)
@@ -170,6 +172,17 @@ class HduInfo:
     z_quantiz: str = ""                     # ZQUANTIZ (float quantization)
     z_blank: int | None = None              # ZBLANK: undefined-pixel sentinel
     z_dither0: int = 0                      # ZDITHER0: dither seed (1..10000)
+    # tiled TABLE compression (ZTABLE bintables; fitscore/tabcomp.py).
+    # For comptables, col_names/col_tforms hold the LOGICAL schema
+    # (TTYPEn + ZFORMn) so schema/pruning/conformance work unchanged;
+    # the physical descriptor layout lives in the zt_* fields and
+    # row_bytes/n_rows describe the physical table (n_rows = tiles,
+    # the unit of distribution).
+    zt_tilelen: int = 0                     # ZTILELEN: logical rows per tile
+    zt_rows: int = 0                        # ZNAXIS2: logical row count
+    zt_row_bytes: int = 0                   # ZNAXIS1: logical row bytes
+    zt_ctyps: tuple[str, ...] = ()          # ZCTYPn: per-column codec
+    zt_phys_tforms: tuple[str, ...] = ()    # physical P/Q descriptor forms
 
     @property
     def tform_infos(self) -> list[TFormInfo]:
@@ -242,6 +255,41 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
             theap=int(header.get("THEAP", str(row_bytes * n_rows))
                       or str(row_bytes * n_rows)),
         )
+        if (header_value(header, "ZTABLE", "") or "").strip() == "T":
+            # tiled-compressed TABLE (fpack table convention): expose
+            # the LOGICAL schema (TTYPEn names + ZFORMn forms); keep
+            # the physical P/Q layout in zt_* fields. n_rows stays the
+            # TILE count (the unit of distribution).
+            from dataclasses import replace as _replace
+
+            zforms = tuple(
+                header_value(header, f"ZFORM{i}", "") or ""
+                for i in range(1, n_cols + 1))
+            if any(not z for z in zforms):
+                raise ValueError(
+                    f"ZTABLE in {path} is missing ZFORMn cards for its "
+                    f"{n_cols} columns")
+            ctyps = tuple(
+                (header_value(header, f"ZCTYP{i}", "GZIP_1") or "GZIP_1")
+                .strip()
+                for i in range(1, n_cols + 1))
+            tilelen = int(float(header_value(header, "ZTILELEN", "0")
+                                or "0"))
+            if tilelen <= 0:
+                raise ValueError(
+                    f"ZTABLE in {path} has no positive ZTILELEN card")
+            return _replace(
+                info,
+                hdu_type=HDU_TYPE_COMPTABLE,
+                col_tforms=zforms,
+                zt_phys_tforms=tuple(tforms),
+                zt_tilelen=tilelen,
+                zt_rows=int(float(header_value(header, "ZNAXIS2", "0")
+                                  or "0")),
+                zt_row_bytes=int(float(header_value(header, "ZNAXIS1",
+                                                    "0") or "0")),
+                zt_ctyps=ctyps,
+            )
         if (header_value(header, "ZIMAGE", "") or "").strip() == "T":
             # tiled-compressed image (fpack convention): reclassify;
             # n_rows stays the TILE count (the unit of distribution)

@@ -373,6 +373,91 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     )
 
 
+def compressed_bintable_hdu(
+    columns: list[tuple[str, str, np.ndarray]],
+    tile_rows: int = 1000,
+    ctypes: dict[str, str] | str | None = None,
+    extra_cards: list[bytes] | None = None,
+    checksum: bool = False,
+) -> bytes:
+    """Build a tile-compressed BINTABLE (the fpack table convention;
+    ``fitscore/tabcomp.py`` documents the layout): logical rows are
+    grouped into tiles of ``tile_rows``, each column's values within a
+    tile are serialized big-endian and compressed independently
+    (``ctypes``: one codec name for all columns, or {column: codec};
+    default GZIP_2 — byte-shuffled gzip; RICE_1 available for B/I/J
+    integer columns), and the result is a BINTABLE of variable-length
+    byte cells with ``ZTABLE``/``ZTILELEN``/``ZFORMn``/``ZCTYPn``
+    cards. Scans back transparently with the logical schema.
+
+    Same ``columns`` spec as :func:`bintable_hdu`, minus variable-length
+    (P/Q) columns, which the convention cannot hold (rejected loud)."""
+    import re
+
+    from spark_fits_spark.fitscore import tabcomp
+    from spark_fits_spark.fitscore.types import parse_tform
+
+    if isinstance(ctypes, str):
+        default_ct, per_col = ctypes, {}
+    else:
+        default_ct, per_col = "GZIP_2", dict(ctypes or {})
+
+    n_rows = None
+    serialized = []            # (name, tform, info, ctype, big-endian array)
+    for name, tform, vals in columns:
+        if re.match(_VLA_RE, tform):
+            raise NotImplementedError(
+                f"column {name!r}: variable-length TFORM {tform!r} cannot "
+                "be tile-compressed (the table convention has no heap-in-"
+                "heap form); write it uncompressed")
+        info = parse_tform(tform)
+        if info.byte_width == 0:
+            raise ValueError(f"column {name!r}: unknown TFORM {tform!r}")
+        ct = per_col.get(name, default_ct)
+        tabcomp.check_table_codec(ct, info)
+        if info.letter == "A":
+            arr = np.asarray(vals, dtype=f"S{max(info.repeat, 1)}")
+        elif info.letter == "L":
+            arr = np.where(np.asarray(vals, dtype=bool), b"T", b"F").astype(
+                "S1")
+        elif info.letter == "X":
+            arr = np.asarray(vals)
+        else:
+            base, _w = _TFORM_NUMPY[info.letter]
+            arr = np.ascontiguousarray(np.asarray(vals).astype(base))
+        n_rows = len(arr) if n_rows is None else n_rows
+        serialized.append((name, tform, info, ct, arr))
+    n_rows = n_rows or 0
+    row_bytes = sum(i.byte_width for _n, _t, i, _c, _a in serialized)
+
+    vla_cols = []
+    for name, tform, info, ct, arr in serialized:
+        lengths, payloads = [], []
+        for r0 in range(0, n_rows, tile_rows):
+            tile = np.ascontiguousarray(arr[r0:r0 + tile_rows])
+            payload = tabcomp.compress_column_tile(
+                tile.tobytes(), ct, info, tile.size)
+            lengths.append(len(payload))
+            payloads.append(payload)
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        maxlen = max(lengths) if lengths else 0
+        vla_cols.append((name, f"1PB({maxlen})",
+                         (np.asarray(lengths, dtype=np.int64), flat)))
+
+    zcards = [
+        _card("ZTABLE", True, "tile-compressed binary table"),
+        _card("ZTILELEN", tile_rows, "logical rows per tile"),
+        _card("ZNAXIS1", row_bytes, "logical table row bytes"),
+        _card("ZNAXIS2", n_rows, "logical table rows"),
+    ]
+    for i, (name, tform, info, ct, _a) in enumerate(serialized, start=1):
+        zcards.append(_card(f"ZFORM{i}", tform))
+        zcards.append(_card(f"ZCTYP{i}", ct))
+    return bintable_hdu(
+        vla_cols, extra_cards=zcards + (extra_cards or []),
+        checksum=checksum)
+
+
 def write_fits(path: str, hdus: list[bytes], include_primary: bool = True,
                checksum: bool = False, fobj=None) -> None:
     """Serialize HDUs to ``path``, or into an already-open binary stream

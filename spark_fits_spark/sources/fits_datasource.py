@@ -64,6 +64,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 from spark_fits_spark.fitscore.file import (
     HDU_TYPE_BINTABLE,
     HDU_TYPE_COMPIMAGE,
+    HDU_TYPE_COMPTABLE,
     HDU_TYPE_IMAGE,
     HDU_TYPE_TABLE,
     HduInfo,
@@ -207,7 +208,11 @@ def _schema_signature(hdu: HduInfo, scaling: bool = False):
     comparing raw TFORMs silently dropped rows on a writer round-trip
     whose partitions had different max string lengths (r1 ADVICE).
     Differing base types (``J`` vs ``K``) still mismatch."""
-    if hdu.hdu_type == HDU_TYPE_BINTABLE:
+    if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_COMPTABLE):
+        # comptables share the "bintable" kind: compressed and plain
+        # parts of one logical table decode to the identical schema
+        # (col_names/col_tforms hold the LOGICAL schema), so they
+        # conform — the compimage/image rule applied to tables
         return ("bintable", hdu.col_names,
                 tuple(f.dataType.simpleString()
                       for f in _bintable_schema(hdu, scaling=scaling)))
@@ -283,7 +288,14 @@ class FitsDataSource(DataSource):
         (``FitsSourceRelation.scala:364-377``). ``columns`` option prunes
         here (case-insensitive match, ``FitsHduBintable.scala:306-325``)."""
         hdu = self._first_hdu()
-        if hdu.hdu_type == HDU_TYPE_BINTABLE:
+        if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_COMPTABLE):
+            if hdu.hdu_type == HDU_TYPE_COMPTABLE:
+                # fail fast at planning time on unsupported codecs /
+                # column types, not per task
+                from spark_fits_spark.fitscore import tabcomp
+
+                for tform, ct in zip(hdu.col_tforms, hdu.zt_ctyps):
+                    tabcomp.check_table_codec(ct, parse_tform(tform))
             schema = _bintable_schema(hdu, scaling=self._scaling_enabled())
             cols = self._opt("columns")
             if cols:
@@ -603,6 +615,7 @@ class FitsScanReader(DataSourceReader):
             sig = _schema_signature(hdu, scaling=self.scaling)
             scannable_types = (
                 HDU_TYPE_BINTABLE, HDU_TYPE_IMAGE, HDU_TYPE_COMPIMAGE,
+                HDU_TYPE_COMPTABLE,
             ) + ((HDU_TYPE_TABLE,) if self.ascii_tables else ())
             # a 0-row BINTABLE/IMAGE header still carries the full column
             # schema — it defines/participates in conformance (a writer
@@ -676,7 +689,8 @@ class FitsScanReader(DataSourceReader):
             scoped_fs = _fs(hdu.path).scoped_for(hdu.path)
             col_indices = (
                 _select_columns(hdu, self.columns)
-                if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE)
+                if hdu.hdu_type in (HDU_TYPE_BINTABLE, HDU_TYPE_TABLE,
+                                    HDU_TYPE_COMPTABLE)
                 else []
             )
             # decode consumes only the typed HduInfo fields — the raw
@@ -694,18 +708,19 @@ class FitsScanReader(DataSourceReader):
             # this slices planes/rows, ImgIndex stays global)
             lo, hi = 0, hdu.n_rows
             if self.rowrange is not None:
-                if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+                if hdu.hdu_type in (HDU_TYPE_COMPIMAGE, HDU_TYPE_COMPTABLE):
                     raise ValueError(
-                        "rowrange addresses logical image rows and is not "
-                        "supported on tile-compressed image HDUs (the scan "
-                        "unit is the tile); filter on ImgIndex instead")
+                        "rowrange addresses logical rows and is not "
+                        "supported on tile-compressed HDUs (the scan "
+                        "unit is the tile); filter instead")
                 lo = min(max(0, self.rowrange[0]), hdu.n_rows)
                 hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
-            # partition sizing: for compressed images the fixed table is
-            # 8 B/tile descriptors — the real bytes are the heap, so size
-            # by total data length per tile instead
+            # partition sizing: for compressed images/tables the fixed
+            # table is 8-16 B/tile descriptors — the real bytes are the
+            # heap, so size by total data length per tile instead
             est_row_bytes = hdu.row_bytes
-            if hdu.hdu_type == HDU_TYPE_COMPIMAGE and hdu.n_rows:
+            if (hdu.hdu_type in (HDU_TYPE_COMPIMAGE, HDU_TYPE_COMPTABLE)
+                    and hdu.n_rows):
                 est_row_bytes = max(
                     hdu.row_bytes, hdu.boundaries.data_len // hdu.n_rows)
             data_len = (hi - lo) * est_row_bytes
@@ -745,6 +760,10 @@ class FitsScanReader(DataSourceReader):
             width = hdu.z_naxis[0] if hdu.z_naxis else 1
             item = max(abs(hdu.z_bitpix) // 8, 1)
             rows_per_batch = max(1, batch_bytes // max(t_rows * width * item, 1))
+        elif hdu.hdu_type == HDU_TYPE_COMPTABLE:
+            # batch by DECOMPRESSED logical tile bytes
+            tile_bytes = hdu.zt_tilelen * max(hdu.zt_row_bytes, 1)
+            rows_per_batch = max(1, batch_bytes // max(tile_bytes, 1))
 
         fs = getattr(partition, "fs", None) or LOCAL
         with fs.open_input(hdu.path) as f:
@@ -769,6 +788,15 @@ class FitsScanReader(DataSourceReader):
                     from spark_fits_spark.fitscore.decode import decode_ascii_table
 
                     batch = decode_ascii_table(buf, hdu, partition.col_indices, arrow_schema)
+                elif hdu.hdu_type == HDU_TYPE_COMPTABLE:
+                    from spark_fits_spark.fitscore.tabcomp import (
+                        decode_compressed_table,
+                    )
+
+                    batch = decode_compressed_table(
+                        buf, hdu, row, arrow_schema,
+                        partition.col_indices, heap_read,
+                        scaling=self.scaling)
                 elif hdu.hdu_type == HDU_TYPE_COMPIMAGE:
                     from spark_fits_spark.fitscore.tilecomp import (
                         decode_compressed_image,

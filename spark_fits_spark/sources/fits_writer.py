@@ -187,6 +187,13 @@ class FitsArrowWriter(DataSourceArrowWriter):
         # zone-map stats per part) that lets the scan plan a
         # many-thousand-file dataset without opening any data file
         self.manifest = str(opts.get("manifest", "true")).lower() != "false"
+        # .option("compress", "GZIP_2"|"GZIP_1"|"RICE_1") writes tiled-
+        # compressed tables (the fpack table convention; scans back
+        # transparently with the same logical schema). RICE_1 is valid
+        # for B/I/J integer columns only — fails loud otherwise.
+        # .option("tilerows", N) sets the rows-per-tile (default 1000).
+        self.compress = (opts.get("compress") or "").strip() or None
+        self.tile_rows = int(opts.get("tilerows", "1000"))
 
     def _fixed_width(self, name: str, is_string: bool) -> int | None:
         w = self.col_widths.get(name.lower())
@@ -219,8 +226,13 @@ class FitsArrowWriter(DataSourceArrowWriter):
         for field, col in zip(self.schema.fields, table.columns):
             columns.append(self._to_fits_column(field.name, field.dataType, col, n))
         stats_cards = self._stats_cards(table, n) if self.stats else []
-        hdus = [fw.bintable_hdu(columns, extra_cards=stats_cards,
-                                checksum=self.checksum)]
+        if self.compress:
+            hdus = [fw.compressed_bintable_hdu(
+                columns, tile_rows=self.tile_rows, ctypes=self.compress,
+                extra_cards=stats_cards, checksum=self.checksum)]
+        else:
+            hdus = [fw.bintable_hdu(columns, extra_cards=stats_cards,
+                                    checksum=self.checksum)]
         if self.fs.needs_commit_payload:
             # memory:// test FS: serialize here, land driver-side in
             # commit() — the task-attempt → commit shape of an

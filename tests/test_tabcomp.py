@@ -1,0 +1,220 @@
+"""Tiled TABLE compression (fpack table convention, fitscore.tabcomp):
+column-wise tile codecs for bintables, transparent scan with the
+logical schema, I/O-level column pruning, sink integration. The
+reference has no table compression (beyond-reference)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from spark_fits_spark.fitscore import tabcomp
+from spark_fits_spark.fitscore import writer as fw
+
+
+def _cols(n):
+    return [
+        ("target", "10A", np.array([f"OBJ{i:06d}" for i in range(n)])),
+        ("RA", "E", (np.arange(n) * 0.001).astype(">f4")),
+        ("Dec", "D", np.arange(n) * 0.5),
+        ("Index", "K", np.arange(n, dtype=">i8")),
+        ("RunId", "I", (np.arange(n) % 7).astype(">i2")),
+        ("flag", "L", (np.arange(n) % 3 == 0)),
+        ("vec", "3J", np.arange(3 * n, dtype=">i4").reshape(n, 3)),
+        ("b", "B", (np.arange(n) % 100).astype("i1")),
+    ]
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("fits").option("hdu", 1)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+@pytest.mark.parametrize("codec", ["GZIP_1", "GZIP_2"])
+@pytest.mark.parametrize("tile_rows", [128, 1000, 37])
+def test_comptable_scan_matches_plain(spark, tmp_path, codec, tile_rows):
+    """Every column type through the compressed path decodes exactly
+    like the plain path (the converters are shared by construction, so
+    this pins the tiling/codec plumbing, incl. non-dividing final
+    tiles)."""
+    n = 300
+    plain, comp = str(tmp_path / "p.fits"), str(tmp_path / "c.fits")
+    fw.write_fits(plain, [fw.bintable_hdu(_cols(n))])
+    fw.write_fits(comp, [fw.compressed_bintable_hdu(
+        _cols(n), tile_rows=tile_rows, ctypes=codec)])
+    a = sorted(map(tuple, _read(spark, plain).collect()))
+    b = sorted(map(tuple, _read(spark, comp).collect()))
+    assert len(b) == n and a == b
+
+
+def test_comptable_rice_integer_columns(spark, tmp_path):
+    """RICE_1 on B/I/J integer columns (fpack's int codec applied
+    column-wise); K/float/string columns reject it loud."""
+    n = 500
+    cols = _cols(n)
+    comp = str(tmp_path / "r.fits")
+    fw.write_fits(comp, [fw.compressed_bintable_hdu(
+        cols, tile_rows=100,
+        ctypes={"RunId": "RICE_1", "vec": "RICE_1", "b": "RICE_1"})])
+    plain = str(tmp_path / "p.fits")
+    fw.write_fits(plain, [fw.bintable_hdu(cols)])
+    assert (sorted(map(tuple, _read(spark, comp).collect()))
+            == sorted(map(tuple, _read(spark, plain).collect())))
+    with pytest.raises(NotImplementedError, match="B/I/J"):
+        fw.compressed_bintable_hdu(cols, ctypes={"Index": "RICE_1"})
+    with pytest.raises(NotImplementedError, match="B/I/J"):
+        fw.compressed_bintable_hdu(cols, ctypes={"RA": "RICE_1"})
+
+
+def test_comptable_rejections(spark, tmp_path):
+    # VLA logical columns cannot be tile-compressed
+    with pytest.raises(NotImplementedError, match="variable-length"):
+        fw.compressed_bintable_hdu([
+            ("v", "PK(3)", (np.array([1, 2]),
+                            np.arange(3, dtype=">i8")))])
+    # unknown codec rejects loud at write and at scan planning
+    with pytest.raises(Exception, match="PLIO"):
+        fw.compressed_bintable_hdu(_cols(4), ctypes="PLIO_1")
+    p = str(tmp_path / "bad.fits")
+    hdu = fw.compressed_bintable_hdu(_cols(8), tile_rows=4)
+    # corrupt the codec card: ZCTYP1 GZIP_2 -> PLIO_1
+    hdu = hdu.replace(b"'GZIP_2  '", b"'PLIO_1  '", 1)
+    fw.write_fits(p, [hdu])
+    with pytest.raises(Exception, match="PLIO_1"):
+        _read(spark, p).schema
+
+
+def test_comptable_column_pruning_skips_bytes(tmp_path):
+    """Column pruning on a compressed table skips the pruned columns'
+    BYTES: the decoder opens exactly one heap window per SELECTED
+    column — pruning cuts I/O, not just decode (the at-scale win of
+    column-major tiles)."""
+    import io
+
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    p = str(tmp_path / "c.fits")
+    fw.write_fits(p, [fw.compressed_bintable_hdu(_cols(200),
+                                                 tile_rows=50)])
+    with open(p, "rb") as f:
+        hdu = open_hdu(f, p, 1)
+        f.seek(hdu.boundaries.data_start)
+        buf = f.read(hdu.n_rows * hdu.row_bytes)
+        heap_base = hdu.boundaries.data_start + hdu.theap
+        raw = open(p, "rb").read()
+    windows = []
+
+    def heap_read(off, length):
+        windows.append((off, length))
+        return raw[heap_base + off:heap_base + off + length]
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from spark_fits_spark.sources.fits_datasource import _bintable_schema
+
+    schema = to_arrow_schema(_bintable_schema(hdu))
+    sel = [3]  # Index only
+    batch = tabcomp.decode_compressed_table(
+        buf, hdu, 0, schema.empty_table().select(["Index"]).schema,
+        sel, heap_read)
+    assert batch.num_rows == 200
+    assert batch.column(0).to_pylist() == list(range(200))
+    assert len(windows) == 1  # ONE window, for the one selected column
+
+
+def test_comptable_scaling_transparency(spark, tmp_path):
+    """TSCAL/TZERO physical-value decode is identical through the
+    compressed and plain paths (cards refer to logical columns)."""
+    n = 60
+    cols = [("raw", "I", (np.arange(n) - 30).astype(">i2"))]
+    cards = [fw._card("TSCAL1", 0.5), fw._card("TZERO1", 100.0)]
+    plain, comp = str(tmp_path / "p.fits"), str(tmp_path / "c.fits")
+    fw.write_fits(plain, [fw.bintable_hdu(cols, extra_cards=cards)])
+    fw.write_fits(comp, [fw.compressed_bintable_hdu(
+        cols, tile_rows=16, extra_cards=cards)])
+    a = sorted(r["raw"] for r in _read(spark, plain,
+                                       scaling=True).collect())
+    b = sorted(r["raw"] for r in _read(spark, comp,
+                                       scaling=True).collect())
+    assert a == b and a[0] == 100.0 + 0.5 * (-30)
+
+
+def test_comptable_sink_option(spark, tmp_path):
+    """df.write.format('fits').option('compress', 'GZIP_2') writes
+    tile-compressed tables; the scan is transparent, zone-map stats
+    cards still prune, and the files are materially smaller."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import LessThan
+
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsDataSource, _HDU_CACHE,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("Index"),
+        (F.col("id") % 100).cast("int").alias("m"),
+        F.concat(F.lit("row"), F.col("id")).alias("s"))
+    dc = str(tmp_path / "comp")
+    dp = str(tmp_path / "plain")
+    (df.repartitionByRange(4, "Index").write.format("fits")
+     .option("compress", "GZIP_2").option("tilerows", 2000)
+     .mode("overwrite").save(dc))
+    (df.repartitionByRange(4, "Index").write.format("fits")
+     .mode("overwrite").save(dp))
+    size = lambda d: sum(os.path.getsize(os.path.join(d, f))
+                         for f in os.listdir(d) if f.endswith(".fits"))
+    assert size(dc) < size(dp) * 0.8
+    a = _read(spark, dc).agg(F.count("*"), F.sum("Index"),
+                             F.sum("m")).first()
+    b = _read(spark, dp).agg(F.count("*"), F.sum("Index"),
+                             F.sum("m")).first()
+    assert tuple(a) == tuple(b)
+    # stats cards prune whole compressed files too
+    ds = FitsDataSource(options={"path": dc, "hdu": "1"})
+    r = ds.reader(ds.schema())
+    _HDU_CACHE.clear()
+    list(r.pushFilters([LessThan(("Index",), 1000)]))
+    kept = {p.hdu.path for p in r.partitions() if p.hdu is not None}
+    assert len(kept) == 1
+
+
+def test_comptable_empty_and_checksum(spark, tmp_path):
+    p = str(tmp_path / "e.fits")
+    fw.write_fits(p, [fw.compressed_bintable_hdu(_cols(0),
+                                                 checksum=True)])
+    assert _read(spark, p).count() == 0
+    import spark_fits_spark as sfs
+
+    p2 = str(tmp_path / "k.fits")
+    fw.write_fits(p2, [fw.compressed_bintable_hdu(_cols(64),
+                                                  tile_rows=16,
+                                                  checksum=True)],
+                  checksum=True)
+    rows = sfs.fits_verify_checksums(spark, p2).collect()
+    assert all(r["checksum_ok"] in (True, None) for r in rows)
+    info = {r["hdu"]: r["compression"]
+            for r in sfs.fits_info(spark, p2).collect()}
+    assert info[1] == "TILED_TABLE"
+
+
+def test_comptable_gzip2_payloads_are_standard_gzip(tmp_path):
+    """Interop evidence at the byte level: each (tile, column) cell is
+    a plain RFC-1952 gzip stream of the column's (shuffled) bytes."""
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    p = str(tmp_path / "c.fits")
+    fw.write_fits(p, [fw.compressed_bintable_hdu(
+        [("Index", "K", np.arange(40, dtype=">i8"))], tile_rows=40)])
+    with open(p, "rb") as f:
+        hdu = open_hdu(f, p, 1)
+        f.seek(hdu.boundaries.data_start)
+        desc = np.frombuffer(f.read(8), dtype=">i4")
+        f.seek(hdu.boundaries.data_start + hdu.theap + int(desc[1]))
+        payload = f.read(int(desc[0]))
+    raw = gzip.decompress(payload)  # a standard tool can read the cell
+    shuffled = tabcomp.unshuffle_bytes(raw, 8)
+    assert np.array_equal(np.frombuffer(shuffled, dtype=">i8"),
+                          np.arange(40))
