@@ -230,6 +230,48 @@ def fits_scan_compressed_seconds(spark) -> tuple[float, float]:
     return sec, logical_mb
 
 
+def fits_scan_comptable_seconds(spark) -> tuple[float, float, float]:
+    """(seconds, logical MB, compressed/logical ratio) for a scan+agg
+    of the SAME 64 MB bintable payload as fits_scan_64mb, written as a
+    tiled-compressed table (fpack table convention, GZIP_2 per column,
+    r5) — the compressed-catalog scan path, directly comparable to the
+    uncompressed row."""
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer
+
+    d = tempfile.mkdtemp(prefix="fitsbench_ctab")
+    path = os.path.join(d, "bench.fits")
+    n = 2_000_000
+    rng = np.random.RandomState(0)
+    cols = [
+        ("target", "10A", np.array([f"OBJ{i:07d}" for i in range(n)])),
+        ("RA", "E", rng.uniform(0, 6.28, n).astype(">f4")),
+        ("Dec", "D", rng.uniform(-1.57, 1.57, n)),
+        ("Index", "K", np.arange(n, dtype=">i8")),
+        ("RunId", "I", np.ones(n, dtype=">i2")),
+    ]
+    logical_mb = n * 32 / 1e6
+    writer.write_fits(path, [writer.compressed_bintable_hdu(
+        cols, tile_rows=50_000, ctypes="GZIP_2")])
+    ratio = os.path.getsize(path) / (n * 32)
+    from pyspark.sql import functions as F
+
+    df = (spark.read.format("fits").option("hdu", 1)
+          .option("partitionbytes", 8 * 1024 * 1024).load(path))
+    df.count()  # warm-up
+    t0 = time.perf_counter()
+    got = df.agg(F.sum("Index"), F.count("*")).collect()[0]
+    sec = time.perf_counter() - t0
+    assert got[1] == n and got[0] == n * (n - 1) // 2, got
+    try:
+        os.remove(path)
+        os.rmdir(d)
+    except OSError:
+        pass
+    return sec, logical_mb, round(ratio, 3)
+
+
 def fits_scan_rice_seconds(spark) -> tuple[float, float]:
     """(seconds, logical MB) for a full scan+agg of a RICE_1
     tile-compressed image — fpack's DEFAULT codec for integer images,
@@ -463,6 +505,8 @@ def main() -> None:
     timings["fits_scan_compressed"] = round(comp_sec, 3)
     rice_sec, rice_mb = fits_scan_rice_seconds(spark)
     timings["fits_scan_rice"] = round(rice_sec, 3)
+    ctab_sec, ctab_mb, ctab_ratio = fits_scan_comptable_seconds(spark)
+    timings["fits_scan_comptable"] = round(ctab_sec, 3)
     plan_sec, plan_warm_sec, plan_mani_sec, plan_files = (
         fits_plan_manyfile_seconds())
     timings["fits_plan_2048files"] = round(plan_sec, 3)
@@ -488,6 +532,7 @@ def main() -> None:
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",
+                                          "fits_scan_comptable",
                                           "fits_plan"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     metrics = {
@@ -501,6 +546,10 @@ def main() -> None:
         # #3: measure it, not just GZIP).
         "fits_scan_compressed_mb_per_s": round(comp_mb / comp_sec, 1),
         "fits_scan_rice_mb_per_s": round(rice_mb / rice_sec, 1),
+        # tiled-compressed TABLE scan (r5): same 64 MB logical payload
+        # as fits_scan_64mb, column-wise GZIP_2 cells
+        "fits_scan_comptable_mb_per_s": round(ctab_mb / ctab_sec, 1),
+        "fits_comptable_ratio": ctab_ratio,
         # single-thread pure decode (no Spark overhead): the honest
         # per-task comparison against the reference's ~16 MB/s/task.
         # At 68 MB the distributed scan wall is dominated by fixed
