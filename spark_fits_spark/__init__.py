@@ -289,7 +289,8 @@ def fits_build_manifest(directory: str, hdu: int = 1) -> int:
 def fits_recompress(spark, src: str, dst_dir: str, *,
                     cmptype: str = "RICE_1", tile_rows: int = 16,
                     quantize_method: str = "NO_DITHER",
-                    zdither0: int = 1, checksum: bool = True):
+                    zdither0: int = 1, checksum: bool = True,
+                    tables: bool = False, table_tile_rows: int = 1000):
     """Distributed archive re-compression — the fpack batch job, one
     task per file: every IMAGE HDU (including a primary image, which
     moves into a compressed extension under a fresh empty primary,
@@ -299,6 +300,11 @@ def fits_recompress(spark, src: str, dst_dir: str, *,
     quantize per tile — LOSSY by design (``quantize_method`` NO_DITHER
     or SUBTRACTIVE_DITHER_1); the gzip codecs are lossless for every
     pixel type.
+
+    ``tables=True`` (fpack's ``-table`` mode) also rewrites BINTABLE
+    HDUs as tiled-compressed tables (``fitscore.tabcomp``, GZIP_2 per
+    column — lossless); tables with variable-length (P/Q) columns stay
+    byte-verbatim (the convention cannot hold a heap inside a heap).
 
     Returns one row per input file: output path, HDUs converted/copied,
     byte sizes, and the error string for files the codec cannot take
@@ -383,6 +389,20 @@ def fits_recompress(spark, src: str, dst_dir: str, *,
                     converted += 1
                 elif i == 0:
                     continue  # data-less primary: fresh one written below
+                elif tables and xt == "BINTABLE" and not (
+                        header_value(h, "ZIMAGE", "")
+                        or header_value(h, "ZTABLE", "")):
+                    cols = _table_columns_for_recompress(raw, fp, i)
+                    if cols is None:       # VLA columns: copy verbatim
+                        out_hdus.append(raw[b.header_start:b.block_stop])
+                        copied += 1
+                        continue
+                    columns, extra = cols
+                    out_hdus.append(fw.compressed_bintable_hdu(
+                        columns, tile_rows=table_tile_rows,
+                        ctypes="GZIP_2", extra_cards=extra,
+                        checksum=checksum))
+                    converted += 1
                 else:
                     out_hdus.append(raw[b.header_start:b.block_stop])
                     copied += 1
@@ -400,3 +420,50 @@ def fits_recompress(spark, src: str, dst_dir: str, *,
     rdd = spark.sparkContext.parallelize(
         _with_scoped_fs(files), max(1, len(files)))
     return spark.createDataFrame(rdd.flatMap(_convert), schema)
+
+
+def _table_columns_for_recompress(raw: bytes, path: str, hdu_index: int):
+    """Extract a BINTABLE HDU's columns as the (name, tform, values)
+    spec ``compressed_bintable_hdu`` takes, plus the per-column cards
+    worth carrying (TSCAL/TZERO/TNULL/TDMIN/TDMAX, EXTNAME). Returns
+    None when the table has variable-length columns (left verbatim)."""
+    import io
+
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.decode import build_row_dtype
+    from spark_fits_spark.fitscore.file import open_hdu
+    from spark_fits_spark.fitscore.header import header_value
+
+    hdu = open_hdu(io.BytesIO(raw), path, hdu_index)
+    infos = hdu.tform_infos
+    if any(i.is_varlen or i.byte_width == 0 for i in infos):
+        return None
+    idx = list(range(len(hdu.col_names)))
+    rec = np.frombuffer(
+        raw, dtype=build_row_dtype(hdu, idx), count=hdu.n_rows,
+        offset=hdu.boundaries.data_start)
+    columns = []
+    for pos, (name, tform, info) in enumerate(
+            zip(hdu.col_names, hdu.col_tforms, infos)):
+        vals = rec[f"f{pos}"]
+        if info.letter == "L":
+            vals = vals == b"T"   # S1 'T'/'F' -> bool (writer re-encodes)
+        columns.append((name, tform.strip(), vals))
+    extra = []
+    for i in range(1, len(hdu.col_names) + 1):
+        for kw in (f"TSCAL{i}", f"TZERO{i}", f"TNULL{i}",
+                   f"TDMIN{i}", f"TDMAX{i}"):
+            v = header_value(hdu.header, kw, None)
+            if v is not None:
+                try:
+                    extra.append(fw._card(
+                        kw, int(v) if kw.startswith("TNULL")
+                        else float(v)))
+                except ValueError:
+                    pass
+    en = header_value(hdu.header, "EXTNAME", None)
+    if en is not None:
+        extra.append(fw._card("EXTNAME", en))
+    return columns, extra

@@ -200,6 +200,45 @@ def test_comptable_empty_and_checksum(spark, tmp_path):
     assert info[1] == "TILED_TABLE"
 
 
+def test_fits_recompress_tables_mode(spark, tmp_path):
+    """fits_recompress(tables=True) — fpack's -table mode: BINTABLE
+    HDUs rewrite as tiled-compressed tables with their per-column
+    cards (TSCAL/TZERO, EXTNAME) carried over; VLA tables stay
+    byte-verbatim; rows and scaled values round-trip exactly."""
+    import spark_fits_spark as sfs
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    n = 2000
+    cards = [fw._card("TSCAL1", 2.0), fw._card("TZERO1", 10.0),
+             fw._card("EXTNAME", "CAT")]
+    fw.write_fits(str(src / "t.fits"), [fw.bintable_hdu(
+        [("v", "I", (np.arange(n) % 50).astype(">i2")),
+         ("name", "8A", np.array([f"N{i:05d}" for i in range(n)])),
+         ("flag", "L", np.arange(n) % 2 == 0)],
+        extra_cards=cards)])
+    fw.write_fits(str(src / "vla.fits"), [fw.bintable_hdu(
+        [("r", "PK(3)", (np.array([1, 3]), np.arange(4, dtype=">i8")))])])
+    rep = {r["file"].rsplit("/", 1)[-1]: r for r in
+           sfs.fits_recompress(spark, str(src), str(dst),
+                               tables=True).collect()}
+    assert (rep["t.fits"]["hdus_converted"],
+            rep["t.fits"]["hdus_copied"]) == (1, 0)
+    assert (rep["vla.fits"]["hdus_converted"],
+            rep["vla.fits"]["hdus_copied"]) == (0, 1)
+    a = _read(spark, str(src / "t.fits"))
+    b = _read(spark, str(dst / "t.fz.fits"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
+                                                         b.collect()))
+    asc = sorted(r["v"] for r in _read(spark, str(src / "t.fits"),
+                                       scaling=True).collect())
+    bsc = sorted(r["v"] for r in _read(spark, str(dst / "t.fz.fits"),
+                                       scaling=True).collect())
+    assert asc == bsc and asc[0] == 10.0  # 0*2+10: scaling cards rode
+    assert _read(spark, str(dst / "t.fz.fits"), hdu="CAT").count() == n
+    assert _read(spark, str(dst / "vla.fz.fits")).count() == 2
+
+
 def test_comptable_gzip2_payloads_are_standard_gzip(tmp_path):
     """Interop evidence at the byte level: each (tile, column) cell is
     a plain RFC-1952 gzip stream of the column's (shuffled) bytes."""
