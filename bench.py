@@ -429,6 +429,14 @@ def main() -> None:
     unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
     assert not unknown, f"BENCH_QUERIES names not in the suite: {unknown}"
 
+    # The suite accumulates ~100 queries' worth of broadcast variables
+    # (Bloom filters, PQ codebooks, LSH band tables) whose JVM blocks
+    # are only reclaimed when the ContextCleaner's weak refs are GC'd.
+    # At the session default (16g) the late-suite queries measured GC
+    # thrash, not code (q102 grew 4.5->8.4 s across its own reps while
+    # a fresh session runs it at 1.0 s steady) — give the bench JVM
+    # headroom on the 128 GiB host unless the caller pinned a size.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_session(app_name="spark-fits-spark-bench",
                           shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
@@ -485,7 +493,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     rep_seconds: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for q_idx, name in enumerate(BENCH_QUERIES):
         fn = QUERIES[name]
         reps = []
         for _ in range(REPS):
@@ -496,6 +504,17 @@ def main() -> None:
         medians[name] = sorted(reps)[len(reps) // 2]
         rep_seconds[name] = reps
         spark.catalog.clearCache()
+        # Drop the Python-side plan handles and force one JVM GC every
+        # few queries: the ContextCleaner only reclaims dead broadcast
+        # blocks when their weak refs are collected, and without an
+        # explicit nudge a 100-query suite runs its tail under heap
+        # pressure that belongs to queries long finished (outside
+        # timing: this runs after the reps are recorded).
+        if (q_idx + 1) % 8 == 0:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     fits_sec, fits_mb, decode_rate = fits_scan_seconds(spark)
     timings["fits_scan_64mb"] = round(fits_sec, 3)

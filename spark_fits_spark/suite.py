@@ -3856,6 +3856,36 @@ def q106_survey_pipeline(spark, sf):
     )
 
 
+@query("q107_fits_table_compressed_roundtrip", """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+""")
+def q107_fits_table_compressed_roundtrip(spark, sf):
+    """Tiled TABLE compression (the fpack `-table` convention, r5)
+    under the driver gate: write the full `customer` table through the
+    sink with GZIP_2 column cells and a tile size that forces multiple
+    tiles plus a partial trailing tile, scan it back transparently
+    through the ZTABLE path, and return every row/column. A green hash
+    certifies the whole per-column encode→heap→decode pipeline —
+    int64 (K), int32 (J), IEEE double (D) and space-padded string (A)
+    cells — reassembles bit-for-bit in row order, including string
+    trim semantics shared with the uncompressed reader."""
+    import hashlib
+    import os as _os
+
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    c = _t(spark, sf, "customer")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q107_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    (c.write.format("fits").mode("overwrite")
+     .option("compress", "GZIP_2").option("tilerows", 700).save(d))
+    back = spark.read.format("fits").option("hdu", 1).load(d)
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
