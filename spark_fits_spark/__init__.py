@@ -297,9 +297,9 @@ def fits_recompress(spark, src: str, dst_dir: str, *,
     exactly like fpack) is rewritten as a tiled-compressed HDU
     (``fitscore.tilecomp``); every other HDU is copied byte-verbatim
     (its CHECKSUM cards stay valid). Float images under RICE_1
-    quantize per tile — LOSSY by design (``quantize_method`` NO_DITHER
-    or SUBTRACTIVE_DITHER_1); the gzip codecs are lossless for every
-    pixel type.
+    quantize per tile — LOSSY by design (``quantize_method`` NO_DITHER,
+    SUBTRACTIVE_DITHER_1 or SUBTRACTIVE_DITHER_2); the gzip codecs are
+    lossless for every pixel type.
 
     ``tables=True`` (fpack's ``-table`` mode) also rewrites BINTABLE
     HDUs as tiled-compressed tables (``fitscore.tabcomp``, GZIP_2 per

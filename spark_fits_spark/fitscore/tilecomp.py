@@ -28,8 +28,11 @@ codecs, because the payloads are plain RFC-1952 gzip streams:
   ``SUBTRACTIVE_DITHER_1`` — the fpack float DEFAULT — whose per-pixel
   offsets both sides regenerate from the convention's portable RNG
   (``dither_randoms``; the published 1043618065 seed self-check is
-  asserted) seeded by the ``ZDITHER0`` card. ``SUBTRACTIVE_DITHER_2``
-  (zero-preserving) stays a loud rejection. Undefined pixels ride the
+  asserted) seeded by the ``ZDITHER0`` card, and (r5)
+  ``SUBTRACTIVE_DITHER_2`` — identical except pixels that are exactly
+  0.0 ride the reserved ``ZERO_SENTINEL`` integer and restore to
+  exactly 0.0 (the offset stream still advances past them, keeping
+  every other pixel bit-identical to DITHER_1). Undefined pixels ride the
   ``ZBLANK`` sentinel (header card or per-tile column) and surface as
   NaN.
 - ``PLIO_1`` / ``HCOMPRESS_1`` are recognized and rejected with a
@@ -67,6 +70,11 @@ _KNOWN_UNSUPPORTED = ("RICE_ONE", "PLIO_1", "HCOMPRESS_1", "NOCOMPRESS")
 
 N_RANDOM = 10000
 _DITHER_CHECK_SEED = 1043618065   # published self-check after 10000 steps
+# SUBTRACTIVE_DITHER_2's exact-zero sentinel: pixels whose float value
+# is exactly 0.0 store this integer instead of a dithered quantum and
+# restore to exactly 0.0 (the convention reserves it one above the
+# undefined-pixel NULL sentinel -2147483647)
+ZERO_SENTINEL = -2147483646
 _dither_cache: np.ndarray | None = None
 
 
@@ -259,14 +267,18 @@ def decode_compressed_image(
     quantized = (hdu.z_cmptype == "RICE_1" and hdu.z_bitpix < 0)
     dithered = False
     if quantized:
-        if hdu.z_quantiz not in ("", "NO_DITHER", "SUBTRACTIVE_DITHER_1"):
+        if hdu.z_quantiz not in ("", "NO_DITHER", "SUBTRACTIVE_DITHER_1",
+                                 "SUBTRACTIVE_DITHER_2"):
             raise NotImplementedError(
-                f"ZQUANTIZ={hdu.z_quantiz!r} is not supported (NO_DITHER "
-                "and SUBTRACTIVE_DITHER_1 quantization only)")
-        dithered = hdu.z_quantiz == "SUBTRACTIVE_DITHER_1"
+                f"ZQUANTIZ={hdu.z_quantiz!r} is not supported (NO_DITHER, "
+                "SUBTRACTIVE_DITHER_1 and SUBTRACTIVE_DITHER_2 "
+                "quantization only)")
+        dithered = hdu.z_quantiz in ("SUBTRACTIVE_DITHER_1",
+                                     "SUBTRACTIVE_DITHER_2")
+        dither2 = hdu.z_quantiz == "SUBTRACTIVE_DITHER_2"
         if dithered and not 1 <= hdu.z_dither0 <= N_RANDOM:
             raise ValueError(
-                f"SUBTRACTIVE_DITHER_1 requires a ZDITHER0 card in "
+                f"{hdu.z_quantiz} requires a ZDITHER0 card in "
                 f"1..{N_RANDOM}, got {hdu.z_dither0}")
         if not {"ZSCALE", "ZZERO"} <= set(hdu.col_names):
             raise ValueError(
@@ -343,6 +355,11 @@ def decode_compressed_image(
             else:
                 pix = (zzero[i] + zscale[i] * q.astype(np.float64)).astype(
                     dtype.newbyteorder("="))
+            if dither2:
+                # exact-zero pixels bypassed quantization at write time
+                # (the RNG walk still advanced past them, so `r` above
+                # stays aligned for every other pixel)
+                pix[q == ZERO_SENTINEL] = 0.0
             sentinel = (int(zblank_col[i]) if zblank_col is not None
                         else hdu.z_blank)
             if sentinel is not None:

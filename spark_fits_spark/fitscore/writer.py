@@ -249,13 +249,15 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
     these files.
 
     Float images under RICE_1 quantize per tile; ``quantize_method``
-    picks ``NO_DITHER`` (deterministic linear) or
+    picks ``NO_DITHER`` (deterministic linear),
     ``SUBTRACTIVE_DITHER_1`` (the fpack float default: per-pixel
     pseudo-random offsets from the convention's portable RNG, seed
     recorded in ``ZDITHER0``; quantization error decorrelates from the
-    signal). NaN pixels map to ZBLANK under NO_DITHER; under dithering
-    they are rejected (write NO_DITHER for images with undefined
-    pixels)."""
+    signal) or ``SUBTRACTIVE_DITHER_2`` (DITHER_1 plus exact
+    preservation of 0.0-valued pixels via the reserved sentinel — the
+    mode for sparse/masked images where zero MEANS zero). NaN pixels
+    map to ZBLANK under NO_DITHER; under dithering they are rejected
+    (write NO_DITHER for images with undefined pixels)."""
     from spark_fits_spark.fitscore import tilecomp
 
     if cmptype not in tilecomp.SUPPORTED_CODECS:
@@ -269,12 +271,15 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
             f"dtype {data.dtype} not supported for compressed images")
     bitpix = kind_map[key]
     quantize = cmptype == "RICE_1" and bitpix < 0
-    dither = quantize and quantize_method == "SUBTRACTIVE_DITHER_1"
+    dither = quantize and quantize_method in ("SUBTRACTIVE_DITHER_1",
+                                              "SUBTRACTIVE_DITHER_2")
+    dither2 = quantize and quantize_method == "SUBTRACTIVE_DITHER_2"
     if quantize and quantize_method not in ("NO_DITHER",
-                                            "SUBTRACTIVE_DITHER_1"):
+                                            "SUBTRACTIVE_DITHER_1",
+                                            "SUBTRACTIVE_DITHER_2"):
         raise NotImplementedError(
             f"quantize_method {quantize_method!r} not supported "
-            "(NO_DITHER or SUBTRACTIVE_DITHER_1)")
+            "(NO_DITHER, SUBTRACTIVE_DITHER_1 or SUBTRACTIVE_DITHER_2)")
     if dither and not 1 <= int(zdither0) <= tilecomp.N_RANDOM:
         raise ValueError(
             f"zdither0 must be in 1..{tilecomp.N_RANDOM}, got {zdither0}")
@@ -289,7 +294,7 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
             "no representation in the quantized layout)")
     if dither and np.isnan(data).any():
         raise NotImplementedError(
-            "SUBTRACTIVE_DITHER_1 write does not support NaN pixels "
+            f"{quantize_method} write does not support NaN pixels "
             "(use quantize_method='NO_DITHER', which maps NaN to ZBLANK)")
     if data.ndim < 2:
         data = data.reshape(1, -1)
@@ -325,6 +330,13 @@ def compressed_image_hdu(data: np.ndarray, cmptype: str = "GZIP_1",
                     q = tilecomp.nint(
                         (tile.astype(np.float64).reshape(-1) - lo) / zs
                         + r - 0.5).reshape(tile.shape)
+                    if dither2:
+                        # DITHER_2: exact zeros survive quantization
+                        # exactly via the reserved sentinel; the offset
+                        # stream above was still consumed per pixel so
+                        # all other pixels keep their DITHER_1 values
+                        q = np.where(tile == 0.0,
+                                     float(tilecomp.ZERO_SENTINEL), q)
                 else:
                     q = np.round((tile.astype(np.float64) - lo) / zs)
                     if not finite.all():

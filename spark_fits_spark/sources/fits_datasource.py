@@ -321,20 +321,22 @@ class FitsDataSource(DataSource):
                     hdu.z_bitpix in (-32, -64)
                     and {"ZSCALE", "ZZERO"} <= set(hdu.col_names)
                     and hdu.z_quantiz in ("", "NO_DITHER",
-                                          "SUBTRACTIVE_DITHER_1"))
+                                          "SUBTRACTIVE_DITHER_1",
+                                          "SUBTRACTIVE_DITHER_2"))
                 if not quant_ok:
                     raise NotImplementedError(
                         f"RICE_1 supports ZBITPIX 16/32, or quantized "
                         f"floats with per-tile ZSCALE/ZZERO columns and "
-                        f"ZQUANTIZ=NO_DITHER / SUBTRACTIVE_DITHER_1 (got "
+                        f"ZQUANTIZ=NO_DITHER / SUBTRACTIVE_DITHER_1/2 (got "
                         f"ZBITPIX={hdu.z_bitpix}, "
                         f"ZQUANTIZ={hdu.z_quantiz!r}, columns="
-                        f"{list(hdu.col_names)}); SUBTRACTIVE_DITHER_2 "
-                        "and 64-bit ints are not implemented")
-                if (hdu.z_quantiz == "SUBTRACTIVE_DITHER_1"
+                        f"{list(hdu.col_names)}); 64-bit ints are not "
+                        "implemented")
+                if (hdu.z_quantiz in ("SUBTRACTIVE_DITHER_1",
+                                      "SUBTRACTIVE_DITHER_2")
                         and not 1 <= hdu.z_dither0 <= tilecomp.N_RANDOM):
                     raise ValueError(
-                        "SUBTRACTIVE_DITHER_1 requires a ZDITHER0 card "
+                        f"{hdu.z_quantiz} requires a ZDITHER0 card "
                         f"in 1..{tilecomp.N_RANDOM} to reconstruct pixel "
                         f"values, got {hdu.z_dither0}")
             return _image_schema(hdu, scaling=self._scaling_enabled())

@@ -644,12 +644,44 @@ def _foreign_dither_file(tmp_path, quantiz, with_seed):
     return p
 
 
-def test_rice_dither2_foreign_rejected(spark, tmp_path):
-    """SUBTRACTIVE_DITHER_2 (zero-preserving dithering) stays a loud
-    rejection — its zero-pixel special-casing is not implemented."""
-    p = _foreign_dither_file(tmp_path, "SUBTRACTIVE_DITHER_2", True)
-    with pytest.raises(Exception, match="SUBTRACTIVE_DITHER_2"):
-        _scan(spark, p).schema
+def test_rice_dither2_foreign_decodes(spark, tmp_path):
+    """A hand-assembled foreign SUBTRACTIVE_DITHER_2 file decodes (r5,
+    flipped from the pre-r5 loud rejection): regular quanta reconstruct
+    via the subtractive formula with the RNG walk still advancing past
+    zeros, and the reserved ZERO_SENTINEL restores EXACTLY 0.0."""
+    from spark_fits_spark.fitscore import rice
+
+    img = (np.arange(12, dtype="i4") % 7).reshape(3, 4)
+    img[1, 2] = tilecomp.ZERO_SENTINEL
+    payloads = [rice.rice_encode(img[r], bytepix=4) for r in range(3)]
+    lengths = np.asarray([len(b) for b in payloads], dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    cards = [
+        fw._card("ZIMAGE", True), fw._card("ZBITPIX", -32),
+        fw._card("ZNAXIS", 2), fw._card("ZNAXIS1", 4),
+        fw._card("ZNAXIS2", 3), fw._card("ZTILE1", 4),
+        fw._card("ZTILE2", 1), fw._card("ZCMPTYPE", "RICE_1"),
+        fw._card("ZQUANTIZ", "SUBTRACTIVE_DITHER_2"),
+        fw._card("ZDITHER0", 42),
+    ]
+    hdu = fw.bintable_hdu(
+        [("COMPRESSED_DATA", f"1PB({int(lengths.max())})", (lengths, flat)),
+         ("ZSCALE", "D", np.ones(3, dtype=">f8")),
+         ("ZZERO", "D", np.zeros(3, dtype=">f8"))],
+        extra_cards=cards)
+    p = str(tmp_path / "foreign_d2.fits")
+    fw.write_fits(p, [hdu])
+    planes = {}
+    for r in _scan(spark, p).collect():
+        planes.setdefault(r["ImgIndex"], []).append(list(r["Image"]))
+    back = np.array(planes[0], dtype=np.float64)   # 2-D image: one plane
+    for t in range(3):
+        r = tilecomp.dither_offsets(t + 1, 42, 4)
+        want = (img[t].astype(np.float64) - r + 0.5)
+        want[img[t] == tilecomp.ZERO_SENTINEL] = 0.0
+        assert np.allclose(back[t], want.astype("f4"), atol=0, rtol=0), \
+            (t, back[t], want)
+    assert back[1, 2] == 0.0
 
 
 def test_rice_dither1_foreign_without_seed_rejected(spark, tmp_path):
@@ -731,3 +763,52 @@ def test_rice_subtractive_dither1_roundtrip(spark, tmp_path, dt):
     with pytest.raises(NotImplementedError, match="NO_DITHER"):
         fw.compressed_image_hdu(bad, "RICE_1", tile_rows=2,
                                 quantize_method="SUBTRACTIVE_DITHER_1")
+
+
+@pytest.mark.parametrize("dt", ["f4", "f8"])
+def test_rice_subtractive_dither2_roundtrip(spark, tmp_path, dt):
+    """SUBTRACTIVE_DITHER_2 (zero-preserving dithering, r5): exact-zero
+    pixels ride the reserved ZERO_SENTINEL and restore to EXACTLY 0.0
+    (sign-correct bit pattern), every non-zero pixel reconstructs
+    bit-identically to what DITHER_1 would give (the RNG walk advances
+    past zeros on both sides), and the non-zero error stays within the
+    per-tile quantization bound."""
+    rng = np.random.default_rng(23)
+    cube = np.cumsum(rng.normal(size=(2, 6, 5)), axis=-1).astype(dt)
+    cube[0, 0, :3] = 0.0           # zeros at the head of the RNG walk
+    cube[1, 3, 2] = 0.0            # and mid-tile in a later plane
+    p2 = str(tmp_path / "d2.fits")
+    fw.write_fits(p2, [fw.compressed_image_hdu(
+        cube, "RICE_1", tile_rows=2,
+        quantize_method="SUBTRACTIVE_DITHER_2", zdither0=7)])
+    got = {r["ImgIndex"]: None for r in []}
+    planes = {}
+    for r in _scan(spark, p2).collect():
+        planes.setdefault(r["ImgIndex"], []).append(list(r["Image"]))
+    back = np.array([planes[k] for k in sorted(planes)])
+    # zeros restore exactly — not "close": the sentinel bypasses the
+    # lossy quantizer entirely
+    assert (back[cube == 0.0] == 0.0).all()
+    # every other pixel equals the DITHER_1 reconstruction bit-for-bit:
+    # decode with the same seed, same tiles, where the only delta is
+    # the zero bypass
+    p1 = str(tmp_path / "d1.fits")
+    fw.write_fits(p1, [fw.compressed_image_hdu(
+        cube, "RICE_1", tile_rows=2,
+        quantize_method="SUBTRACTIVE_DITHER_1", zdither0=7)])
+    planes1 = {}
+    for r in _scan(spark, p1).collect():
+        planes1.setdefault(r["ImgIndex"], []).append(list(r["Image"]))
+    back1 = np.array([planes1[k] for k in sorted(planes1)])
+    nz = cube != 0.0
+    assert np.array_equal(back[nz], back1[nz])
+    # and within the quantization error bound vs the source
+    zs_max = max((cube[pl, r0:r0 + 2].max() - cube[pl, r0:r0 + 2].min())
+                 / 65000.0
+                 for pl in range(2) for r0 in range(0, 6, 2))
+    assert np.abs((back - cube.astype(np.float64))[nz]).max() \
+        <= zs_max * 1.001
+    # the ZQUANTIZ card itself round-trips
+    with open(p2, "rb") as f:
+        from spark_fits_spark.fitscore.file import open_hdu
+        assert open_hdu(f, p2, 1).z_quantiz == "SUBTRACTIVE_DITHER_2"
