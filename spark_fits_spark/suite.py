@@ -3936,7 +3936,9 @@ _DRIVER_PRIORITY = [
     "q91_lm_fluency_gate", "q92_source_kl_drift",
     # (slipped to r6, see the note above: q63_hybrid_rrf,
     # q81_ann_recall, q84_mrl_truncated_recall — compositions of
-    # in-window gated components, mirror-green)
+    # in-window gated components, mirror-green. The r5-new
+    # q106_survey_pipeline and q107_fits_table_compressed_roundtrip
+    # also land past the cap and lead the r6 gate alongside them.)
 ]
 
 
