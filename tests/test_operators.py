@@ -1529,6 +1529,26 @@ def test_zone_crossmatch_matches_bruteforce(spark):
         relational.zone_crossmatch(a, b, radius=0)
 
 
+def test_zone_crossmatch_plan_is_equi_join(spark):
+    """The 100 TB property the Zones algorithm buys: the physical plan
+    joins on the cell EQUI-key — never a cross product or a nested-loop
+    join whose cost is |A|x|B| (what a naive dist<=r theta-join
+    becomes)."""
+    from spark_fits_spark.operators import relational
+
+    a = spark.range(2000).selectExpr(
+        "id", "CAST(pmod(id * 37, 4096) AS LONG) AS x",
+        "CAST(pmod(id * 91, 4096) AS LONG) AS y")
+    b = spark.range(2000).selectExpr(
+        "id + 100000 AS id", "CAST(pmod(id * 53, 4096) AS LONG) AS x",
+        "CAST(pmod(id * 17, 4096) AS LONG) AS y")
+    plan = relational.zone_crossmatch(
+        a, b, radius=64)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "_cx" in plan  # the join really keys on the cell ids
+
+
 def test_bigram_logprob_penalizes_word_order_violations(spark):
     """The bigram model separates natural from shuffled word order —
     the signal q60's unigram model cannot see (same token multiset);
