@@ -335,6 +335,71 @@ def _assign_nearest(df: DataFrame, vec_expr, cents, *, quantized: bool,
     return src.mapInPandas(assign, schema).drop(tmp)
 
 
+def _assign_nearest_grouped(df: DataFrame, vec_expr, group_col: str,
+                            cents_by_group: dict[int, list], *,
+                            quantized: bool, out_col: str,
+                            literal_max_k: int = ARGMIN_LITERAL_MAX_K
+                            ) -> DataFrame:
+    """Per-row argmin where the centroid SET is picked by ``group_col``
+    (the subspace id in :func:`pq_fit`). Same two paths and the same
+    smallest-cid tie-break as :func:`_assign_nearest`: a CASE over the
+    per-group literal argmin expressions for small k, or one broadcast
+    of ``{group: matrix}`` with a per-group numpy argmin inside each
+    Arrow batch past ``literal_max_k``."""
+    groups = sorted(cents_by_group)
+    cents_by_group = {g: sorted(cents_by_group[g]) for g in groups}
+    if max(len(c) for c in cents_by_group.values()) <= literal_max_k:
+        expr = None
+        for g in groups:
+            arm = _argmin_cluster(vec_expr, cents_by_group[g], quantized)
+            cond = F.col(group_col) == F.lit(g)
+            expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
+        return df.withColumn(out_col, expr)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tmp = "_sfs_argmin_vec"
+    src = df.withColumn(tmp, vec_expr)
+    dt = np.int64 if quantized else np.float64
+    packed = {
+        g: (np.array([c for c, _ in cents_by_group[g]], dtype=np.int64),
+            np.array([v for _, v in cents_by_group[g]], dtype=dt))
+        for g in groups
+    }
+    bc = df.sparkSession.sparkContext.broadcast(packed)
+    schema = StructType(
+        list(src.schema.fields) + [StructField(out_col, LongType())])
+
+    def assign(batches):
+        tabs = bc.value
+        pre = {g: (cids, c.T, (c * c).sum(axis=1),
+                   max(1, 8_000_000 // max(1, len(cids))))
+               for g, (cids, c) in tabs.items()}
+        for pdf in batches:
+            out = pdf.copy()
+            if not len(pdf):
+                out[out_col] = pd.Series(dtype="int64")
+                yield out
+                continue
+            res = np.empty(len(pdf), dtype=np.int64)
+            gv = pdf[group_col].to_numpy()
+            for g in np.unique(gv):
+                cids, ct, cn2, step = pre[int(g)]
+                rows = np.flatnonzero(gv == g)
+                mat = np.stack(pdf[tmp].to_numpy()[rows]).astype(dt)
+                for lo in range(0, len(mat), step):
+                    sl = mat[lo:lo + step]
+                    d = ((sl * sl).sum(axis=1)[:, None] - 2 * (sl @ ct)
+                         + cn2[None, :])
+                    res[rows[lo:lo + step]] = cids[np.argmin(d, axis=1)]
+            out[out_col] = res
+            yield out
+
+    return src.mapInPandas(assign, schema).drop(tmp)
+
+
 def _quantized_vec(vec_col, scale: int):
     """int64 vector at fixed-point ``scale``: round(x*scale) — the same
     double product and ties-away-from-zero rounding in Spark and DuckDB,
@@ -443,9 +508,19 @@ def pq_fit(
     IVF-PQ ANN indexes (``m·log2(k)`` bits per vector instead of
     ``dim·32``).
 
-    Each codebook reuses :func:`kmeans_fit` verbatim (including the
-    int64 fixed-point deterministic mode and the large-k Arrow argmin),
-    so driver traffic stays k×dim-bounded per subspace. Requires
+    All ``m`` codebooks train in ONE Lloyd loop (r5): each vector
+    explodes into its m slices keyed by subspace id, assignment is a
+    per-(row, subspace) argmin against that subspace's centroids
+    (:func:`_assign_nearest_grouped` — same literal/GEMM paths and
+    smallest-cid tie-break as :func:`kmeans_fit`), and the update is a
+    single ``(subspace, cluster, dim)`` mean shuffle. Mathematically
+    identical to m independent fits — the subspaces never interact
+    through the (j, c) keys — but one job per iteration instead of m:
+    at 100 TB that is m× fewer full-corpus stage barriers, and the
+    driver traffic per iteration stays exactly k×dim numbers (the m
+    codebooks' literals combined). The int64 fixed-point mode is
+    bit-identical to the sequential formulation; float mode carries
+    kmeans_fit's documented last-ulp re-aggregation caveat. Requires
     ``dim % m == 0``. Returns one ``(cluster_id, centroid)`` list per
     subspace."""
     first = corpus.select(vec_col).first()  # bounded collect: 1 row
@@ -457,15 +532,54 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"),
-                    j * sub + 1, sub).alias(vec_col))
-        books.append(kmeans_fit(
-            sliced, vec_col, id_col, k=k, iters=iters, quantize=quantize))
-    return books
+    vec = (_quantized_vec(vec_col, quantize) if quantize
+           else F.col(vec_col).cast("array<double>"))
+    base = (
+        corpus.select(F.col(id_col).alias("_kid"), vec.alias("_kv0"))
+        .select("_kid", F.explode(F.array(*[
+            F.struct(F.lit(j).cast("long").alias("_j"),
+                     F.slice("_kv0", j * sub + 1, sub).alias("_kv"))
+            for j in range(m)])).alias("_s"))
+        .select("_kid", F.col("_s._j").alias("_j"),
+                F.col("_s._kv").alias("_kv"))
+        .persist()
+    )
+    try:
+        # init: the k smallest-id vectors, sliced — every id contributes
+        # one row per subspace, so limit(k*m) is exactly those k ids
+        init = base.orderBy("_kid", "_j").limit(k * m).collect()
+        cents = {j: [] for j in range(m)}
+        for r in init:
+            cents[int(r["_j"])].append((int(r["_kid"]), list(r["_kv"])))
+        for _ in range(iters):
+            assigned = _assign_nearest_grouped(
+                base, F.col("_kv"), "_j", cents,
+                quantized=quantize is not None, out_col="_c")
+            upd = (
+                assigned.select("_j", "_c", F.posexplode("_kv")
+                                .alias("_p", "_x"))
+                .groupBy("_j", "_c", "_p")
+                .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            )
+            mean = (
+                F.floor(F.col("_s").cast("double") / F.col("_n"))
+                .cast("long") if quantize else F.col("_s") / F.col("_n")
+            )
+            rows = (
+                upd.withColumn("_m", mean)
+                .groupBy("_j", "_c")
+                .agg(F.array_sort(F.collect_list(F.struct("_p", "_m")))
+                     .alias("_a"))
+                .select("_j", "_c",
+                        F.transform("_a", lambda s: s["_m"]).alias("_v"))
+                .collect()  # bounded: m x k centroids x subdim numbers
+            )
+            cents = {j: [] for j in range(m)}
+            for r in rows:
+                cents[int(r["_j"])].append((int(r["_c"]), list(r["_v"])))
+    finally:
+        base.unpersist()
+    return [sorted(cents[j]) for j in range(m)]
 
 
 def pq_encode(
