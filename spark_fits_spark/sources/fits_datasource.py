@@ -717,6 +717,29 @@ class FitsScanReader(DataSourceReader):
                         "unit is the tile); filter instead")
                 lo = min(max(0, self.rowrange[0]), hdu.n_rows)
                 hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
+            # beyond-reference plane pruning: pushed ImgIndex predicates
+            # bound the plane interval, and a plane is a contiguous run
+            # of rows (plain image) or tiles (compimage), so the other
+            # planes' partitions are never generated and their bytes
+            # never read. The post-decode Arrow mask still applies, so
+            # non-contiguous predicates (In with gaps) stay exact.
+            if self.pushed and hdu.hdu_type in (HDU_TYPE_IMAGE,
+                                                HDU_TYPE_COMPIMAGE):
+                p_lo, p_hi = _imgindex_plane_bounds(self.pushed)
+                if p_lo > 0 or p_hi is not None:
+                    if hdu.hdu_type == HDU_TYPE_IMAGE:
+                        unit = hdu.naxis[1] if len(hdu.naxis) >= 2 else 1
+                    else:
+                        from spark_fits_spark.fitscore.tilecomp import (
+                            tile_layout,
+                        )
+
+                        unit = max(
+                            tile_layout(hdu.z_naxis, hdu.z_tile)[1], 1)
+                    lo = max(lo, min(p_lo * unit, hdu.n_rows))
+                    if p_hi is not None:
+                        hi = min(hi, max(p_hi, 0) * unit)
+                    hi = max(lo, hi)
             # partition sizing: for compressed images/tables the fixed
             # table is 8-16 B/tile descriptors — the real bytes are the
             # heap, so size by total data length per tile instead
@@ -840,6 +863,53 @@ def _hdu_from_manifest(path: str, hdu_index: int, e: dict) -> HduInfo:
         col_tnull=tuple(e.get("col_tnull") or (None,) * n),
         theap=int(e["theap"]),
     )
+
+
+def _imgindex_plane_bounds(filters: list[Filter]) -> tuple[int, int | None]:
+    """Conservative ``[plane_lo, plane_hi)`` interval implied by pushed
+    ``ImgIndex`` predicates (``None`` hi = unbounded) — the plan-time
+    plane pruner for image scans: asking for plane 37 of a 10,000-plane
+    survey cube generates partitions for plane 37's rows/tiles only, so
+    the other planes' bytes are never read. Conservative by
+    construction: only integral-valued simple range predicates narrow
+    the interval (In narrows to its [min, max] hull); everything else
+    contributes nothing and is left to the post-decode Arrow mask,
+    which always runs regardless. ``IsNull`` yields an empty interval —
+    ``ImgIndex`` is never NULL by construction, so zero partitions is
+    the exact answer."""
+    lo, hi = 0, None
+
+    def integral(x) -> bool:
+        return (isinstance(x, (int, float)) and not isinstance(x, bool)
+                and float(x) == int(x))
+
+    def cap(new_hi: int) -> None:
+        nonlocal hi
+        hi = new_hi if hi is None else min(hi, new_hi)
+
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if (isinstance(f, Not) or attr is None
+                or tuple(attr) != ("ImgIndex",)):
+            continue
+        v = getattr(f, "value", None)
+        if isinstance(f, (EqualTo, EqualNullSafe)) and integral(v):
+            lo = max(lo, int(v))
+            cap(int(v) + 1)
+        elif isinstance(f, GreaterThan) and integral(v):
+            lo = max(lo, int(v) + 1)
+        elif isinstance(f, GreaterThanOrEqual) and integral(v):
+            lo = max(lo, int(v))
+        elif isinstance(f, LessThan) and integral(v):
+            cap(int(v))
+        elif isinstance(f, LessThanOrEqual) and integral(v):
+            cap(int(v) + 1)
+        elif isinstance(f, In) and v and all(integral(x) for x in v):
+            lo = max(lo, min(int(x) for x in v))
+            cap(max(int(x) for x in v) + 1)
+        elif isinstance(f, IsNull):
+            cap(0)
+    return lo, hi
 
 
 def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:

@@ -929,3 +929,61 @@ def test_stats_prune_never_wrong_on_scaled_columns(spark, tmp_path):
     # sanity: a genuinely excluded range still prunes
     assert _stats_prune(hdu, [GreaterThan(("Index",), 2 ** 53 + 2)])
     assert _stats_prune(hdu, [LessThan(("Index",), -1)])
+
+
+def test_imgindex_plane_pruning(spark, tmp_path):
+    """Plane pruning (r5): a pushed ImgIndex predicate bounds the
+    partition row/tile range at PLAN time, so asking for one plane of
+    a cube never reads the other planes' bytes — for plain images and
+    tile-compressed images alike — while non-contiguous predicates
+    stay exact through the post-decode mask."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThanOrEqual, In, IsNull, LessThan,
+    )
+
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.sources.fits_datasource import FitsDataSource
+
+    cube = np.arange(6 * 4 * 3, dtype="i4").reshape(6, 4, 3)
+    plain = str(tmp_path / "cube.fits")
+    fw.write_fits(plain, [fw.image_hdu(cube)])
+    comp = str(tmp_path / "cube.fits.fz")
+    fw.write_fits(comp, [fw.compressed_image_hdu(
+        cube, "GZIP_2", tile_rows=2)])
+
+    def planned_rows(path, filters):
+        ds = FitsDataSource(options={"path": path, "hdu": "1"})
+        r = ds.reader(ds.schema())
+        assert list(r.pushFilters(filters)) == []
+        return sum(p.row_end - p.row_start for p in r.partitions()
+                   if p.hdu is not None)
+
+    for path, unit in ((plain, 4), (comp, 2)):  # rows/plane, tiles/plane
+        assert planned_rows(path, []) == 6 * unit
+        assert planned_rows(path, [EqualTo(("ImgIndex",), 2)]) == unit
+        assert planned_rows(path, [GreaterThanOrEqual(("ImgIndex",), 4)]) \
+            == 2 * unit
+        assert planned_rows(path, [LessThan(("ImgIndex",), 2)]) == 2 * unit
+        # In prunes to its hull; the gap plane is masked post-decode
+        assert planned_rows(path, [In(("ImgIndex",), (1, 3))]) == 3 * unit
+        # ImgIndex is never NULL: IsNull plans nothing
+        assert planned_rows(path, [IsNull(("ImgIndex",))]) == 0
+        # contradictory conjunction -> empty plan, not a negative range
+        assert planned_rows(
+            path, [EqualTo(("ImgIndex",), 1), EqualTo(("ImgIndex",), 4)]
+        ) == 0
+
+    # end-to-end: pruned scans return exactly the filtered planes
+    for path in (plain, comp):
+        df = spark.read.format("fits").option("hdu", 1).load(path)
+        got = (df.where(F.col("ImgIndex") == 2)
+               .agg(F.sum(F.aggregate(
+                   "Image", F.lit(0).cast("long"), lambda a, x: a + x)))
+               .first()[0])
+        assert got == int(cube[2].sum())
+        gaps = (df.where(F.col("ImgIndex").isin(1, 3))
+                .select("ImgIndex").distinct().collect())
+        assert sorted(r[0] for r in gaps) == [1, 3]
+        assert df.where(F.col("ImgIndex").isNull()).count() == 0
