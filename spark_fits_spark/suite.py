@@ -3886,6 +3886,48 @@ def q107_fits_table_compressed_roundtrip(spark, sf):
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
 
+@query("q108_fits_plane_slice", """
+SELECT n_nationkey AS img_index, CAST(t.pos AS BIGINT) AS pos,
+       CAST(n_nationkey * 100 + r.rw * 10 + t.pos AS BIGINT) AS pixel
+FROM nation, range(0, 4) r(rw), range(0, 6) t(pos)
+WHERE n_nationkey BETWEEN 5 AND 9
+""")
+def q108_fits_plane_slice(spark, sf):
+    """Plane pruning (r5) under the driver gate: build a 25-plane cube
+    (pixel values encode plane/row/pos), write it as a PLAIN image HDU,
+    scan back with an ImgIndex range predicate — the planner generates
+    partitions for planes 5..9's row interval only (pinned plan-level
+    in test_imgindex_plane_pruning; here the hash gate pins the pruned
+    scan's ANSWER). A wrong interval mapping (off-by-one plane, rows
+    from a neighboring plane) breaks the per-pixel hash immediately."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    img = np.array(
+        [[[k * 100 + rw * 10 + pos for pos in range(6)]
+          for rw in range(4)] for k in keys], dtype="i8")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q108_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    return (
+        df.where(F.col("ImgIndex").between(5, 9))
+        .select(F.col("ImgIndex").alias("img_index"),
+                F.posexplode("Image").alias("pos", "pixel"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3937,8 +3979,9 @@ _DRIVER_PRIORITY = [
     # (slipped to r6, see the note above: q63_hybrid_rrf,
     # q81_ann_recall, q84_mrl_truncated_recall — compositions of
     # in-window gated components, mirror-green. The r5-new
-    # q106_survey_pipeline and q107_fits_table_compressed_roundtrip
-    # also land past the cap and lead the r6 gate alongside them.)
+    # q106_survey_pipeline, q107_fits_table_compressed_roundtrip and
+    # q108_fits_plane_slice also land past the cap and lead the r6
+    # gate alongside them.)
 ]
 
 
