@@ -200,6 +200,28 @@ def _image_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
     ])
 
 
+def _select_image_schema(schema: StructType, columns: str | None
+                         ) -> StructType:
+    """Apply the ``columns`` option to the image schema (case-
+    insensitive, option order — same contract as the bintable path):
+    ``Image`` and/or ``ImgIndex``. Selecting only ``ImgIndex`` turns the
+    scan into a ZERO-I/O plane enumeration (see read())."""
+    if not columns:
+        return schema
+    lower = {f.name.lower(): f for f in schema.fields}
+    out = []
+    for want in (c.strip() for c in columns.split(",")):
+        if not want:
+            continue
+        f = lower.get(want.lower())
+        if f is None:
+            raise ValueError(
+                f"Column {want!r} not found in image columns "
+                f"{[f.name for f in schema.fields]}")
+        out.append(f)
+    return StructType(out) if out else schema
+
+
 def _schema_signature(hdu: HduInfo, scaling: bool = False):
     """Conformance key for multi-file scans. Bintable columns compare by
     name + **Spark logical type**, not raw TFORM: part files whose
@@ -304,7 +326,9 @@ class FitsDataSource(DataSource):
                 )
             return schema
         if hdu.hdu_type == HDU_TYPE_IMAGE:
-            return _image_schema(hdu, scaling=self._scaling_enabled())
+            return _select_image_schema(
+                _image_schema(hdu, scaling=self._scaling_enabled()),
+                self._opt("columns"))
         if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
             # tiled-compressed image: logical (Image, ImgIndex) schema
             # from ZBITPIX (scaling-aware via the BSCALE/BZERO cards
@@ -339,7 +363,9 @@ class FitsDataSource(DataSource):
                         f"{hdu.z_quantiz} requires a ZDITHER0 card "
                         f"in 1..{tilecomp.N_RANDOM} to reconstruct pixel "
                         f"values, got {hdu.z_dither0}")
-            return _image_schema(hdu, scaling=self._scaling_enabled())
+            return _select_image_schema(
+                _image_schema(hdu, scaling=self._scaling_enabled()),
+                self._opt("columns"))
         if hdu.hdu_type == HDU_TYPE_TABLE and self._ascii_enabled():
             # beyond-reference: opt-in ASCII-table parsing (the default
             # stays an empty DataFrame for parity, ReadFitsTest.scala:118-125)
@@ -768,6 +794,40 @@ class FitsScanReader(DataSourceReader):
 
     # -- execution (executor python worker) --------------------------------
 
+    def _imgindex_only(self, partition: FitsInputPartition, hdu: HduInfo,
+                       arrow_schema: pa.Schema) -> Iterator[pa.RecordBatch]:
+        """ImgIndex-only image scan: the plane index of every row (plain
+        image) or tile (compimage) is pure arithmetic over the header's
+        dimensions, so no data byte is read and the file is never even
+        opened — `SELECT ImgIndex` / plane histograms over a 100 TB cube
+        archive cost one header per file, total."""
+        import numpy as np
+
+        if hdu.hdu_type == HDU_TYPE_IMAGE:
+            ph = max(hdu.naxis[1] if len(hdu.naxis) >= 2 else 1, 1)
+            idx = np.arange(partition.row_start, partition.row_end,
+                            dtype=np.int64) // ph
+        else:
+            from spark_fits_spark.fitscore.tilecomp import tile_layout
+
+            tile_rows, tpp, _ = tile_layout(hdu.z_naxis, hdu.z_tile)
+            tpp = max(tpp, 1)
+            plane_rows = hdu.z_naxis[1] if len(hdu.z_naxis) >= 2 else 1
+            tiles = np.arange(partition.row_start, partition.row_end,
+                              dtype=np.int64)
+            n_rows = np.minimum(
+                tile_rows, plane_rows - (tiles % tpp) * tile_rows)
+            idx = np.repeat(tiles // tpp, np.maximum(n_rows, 0))
+        arr = pa.array(idx)
+        fields = [arrow_schema.field(i) for i in range(len(arrow_schema))]
+        cols = [arr.cast(f.type) if arr.type != f.type else arr
+                for f in fields]  # schema is ImgIndex-only by contract
+        batch = pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+        if self.pushed:
+            batch = _apply_filters(batch, self.pushed)
+        if batch.num_rows:
+            yield batch
+
     def read(self, partition: FitsInputPartition) -> Iterator[pa.RecordBatch]:
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -777,6 +837,17 @@ class FitsScanReader(DataSourceReader):
         if hdu is None or partition.row_end <= partition.row_start:
             return
         arrow_schema = to_arrow_schema(self.spark_schema)
+        # image `columns` option: a pruned/reordered (Image, ImgIndex)
+        # projection. Selecting only ImgIndex is a ZERO-I/O path — the
+        # plane index of every row/tile is pure header arithmetic, so
+        # the file is never opened (on an object store: zero GETs for
+        # `count()`-style metadata queries over a cube).
+        img_names = None
+        if hdu.hdu_type in (HDU_TYPE_IMAGE, HDU_TYPE_COMPIMAGE):
+            img_names = [f.name for f in self.spark_schema.fields]
+            if "Image" not in img_names:
+                yield from self._imgindex_only(partition, hdu, arrow_schema)
+                return
         batch_bytes = self.recordlength or DEFAULT_BATCH_BYTES
         rows_per_batch = max(1, batch_bytes // max(hdu.row_bytes, 1))
         if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
@@ -790,6 +861,14 @@ class FitsScanReader(DataSourceReader):
             tile_bytes = hdu.zt_tilelen * max(hdu.zt_row_bytes, 1)
             rows_per_batch = max(1, batch_bytes // max(tile_bytes, 1))
 
+        img_project = (img_names is not None
+                       and img_names != ["Image", "ImgIndex"])
+        if img_project:
+            # decode with the canonical 2-field schema, project after
+            decode_schema = to_arrow_schema(
+                _image_schema(hdu, scaling=self.scaling))
+        else:
+            decode_schema = arrow_schema
         fs = getattr(partition, "fs", None) or LOCAL
         with fs.open_input(hdu.path) as f:
 
@@ -828,11 +907,15 @@ class FitsScanReader(DataSourceReader):
                     )
 
                     batch = decode_compressed_image(
-                        buf, hdu, row, arrow_schema, heap_read,
+                        buf, hdu, row, decode_schema, heap_read,
                         scaling=self.scaling)
                 else:
-                    batch = decode_image(buf, hdu, row, arrow_schema,
+                    batch = decode_image(buf, hdu, row, decode_schema,
                                          scaling=self.scaling)
+                if img_project:
+                    batch = pa.RecordBatch.from_arrays(
+                        [batch.column(batch.schema.get_field_index(n))
+                         for n in img_names], schema=arrow_schema)
                 if self.pushed:
                     batch = _apply_filters(batch, self.pushed)
                 if batch.num_rows:

@@ -987,3 +987,48 @@ def test_imgindex_plane_pruning(spark, tmp_path):
                 .select("ImgIndex").distinct().collect())
         assert sorted(r[0] for r in gaps) == [1, 3]
         assert df.where(F.col("ImgIndex").isNull()).count() == 0
+
+
+def test_image_columns_option(spark, tmp_path):
+    """`columns` on image HDUs (r5): prunes/reorders the (Image,
+    ImgIndex) projection; selecting only ImgIndex is a ZERO-I/O plane
+    enumeration (plane index is header arithmetic) for plain and
+    compressed images, composing with ImgIndex plane pruning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_fits_spark.fitscore import writer as fw
+
+    cube = np.arange(5 * 3 * 4, dtype="i4").reshape(5, 3, 4)
+    plain = str(tmp_path / "cube.fits")
+    fw.write_fits(plain, [fw.image_hdu(cube)])
+    comp = str(tmp_path / "cube.fits.fz")
+    # tile_rows=2 over 3-row planes: partial trailing tiles per plane
+    fw.write_fits(comp, [fw.compressed_image_hdu(cube, "GZIP_2",
+                                                 tile_rows=2)])
+    for path in (plain, comp):
+        ix = (spark.read.format("fits").option("hdu", 1)
+              .option("columns", "ImgIndex").load(path))
+        assert [f.name for f in ix.schema.fields] == ["ImgIndex"]
+        got = {r["ImgIndex"]: r["n"]
+               for r in ix.groupBy("ImgIndex").agg(F.count("*").alias("n"))
+               .collect()}
+        assert got == {p: 3 for p in range(5)}, (path, got)
+        # composes with plane pruning: filter + projection, still exact
+        assert (ix.where(F.col("ImgIndex") == 3).count()) == 3
+        # reorder + case-insensitive
+        both = (spark.read.format("fits").option("hdu", 1)
+                .option("columns", "imgindex,image").load(path))
+        assert [f.name for f in both.schema.fields] == ["ImgIndex", "Image"]
+        row = both.where(F.col("ImgIndex") == 2).orderBy("Image").first()
+        assert list(row["Image"]) == list(cube[2, 0])
+        # Image-only projection drops the index column
+        img = (spark.read.format("fits").option("hdu", 1)
+               .option("columns", "Image").load(path))
+        assert [f.name for f in img.schema.fields] == ["Image"]
+        assert img.count() == 15
+        # unknown name: loud
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="not found"):
+            (spark.read.format("fits").option("hdu", 1)
+             .option("columns", "Pixels").load(path).schema)
