@@ -35,12 +35,21 @@ are numpy-vectorized.
   0/1 array (≤ ``bbits`` vectorized passes per field) + ``packbits``.
 - DECODE: the only sequential state is the bit POSITION (the pixel
   values themselves decouple: decode all zigzag diffs, then one cumsum
-  reconstructs the pixels). Per tile the payload is unpacked once to a
-  bit array; unary terminators are walked through the precomputed
-  sorted 1-bit positions (a few Python int ops per value — no
-  bit-by-bit reads), and the ``fs``-bit remainders / raw blocks are
-  gathered in one batched windowed read per block (5 byte-gathers for
-  any ≤32-bit field at arbitrary bit offsets).
+  reconstructs the pixels). Three shared structures make both passes
+  sub-per-value: the sorted 1-bit position table ``ones`` (one
+  ``unpackbits`` per tile), a byte-granular rank (cumulative popcount
+  per byte + a 256×8 partial-popcount LUT, so "number of 1-bits ≤ any
+  bit position" is 3 gathers), and — for ``fs`` values hot enough to
+  amortize it — pointer-doubling next-terminator maps over ``ones``.
+  Pass 1 walks block headers sequentially but needs only O(log
+  blocksize) scalar gathers per BLOCK (doubling; ``fs = 0`` is one
+  lookup since its terminators are consecutive 1-bits); cold ``fs``
+  blocks fall back to the byte-scan walk. Pass 2 recovers every
+  terminator with one vectorized gather per value slot across all
+  blocks of an ``fs`` group (rank-based chain when no map exists), and
+  the ``fs``-bit remainders / raw blocks are gathered in one batched
+  windowed read per group (5 byte-gathers for any ≤32-bit field at
+  arbitrary bit offsets).
 
 ``rice_encode_scalar`` / ``rice_decode_scalar`` keep the original
 bit-at-a-time implementations as the differential-test oracle
@@ -53,6 +62,15 @@ from __future__ import annotations
 import numpy as np
 
 _PARAMS = {1: (3, 6), 2: (4, 14), 4: (5, 25)}
+
+# Rank LUTs (module-level, shared by every decode call):
+# _RANK_LUT[b*8 + s] = number of 1-bits among bits 0..s (MSB-first) of
+# byte value b; _POPCNT[b] = popcount of byte b. With a per-byte
+# cumulative popcount these give "1-bits at positions ≤ x" in O(1).
+_RANK_LUT = np.cumsum(
+    np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1),
+    axis=1, dtype=np.int64).ravel()
+_POPCNT = _RANK_LUT.reshape(256, 8)[:, 7].copy()
 
 
 class _BitWriter:
@@ -216,10 +234,16 @@ def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
     """Decode ``n_pix`` values from a RICE_1 stream → int64 array
     (signed, per the ``bytepix`` width).
 
-    Vectorized scan path: one ``unpackbits`` per tile, unary runs
-    walked over the precomputed 1-bit position list, remainders and raw
-    blocks gathered in one batched read per block, then a single cumsum
-    reconstructs the pixels from the zigzag diffs."""
+    Adaptive two-pass scan (see the module docstring): pass 1 walks
+    block headers sequentially; a coded block is either BYTE-SCANNED
+    (per-value walk that records every unary terminator as it goes) or
+    — once an ``fs`` value has enough blocks that a pointer-doubling
+    next-terminator map amortizes, priced by an explicit cost model —
+    JUMPED over in O(log blocksize) scalar gathers. ``fs = 0`` blocks
+    are always O(1) (their terminators are consecutive 1-bits). Pass 2
+    extracts all values vectorized: recorded terminators are used
+    directly; map-jumped blocks rebuild theirs in lockstep, one gather
+    per value slot across the whole ``fs`` group."""
     fsbits, fsmax = _check_bytepix(bytepix)
     bbits = bytepix * 8
     wrap = 1 << bbits
@@ -240,24 +264,92 @@ def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
              | (pb[byte + 3] << 8) | pb[byte + 4])
         return (w >> (40 - sh - width)) & ((1 << width) - 1)
 
+    dpad = data + b"\0\0"   # 2-byte pad: ≤13-bit header reads off-end
+
     def _read1(pos: int, width: int) -> int:
         if pos + width > nbits:
             raise ValueError("RICE_1 bitstream truncated")
         b0 = pos >> 3
-        w = int.from_bytes(data[b0:b0 + 6].ljust(6, b"\0"), "big")
-        return (w >> (48 - (pos & 7) - width)) & ((1 << width) - 1)
+        return ((dpad[b0] << 8 | dpad[b0 + 1])
+                >> (16 - (pos & 7) - width)) & ((1 << width) - 1)
 
-    # Pass 1 (sequential, pure Python ints — the bit POSITION is the
-    # only sequential state): walk block headers and unary terminators,
-    # accumulating flat lists. All numpy work is deferred to one
-    # batched pass per field so its per-call overhead amortizes over
-    # the whole tile, not per 32-value block.
-    first = _read1(0, bbits)
+    # Rank infra, built lazily on first use (an fs = 0 block or a map
+    # build; a stream with neither — e.g. pure noise — never pays for
+    # it). `ones` lists every 1-bit position with an absorbing sentinel
+    # at `nbits` appended, so a chain that runs off the stream parks
+    # there and fails the block-end check. Byte-granular rank:
+    # cb[y] = 1-bits in bytes < y, `pbx8` the padded bytes pre-scaled
+    # into _RANK_LUT row offsets, so rank(x) = 1-bits at positions ≤ x
+    # = index of the first 1-bit AFTER position x is O(1): 3 gathers.
+    # int64 (= intp): every one of these arrays is consumed as fancy-
+    # index input, and numpy casts non-intp index arrays to intp per
+    # indexing call — int32 "savings" measured 8× SLOWER end to end.
+    idt = np.int64
+    infra: list = []           # [o_pad, cb, lut, pbx8, n_ones]
+
+    def _infra() -> list:
+        if not infra:
+            ones = np.flatnonzero(np.unpackbits(
+                np.frombuffer(data, dtype=np.uint8))).astype(idt)
+            infra.append(np.concatenate(
+                [ones, np.full(1, nbits, dtype=idt)]))
+            infra.append(np.concatenate(
+                [np.zeros(1, dtype=idt),
+                 np.cumsum(_POPCNT[pb], dtype=idt)]))
+            infra.append(_RANK_LUT.astype(idt))
+            infra.append((pb * 8).astype(idt))
+            infra.append(len(ones))
+        return infra
+
+    def _rank(x: int) -> int:
+        o_pad, cb, lut, pbx8, n_ones = _infra()
+        y = x >> 3
+        return int(cb[y]) + int(lut[int(pbx8[y]) + (x & 7)])
+
+    def _rank_v(x: np.ndarray) -> np.ndarray:
+        o_pad, cb, lut, pbx8, n_ones = _infra()
+        y = x >> 3
+        return cb[y] + lut[pbx8[y] + (x & 7)]
+
+    # Pointer-doubling next-terminator maps, per fs: g[0][j] = index of
+    # the first 1-bit > ones[j] + fs (fs remainder bits follow a
+    # terminator, then the next value's unary run), g[m] = g[m-1] ∘
+    # g[m-1]. With them a block's LAST terminator is ≤ log2(blocksize)
+    # scalar gathers (binary decomposition of this−1) instead of a
+    # per-value walk. Build rule (the cost model): a build is ~7 full
+    # passes over `ones` (~20 ns/element measured) while a jump saves
+    # ~8 µs of byte-scan per 32-value block, so build only once this
+    # fs's observed share projects enough remaining blocks to amortize
+    # it: expected_remaining_blocks(fs) × 8 µs > est_build_cost × 1.3.
+    maps: dict[int, list[np.ndarray]] = {}
+    seen: dict[int, int] = {}
+    total_blocks = -(-n_pix // blocksize)
+    est_build_s = 0.45 * nbits * 20e-9 + 5e-4
+    jump_save_s = blocksize * 0.27e-6 - 2.0e-6
+    build_margin = 2.0   # only build when clearly, not marginally, ahead
+
+    def _build(fs: int) -> list[np.ndarray]:
+        o_pad = _infra()[0]
+        g = [_rank_v(o_pad + fs)]
+        step = 1
+        while step * 2 < blocksize:
+            g.append(g[-1][g[-1]])
+            step <<= 1
+        return g
+
+    # Pass 1 (sequential — the bit POSITION is the only sequential
+    # state): walk block headers; every coded block lands in exactly
+    # one of `scanned` (terminators recorded inline) or `jumped`
+    # (recomputed vectorized in pass 2).
+    if len(data) < bytepix:
+        raise ValueError("RICE_1 bitstream truncated")
+    first = int.from_bytes(data[:bytepix], "big")
     p = bbits
     i = 0
-    all_terms: list[int] = []          # terminator bit positions
-    coded_blocks: list[tuple] = []     # (i0, this, fs, p_start)
-    raw_blocks: list[tuple] = []       # (i0, this, p_start)
+    bp = 0                                    # coded blocks processed
+    scanned: dict[int, list] = {}   # fs -> [blocks, terms] flat lists
+    jumped: dict[int, list[tuple]] = {}       # fs -> [(i0, this, p0, j0)]
+    raw_blocks: list[tuple] = []              # (i0, this, p_start)
     while i < n_pix:
         this = min(blocksize, n_pix - i)
         code = _read1(p, fsbits)
@@ -273,62 +365,121 @@ def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
             p += this * bbits
             i += this
             continue
-        # fs-coded block: walk the unary terminators — each value
-        # consumes (top+1) unary bits then fs remainder bits, so the
-        # next terminator is the first 1-bit at ≥ the position past
-        # the previous value's remainder. Byte-level scan: Rice picks
-        # fs so the mean unary run is ~2 bits, so the terminator is
-        # almost always in the current byte — mask off the already-
-        # consumed low-position bits, then `bit_length` locates the
-        # MSB-first 1; zero bytes (long runs) are skipped whole.
-        coded_blocks.append((i, this, fs, p))
-        step = 1 + fs
-        s = p
-        app = all_terms.append
-        try:
-            for _ in range(this):
-                y = s >> 3
-                b = data[y] & (255 >> (s & 7))
-                while not b:
-                    y += 1
-                    b = data[y]
-                t = (y << 3) + 8 - b.bit_length()
-                app(t)
-                s = t + step
-        except IndexError:
-            raise ValueError("RICE_1 bitstream truncated") from None
-        p = s
+        bp += 1
+        g = None if fs else ()   # fs = 0: O(1), no map needed
+        if fs:
+            g = maps.get(fs)
+            if g is None:
+                s = seen.get(fs, 0) + 1
+                seen[fs] = s
+                # s ≥ 32: don't trust the share estimate s/bp until
+                # this fs has a real sample (one early block would
+                # otherwise project the whole stream onto itself)
+                if (s >= 32 and s * (total_blocks - bp) * jump_save_s
+                        > bp * est_build_s * build_margin):
+                    g = maps[fs] = _build(fs)
+        if g is not None:
+            o_pad = _infra()[0]
+            n_ones = infra[4]
+            j0 = _rank(p - 1)    # 1-bits before p = index of 1st term.
+            jumped.setdefault(fs, []).append((i, this, p, j0))
+            if fs == 0:          # terminators are consecutive 1-bits
+                j = j0 + this - 1
+                t_last = int(o_pad[j]) if j <= n_ones else nbits
+            else:
+                j, rem, m = j0, this - 1, 0
+                while rem:
+                    if rem & 1:
+                        j = g[m][j]
+                    rem >>= 1
+                    m += 1
+                t_last = int(o_pad[j])
+        else:
+            # byte-scan walk: the next terminator is the first 1-bit
+            # past the previous value's remainder; Rice picks fs so it
+            # is almost always in the current byte — mask consumed low
+            # positions, `bit_length` locates the MSB-first 1, zero
+            # bytes (long runs) skip whole.
+            grp = scanned.get(fs)
+            if grp is None:
+                grp = scanned[fs] = [[], []]
+            grp[0].append((i, this, p))
+            app = grp[1].append
+            step = 1 + fs
+            s2 = p
+            t_last = p
+            try:
+                for _ in range(this):
+                    y = s2 >> 3
+                    b = data[y] & (255 >> (s2 & 7))
+                    while not b:
+                        y += 1
+                        b = data[y]
+                    t_last = (y << 3) + 8 - b.bit_length()
+                    app(t_last)
+                    s2 = t_last + step
+            except IndexError:
+                raise ValueError("RICE_1 bitstream truncated") from None
+        if t_last >= nbits:
+            raise ValueError("RICE_1 bitstream truncated")
+        p = t_last + 1 + fs
         i += this
     if p > nbits:
         raise ValueError("RICE_1 bitstream truncated")
 
-    # Pass 2 (vectorized over the whole tile)
+    # Pass 2 (vectorized per fs group): value = (gap to terminator)
+    # << fs | remainder bits, remainders read in one batched pass per
+    # group. Scanned groups use their recorded terminators directly;
+    # jumped groups rebuild theirs in lockstep — one gather per value
+    # slot across the whole group.
     mapped = np.zeros(n_pix, dtype=np.int64)
-    if coded_blocks:
-        i0 = np.array([b[0] for b in coded_blocks], dtype=np.int64)
-        cnt = np.array([b[1] for b in coded_blocks], dtype=np.int64)
-        bfs = np.array([b[2] for b in coded_blocks], dtype=np.int64)
-        bp0 = np.array([b[3] for b in coded_blocks], dtype=np.int64)
+
+    def _scatter(fs, i0, cnt, bp0, ta_v):
         total = int(cnt.sum())
-        within = (np.arange(total, dtype=np.int64)
-                  - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        vidx = np.repeat(i0, cnt) + within
-        fs_v = np.repeat(bfs, cnt)
-        step_v = fs_v + 1
-        ta = np.array(all_terms, dtype=np.int64)
+        firsts = np.cumsum(cnt) - cnt
         starts = np.empty(total, dtype=np.int64)
         starts[0] = bp0[0]
-        starts[1:] = ta[:-1] + step_v[:-1]
-        firsts = np.cumsum(cnt) - cnt           # block-first value slots
-        starts[firsts] = bp0
-        u = (ta - starts) << fs_v
-        for f in np.unique(bfs):
-            f = int(f)
-            if f == 0:
-                continue
-            m = fs_v == f
-            u[m] |= _read_batch(ta[m] + 1, f)
-        mapped[vidx] = u
+        starts[1:] = ta_v[:-1] + (1 + fs)
+        starts[firsts] = bp0                 # block firsts restart at p0
+        u = (ta_v - starts) << fs
+        if fs:
+            u |= _read_batch(ta_v + 1, fs)
+        within = np.arange(total, dtype=np.int64) - np.repeat(firsts, cnt)
+        mapped[np.repeat(i0, cnt) + within] = u
+
+    for fs, (blocks, terms) in scanned.items():
+        i0 = np.array([b[0] for b in blocks], dtype=np.int64)
+        cnt = np.array([b[1] for b in blocks], dtype=np.int64)
+        bp0 = np.array([b[2] for b in blocks], dtype=np.int64)
+        _scatter(fs, i0, cnt, bp0, np.array(terms, dtype=np.int64))
+    for fs, blocks in jumped.items():
+        o_pad, cb, lut, pbx8, n_ones = infra
+        i0 = np.array([b[0] for b in blocks], dtype=np.int64)
+        cnt = np.array([b[1] for b in blocks], dtype=np.int64)
+        bp0 = np.array([b[2] for b in blocks], dtype=np.int64)
+        j0 = np.array([b[3] for b in blocks], dtype=np.int64)
+        mx = int(cnt.max())
+        # transposed (mx, W) chain: each step reads/writes a contiguous
+        # row; clip keeps unused slots of a partial block on the
+        # sentinel instead of chaining past it
+        if fs == 0:
+            jm = np.minimum(
+                np.arange(mx, dtype=idt)[:, None] + j0.astype(idt), n_ones)
+        else:
+            g1 = maps[fs][0]
+            jm = np.empty((mx, len(blocks)), dtype=idt)
+            jm[0] = j0
+            for k in range(1, mx):
+                jm[k] = g1[jm[k - 1]]
+        ta = o_pad[jm]
+        if int(cnt.min()) == mx:
+            # all blocks full: row-major (block, slot) order is just the
+            # transposed ravel — no mask pass
+            ta_v = ta.T.ravel().astype(np.int64)
+        else:
+            valid = np.arange(mx, dtype=np.int64)[:, None] < cnt[None, :]
+            ta_v = ta.T[valid.T].astype(np.int64)
+        _scatter(fs, i0, cnt, bp0, ta_v)
     if raw_blocks:
         i0 = np.array([b[0] for b in raw_blocks], dtype=np.int64)
         cnt = np.array([b[1] for b in raw_blocks], dtype=np.int64)
