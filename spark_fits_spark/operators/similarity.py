@@ -547,7 +547,7 @@ def pq_fit(
     try:
         # init: the k smallest-id vectors, sliced — every id contributes
         # one row per subspace, so limit(k*m) is exactly those k ids
-        init = base.orderBy("_kid", "_j").limit(k * m).collect()
+        init = base.orderBy("_kid", "_j").limit(k * m).collect()  # bounded-collect: k*m codebook rows
         cents = {j: [] for j in range(m)}
         for r in init:
             cents[int(r["_j"])].append((int(r["_kid"]), list(r["_kv"])))
@@ -572,7 +572,7 @@ def pq_fit(
                      .alias("_a"))
                 .select("_j", "_c",
                         F.transform("_a", lambda s: s["_m"]).alias("_v"))
-                .collect()  # bounded: m x k centroids x subdim numbers
+                .collect()  # bounded-collect: m x k centroids x subdim numbers
             )
             cents = {j: [] for j in range(m)}
             for r in rows:

@@ -187,13 +187,34 @@ class FitsArrowWriter(DataSourceArrowWriter):
         # zone-map stats per part) that lets the scan plan a
         # many-thousand-file dataset without opening any data file
         self.manifest = str(opts.get("manifest", "true")).lower() != "false"
+        if str(opts.get("image", "false")).lower() == "true":
+            # image parts carry no manifest entry: _fits_manifest.json
+            # reconstruction is BINTABLE-shaped (`_hdu_from_manifest`),
+            # and image planning is header-arithmetic anyway
+            self.manifest = False
         # .option("compress", "GZIP_2"|"GZIP_1"|"RICE_1") writes tiled-
         # compressed tables (the fpack table convention; scans back
         # transparently with the same logical schema). RICE_1 is valid
         # for B/I/J integer columns only — fails loud otherwise.
         # .option("tilerows", N) sets the rows-per-tile (default 1000).
         self.compress = (opts.get("compress") or "").strip() or None
-        self.tile_rows = int(opts.get("tilerows", "1000"))
+        # .option("image", True): write each partition as an IMAGE HDU
+        # (or, with .option("compress", ...), a tiled-compressed image
+        # HDU) instead of a BINTABLE. Schema must be one array<numeric>
+        # column, optionally plus an ImgIndex long (the scan-side plane
+        # index — derived again on read, so it is validated but not
+        # stored). Each part file is an independent 2-D image of the
+        # partition's rows in partition order; to round-trip a cube,
+        # repartitionByRange/sortWithinPartitions on ImgIndex first.
+        self.image = str(opts.get("image", "false")).lower() == "true"
+        # float-image quantization mode for RICE_1 (fitscore.writer
+        # documents the three modes) + its dither seed
+        self.quantize = (opts.get("quantize") or "NO_DITHER").strip()
+        self.zdither0 = int(opts.get("zdither0", "1"))
+        # rows per compression tile: 1000 for tables; the convention's
+        # row-by-row default for images (fpack parity)
+        self.tile_rows = int(opts.get("tilerows",
+                                      "1" if self.image else "1000"))
 
     def _fixed_width(self, name: str, is_string: bool) -> int | None:
         w = self.col_widths.get(name.lower())
@@ -222,17 +243,21 @@ class FitsArrowWriter(DataSourceArrowWriter):
             table = pa.Table.from_batches([], schema=to_arrow_schema(self.schema))
         n = table.num_rows
 
-        columns = []
-        for field, col in zip(self.schema.fields, table.columns):
-            columns.append(self._to_fits_column(field.name, field.dataType, col, n))
-        stats_cards = self._stats_cards(table, n) if self.stats else []
-        if self.compress:
-            hdus = [fw.compressed_bintable_hdu(
-                columns, tile_rows=self.tile_rows, ctypes=self.compress,
-                extra_cards=stats_cards, checksum=self.checksum)]
+        if self.image:
+            hdus = [self._image_hdu(table, n, fw)]
         else:
-            hdus = [fw.bintable_hdu(columns, extra_cards=stats_cards,
-                                    checksum=self.checksum)]
+            columns = []
+            for field, col in zip(self.schema.fields, table.columns):
+                columns.append(
+                    self._to_fits_column(field.name, field.dataType, col, n))
+            stats_cards = self._stats_cards(table, n) if self.stats else []
+            if self.compress:
+                hdus = [fw.compressed_bintable_hdu(
+                    columns, tile_rows=self.tile_rows, ctypes=self.compress,
+                    extra_cards=stats_cards, checksum=self.checksum)]
+            else:
+                hdus = [fw.bintable_hdu(columns, extra_cards=stats_cards,
+                                        checksum=self.checksum)]
         if self.fs.needs_commit_payload:
             # memory:// test FS: serialize here, land driver-side in
             # commit() — the task-attempt → commit shape of an
@@ -270,6 +295,77 @@ class FitsArrowWriter(DataSourceArrowWriter):
             }
             if entries:
                 write_manifest(self.fs, self.path, entries)
+
+    _IMAGE_NP = {ShortType: "i2", IntegerType: "i4", LongType: "i8",
+                 FloatType: "f4", DoubleType: "f8"}
+
+    def _image_hdu(self, table, n: int, fw) -> bytes:
+        """One partition → one IMAGE (or tiled-compressed image) HDU.
+
+        The partition's rows become consecutive image rows in partition
+        order: exactly the (Image, ImgIndex) surface the image SCAN
+        emits, closing the write side of the round trip (the reference
+        is read-only — `FitsSourceRelation.scala` has no
+        insert/save path). Uniform row widths and no NULLs are
+        required — an image is a dense array, so raggedness is a loud
+        error, never padding."""
+        import pyarrow.compute as pc
+
+        arr_fields = [(i, f) for i, f in enumerate(self.schema.fields)
+                      if isinstance(f.dataType, ArrayType)]
+        extra = [f.name for f in self.schema.fields
+                 if not isinstance(f.dataType, ArrayType)
+                 and f.name != "ImgIndex"]
+        if len(arr_fields) != 1 or extra:
+            raise ValueError(
+                "FITS image writer expects exactly one array<numeric> "
+                "column (plus an optional ImgIndex long); got schema "
+                f"{self.schema.simpleString()}")
+        idx, field = arr_fields[0]
+        elem = type(field.dataType.elementType)
+        npd = self._IMAGE_NP.get(elem)
+        if npd is None:
+            raise ValueError(
+                f"FITS image writer: unsupported element type "
+                f"{field.dataType.elementType.simpleString()} in column "
+                f"{field.name!r} (short/int/long/float/double)")
+        col = table.column(idx).combine_chunks()
+        if n == 0:
+            # empty partition: a valid zero-row image part
+            return fw.image_hdu(np.empty((0, 0), dtype=npd),
+                                checksum=self.checksum)
+        if col.null_count or col.flatten().null_count:
+            raise ValueError(
+                f"FITS image writer: NULLs in column {field.name!r} — "
+                "an image is dense; fill undefined pixels (NaN for "
+                "float images) before writing")
+        lengths = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        width = int(lengths[0])
+        if not (lengths == width).all():
+            raise ValueError(
+                f"FITS image writer: ragged rows in column "
+                f"{field.name!r} (widths {int(lengths.min())}.."
+                f"{int(lengths.max())}) — image rows must be uniform")
+        data = col.flatten().to_numpy(zero_copy_only=False).astype(
+            npd).reshape(n, width)
+        cards = []
+        if self.stats and data.size:
+            # standard DATAMIN/DATAMAX cards (finite pixels only)
+            finite = data[np.isfinite(data)] if npd[0] == "f" else data
+            if finite.size:
+                lo, hi = finite.min(), finite.max()
+                cards.append(fw._card("DATAMIN", lo.item(),
+                                      "minimum finite pixel"))
+                cards.append(fw._card("DATAMAX", hi.item(),
+                                      "maximum finite pixel"))
+        if self.compress:
+            return fw.compressed_image_hdu(
+                data, self.compress, tile_rows=self.tile_rows,
+                extra_cards=cards, checksum=self.checksum,
+                quantize_method=self.quantize, zdither0=self.zdither0)
+        return fw.image_hdu(data, extra_cards=cards,
+                            checksum=self.checksum)
 
     def _stats_cards(self, table, n: int) -> list[bytes]:
         """Per-column min/max as standard TDMINn/TDMAXn cards — the

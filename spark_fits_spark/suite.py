@@ -3928,6 +3928,55 @@ def q108_fits_plane_slice(spark, sf):
     )
 
 
+@query("q109_fits_image_sink_roundtrip", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane, CAST(r.rw AS BIGINT) AS rw,
+       CAST(t.pos AS BIGINT) AS pos,
+       CAST(n_nationkey * 100 + r.rw * 10 + t.pos AS INTEGER) AS pixel
+FROM nation, range(0, 4) r(rw), range(0, 6) t(pos)
+""")
+def q109_fits_image_sink_roundtrip(spark, sf):
+    """Distributed IMAGE writing through the Spark sink (r5,
+    beyond-reference — the reference reads only): shape `nation` into
+    (Image, ImgIndex) cube rows, write them `.option("image", True)`
+    with RICE_1 compression + checksums across 4 partitions (each part
+    file an independent tiled-compressed image HDU), scan the directory
+    back, and recover (plane, row, pos) from the self-identifying pixel
+    values — so the hash gate is invariant to how planes landed across
+    part files, exactly the property a distributed writer must provide.
+    A green row certifies sink image layout + RICE encode + the r5
+    adaptive decode end to end."""
+    import hashlib
+    import os as _os
+
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    n = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"))
+    rows = (
+        n.join(spark.range(4).select(F.col("id").alias("rw")))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda p: (F.col("k") * 100 + F.col("rw") * 10 + p
+                           ).cast("int")).alias("Image"),
+            F.col("k").alias("ImgIndex"))
+    )
+    d = _os.path.join(
+        "/tmp", "spark_fits_q109_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    (rows.repartition(4).write.format("fits").mode("overwrite")
+     .option("image", True).option("compress", "RICE_1")
+     .option("checksum", True).save(d))
+    back = spark.read.format("fits").option("hdu", 1).load(d)
+    px = back.select(F.posexplode("Image").alias("_p", "pixel"))
+    return px.select(
+        (F.col("pixel") / 100).cast("long").alias("plane"),
+        ((F.col("pixel") / 10) % 10).cast("long").alias("rw"),
+        (F.col("pixel") % 10).cast("long").alias("pos"),
+        "pixel",
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -3979,9 +4028,9 @@ _DRIVER_PRIORITY = [
     # (slipped to r6, see the note above: q63_hybrid_rrf,
     # q81_ann_recall, q84_mrl_truncated_recall — compositions of
     # in-window gated components, mirror-green. The r5-new
-    # q106_survey_pipeline, q107_fits_table_compressed_roundtrip and
-    # q108_fits_plane_slice also land past the cap and lead the r6
-    # gate alongside them.)
+    # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
+    # q108_fits_plane_slice and q109_fits_image_sink_roundtrip also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -133,3 +133,111 @@ def test_reassemble_images(spark):
     stats = image_stats(df).collect()
     assert len(stats) == 5
     assert all(s["n_px"] == 31 * 73 for s in stats)
+
+
+# -- image-mode sink (r5): .option("image", True) ------------------------
+
+
+def _cube_df(spark, cube):
+    rows = [(row.tolist(), p) for p in range(cube.shape[0])
+            for row in cube[p]]
+    return spark.createDataFrame(rows, "Image array<int>, ImgIndex long")
+
+
+@pytest.mark.parametrize("comp", [None, "RICE_1", "GZIP_2"])
+def test_image_sink_roundtrip(spark, tmp_path, comp):
+    """Distributed image write: each partition lands as one IMAGE (or
+    tiled-compressed image) HDU part; the scan reads the directory back
+    with identical pixel content (permutation-invariant checks — part
+    order is partition order)."""
+    rng = np.random.default_rng(5)
+    cube = (rng.normal(500, 20, (3, 40, 128))).astype("i4")
+    df = _cube_df(spark, cube).repartition(4)
+    out = str(tmp_path / f"img_{comp or 'plain'}")
+    w = df.write.format("fits").option("image", True).option(
+        "checksum", True).mode("append")
+    if comp:
+        w = w.option("compress", comp)
+    w.save(out)
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    got = back.agg(
+        F.sum(F.aggregate("Image", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).alias("s"),
+        F.count("*").alias("n"),
+        F.sum(F.array_max("Image").cast("long")).alias("mx"),
+    ).first()
+    arr = cube.astype(np.int64).reshape(-1, 128)
+    assert got["n"] == 3 * 40
+    assert got["s"] == int(arr.sum())
+    assert got["mx"] == int(arr.max(axis=1).sum())
+
+
+def test_image_sink_quantized_float_rice(spark, tmp_path):
+    """Float image + RICE_1 through the sink: per-tile quantization
+    (SUBTRACTIVE_DITHER_1) reconstructs within the quantization step."""
+    rng = np.random.default_rng(9)
+    img = (rng.normal(0, 1, (20, 64))).astype("f4")
+    df = spark.createDataFrame([(r.tolist(),) for r in img],
+                               "Image array<float>").coalesce(1)
+    out = str(tmp_path / "img_f")
+    (df.write.format("fits").option("image", True)
+       .option("compress", "RICE_1")
+       .option("quantize", "SUBTRACTIVE_DITHER_1")
+       .option("zdither0", 7).mode("append").save(out))
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    vals = np.array([r["Image"] for r in back.orderBy("ImgIndex").collect()],
+                    dtype=np.float32)
+    step = (img.max() - img.min()) / 65000   # ~16-bit tile quantization
+    assert np.abs(vals - img).max() < 3 * step
+
+
+def test_image_sink_rejects_bad_shapes(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    # ragged rows
+    bad = spark.createDataFrame([([1, 2, 3],), ([1, 2],)],
+                                "Image array<int>").coalesce(1)
+    with pytest.raises((Py4JJavaError, PythonException, Exception),
+                       match="ragged"):
+        bad.write.format("fits").option("image", True).mode(
+            "append").save(str(tmp_path / "ragged"))
+    # NULL pixel
+    withnull = spark.createDataFrame([([1, None, 3],)],
+                                     "Image array<int>").coalesce(1)
+    with pytest.raises(Exception, match="NULL"):
+        withnull.write.format("fits").option("image", True).mode(
+            "append").save(str(tmp_path / "nulls"))
+    # wrong schema (two array columns)
+    two = spark.createDataFrame([([1], [2])], "a array<int>, b array<int>")
+    with pytest.raises(Exception, match="exactly one array"):
+        two.coalesce(1).write.format("fits").option("image", True).mode(
+            "append").save(str(tmp_path / "two"))
+
+
+def test_image_sink_datamin_cards_and_empty_part(spark, tmp_path):
+    """DATAMIN/DATAMAX standard cards are written per part; an empty
+    partition writes a valid zero-row image the scan skips."""
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    df = spark.createDataFrame(
+        [([5, 9, 1],), ([7, 2, 8],)], "Image array<int>")
+    # force one empty partition alongside the data
+    out = str(tmp_path / "withempty")
+    df.repartition(3).write.format("fits").option("image", True).mode(
+        "append").save(out)
+    import os
+
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".fits"))
+    mins, maxs, rows = [], [], 0
+    for p in parts:
+        with open(os.path.join(out, p), "rb") as f:
+            hdu = open_hdu(f, p, 1)
+        if hdu.n_rows:
+            mins.append(int(float(hdu.header["DATAMIN"])))
+            maxs.append(int(float(hdu.header["DATAMAX"])))
+        rows += hdu.n_rows
+    assert rows == 2
+    assert min(mins) == 1 and max(maxs) == 9
+    back = spark.read.format("fits").option("hdu", 1).load(out)
+    assert back.count() == 2
