@@ -249,6 +249,7 @@ def decode_compressed_image(
     arrow_schema: pa.Schema,
     heap_read: Callable[[int, int], bytes],
     scaling: bool = False,
+    trim: tuple[int, int] | None = None,
 ) -> pa.RecordBatch:
     """Decode a run of compressed-tile table rows starting at global
     tile index ``tile_offset`` into image rows ``(Image, ImgIndex)`` —
@@ -341,6 +342,16 @@ def decode_compressed_image(
         plane = t // max(tiles_per_plane, 1)
         start_row = (t % max(tiles_per_plane, 1)) * tile_rows
         n_rows = min(tile_rows, plane_rows - start_row)
+        # rowrange cutout (`trim` = logical [a, b) over plane-major
+        # global rows): slice boundary tiles to the requested rows,
+        # skip non-overlapping tiles before paying their decode
+        k0, k1 = 0, n_rows
+        if trim is not None:
+            g0 = plane * plane_rows + start_row
+            k0 = max(0, trim[0] - g0)
+            k1 = min(n_rows, trim[1] - g0)
+            if k1 <= k0:
+                continue
         if quantized:
             q = decompress_tile(
                 payload, hdu.z_cmptype, np.dtype(">i4"), n_rows * width,
@@ -368,8 +379,10 @@ def decode_compressed_image(
             pix = decompress_tile(
                 payload, hdu.z_cmptype, dtype, n_rows * width,
                 bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
+        if (k0, k1) != (0, n_rows):
+            pix = pix.reshape(n_rows, width)[k0:k1].reshape(-1)
         rows_vals.append(pix)
-        idx.extend([plane] * n_rows)
+        idx.extend([plane] * (k1 - k0))
 
     flat = (np.concatenate(rows_vals) if rows_vals
             else np.empty(0, dtype=dtype))

@@ -164,6 +164,10 @@ class FitsInputPartition(InputPartition):
     # into the task (remote backends reconnect lazily; memory:// carries
     # its bytes by value — see fitscore.vfs)
     fs: FitsFileSystem = field(default_factory=lambda: LOCAL)
+    # logical image-row [lo, hi) bounds for `rowrange` on a
+    # tile-compressed image: partitions address whole tiles, boundary
+    # tiles decode then slice to these rows (None = no trim)
+    trim: tuple[int, int] | None = None
 
 
 def _bintable_schema(hdu: HduInfo, scaling: bool = False) -> StructType:
@@ -735,14 +739,43 @@ class FitsScanReader(DataSourceReader):
             # never read — source-level pruning (per file; for images
             # this slices planes/rows, ImgIndex stays global)
             lo, hi = 0, hdu.n_rows
+            trim = None
             if self.rowrange is not None:
-                if hdu.hdu_type in (HDU_TYPE_COMPIMAGE, HDU_TYPE_COMPTABLE):
+                if hdu.hdu_type == HDU_TYPE_COMPTABLE:
                     raise ValueError(
                         "rowrange addresses logical rows and is not "
-                        "supported on tile-compressed HDUs (the scan "
-                        "unit is the tile); filter instead")
-                lo = min(max(0, self.rowrange[0]), hdu.n_rows)
-                hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
+                        "supported on tile-compressed TABLE HDUs (the "
+                        "scan unit is the tile); filter instead")
+                if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+                    # cutouts on a compressed archive: logical image
+                    # rows map to a CONTIGUOUS global tile interval
+                    # (tiles order by (plane, row)), so only the
+                    # overlapping tiles' bytes are read; boundary tiles
+                    # decode then slice to the exact rows (`trim`)
+                    from spark_fits_spark.fitscore.tilecomp import (
+                        tile_layout,
+                    )
+
+                    t_rows, tpp, n_planes = tile_layout(
+                        hdu.z_naxis, hdu.z_tile)
+                    plane_rows = (hdu.z_naxis[1]
+                                  if len(hdu.z_naxis) >= 2 else 1)
+                    total = plane_rows * n_planes
+                    a = min(max(0, self.rowrange[0]), total)
+                    b = min(max(a, self.rowrange[1]), total)
+                    if b > a and t_rows > 0 and plane_rows > 0:
+                        def _tile_of(r: int) -> int:
+                            return ((r // plane_rows) * tpp
+                                    + (r % plane_rows) // t_rows)
+
+                        lo = min(_tile_of(a), hdu.n_rows)
+                        hi = min(_tile_of(b - 1) + 1, hdu.n_rows)
+                        trim = (a, b)
+                    else:
+                        lo = hi = 0
+                else:
+                    lo = min(max(0, self.rowrange[0]), hdu.n_rows)
+                    hi = min(max(lo, self.rowrange[1]), hdu.n_rows)
             # beyond-reference plane pruning: pushed ImgIndex predicates
             # bound the plane interval, and a plane is a contiguous run
             # of rows (plain image) or tiles (compimage), so the other
@@ -785,6 +818,7 @@ class FitsScanReader(DataSourceReader):
                         row_end=min(start + rows_per_part, hi),
                         col_indices=col_indices,
                         fs=scoped_fs,
+                        trim=trim,
                     )
                 )
         # empty relation still needs one partition object for Spark
@@ -815,9 +849,17 @@ class FitsScanReader(DataSourceReader):
             plane_rows = hdu.z_naxis[1] if len(hdu.z_naxis) >= 2 else 1
             tiles = np.arange(partition.row_start, partition.row_end,
                               dtype=np.int64)
-            n_rows = np.minimum(
-                tile_rows, plane_rows - (tiles % tpp) * tile_rows)
-            idx = np.repeat(tiles // tpp, np.maximum(n_rows, 0))
+            n_rows = np.maximum(np.minimum(
+                tile_rows, plane_rows - (tiles % tpp) * tile_rows), 0)
+            trim = getattr(partition, "trim", None)
+            if trim is not None:
+                # rowrange cutout: count only each tile's rows inside
+                # [a, b) — still pure arithmetic, still zero I/O
+                g0 = (tiles // tpp) * plane_rows + (tiles % tpp) * tile_rows
+                k0 = np.maximum(0, trim[0] - g0)
+                k1 = np.minimum(n_rows, trim[1] - g0)
+                n_rows = np.maximum(k1 - k0, 0)
+            idx = np.repeat(tiles // tpp, n_rows)
         arr = pa.array(idx)
         fields = [arrow_schema.field(i) for i in range(len(arrow_schema))]
         cols = [arr.cast(f.type) if arr.type != f.type else arr
@@ -908,7 +950,8 @@ class FitsScanReader(DataSourceReader):
 
                     batch = decode_compressed_image(
                         buf, hdu, row, decode_schema, heap_read,
-                        scaling=self.scaling)
+                        scaling=self.scaling,
+                        trim=getattr(partition, "trim", None))
                 else:
                     batch = decode_image(buf, hdu, row, decode_schema,
                                          scaling=self.scaling)
