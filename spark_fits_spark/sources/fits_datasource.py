@@ -742,11 +742,18 @@ class FitsScanReader(DataSourceReader):
             trim = None
             if self.rowrange is not None:
                 if hdu.hdu_type == HDU_TYPE_COMPTABLE:
-                    raise ValueError(
-                        "rowrange addresses logical rows and is not "
-                        "supported on tile-compressed TABLE HDUs (the "
-                        "scan unit is the tile); filter instead")
-                if hdu.hdu_type == HDU_TYPE_COMPIMAGE:
+                    # logical rows -> the overlapping tile interval;
+                    # boundary tiles decode then slice (zero-copy)
+                    tl = max(hdu.zt_tilelen, 1)
+                    a = min(max(0, self.rowrange[0]), hdu.zt_rows)
+                    b = min(max(a, self.rowrange[1]), hdu.zt_rows)
+                    if b > a:
+                        lo = min(a // tl, hdu.n_rows)
+                        hi = min((b - 1) // tl + 1, hdu.n_rows)
+                        trim = (a, b)
+                    else:
+                        lo = hi = 0
+                elif hdu.hdu_type == HDU_TYPE_COMPIMAGE:
                     # cutouts on a compressed archive: logical image
                     # rows map to a CONTIGUOUS global tile interval
                     # (tiles order by (plane, row)), so only the
@@ -943,6 +950,14 @@ class FitsScanReader(DataSourceReader):
                         buf, hdu, row, arrow_schema,
                         partition.col_indices, heap_read,
                         scaling=self.scaling)
+                    tr = getattr(partition, "trim", None)
+                    if tr is not None:
+                        # rowrange: slice boundary tiles to the exact
+                        # logical rows (zero-copy Arrow slice)
+                        g0 = row * max(hdu.zt_tilelen, 1)
+                        o0 = max(0, tr[0] - g0)
+                        o1 = min(batch.num_rows, tr[1] - g0)
+                        batch = batch.slice(o0, max(0, o1 - o0))
                 elif hdu.hdu_type == HDU_TYPE_COMPIMAGE:
                     from spark_fits_spark.fitscore.tilecomp import (
                         decode_compressed_image,

@@ -577,12 +577,15 @@ def test_rowrange_on_compressed_image(spark, tmp_path):
     idx = (read_fits(spark, comp, hdu=1, rowrange="8,12",
                      columns="ImgIndex").collect())
     assert sorted(r["ImgIndex"] for r in idx) == [0, 0, 1, 1]
-    # tile-compressed TABLES still reject rowrange loud
+    # tile-compressed TABLES: logical rows -> overlapping tiles, then a
+    # zero-copy slice (30-row tiles; ranges cross tile boundaries)
     tab = str(tmp_path / "tab.fits")
     fw.write_fits(tab, [fw.compressed_bintable_hdu(
         [("A", "1J", np.arange(100, dtype=">i4"))], tile_rows=30)])
-    with pytest.raises(Exception, match="rowrange"):
-        read_fits(spark, tab, hdu=1, rowrange="5,10").count()
+    for a, b in ((5, 10), (25, 65), (0, 100), (90, 100), (40, 40)):
+        got = sorted(r["A"] for r in read_fits(
+            spark, tab, hdu=1, rowrange=f"{a},{b}").collect())
+        assert got == list(range(a, b)), (a, b)
 
 
 def test_fits_info_inventory(spark):
