@@ -3977,6 +3977,66 @@ def q109_fits_image_sink_roundtrip(spark, sf):
     )
 
 
+@query("q110_aperture_photometry", """
+WITH px AS (
+  SELECT n_nationkey AS plane, r.y, c.x,
+         CAST(n_nationkey * 1000 + r.y * 16 + c.x AS BIGINT) AS v
+  FROM nation, range(0, 12) r(y), range(0, 16) c(x)
+), ap AS (
+  SELECT n_nationkey AS ap_id, n_nationkey AS plane,
+         3 + n_nationkey % 10 AS ax, 4 + n_nationkey % 5 AS ay
+  FROM nation
+)
+SELECT ap.ap_id, CAST(ap.plane AS BIGINT) AS plane,
+       CAST(SUM(px.v) AS DOUBLE) AS flux, COUNT(*) AS n_px
+FROM ap JOIN px ON px.plane = ap.plane
+ AND abs(px.y - ap.ay) <= 2
+ AND abs(px.x - ap.ax)
+     <= floor(sqrt(4 - (px.y - ap.ay) * (px.y - ap.ay)))
+GROUP BY 1, 2
+""")
+def q110_aperture_photometry(spark, sf):
+    """Forced circular-aperture photometry (r5) — the survey
+    measurement loop as a distributed plan, under the hash gate: build
+    a 25-plane cube whose pixels encode (plane, y, x), write it
+    RICE-compressed with partial trailing tiles, scan it back, and sum
+    a radius-2 circular aperture at a per-plane target position via
+    `operators.images.aperture_photometry` (broadcast target list,
+    JVM slice+aggregate per matched row, final shuffle sized by the
+    TARGET list). The oracle recomputes every aperture all-pairs from
+    the pixel formula, so a green row certifies the y-coordinate
+    recovery (`with_plane_rows`), the circle geometry, and the edge
+    windowing exactly."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import aperture_photometry
+
+    register_fits(spark)
+    nation = _t(spark, sf, "nation")
+    keys = sorted(r[0] for r in nation.select("n_nationkey").collect())
+    img = np.array(
+        [[[k * 1000 + y * 16 + x for x in range(16)]
+          for y in range(12)] for k in keys], dtype="i4")
+    d = _os.path.join(
+        "/tmp", "spark_fits_q110_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits.fz")
+    fw.write_fits(path, [fw.compressed_image_hdu(img, "RICE_1",
+                                                 tile_rows=5)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    apertures = nation.select(
+        F.col("n_nationkey").alias("ap_id"),
+        F.col("n_nationkey").alias("plane"),
+        (F.lit(3) + F.col("n_nationkey") % 10).alias("x"),
+        (F.lit(4) + F.col("n_nationkey") % 5).alias("y"))
+    return aperture_photometry(df, apertures, radius=2)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4029,8 +4089,9 @@ _DRIVER_PRIORITY = [
     # q81_ann_recall, q84_mrl_truncated_recall — compositions of
     # in-window gated components, mirror-green. The r5-new
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
-    # q108_fits_plane_slice and q109_fits_image_sink_roundtrip also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q108_fits_plane_slice, q109_fits_image_sink_roundtrip and
+    # q110_aperture_photometry also land past the cap and lead the r6
+    # gate alongside them.)
 ]
 
 
