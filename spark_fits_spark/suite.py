@@ -4037,6 +4037,57 @@ def q110_aperture_photometry(spark, sf):
     return aperture_photometry(df, apertures, radius=2)
 
 
+@query("q111_source_detection", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       (CAST(n_nationkey AS BIGINT) * 1048576
+        + (2 + n_nationkey % 3)) * 1048576
+       + (3 + n_nationkey % 5) AS source_id,
+       CAST(6 AS BIGINT) AS n_px,
+       CAST(6 * (100 + n_nationkey) AS DOUBLE) AS flux,
+       CAST(100 + n_nationkey AS DOUBLE) AS peak,
+       CAST(3 + n_nationkey % 5 + 1 AS DOUBLE) AS x_centroid,
+       CAST(2 + n_nationkey % 3 + 0.5 AS DOUBLE) AS y_centroid
+FROM nation
+""")
+def q111_source_detection(spark, sf):
+    """Distributed source extraction (r5) — the reference's im2cat
+    example (`examples/python/im2cat.py`: astropy sigma-clipped stats +
+    photutils detection, driver-side per CCD) re-expressed Spark-first
+    and put under the hash gate: plant one 2×3 rectangular source per
+    plane (position keyed by nation key, zero background), write the
+    cube RICE-compressed, and run `detect_sources` — per-plane
+    sigma-clipped background stats, threshold, connected-component
+    labeling over bright pixels, flux-weighted measurement. The oracle
+    states every source's expected (id, flux, peak, centroid)
+    analytically, so a green row certifies thresholding, component
+    labeling, and measurement exactly (a merged/split/shifted source
+    breaks it immediately)."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import detect_sources
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    img = np.zeros((len(keys), 12, 16), dtype="i4")
+    for i, k in enumerate(keys):
+        y0, x0 = 2 + k % 3, 3 + k % 5
+        img[i, y0:y0 + 2, x0:x0 + 3] = 100 + k
+    d = _os.path.join(
+        "/tmp", "spark_fits_q111_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits.fz")
+    fw.write_fits(path, [fw.compressed_image_hdu(img, "RICE_1",
+                                                 tile_rows=5)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    return detect_sources(df, threshold_sigma=5.0, connectivity=8)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4089,9 +4140,9 @@ _DRIVER_PRIORITY = [
     # q81_ann_recall, q84_mrl_truncated_recall — compositions of
     # in-window gated components, mirror-green. The r5-new
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
-    # q108_fits_plane_slice, q109_fits_image_sink_roundtrip and
-    # q110_aperture_photometry also land past the cap and lead the r6
-    # gate alongside them.)
+    # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
+    # q110_aperture_photometry and q111_source_detection also land past
+    # the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -278,3 +278,43 @@ def test_aperture_photometry(spark, tmp_path):
         assert got[ap_id] == ref(plane, x, y), ap_id
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_detect_sources(spark, tmp_path):
+    """Distributed source extraction: box + L-shape + diagonal pair on
+    a zero background — 8-connectivity merges the diagonal, 4 splits
+    it; fluxes and centroids exact; sigma-clipped stats converge to
+    (0, 0, 0) on the pure background."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import (
+        detect_sources,
+        sigma_clipped_plane_stats,
+    )
+
+    img = np.zeros((2, 16, 20), dtype="i4")
+    img[0, 2:4, 3:6] = 50                                  # box, 6 px
+    img[0, 8, 10] = 70; img[0, 9, 10] = 70; img[0, 9, 11] = 70  # L, 3 px
+    img[1, 5, 5] = 90; img[1, 6, 6] = 90                   # diagonal
+    p = str(tmp_path / "det.fits")
+    fw.write_fits(p, [fw.compressed_image_hdu(img, "RICE_1", tile_rows=4)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+
+    st = {r["ImgIndex"]: r for r in sigma_clipped_plane_stats(df).collect()}
+    assert (st[0]["bg_mean"], st[0]["bg_median"], st[0]["bg_std"]) == (0, 0, 0)
+
+    out = {(r["plane"], r["n_px"]): r
+           for r in detect_sources(df, connectivity=8).collect()}
+    assert set(out) == {(0, 6), (0, 3), (1, 2)}
+    box = out[(0, 6)]
+    assert (box["flux"], box["peak"]) == (300.0, 50.0)
+    assert (box["x_centroid"], box["y_centroid"]) == (4.0, 2.5)
+    ell = out[(0, 3)]
+    assert abs(ell["x_centroid"] - 31 / 3) < 1e-12   # (10+10+11)/3
+    diag = out[(1, 2)]
+    assert (diag["x_centroid"], diag["y_centroid"]) == (5.5, 5.5)
+    four = detect_sources(df, connectivity=4).collect()
+    assert sorted((r["plane"], r["n_px"]) for r in four) == [
+        (0, 3), (0, 6), (1, 1), (1, 1)]
+    # min_npix gate drops the singletons
+    gated = detect_sources(df, connectivity=4, min_npix=2).collect()
+    assert sorted((r["plane"], r["n_px"]) for r in gated) == [(0, 3), (0, 6)]
