@@ -4088,6 +4088,47 @@ def q111_source_detection(spark, sf):
     return detect_sources(df, threshold_sigma=5.0, connectivity=8)
 
 
+def _q112_oracle() -> str:
+    from spark_fits_spark.functions.healpix import ang2pix_ring_sql
+
+    ra = "(CAST(('0x' || substr(md5('ra|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 360000) / 1000.0"
+    dec = "(CAST(('0x' || substr(md5('dec|' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 160000) / 1000.0 - 80.0"
+    return f"""
+SELECT {ang2pix_ring_sql(16, ra, dec)} AS hpx, COUNT(*) AS n_obj
+FROM customer GROUP BY 1
+"""
+
+
+@query("q112_healpix_skymap", _q112_oracle())
+def q112_healpix_skymap(spark, sf):
+    """The reference's flagship bintable demo (RA/Dec → HEALPix index →
+    sky-map histogram; `examples/jupyter/pyspark_bintable.ipynb` does
+    it with a healpy UDF inside `df.rdd.map` + `reduceByKey`) as a
+    pure-JVM plan under the hash gate: `ang2pix_ring` (Górski 2005,
+    RING scheme) is all `pyspark.sql.functions` arithmetic — one
+    `sin`, the rest rational — so the pixelization runs inside
+    whole-stage codegen at scan speed, and the map is one map-side-
+    combined groupBy with ≤ 12·nside² output rows regardless of
+    catalog size. Deterministic md5-derived coordinates (dec in
+    ±80° keeps a margin from the poles); the oracle replays the same
+    published formula in SQL, so a green row certifies every branch
+    (equatorial belt + both polar caps) bit-for-bit over ~1,500
+    positions."""
+    from spark_fits_spark.functions.healpix import healpix_map
+
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    pts = c.select(
+        (h("ra", 360000) / 1000.0).alias("ra"),
+        (h("dec", 160000) / 1000.0 - 80.0).alias("dec"))
+    return healpix_map(pts, "ra", "dec", nside=16)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4141,8 +4182,9 @@ _DRIVER_PRIORITY = [
     # in-window gated components, mirror-green. The r5-new
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
-    # q110_aperture_photometry and q111_source_detection also land past
-    # the cap and lead the r6 gate alongside them.)
+    # q110_aperture_photometry, q111_source_detection and
+    # q112_healpix_skymap also land past the cap and lead the r6 gate
+    # alongside them.)
 ]
 
 
