@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     # round-5 addition: the composed survey pipeline (FITS sink with
     # checksums -> audit -> streaming source -> zone crossmatch)
     "q106_survey_pipeline",
+    # late-r5 additions: distributed image writing (RICE sink), forced
+    # photometry, source extraction, and the pure-JVM HEALPix sky map
+    "q109_fits_image_sink_roundtrip",
+    "q110_aperture_photometry",
+    "q111_source_detection",
+    "q112_healpix_skymap",
 ]
 
 
@@ -548,6 +554,8 @@ def main() -> None:
                                           "q95", "q96", "q97", "q98",
                                           "q99", "q100", "q101", "q102",
                                           "q103", "q105", "q106",
+                                          "q109", "q110", "q111",
+                                          "q112",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",
