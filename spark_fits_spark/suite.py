@@ -4129,6 +4129,102 @@ def q112_healpix_skymap(spark, sf):
     return healpix_map(pts, "ra", "dec", nside=16)
 
 
+_LS_FREQS = [0.01, 0.1, 0.5, 1.0, 2.0]   # cycles per hour
+
+
+@query("q113_lomb_scargle", """
+WITH b AS (
+  SELECT user_id,
+         (epoch(ts) - (SELECT min(epoch(ts)) FROM events)) / 3600.0 AS t,
+         value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), f AS (
+  SELECT * FROM (VALUES (0, 0.01), (1, 0.1), (2, 0.5), (3, 1.0),
+                        (4, 2.0)) AS tt(freq_idx, freq)
+), g AS (
+  SELECT user_id AS object_id, CAST(freq_idx AS BIGINT) AS freq_idx,
+         COUNT(*) AS n, SUM(y) AS sy, SUM(y*y) AS syy,
+         SUM(cos(2*pi()*freq*t)) AS c1, SUM(sin(2*pi()*freq*t)) AS s1,
+         SUM(y*cos(2*pi()*freq*t)) AS cy,
+         SUM(y*sin(2*pi()*freq*t)) AS sy1,
+         SUM(cos(4*pi()*freq*t)) AS c2, SUM(sin(4*pi()*freq*t)) AS s2
+  FROM b, f GROUP BY 1, 2
+), h AS (
+  SELECT *, atan2(s2, c2) / 2.0 AS wtau FROM g
+), k AS (
+  SELECT *,
+    cos(wtau) * (cy - (sy/n)*c1) + sin(wtau) * (sy1 - (sy/n)*s1) AS nc,
+    cos(wtau) * (sy1 - (sy/n)*s1) - sin(wtau) * (cy - (sy/n)*c1) AS ns,
+    n/2.0 + (cos(2*wtau)*c2 + sin(2*wtau)*s2)/2.0 AS dc,
+    n/2.0 - (cos(2*wtau)*c2 + sin(2*wtau)*s2)/2.0 AS ds,
+    syy/n - (sy/n)*(sy/n) AS var
+  FROM h
+)
+SELECT object_id, freq_idx,
+       CASE WHEN n >= 2 AND var > 0 AND dc > 0 AND ds > 0
+            THEN round((nc*nc/dc + ns*ns/ds) / (2*var), 6) END AS power6
+FROM k
+""")
+def q113_lomb_scargle(spark, sf):
+    """Per-object Lomb–Scargle periodogram (r5) — variable-source
+    search over irregularly sampled series, THE time-domain survey
+    workload, under the hash gate. The operator collapses the
+    classic two-pass Scargle formulation into ONE aggregation via the
+    angle-addition identities (eight sums per (object, frequency);
+    τ and the normalized power are closed-form afterwards), so the
+    plan is a single map-side-combined shuffle keyed by (object,
+    frequency) with |objects|·|freqs| output rows — no second pass
+    over the observations, no UDF. The oracle replays the identical
+    closed form in SQL; powers round at 1e-6 (cross-engine libm sums
+    differ ~1e-15 relative). Pinned against a direct two-pass numpy
+    reference with a planted sinusoid in tests."""
+    from spark_fits_spark.operators.timeseries import lomb_scargle
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    tmin = e.agg(F.min(F.col("ts").cast("double"))).first()[0]
+    base = e.select(
+        "user_id",
+        ((F.col("ts").cast("double") - F.lit(tmin)) / 3600.0).alias("t_h"),
+        "value")
+    out = lomb_scargle(base, "t_h", "value", "user_id", _LS_FREQS)
+    return out.select("object_id", "freq_idx",
+                      F.round("power", 6).alias("power6"))
+
+
+@query("q114_phase_fold", """
+WITH tmin AS (SELECT min(epoch(ts)) AS m FROM events)
+SELECT user_id AS object_id,
+       LEAST(CAST(floor((((((epoch(ts) - tmin.m) / 3600.0) / 24.0)
+                          % 1.0 + 1.0) % 1.0) * 12) AS BIGINT),
+             11) AS phase_bin,
+       COUNT(*) AS n_obs, round(AVG(value), 6) AS mean_y6
+FROM events, tmin
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+""")
+def q114_phase_fold(spark, sf):
+    """Phase-folded binned light curves (r5): fold every object's
+    series at a 24 h trial period and bin the phased curve — the
+    inspection step after a periodogram peak. Pure modular arithmetic
+    + one map-side-combined groupBy (|objects|·n_bins output rows);
+    the oracle replays fold, bin edges (including the frac-rounding
+    guard at phase 1.0) and per-bin means exactly."""
+    from spark_fits_spark.operators.timeseries import phase_fold
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    tmin = e.agg(F.min(F.col("ts").cast("double"))).first()[0]
+    base = e.select(
+        "user_id",
+        ((F.col("ts").cast("double") - F.lit(tmin)) / 3600.0).alias("t_h"),
+        "value")
+    out = phase_fold(base, "t_h", "value", "user_id",
+                     period=24.0, n_bins=12)
+    return out.select("object_id", "phase_bin", "n_obs",
+                      F.round("mean_y", 6).alias("mean_y6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4182,9 +4278,9 @@ _DRIVER_PRIORITY = [
     # in-window gated components, mirror-green. The r5-new
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
-    # q110_aperture_photometry, q111_source_detection and
-    # q112_healpix_skymap also land past the cap and lead the r6 gate
-    # alongside them.)
+    # q110_aperture_photometry, q111_source_detection,
+    # q112_healpix_skymap, q113_lomb_scargle and q114_phase_fold also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 
