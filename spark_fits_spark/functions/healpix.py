@@ -100,6 +100,71 @@ def ang2pix_ring_sql(nside: int, ra_expr: str, dec_expr: str) -> str:
             f"WHEN {z} > 0 THEN {pix_n} ELSE {pix_s} END AS BIGINT)")
 
 
+def ang2pix_nest(nside: int, ra_deg, dec_deg) -> Column:
+    """NESTED-scheme HEALPix index (the ordering survey archives use
+    for hierarchical/UNIQ indexing — a NESTED pixel's children at
+    nside·2 are ``4p..4p+3``). ``nside`` must be a power of two.
+
+    Same belt/cap line arithmetic as :func:`ang2pix_ring`, then the
+    (face, ix, iy) in-face coordinates interleave bit-by-bit — the
+    interleave unrolls into ``2·log2(nside)`` shift-mask terms, still
+    pure JVM arithmetic inside codegen. Validated against
+    :func:`ang2pix_ring` by the partition-bijection property (both
+    schemes index the SAME cells, so the ring→nest map over any point
+    set must be single-valued and invertible — see
+    ``tests/test_healpix.py``)."""
+    if nside < 1 or (nside & (nside - 1)):
+        raise ValueError(f"nside must be a power of two, got {nside}")
+    k = nside.bit_length() - 1          # log2(nside)
+    ra = F.col(ra_deg) if isinstance(ra_deg, str) else ra_deg
+    dec = F.col(dec_deg) if isinstance(dec_deg, str) else dec_deg
+    ns = F.lit(float(nside))
+    z = F.sin(F.radians(dec))
+    za = F.abs(z)
+    tt = F.pmod(ra / F.lit(90.0), F.lit(4.0))
+
+    # equatorial belt
+    temp1 = ns * (F.lit(0.5) + tt)
+    temp2 = ns * (z * F.lit(0.75))
+    jp_e = F.floor(temp1 - temp2).cast("long")
+    jm_e = F.floor(temp1 + temp2).cast("long")
+    ifp = F.shiftright(jp_e, k)
+    ifm = F.shiftright(jm_e, k)
+    face_e = (
+        F.when(ifp == ifm, F.pmod(ifp, F.lit(4)) + 4)
+        .when(ifp < ifm, F.pmod(ifp, F.lit(4)))
+        .otherwise(F.pmod(ifm, F.lit(4)) + 8))
+    ix_e = jm_e.bitwiseAND(F.lit(nside - 1))
+    iy_e = F.lit(nside - 1) - jp_e.bitwiseAND(F.lit(nside - 1))
+
+    # polar caps
+    ntt = F.least(F.floor(tt).cast("long"), F.lit(3))
+    tp = tt - F.floor(tt)
+    tmp = ns * F.sqrt(F.lit(3.0) * (F.lit(1.0) - za))
+    jp_p = F.least(F.floor(tp * tmp).cast("long"), F.lit(nside - 1))
+    jm_p = F.least(F.floor((F.lit(1.0) - tp) * tmp).cast("long"),
+                   F.lit(nside - 1))
+    face_n, ix_n, iy_n = ntt, F.lit(nside - 1) - jm_p, \
+        F.lit(nside - 1) - jp_p
+    face_s, ix_s, iy_s = ntt + 8, jp_p, jm_p
+
+    eq = za <= F.lit(2.0 / 3.0)
+    north = z > 0
+    face = F.when(eq, face_e).when(north, face_n).otherwise(face_s)
+    ix = F.when(eq, ix_e).when(north, ix_n).otherwise(ix_s)
+    iy = F.when(eq, iy_e).when(north, iy_n).otherwise(iy_s)
+
+    # bit interleave: ix on even bits, iy on odd bits
+    inter = F.lit(0).cast("long")
+    for b in range(k):
+        inter = (inter
+                 + F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)),
+                               2 * b)
+                 + F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)),
+                               2 * b + 1))
+    return (face * F.lit(nside * nside) + inter).cast("long")
+
+
 def healpix_map(df: DataFrame, ra_col: str, dec_col: str,
                 nside: int = 16) -> DataFrame:
     """Sky-map histogram: ``(hpx, n_obj)`` counts per RING pixel — the

@@ -74,3 +74,32 @@ def test_codegen_no_udf(spark):
     plan = df.select(ang2pix_ring(16, "ra", "dec"))._jdf \
         .queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_nest_scheme_bijection_and_hierarchy(spark):
+    """NESTED validation without healpy: (1) RING and NESTED index the
+    SAME cells, so over a dense point sample the ring→nest map must be
+    single-valued and invertible across all 12·nside² pixels (given
+    the RING tests above, this pins the NESTED partition exactly);
+    (2) the defining NESTED property — the pixel at nside right-
+    shifted by 2 is the parent pixel at nside/2."""
+    from spark_fits_spark.functions.healpix import ang2pix_nest
+
+    n, nside = 250_000, 8
+    rng = np.random.default_rng(2)
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    df = spark.createDataFrame(
+        list(zip(ra.tolist(), dec.tolist())), "ra double, dec double")
+    rows = df.select(
+        ang2pix_ring(nside, "ra", "dec").alias("r"),
+        ang2pix_nest(nside, "ra", "dec").alias("n"),
+        ang2pix_nest(nside // 2, "ra", "dec").alias("p")).collect()
+    npix = 12 * nside * nside
+    r2n = {}
+    for x in rows:
+        assert 0 <= x["n"] < npix
+        assert r2n.setdefault(x["r"], x["n"]) == x["n"]
+        assert x["n"] >> 2 == x["p"]
+    assert len(r2n) == npix
+    assert len(set(r2n.values())) == npix
