@@ -374,8 +374,12 @@ def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
                 seen[fs] = s
                 # s ≥ 32: don't trust the share estimate s/bp until
                 # this fs has a real sample (one early block would
-                # otherwise project the whole stream onto itself)
-                if (s >= 32 and s * (total_blocks - bp) * jump_save_s
+                # otherwise project the whole stream onto itself).
+                # len(maps) < 6: an adversarial fs churn could otherwise
+                # trigger a build per fs value — bounded waste, but cap
+                # it (real images concentrate in 2-4 fs values).
+                if (s >= 32 and len(maps) < 6
+                        and s * (total_blocks - bp) * jump_save_s
                         > bp * est_build_s * build_margin):
                     g = maps[fs] = _build(fs)
         if g is not None:

@@ -129,8 +129,10 @@ def test_unsupported_codecs_and_grids_fail_loud(spark, tmp_path):
         _scan(spark, write_with({"ZBITPIX": 8})).schema
     with pytest.raises(Exception, match="unknown ZCMPTYPE"):
         _scan(spark, write_with({"ZCMPTYPE": "WAT_9"})).schema
-    with pytest.raises(Exception, match="rowrange"):
-        _scan(spark, write_with({}), rowrange="0,2").collect()
+    # rowrange on compimages is SUPPORTED since late r5 (cutouts map to
+    # the overlapping tile interval; test_rowrange_on_compressed_image
+    # covers the semantics) — here just pin that it no longer rejects
+    assert _scan(spark, write_with({}), rowrange="0,2").count() == 2
     # writer-side gates (float RICE is supported via quantization now;
     # int64 RICE and unsupported dtypes still fail loud)
     with pytest.raises(NotImplementedError, match="int64"):
