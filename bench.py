@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "q110_aperture_photometry",
     "q111_source_detection",
     "q112_healpix_skymap",
+    "q113_lomb_scargle",
+    "q114_phase_fold",
 ]
 
 
@@ -555,7 +557,7 @@ def main() -> None:
                                           "q99", "q100", "q101", "q102",
                                           "q103", "q105", "q106",
                                           "q109", "q110", "q111",
-                                          "q112",
+                                          "q112", "q113", "q114",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",
