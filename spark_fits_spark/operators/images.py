@@ -40,23 +40,38 @@ def reassemble_images(df: DataFrame) -> DataFrame:
 
 def with_plane_rows(df: DataFrame) -> DataFrame:
     """Adds ``y`` — each row's 0-based row index WITHIN its plane — to
-    the raw image scan output. Scan partitions emit rows in (file,
-    offset) order, so ``monotonically_increasing_id`` is monotone in
-    pixel-row order and a per-plane ``row_number`` recovers the y
-    coordinate exactly. One shuffle, keyed by plane; per-plane state is
-    bounded by the image height (a window over one plane's rows), so a
-    10,000-plane cube fans out across the cluster while each plane
-    sorts at most NAXIS2 longs.
+    the raw image scan output, WITHOUT shuffling the pixel data.
+
+    Scan partitions emit rows in (file, offset) order, and
+    ``monotonically_increasing_id`` is dense within a partition, so a
+    plane's rows inside one partition carry consecutive ids. The
+    distributed prefix-sum pattern (same as the sequence-packing
+    operators) turns that into global y: aggregate (partition, plane)
+    → (row count, first id) — a map-side-combined shuffle of
+    #partitions·#planes-per-partition ROWS, not pixels — window the
+    tiny table per plane for each partition's starting offset, and
+    broadcast it back: ``y = offset + (id − first id)``. The pixel
+    rows themselves never move; a one-plane 100 GB image no longer
+    collapses onto a single task (which the previous per-plane
+    ``row_number`` window did).
 
     Must be called on the raw scan output (before reordering), same
     contract as :func:`reassemble_images`."""
     from pyspark.sql.window import Window
 
-    with_pos = df.withColumn("_pos", F.monotonically_increasing_id())
-    w = Window.partitionBy("ImgIndex").orderBy("_pos")
+    with_pos = (df.withColumn("_pos", F.monotonically_increasing_id())
+                .withColumn("_pid", F.spark_partition_id()))
+    per = with_pos.groupBy("_pid", "ImgIndex").agg(
+        F.count("*").alias("_cnt"), F.min("_pos").alias("_p0"))
+    w = (Window.partitionBy("ImgIndex").orderBy("_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per.select(
+        "_pid", "ImgIndex",
+        F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"), "_p0")
     return (with_pos
-            .withColumn("y", F.row_number().over(w) - F.lit(1))
-            .drop("_pos"))
+            .join(F.broadcast(offsets), ["_pid", "ImgIndex"])
+            .withColumn("y", F.col("_off") + (F.col("_pos") - F.col("_p0")))
+            .drop("_pos", "_pid", "_off", "_p0"))
 
 
 def aperture_photometry(df: DataFrame, apertures: DataFrame,
@@ -197,6 +212,19 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
 
     with release_after():
         bright = tracked_persist(bright)
+        # packed-id precondition: y, x < 2^20 − 1 (the stride comment
+        # above is a contract, not a hope — an oversized axis would
+        # alias unrelated pixels into one component). Checked over the
+        # BRIGHT set only (the only ids that enter the graph; one cheap
+        # pass over the persisted frame).
+        mx = bright.agg(F.max("y").alias("my"),
+                        F.max("x").alias("mx")).first()
+        lim = (1 << _YX_BITS) - 1
+        if mx["my"] is not None and (mx["my"] >= lim or mx["mx"] >= lim):
+            raise ValueError(
+                f"detect_sources supports images with y, x < {lim} "
+                f"(got max y={mx['my']}, x={mx['mx']}); re-tile or "
+                "split the axis")
         offsets = [(0, 1), (1, 0)]
         if connectivity == 8:
             offsets += [(1, 1), (1, -1)]

@@ -321,6 +321,12 @@ class FitsArrowWriter(DataSourceArrowWriter):
                 "FITS image writer expects exactly one array<numeric> "
                 "column (plus an optional ImgIndex long); got schema "
                 f"{self.schema.simpleString()}")
+        for f in self.schema.fields:
+            if f.name == "ImgIndex" and not isinstance(
+                    f.dataType, (ShortType, IntegerType, LongType)):
+                raise ValueError(
+                    "FITS image writer: ImgIndex must be an integral "
+                    f"plane index, got {f.dataType.simpleString()}")
         idx, field = arr_fields[0]
         elem = type(field.dataType.elementType)
         npd = self._IMAGE_NP.get(elem)

@@ -4135,7 +4135,9 @@ _LS_FREQS = [0.01, 0.1, 0.5, 1.0, 2.0]   # cycles per hour
 @query("q113_lomb_scargle", """
 WITH b AS (
   SELECT user_id,
-         (epoch(ts) - (SELECT min(epoch(ts)) FROM events)) / 3600.0 AS t,
+         (epoch(ts) - (SELECT min(epoch(ts)) FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL))
+         / 3600.0 AS t,
          value AS y
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ), f AS (
@@ -4193,7 +4195,8 @@ def q113_lomb_scargle(spark, sf):
 
 
 @query("q114_phase_fold", """
-WITH tmin AS (SELECT min(epoch(ts)) AS m FROM events)
+WITH tmin AS (SELECT min(epoch(ts)) AS m FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL)
 SELECT user_id AS object_id,
        LEAST(CAST(floor((((((epoch(ts) - tmin.m) / 3600.0) / 24.0)
                           % 1.0 + 1.0) % 1.0) * 12) AS BIGINT),

@@ -318,3 +318,34 @@ def test_detect_sources(spark, tmp_path):
     # min_npix gate drops the singletons
     gated = detect_sources(df, connectivity=4, min_npix=2).collect()
     assert sorted((r["plane"], r["n_px"]) for r in gated) == [(0, 3), (0, 6)]
+
+
+def test_with_plane_rows_multi_partition(spark, tmp_path):
+    """y derivation must hold when a plane's rows span SCAN PARTITIONS
+    (the distributed prefix-sum path): tiny partitionbytes forces many
+    partitions over a 3-plane cube; every row's recovered (plane, y)
+    must identify its pixel content exactly, and no pixel-wide shuffle
+    may precede the pixel-side join (the offsets table is broadcast)."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import with_plane_rows
+
+    cube = np.arange(3 * 50 * 16, dtype="i4").reshape(3, 50, 16)
+    p = str(tmp_path / "mp.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    df = (spark.read.format("fits").option("hdu", 1)
+          .option("partitionbytes", 2048)  # 64 B/row -> ~32 rows/part
+          .load(p))
+    assert df.rdd.getNumPartitions() > 3
+    rows = with_plane_rows(df).collect()
+    assert len(rows) == 3 * 50
+    for r in rows:
+        assert list(r["Image"]) == list(cube[r["ImgIndex"], r["y"]]), (
+            r["ImgIndex"], r["y"])
+
+
+def test_image_sink_rejects_non_integral_imgindex(spark, tmp_path):
+    bad = spark.createDataFrame([([1, 2], "x")],
+                                "Image array<int>, ImgIndex string")
+    with pytest.raises(Exception, match="integral"):
+        bad.coalesce(1).write.format("fits").option("image", True).mode(
+            "append").save(str(tmp_path / "badidx"))
