@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q112_healpix_skymap",
     "q113_lomb_scargle",
     "q114_phase_fold",
+    "q115_coadd_planes",
 ]
 
 
@@ -558,6 +559,7 @@ def main() -> None:
                                           "q103", "q105", "q106",
                                           "q109", "q110", "q111",
                                           "q112", "q113", "q114",
+                                          "q115",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -269,6 +269,53 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
     return out
 
 
+def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
+    """Co-add (stack) all planes of an aligned cube into one image —
+    the survey depth-building step (N dithered-and-registered exposures
+    → one deeper frame): output row ``(y, image, n_planes)`` where
+    ``image[x]`` combines the planes' pixels at (y, x).
+
+    Plan: rows of the SAME y across planes meet on a groupBy(y) —
+    one shuffle of the pixel data keyed by row index (irreducible for
+    a cross-plane reduction; rows of one y spread over ≤ n_planes
+    tasks' input), then the element-wise combine runs as JVM array
+    expressions over the collected per-y list (state per task ≈
+    n_planes·width values, independent of image height).
+
+    ``method``: ``mean`` or ``sum``. NaN pixels (masked/undefined)
+    are excluded per-position under ``mean`` (the usual coadd rule:
+    a pixel masked in one exposure still stacks from the others)."""
+    if method not in ("mean", "sum"):
+        raise ValueError(f"method must be 'mean' or 'sum', got {method!r}")
+    rows = with_plane_rows(df)
+    g = (rows.groupBy("y")
+         .agg(F.collect_list("Image").alias("_imgs"),
+              F.count("*").alias("n_planes")))
+    width = F.size(F.col("_imgs")[0])
+    zeros = F.transform(F.sequence(F.lit(1), width),
+                        lambda _: F.lit(0.0))
+    finite = lambda v: ~F.isnan(v.cast("double"))  # noqa: E731
+    psum = F.aggregate(
+        "_imgs", zeros,
+        lambda acc, img: F.zip_with(
+            acc, img,
+            lambda a, x: a + F.when(finite(x), x.cast("double"))
+                              .otherwise(F.lit(0.0))))
+    pcnt = F.aggregate(
+        "_imgs",
+        F.transform(F.sequence(F.lit(1), width), lambda _: F.lit(0)),
+        lambda acc, img: F.zip_with(
+            acc, img,
+            lambda a, x: a + F.when(finite(x), 1).otherwise(0)))
+    if method == "sum":
+        image = psum
+    else:
+        image = F.zip_with(
+            psum, pcnt,
+            lambda s, c: F.when(c > 0, s / c).otherwise(F.lit(None)))
+    return g.select("y", image.alias("image"), "n_planes")
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """Per-plane pixel statistics straight off the scan (no reassembly
     needed): min/max/sum over the flattened pixels, all-JVM."""

@@ -4228,6 +4228,51 @@ def q114_phase_fold(spark, sf):
                       F.round("mean_y", 6).alias("mean_y6"))
 
 
+@query("q115_coadd_planes", """
+WITH px AS (
+  SELECT n_nationkey AS k, r.y, c.x,
+         CAST((n_nationkey + 1) * (r.y * 16 + c.x + 1) AS DOUBLE) AS v
+  FROM nation, range(0, 12) r(y), range(0, 16) c(x)
+)
+SELECT y, x, CAST(COUNT(*) AS BIGINT) AS n_planes, AVG(v) AS value
+FROM px GROUP BY 1, 2
+""")
+def q115_coadd_planes(spark, sf):
+    """Image co-addition (r5) — stacking N aligned exposures into one
+    deeper frame, the survey depth-building step, under the hash gate:
+    plane k's pixel (y, x) is (k+1)·(y·W + x + 1), so the stacked mean
+    is exactly (y·W + x + 1)·avg(k+1) — integer-exact doubles, immune
+    to float summation order, making the hash pin both the cross-plane
+    row alignment (`with_plane_rows`, shuffle-free y recovery) and the
+    element-wise combine (`coadd_planes`: one groupBy(y) shuffle —
+    irreducible for a cross-plane reduction — then JVM zip_with
+    arithmetic, per-task state ~ n_planes·width)."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
+    img = np.stack([(k + 1) * base for k in keys])
+    d = _os.path.join(
+        "/tmp", "spark_fits_q115_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    out = coadd_planes(df, method="mean")
+    return out.select(
+        "y", F.posexplode("image").alias("x", "value"), "n_planes"
+    ).select("y", F.col("x").cast("long").alias("x"), "n_planes", "value")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4282,8 +4327,9 @@ _DRIVER_PRIORITY = [
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
     # q110_aperture_photometry, q111_source_detection,
-    # q112_healpix_skymap, q113_lomb_scargle and q114_phase_fold also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold and
+    # q115_coadd_planes also land past the cap and lead the r6 gate
+    # alongside them.)
 ]
 
 

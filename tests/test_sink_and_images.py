@@ -349,3 +349,30 @@ def test_image_sink_rejects_non_integral_imgindex(spark, tmp_path):
     with pytest.raises(Exception, match="integral"):
         bad.coalesce(1).write.format("fits").option("image", True).mode(
             "append").save(str(tmp_path / "badidx"))
+
+
+def test_coadd_planes_nan_masking(spark, tmp_path):
+    """Co-addition: mean stacks exclude NaN (masked) pixels
+    per-position; sum mode sums the finite values; n_planes counts
+    contributing planes per y."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    cube = np.ones((3, 4, 5), dtype="f8")
+    cube[0] *= 10.0
+    cube[1] *= 20.0
+    cube[2] *= 60.0
+    cube[1, 2, 3] = np.nan          # masked in one exposure
+    cube[:, 0, 0] = np.nan          # masked in ALL exposures
+    p = str(tmp_path / "stack.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+    got = {r["y"]: r for r in coadd_planes(df, "mean").collect()}
+    assert all(got[y]["n_planes"] == 3 for y in range(4))
+    assert got[1]["image"][1] == 30.0           # (10+20+60)/3
+    assert got[2]["image"][3] == 35.0           # (10+60)/2, NaN dropped
+    assert got[0]["image"][0] is None           # masked everywhere
+    s = {r["y"]: r for r in coadd_planes(df, "sum").collect()}
+    assert s[2]["image"][3] == 70.0
+    with pytest.raises(ValueError, match="method"):
+        coadd_planes(df, "median")
