@@ -59,8 +59,16 @@ def with_plane_rows(df: DataFrame) -> DataFrame:
     contract as :func:`reassemble_images`."""
     from pyspark.sql.window import Window
 
-    with_pos = (df.withColumn("_pos", F.monotonically_increasing_id())
-                .withColumn("_pid", F.spark_partition_id()))
+    from spark_fits_spark.caching import tracked_local_checkpoint
+
+    # localCheckpoint pins one evaluation (the sequence-packing
+    # precedent, sample.py): _pid/_pos must mean the same thing in the
+    # offsets branch and the join branch below — two independent scan
+    # plannings could see different file listings (and would also
+    # decode every pixel twice).
+    with_pos = tracked_local_checkpoint(
+        df.withColumn("_pos", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id()), eager=False)
     per = with_pos.groupBy("_pid", "ImgIndex").agg(
         F.count("*").alias("_cnt"), F.min("_pos").alias("_p0"))
     w = (Window.partitionBy("ImgIndex").orderBy("_pid")
@@ -163,7 +171,7 @@ def sigma_clipped_plane_stats(df: DataFrame, sigma: float = 3.0,
 
 
 # packed pixel-node id strides for the source-detection component graph
-_YX_BITS = 20          # supports y, x < 2^20 (any real FITS image)
+_YX_BITS = 20     # y, x < 2^20 - 1 enforced (±1 neighbor offsets)
 
 
 def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
@@ -275,6 +283,14 @@ def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
     → one deeper frame): output row ``(y, image, n_planes)`` where
     ``image[x]`` combines the planes' pixels at (y, x).
 
+    INPUT CONTRACT: the exposures must arrive as PLANES of one scan
+    (a multi-plane cube file, or rows whose y aligns across planes) —
+    a directory of single-plane exposure FILES scans with ImgIndex = 0
+    per file, so its rows CONCATENATE in y instead of stacking
+    (n_planes comes back 1 per y: inspect it). Stack such a directory
+    by scanning the files into one cube first (e.g. the image sink's
+    repartitionByRange-per-plane recipe).
+
     Plan: rows of the SAME y across planes meet on a groupBy(y) —
     one shuffle of the pixel data keyed by row index (irreducible for
     a cross-plane reduction; rows of one y spread over ≤ n_planes
@@ -292,18 +308,15 @@ def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
          .agg(F.collect_list("Image").alias("_imgs"),
               F.count("*").alias("n_planes")))
     width = F.size(F.col("_imgs")[0])
-    zeros = F.transform(F.sequence(F.lit(1), width),
-                        lambda _: F.lit(0.0))
     finite = lambda v: ~F.isnan(v.cast("double"))  # noqa: E731
     psum = F.aggregate(
-        "_imgs", zeros,
+        "_imgs", F.array_repeat(F.lit(0.0), width),
         lambda acc, img: F.zip_with(
             acc, img,
             lambda a, x: a + F.when(finite(x), x.cast("double"))
                               .otherwise(F.lit(0.0))))
     pcnt = F.aggregate(
-        "_imgs",
-        F.transform(F.sequence(F.lit(1), width), lambda _: F.lit(0)),
+        "_imgs", F.array_repeat(F.lit(0), width),
         lambda acc, img: F.zip_with(
             acc, img,
             lambda a, x: a + F.when(finite(x), 1).otherwise(0)))

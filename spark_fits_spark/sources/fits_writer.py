@@ -323,7 +323,8 @@ class FitsArrowWriter(DataSourceArrowWriter):
                 f"{self.schema.simpleString()}")
         for f in self.schema.fields:
             if f.name == "ImgIndex" and not isinstance(
-                    f.dataType, (ShortType, IntegerType, LongType)):
+                    f.dataType, (ByteType, ShortType, IntegerType,
+                                 LongType)):
                 raise ValueError(
                     "FITS image writer: ImgIndex must be an integral "
                     f"plane index, got {f.dataType.simpleString()}")
