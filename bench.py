@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q113_lomb_scargle",
     "q114_phase_fold",
     "q115_coadd_planes",
+    "q116_wcs_solve",
 ]
 
 
@@ -559,7 +560,7 @@ def main() -> None:
                                           "q103", "q105", "q106",
                                           "q109", "q110", "q111",
                                           "q112", "q113", "q114",
-                                          "q115",
+                                          "q115", "q116",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -1,0 +1,132 @@
+"""Linear + TAN (gnomonic) world-coordinate transforms as JVM columns.
+
+FITS images locate their pixels on the sky through WCS header cards
+(CRVALn/CRPIXn/CDn_n — Greisen & Calabretta 2002, A&A 395, 1061; the
+published standard, independent implementation). The reference reads
+the cards but leaves coordinates to astropy on the driver; here the
+pixel→sky transform is `pyspark.sql.functions` arithmetic, so a
+detection table (plane, y, x) converts to (ra, dec) at scan speed and
+feeds straight into the Zones crossmatch or the HEALPix sky map.
+
+Conventions: FITS pixel coordinates are 1-based at the pixel CENTER;
+the operators' (x, y) are 0-based array indices, so the transform adds
+1 before subtracting CRPIX. The inverse (sky→pixel) is provided for
+round-trip testing and forced-photometry target placement.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TanWcs:
+    """Gnomonic-projection WCS: reference sky point (deg), reference
+    pixel (1-based, FITS convention), and the CD matrix (deg/pixel)."""
+
+    crval1: float     # RA at the reference point, degrees
+    crval2: float     # Dec at the reference point, degrees
+    crpix1: float     # reference pixel along x (NAXIS1 axis), 1-based
+    crpix2: float     # reference pixel along y, 1-based
+    cd1_1: float
+    cd1_2: float
+    cd2_1: float
+    cd2_2: float
+
+    @classmethod
+    def from_header(cls, header: dict) -> "TanWcs":
+        """Build from parsed header cards; accepts the CDn_n matrix or
+        the older CDELTn (+ optional CROTA2 = 0) form."""
+        def g(k, d=None):
+            v = header.get(k, d)
+            if v is None:
+                raise ValueError(f"WCS: missing header card {k}")
+            return float(v)
+
+        ctype = str(header.get("CTYPE1", "")).strip("' ")
+        if ctype and not ctype.endswith("TAN"):
+            raise NotImplementedError(
+                f"only the TAN projection is supported, got CTYPE1={ctype!r}")
+        if "CD1_1" in header:
+            cd = (g("CD1_1"), g("CD1_2", 0.0), g("CD2_1", 0.0), g("CD2_2"))
+        else:
+            if float(header.get("CROTA2", 0.0) or 0.0) != 0.0:
+                raise NotImplementedError(
+                    "CROTA2 rotation is not supported; provide a CD matrix")
+            cd = (g("CDELT1"), 0.0, 0.0, g("CDELT2"))
+        return cls(g("CRVAL1"), g("CRVAL2"), g("CRPIX1"), g("CRPIX2"), *cd)
+
+
+def pixel_to_sky(wcs: TanWcs, x, y) -> tuple[Column, Column]:
+    """(ra_deg, dec_deg) columns for 0-based pixel indices (x, y) —
+    the standard inverse gnomonic:
+    ``tan(α−α0) = ξ / (cos δ0 − η sin δ0)``,
+    ``tan δ = (sin δ0 + η cos δ0)·cos(α−α0) / (cos δ0 − η sin δ0)``,
+    with (ξ, η) the CD-mapped intermediate coordinates in radians."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("double")
+    # 0-based index -> 1-based FITS pixel, offset from CRPIX
+    u = xc + F.lit(1.0 - wcs.crpix1)
+    v = yc + F.lit(1.0 - wcs.crpix2)
+    xi = F.radians(F.lit(wcs.cd1_1) * u + F.lit(wcs.cd1_2) * v)
+    eta = F.radians(F.lit(wcs.cd2_1) * u + F.lit(wcs.cd2_2) * v)
+    d0 = math.radians(wcs.crval2)
+    den = F.lit(math.cos(d0)) - eta * F.lit(math.sin(d0))
+    dalpha = F.atan2(xi, den)
+    ra = F.pmod(F.degrees(F.lit(math.radians(wcs.crval1)) + dalpha),
+                F.lit(360.0))
+    dec = F.degrees(F.atan(
+        (F.lit(math.sin(d0)) + eta * F.lit(math.cos(d0)))
+        * F.cos(dalpha) / den))
+    return ra, dec
+
+
+def tan_pixel_to_sky_sql(wcs: TanWcs, x_expr: str,
+                         y_expr: str) -> tuple[str, str]:
+    """(ra_sql, dec_sql) ANSI-SQL twins of :func:`pixel_to_sky` for
+    DuckDB oracle replay — textually parallel so the two stay in
+    lockstep."""
+    u = f"(({x_expr}) + {1.0 - wcs.crpix1!r})"
+    v = f"(({y_expr}) + {1.0 - wcs.crpix2!r})"
+    xi = f"radians({wcs.cd1_1!r} * {u} + {wcs.cd1_2!r} * {v})"
+    eta = f"radians({wcs.cd2_1!r} * {u} + {wcs.cd2_2!r} * {v})"
+    d0 = math.radians(wcs.crval2)
+    a0 = math.radians(wcs.crval1)
+    den = f"({math.cos(d0)!r} - {eta} * {math.sin(d0)!r})"
+    dalpha = f"atan2({xi}, {den})"
+    ra = (f"(degrees({a0!r} + {dalpha}) % 360.0 + 360.0) % 360.0")
+    dec = (f"degrees(atan(({math.sin(d0)!r} + {eta} * {math.cos(d0)!r})"
+           f" * cos({dalpha}) / {den}))")
+    return ra, dec
+
+
+def sky_to_pixel(wcs: TanWcs, ra_deg, dec_deg) -> tuple[Column, Column]:
+    """Inverse of :func:`pixel_to_sky`: 0-based (x, y) columns (doubles
+    — callers round/floor as needed) via the forward gnomonic
+    ``ξ = cos δ sin Δα / D``, ``η = (cos δ0 sin δ − sin δ0 cos δ
+    cos Δα) / D``, ``D = sin δ0 sin δ + cos δ0 cos δ cos Δα``, then the
+    inverted CD matrix."""
+    det = wcs.cd1_1 * wcs.cd2_2 - wcs.cd1_2 * wcs.cd2_1
+    if det == 0:
+        raise ValueError("WCS: singular CD matrix")
+    ra = (F.col(ra_deg) if isinstance(ra_deg, str) else ra_deg)
+    dec = (F.col(dec_deg) if isinstance(dec_deg, str) else dec_deg)
+    a = F.radians(ra.cast("double"))
+    d = F.radians(dec.cast("double"))
+    a0 = math.radians(wcs.crval1)
+    d0 = math.radians(wcs.crval2)
+    cosda = F.cos(a - F.lit(a0))
+    bigd = (F.lit(math.sin(d0)) * F.sin(d)
+            + F.lit(math.cos(d0)) * F.cos(d) * cosda)
+    xi = F.degrees(F.cos(d) * F.sin(a - F.lit(a0)) / bigd)
+    eta = F.degrees((F.lit(math.cos(d0)) * F.sin(d)
+                     - F.lit(math.sin(d0)) * F.cos(d) * cosda) / bigd)
+    u = (F.lit(wcs.cd2_2 / det) * xi - F.lit(wcs.cd1_2 / det) * eta)
+    v = (F.lit(-wcs.cd2_1 / det) * xi + F.lit(wcs.cd1_1 / det) * eta)
+    xpix = u + F.lit(wcs.crpix1 - 1.0)
+    ypix = v + F.lit(wcs.crpix2 - 1.0)
+    return xpix, ypix

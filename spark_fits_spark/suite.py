@@ -4273,6 +4273,61 @@ def q115_coadd_planes(spark, sf):
     ).select("y", F.col("x").cast("long").alias("x"), "n_planes", "value")
 
 
+_Q116_WCS = dict(crval1=150.1163, crval2=2.2058,
+                 crpix1=512.5, crpix2=512.5,
+                 cd1_1=-7.3e-5, cd1_2=1.1e-6, cd2_1=1.2e-6, cd2_2=7.3e-5)
+
+
+def _q116_oracle() -> str:
+    from spark_fits_spark.functions.healpix import ang2pix_ring_sql
+    from spark_fits_spark.functions.wcs import TanWcs, tan_pixel_to_sky_sql
+
+    w = TanWcs(**_Q116_WCS)
+    x = ("CAST(('0x' || substr(md5('px|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    y = ("CAST(('0x' || substr(md5('py|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    ra, dec = tan_pixel_to_sky_sql(w, x, y)
+    return f"""
+SELECT c_custkey AS obj_id,
+       round({ra}, 9) AS ra9, round({dec}, 9) AS dec9,
+       {ang2pix_ring_sql(64, ra, dec)} AS hpx
+FROM customer
+"""
+
+
+@query("q116_wcs_solve", _q116_oracle())
+def q116_wcs_solve(spark, sf):
+    """WCS solution (r5): pixel detections → sky coordinates → HEALPix,
+    the step that turns a per-CCD detection table into a sky catalog.
+    `pixel_to_sky` implements the standard inverse gnomonic (Greisen &
+    Calabretta 2002 TAN projection) as pure JVM arithmetic — validated
+    by exact reference-point mapping, 1e-9-pixel forward/inverse round
+    trips (including near-pole frames), and CD-matrix linearity in
+    tests — and composes directly with `ang2pix_ring`. The oracle
+    replays the identical formulas through the SQL twins; coordinates
+    round at 1e-9 deg (cross-engine libm slack ~1e-13)."""
+    from spark_fits_spark.functions.healpix import ang2pix_ring
+    from spark_fits_spark.functions.wcs import TanWcs, pixel_to_sky
+
+    w = TanWcs(**_Q116_WCS)
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    px = c.select(F.col("c_custkey").alias("obj_id"),
+                  h("px", 1024).alias("x"), h("py", 1024).alias("y"))
+    ra, dec = pixel_to_sky(w, "x", "y")
+    sky = px.select("obj_id", ra.alias("ra"), dec.alias("dec"))
+    return sky.select(
+        "obj_id", F.round("ra", 9).alias("ra9"),
+        F.round("dec", 9).alias("dec9"),
+        ang2pix_ring(64, "ra", "dec").alias("hpx"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4327,9 +4382,9 @@ _DRIVER_PRIORITY = [
     # q106_survey_pipeline, q107_fits_table_compressed_roundtrip,
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
     # q110_aperture_photometry, q111_source_detection,
-    # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold and
-    # q115_coadd_planes also land past the cap and lead the r6 gate
-    # alongside them.)
+    # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
+    # q115_coadd_planes and q116_wcs_solve also land past the cap and
+    # lead the r6 gate alongside them.)
 ]
 
 

@@ -1,0 +1,81 @@
+"""WCS TAN transforms (`functions/wcs.py`): exact reference-point
+mapping, forward/inverse round trips (including a near-pole frame),
+CD-matrix linearity at small offsets, SQL-twin parity, and the header
+constructor's card handling."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from spark_fits_spark.functions.wcs import (
+    TanWcs,
+    pixel_to_sky,
+    sky_to_pixel,
+    tan_pixel_to_sky_sql,
+)
+
+W = TanWcs(crval1=150.1163, crval2=2.2058, crpix1=512.5, crpix2=512.5,
+           cd1_1=-7.3e-5, cd1_2=1.1e-6, cd2_1=1.2e-6, cd2_2=7.3e-5)
+
+
+def test_reference_point_and_linearity(spark):
+    df = spark.createDataFrame(
+        [(511.5, 511.5), (512.5, 511.5)], "x double, y double")
+    ra, dec = pixel_to_sky(W, "x", "y")
+    rows = df.orderBy("x").select(ra.alias("ra"), dec.alias("dec")).collect()
+    # CRPIX (1-based 512.5 → 0-based 511.5) maps exactly to CRVAL
+    assert abs(rows[0]["ra"] - W.crval1) < 1e-12
+    assert abs(rows[0]["dec"] - W.crval2) < 1e-12
+    # one pixel along x moves ~CD1_1 degrees of true angle in RA
+    dra = (rows[1]["ra"] - W.crval1) * math.cos(math.radians(W.crval2))
+    assert abs(dra - W.cd1_1) < 1e-8
+
+
+@pytest.mark.parametrize("wcs", [
+    W,
+    TanWcs(10.0, 89.5, 100.0, 100.0, -3e-4, 0.0, 0.0, 3e-4),  # near pole
+])
+def test_roundtrip(spark, wcs):
+    rng = np.random.default_rng(0)
+    pts = [(float(a), float(b)) for a, b in rng.uniform(0, 1024, (1000, 2))]
+    g = spark.createDataFrame(pts, "x double, y double")
+    ra, dec = pixel_to_sky(wcs, "x", "y")
+    s = g.select("x", "y", ra.alias("ra"), dec.alias("dec"))
+    xb, yb = sky_to_pixel(wcs, "ra", "dec")
+    back = s.select("x", "y", xb.alias("xb"), yb.alias("yb")).collect()
+    err = max(max(abs(r["x"] - r["xb"]), abs(r["y"] - r["yb"]))
+              for r in back)
+    assert err < 1e-7
+
+
+def test_sql_twin(spark):
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"x": rng.uniform(0, 1024, 5000),
+                        "y": rng.uniform(0, 1024, 5000)})
+    ra, dec = pixel_to_sky(W, "x", "y")
+    srows = (spark.createDataFrame(pdf)
+             .select(ra.alias("ra"), dec.alias("dec")).collect())
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    rs, ds = tan_pixel_to_sky_sql(W, "x", "y")
+    orows = con.execute(f"SELECT {rs} AS ra, {ds} AS dec FROM pts").df()
+    sr = np.array([r["ra"] for r in srows])
+    sd = np.array([r["dec"] for r in srows])
+    assert np.abs(sr - orows["ra"].to_numpy()).max() < 1e-11
+    assert np.abs(sd - orows["dec"].to_numpy()).max() < 1e-11
+
+
+def test_from_header():
+    h = {"CTYPE1": "RA---TAN", "CRVAL1": 10.0, "CRVAL2": -5.0,
+         "CRPIX1": 1.0, "CRPIX2": 2.0, "CDELT1": -1e-4, "CDELT2": 1e-4}
+    w = TanWcs.from_header(h)
+    assert (w.cd1_1, w.cd2_2, w.cd1_2, w.cd2_1) == (-1e-4, 1e-4, 0.0, 0.0)
+    with pytest.raises(NotImplementedError, match="TAN"):
+        TanWcs.from_header({**h, "CTYPE1": "RA---SIN"})
+    with pytest.raises(NotImplementedError, match="CROTA2"):
+        TanWcs.from_header({**h, "CROTA2": 30.0})
+    with pytest.raises(ValueError, match="CRVAL1"):
+        TanWcs.from_header({k: v for k, v in h.items() if k != "CRVAL1"})
