@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q114_phase_fold",
     "q115_coadd_planes",
     "q116_wcs_solve",
+    "q117_variability_features",
 ]
 
 
@@ -560,7 +561,7 @@ def main() -> None:
                                           "q103", "q105", "q106",
                                           "q109", "q110", "q111",
                                           "q112", "q113", "q114",
-                                          "q115", "q116",
+                                          "q115", "q116", "q117",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

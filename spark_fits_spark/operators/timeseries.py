@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,6 +83,69 @@ def lomb_scargle(df: DataFrame, t_col: str, y_col: str, id_col: str,
         (num_c * num_c / den_c + num_s * num_s / den_s) / (2.0 * var))
     return g.select("object_id", "freq_idx", "freq",
                     power.alias("power"))
+
+
+def variability_features(df: DataFrame, t_col: str, y_col: str,
+                         id_col: str, tiebreak: str | None = None
+                         ) -> DataFrame:
+    """Per-object light-curve variability statistics in one pass:
+    ``(object_id, n_obs, mean_y, sigma_y, amplitude, eta, stetson_j)``.
+
+    The screening step BEFORE a periodogram: cheap whole-survey
+    statistics that rank objects by variability so :func:`lomb_scargle`
+    only runs on candidates.
+
+    - ``sigma_y``: sample standard deviation; ``amplitude`` =
+      (max − min)/2.
+    - ``eta``: von Neumann (1941) ratio Σ(yᵢ₊₁−yᵢ)²/((n−1)·σ²) over the
+      time-ordered series — ≈2 for white noise, ≪2 for smooth trends.
+    - ``stetson_j``: the Stetson (1996, PASP 108, 851) J index over
+      consecutive pairs. With no per-point error column the relative
+      deviations use the sample σ: δᵢ = √(n/(n−1))·(yᵢ−ȳ)/σ,
+      J = Σₖ sgn(Pₖ)·√|Pₖ| / (n−1) with Pₖ = δᵢδᵢ₊₁ — positive for
+      correlated (real) variability, ≈0 for noise.
+
+    Objects with n < 2 or σ = 0 yield NULL eta / stetson_j.
+
+    Scale shape: one hash shuffle on the object key with an
+    in-partition sort (the lag window); the closing groupBy reuses the
+    same partitioning so no second Exchange. Output = |objects| rows;
+    per-task state is one partition's rows. ``tiebreak`` (e.g. an
+    event id) makes the lag order deterministic under duplicate
+    timestamps — required for cross-engine replay."""
+    order = [F.col(t_col).cast("double")]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(id_col).orderBy(*order)
+    wall = (Window.partitionBy(id_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    y = F.col(y_col).cast("double")
+    # group on the SAME attribute the window partitioned by (aliasing
+    # before the groupBy costs a second Exchange); rename at the end
+    rows = df.select(
+        F.col(id_col), y.alias("_y"),
+        F.lag(y).over(w).alias("_yprev"),
+        F.avg(y).over(wall).alias("_ybar"))
+    # pair terms against the per-object mean; the positive constant
+    # n/((n−1)σ²) factors out of sgn(P)·√|P| and is applied post-agg
+    q = (F.col("_y") - F.col("_ybar")) * (F.col("_yprev") - F.col("_ybar"))
+    g = rows.groupBy(F.col(id_col).alias("object_id")).agg(
+        F.count("*").alias("n_obs"),
+        F.avg("_y").alias("mean_y"),
+        F.stddev_samp("_y").alias("sigma_y"),
+        ((F.max("_y") - F.min("_y")) / 2.0).alias("amplitude"),
+        F.sum(F.pow(F.col("_y") - F.col("_yprev"), 2)).alias("_sdy2"),
+        F.sum(F.signum(q) * F.sqrt(F.abs(q))).alias("_jraw"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = F.col("sigma_y") * F.col("sigma_y")
+    ok = (F.col("n_obs") >= 2) & (F.col("sigma_y") > 0)
+    eta = F.when(ok, F.col("_sdy2") / ((n - 1) * var))
+    j = F.when(ok, F.col("_jraw") * F.sqrt(n / (n - 1)) / F.col("sigma_y")
+               / (n - 1))
+    return g.select("object_id", "n_obs", "mean_y", "sigma_y",
+                    "amplitude", eta.alias("eta"), j.alias("stetson_j"))
 
 
 def phase_fold(df: DataFrame, t_col: str, y_col: str, id_col: str,

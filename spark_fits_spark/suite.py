@@ -4328,6 +4328,64 @@ def q116_wcs_solve(spark, sf):
         ang2pix_ring(64, "ra", "dec").alias("hpx"))
 
 
+@query("q117_variability_features", """
+WITH b AS (
+  SELECT user_id, epoch(ts) AS t, value AS y, event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT user_id, y,
+         lag(y) OVER (PARTITION BY user_id
+                      ORDER BY t, event_id) AS yprev,
+         avg(y) OVER (PARTITION BY user_id) AS ybar
+  FROM b
+), g AS (
+  SELECT user_id AS object_id, COUNT(*) AS n_obs,
+         AVG(y) AS mean_y, stddev_samp(y) AS sigma_y,
+         (MAX(y) - MIN(y)) / 2.0 AS amplitude,
+         SUM(POWER(y - yprev, 2)) AS sdy2,
+         SUM(sign((y - ybar) * (yprev - ybar))
+             * sqrt(abs((y - ybar) * (yprev - ybar)))) AS jraw
+  FROM r GROUP BY 1
+)
+SELECT object_id, n_obs, round(mean_y, 6) AS mean_y6,
+       round(sigma_y, 6) AS sigma_y6,
+       round(amplitude, 6) AS amplitude6,
+       CASE WHEN n_obs >= 2 AND sigma_y > 0
+            THEN round(sdy2 / ((n_obs - 1) * sigma_y * sigma_y), 6)
+       END AS eta6,
+       CASE WHEN n_obs >= 2 AND sigma_y > 0
+            THEN round(jraw * sqrt(n_obs / (n_obs - 1.0)) / sigma_y
+                       / (n_obs - 1), 6)
+       END AS stetson_j6
+FROM g
+""")
+def q117_variability_features(spark, sf):
+    """Per-object variability screening (r5): von Neumann η, a
+    consecutive-pair Stetson J (sample-σ normalized — no error column
+    in this table), amplitude and moments for every light curve in one
+    pass — the whole-survey filter that decides which objects earn a
+    periodogram (q113). Plan: ONE hash shuffle on the object key (the
+    lag window's sort), the closing groupBy reuses that partitioning
+    (plan-pinned single Exchange in tests); output = |objects| rows.
+    The oracle replays the identical window + closed forms; features
+    round at 1e-6. `event_id` tie-breaks duplicate timestamps so the
+    lag pairing is engine-independent."""
+    from spark_fits_spark.operators.timeseries import variability_features
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    base = e.select("user_id", F.col("ts").cast("double").alias("t_s"),
+                    "value", "event_id")
+    out = variability_features(base, "t_s", "value", "user_id",
+                               tiebreak="event_id")
+    return out.select(
+        "object_id", "n_obs", F.round("mean_y", 6).alias("mean_y6"),
+        F.round("sigma_y", 6).alias("sigma_y6"),
+        F.round("amplitude", 6).alias("amplitude6"),
+        F.round("eta", 6).alias("eta6"),
+        F.round("stetson_j", 6).alias("stetson_j6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4383,8 +4441,8 @@ _DRIVER_PRIORITY = [
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
-    # q115_coadd_planes and q116_wcs_solve also land past the cap and
-    # lead the r6 gate alongside them.)
+    # q115_coadd_planes, q116_wcs_solve and q117_variability_features
+    # also land past the cap and lead the r6 gate alongside them.)
 ]
 
 

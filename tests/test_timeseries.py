@@ -5,7 +5,8 @@ true period."""
 
 import numpy as np
 
-from spark_fits_spark.operators.timeseries import lomb_scargle, phase_fold
+from spark_fits_spark.operators.timeseries import (lomb_scargle, phase_fold,
+                                                   variability_features)
 
 
 def _ls_ref(t, y, f):
@@ -46,6 +47,69 @@ def test_lomb_scargle_degenerate_series(spark):
         "oid long, t double, y double")
     rows = lomb_scargle(df, "t", "y", "oid", [0.1]).collect()
     assert {r["object_id"]: r["power"] for r in rows} == {1: None, 2: None}
+
+
+def _vf_ref(t, y):
+    """Direct numpy computation of every feature for one series."""
+    order = np.argsort(t, kind="stable")
+    ys = y[order]
+    n = len(ys)
+    sig = ys.std(ddof=1)
+    d = np.diff(ys)
+    eta = (d * d).sum() / ((n - 1) * sig * sig)
+    dy = np.sqrt(n / (n - 1)) * (ys - ys.mean()) / sig
+    p = dy[:-1] * dy[1:]
+    j = (np.sign(p) * np.sqrt(np.abs(p))).sum() / (n - 1)
+    return {"n_obs": n, "mean_y": ys.mean(), "sigma_y": sig,
+            "amplitude": (ys.max() - ys.min()) / 2, "eta": eta,
+            "stetson_j": j}
+
+
+def test_variability_features_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    series = {
+        1: (np.sort(rng.uniform(0, 50, 200)), None),   # smooth sinusoid
+        2: (np.sort(rng.uniform(0, 50, 150)), None),   # white noise
+    }
+    t1 = series[1][0]
+    y1 = 4.0 + 2.0 * np.sin(2 * np.pi * t1 / 7.0)
+    y2 = rng.normal(0, 1, 150)
+    rows = ([(1, float(a), float(b)) for a, b in zip(t1, y1)]
+            + [(2, float(a), float(b)) for a, b in zip(series[2][0], y2)])
+    df = spark.createDataFrame(rows, "oid long, t double, y double")
+    out = {r["object_id"]: r
+           for r in variability_features(df, "t", "y", "oid").collect()}
+    for oid, (t, y) in ((1, (t1, y1)), (2, (series[2][0], y2))):
+        ref = _vf_ref(t, y)
+        for k, v in ref.items():
+            got = out[oid][k]
+            assert abs(got - v) < 1e-9 * max(1.0, abs(v)), (oid, k, got, v)
+    # discrimination: the smooth curve is sub-Poisson and correlated,
+    # the noise is not
+    assert out[1]["eta"] < 0.5 and out[1]["stetson_j"] > 0.5
+    assert 1.5 < out[2]["eta"] < 2.5 and abs(out[2]["stetson_j"]) < 0.3
+
+
+def test_variability_features_degenerate(spark):
+    # constant series and singleton: NULL eta / stetson_j, rest defined
+    df = spark.createDataFrame(
+        [(1, float(i), 5.0) for i in range(10)] + [(2, 0.0, 1.0)],
+        "oid long, t double, y double")
+    out = {r["object_id"]: r
+           for r in variability_features(df, "t", "y", "oid").collect()}
+    assert out[1]["eta"] is None and out[1]["stetson_j"] is None
+    assert out[1]["amplitude"] == 0.0 and out[1]["mean_y"] == 5.0
+    assert out[2]["eta"] is None and out[2]["n_obs"] == 1
+
+
+def test_variability_features_single_exchange(spark):
+    """The lag window and the closing groupBy share the object-key
+    partitioning: exactly ONE Exchange in the plan."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 1.0, 2.0)], "oid long, t double, y double")
+    plan = variability_features(df, "t", "y", "oid")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_phase_fold(spark):
