@@ -104,6 +104,28 @@ def tan_pixel_to_sky_sql(wcs: TanWcs, x_expr: str,
     return ra, dec
 
 
+def tan_sky_to_pixel_sql(wcs: TanWcs, ra_expr: str,
+                         dec_expr: str) -> tuple[str, str]:
+    """(x_sql, y_sql) ANSI-SQL twins of :func:`sky_to_pixel` — same
+    textual-parallel contract as :func:`tan_pixel_to_sky_sql`."""
+    det = wcs.cd1_1 * wcs.cd2_2 - wcs.cd1_2 * wcs.cd2_1
+    if det == 0:
+        raise ValueError("WCS: singular CD matrix")
+    a0 = math.radians(wcs.crval1)
+    d0 = math.radians(wcs.crval2)
+    a = f"radians({ra_expr})"
+    d = f"radians({dec_expr})"
+    cosda = f"cos({a} - {a0!r})"
+    bigd = (f"({math.sin(d0)!r} * sin({d})"
+            f" + {math.cos(d0)!r} * cos({d}) * {cosda})")
+    xi = f"degrees(cos({d}) * sin({a} - {a0!r}) / {bigd})"
+    eta = (f"degrees(({math.cos(d0)!r} * sin({d})"
+           f" - {math.sin(d0)!r} * cos({d}) * {cosda}) / {bigd})")
+    u = f"({wcs.cd2_2 / det!r} * {xi} - {wcs.cd1_2 / det!r} * {eta})"
+    v = f"({-wcs.cd2_1 / det!r} * {xi} + {wcs.cd1_1 / det!r} * {eta})"
+    return (f"({u} + {wcs.crpix1 - 1.0!r})", f"({v} + {wcs.crpix2 - 1.0!r})")
+
+
 def sky_to_pixel(wcs: TanWcs, ra_deg, dec_deg) -> tuple[Column, Column]:
     """Inverse of :func:`pixel_to_sky`: 0-based (x, y) columns (doubles
     — callers round/floor as needed) via the forward gnomonic

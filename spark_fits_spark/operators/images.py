@@ -329,6 +329,64 @@ def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
     return g.select("y", image.alias("image"), "n_planes")
 
 
+def reproject_nearest(rows: DataFrame, src_wcs, dst_wcs,
+                      dst_height: int, dst_width: int,
+                      y_col: str = "y",
+                      values_col: str = "Image") -> DataFrame:
+    """Reproject ONE image onto a different TAN WCS grid by
+    nearest-neighbor gather — the mosaicking primitive (Montage-style:
+    resample every exposure onto a common sky grid, then
+    :func:`coadd_planes` stacks them).
+
+    ``rows`` is a single plane as ``(y_col, values_col)`` rows (the
+    scan output through :func:`with_plane_rows`, filtered to one
+    ``ImgIndex``). Output: one row per DESTINATION image row —
+    ``(y, values, n_valid)`` with ``values[x]`` the source pixel whose
+    sky position is nearest to destination pixel (x, y), NULL where
+    the destination pixel falls off the source image.
+
+    Plan shape: the destination grid is GENERATED (``spark.range`` of
+    H·W index rows — no data read), each grid pixel's source position
+    is closed-form column arithmetic (dst pixel→sky→src pixel via the
+    two TAN transforms, ~20 JVM math calls, no UDF), and the gather
+    is an equi-join keyed on the source ROW index — source pixel rows
+    shuffle once by y (each row's array travels whole), grid rows
+    shuffle by the source row they need. Rebuilding destination rows
+    is one groupBy(y) of the matched pixels — same irreducible
+    transpose shuffle as co-addition. Nothing is ever collected to
+    the driver; a 100k×100k mosaic is H·W grid rows + two shuffles."""
+    if dst_height < 1 or dst_width < 1:
+        raise ValueError("destination shape must be positive")
+    from spark_fits_spark.functions.wcs import pixel_to_sky, sky_to_pixel
+
+    spark = rows.sparkSession
+    grid = spark.range(int(dst_height) * int(dst_width)).select(
+        F.floor(F.col("id") / dst_width).alias("_ydst"),
+        F.pmod(F.col("id"), F.lit(int(dst_width))).alias("_xdst"))
+    ra, dec = pixel_to_sky(dst_wcs, "_xdst", "_ydst")
+    xs_d, ys_d = sky_to_pixel(src_wcs, ra, dec)
+    g = grid.select(
+        "_ydst", "_xdst",
+        F.round(xs_d).cast("long").alias("_xs"),
+        F.round(ys_d).cast("long").alias("_ys"))
+    src = rows.select(F.col(y_col).cast("long").alias("_ys"),
+                      F.col(values_col).alias("_vals"))
+    j = g.join(src, "_ys", "left")
+    value = F.when(
+        (F.col("_xs") >= 0) & (F.col("_xs") < F.size("_vals")),
+        F.element_at("_vals", (F.col("_xs") + 1).cast("int"))
+    ).cast("double")
+    px = j.select("_ydst", "_xdst", value.alias("_v"))
+    out = (px.groupBy("_ydst")
+           .agg(F.array_sort(
+                    F.collect_list(F.struct("_xdst", "_v"))).alias("_row"),
+                F.count("_v").alias("n_valid")))
+    return out.select(
+        F.col("_ydst").alias("y"),
+        F.transform("_row", lambda r: r["_v"]).alias("values"),
+        "n_valid")
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """Per-plane pixel statistics straight off the scan (no reassembly
     needed): min/max/sum over the flattened pixels, all-JVM."""

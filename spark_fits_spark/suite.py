@@ -4386,6 +4386,81 @@ def q117_variability_features(spark, sf):
         F.round("stetson_j", 6).alias("stetson_j6"))
 
 
+_Q118_SRC = dict(crval1=56.75, crval2=24.11, crpix1=16.5, crpix2=12.5,
+                 cd1_1=-5.1e-4, cd1_2=3.0e-5, cd2_1=2.9e-5, cd2_2=5.2e-4)
+_Q118_DST = dict(crval1=56.752, crval2=24.108, crpix1=14.5, crpix2=10.5,
+                 cd1_1=-5.0e-4, cd1_2=9.0e-5, cd2_1=8.8e-5, cd2_2=5.1e-4)
+_Q118_SH, _Q118_SW = 24, 32      # source image shape
+_Q118_DH, _Q118_DW = 20, 28      # destination grid shape
+
+
+def _q118_oracle() -> str:
+    from spark_fits_spark.functions.wcs import (TanWcs, tan_pixel_to_sky_sql,
+                                                tan_sky_to_pixel_sql)
+
+    ra, dec = tan_pixel_to_sky_sql(TanWcs(**_Q118_DST), "x", "y")
+    xs, ys = tan_sky_to_pixel_sql(TanWcs(**_Q118_SRC), "ra", "dec")
+    return f"""
+WITH g AS (
+  SELECT CAST(floor(t.range / {_Q118_DW}) AS BIGINT) AS y,
+         CAST(t.range % {_Q118_DW} AS BIGINT) AS x
+  FROM range(0, {_Q118_DH * _Q118_DW}) t
+), s AS (
+  SELECT y, x, {ra} AS ra, {dec} AS dec FROM g
+), p AS (
+  SELECT y, x, CAST(round({xs}) AS BIGINT) AS xs,
+               CAST(round({ys}) AS BIGINT) AS ys
+  FROM s
+)
+SELECT y, x,
+       CASE WHEN ys BETWEEN 0 AND {_Q118_SH - 1}
+             AND xs BETWEEN 0 AND {_Q118_SW - 1}
+            THEN CAST(ys * {_Q118_SW} + xs + 1 AS DOUBLE) END AS value
+FROM p
+"""
+
+
+@query("q118_reproject_mosaic", _q118_oracle())
+def q118_reproject_mosaic(spark, sf):
+    """Nearest-neighbor image reprojection (r5) — resampling an
+    exposure onto a different TAN sky grid, the mosaicking primitive,
+    under the hash gate. Source pixel (y, x) is y·W + x + 1, so the
+    gate pins BOTH WCS transform chains (dst pixel→sky→src pixel,
+    all closed-form JVM arithmetic) AND the distributed gather (grid
+    ⋈ source rows on the source row index, then one groupBy(y)
+    transpose — see `reproject_nearest`). Off-source destination
+    pixels must come back NULL. The oracle replays the full transform
+    composition through the SQL twins; values are integer-exact so no
+    rounding tolerance is needed (nearest-pixel indices sit far from
+    .5 boundaries for these grids)."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.functions.wcs import TanWcs
+    from spark_fits_spark.operators.images import (reproject_nearest,
+                                                   with_plane_rows)
+
+    register_fits(spark)
+    img = (np.arange(_Q118_SH * _Q118_SW, dtype="f8") + 1).reshape(
+        _Q118_SH, _Q118_SW)
+    d = _os.path.join(
+        "/tmp", "spark_fits_q118_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "exp.fits")
+    fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    rows = with_plane_rows(df).select("y", "Image")
+    out = reproject_nearest(rows, TanWcs(**_Q118_SRC), TanWcs(**_Q118_DST),
+                            _Q118_DH, _Q118_DW)
+    return out.select(
+        "y", F.posexplode_outer("values").alias("x", "value")
+    ).select("y", F.col("x").cast("long").alias("x"), "value")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4441,8 +4516,9 @@ _DRIVER_PRIORITY = [
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
-    # q115_coadd_planes, q116_wcs_solve and q117_variability_features
-    # also land past the cap and lead the r6 gate alongside them.)
+    # q115_coadd_planes, q116_wcs_solve, q117_variability_features and
+    # q118_reproject_mosaic also land past the cap and lead the r6
+    # gate alongside them.)
 ]
 
 

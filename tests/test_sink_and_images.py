@@ -376,3 +376,46 @@ def test_coadd_planes_nan_masking(spark, tmp_path):
     assert s[2]["image"][3] == 70.0
     with pytest.raises(ValueError, match="method"):
         coadd_planes(df, "median")
+
+
+def test_reproject_nearest_identity_and_shift(spark, tmp_path):
+    """Reprojection onto the source's OWN WCS is the identity; a
+    destination WCS whose CRPIX is offset by whole pixels is an exact
+    translation; off-source destination pixels come back NULL."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.functions.wcs import TanWcs
+    from spark_fits_spark.operators.images import (reproject_nearest,
+                                                   with_plane_rows)
+
+    h, w = 12, 16
+    img = (np.arange(h * w, dtype="f8") + 1).reshape(h, w)
+    p = str(tmp_path / "src.fits")
+    fw.write_fits(p, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+    rows = with_plane_rows(df).select("y", "Image")
+
+    wcs = TanWcs(crval1=210.3, crval2=-5.7, crpix1=8.5, crpix2=6.5,
+                 cd1_1=-2.7e-4, cd1_2=1.3e-5, cd2_1=1.2e-5, cd2_2=2.7e-4)
+    ident = {r["y"]: r for r in
+             reproject_nearest(rows, wcs, wcs, h, w).collect()}
+    assert len(ident) == h
+    for y in range(h):
+        assert ident[y]["n_valid"] == w
+        assert ident[y]["values"] == list(img[y])
+
+    # CRPIX shifted by (+3, +2): dst pixel (x, y) sees src (x-3, y-2)
+    shifted = TanWcs(**{**wcs.__dict__, "crpix1": wcs.crpix1 + 3,
+                        "crpix2": wcs.crpix2 + 2})
+    out = {r["y"]: r for r in
+           reproject_nearest(rows, wcs, shifted, h, w).collect()}
+    for y in range(h):
+        vals = out[y]["values"]
+        for x in range(w):
+            if x < 3 or y < 2:
+                assert vals[x] is None
+            else:
+                assert vals[x] == img[y - 2, x - 3]
+        assert out[y]["n_valid"] == (0 if y < 2 else w - 3)
+
+    with pytest.raises(ValueError, match="positive"):
+        reproject_nearest(rows, wcs, wcs, 0, 5)
