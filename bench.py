@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q116_wcs_solve",
     "q117_variability_features",
     "q118_reproject_mosaic",
+    "q119_mosaic_stack",
 ]
 
 
@@ -563,7 +564,7 @@ def main() -> None:
                                           "q109", "q110", "q111",
                                           "q112", "q113", "q114",
                                           "q115", "q116", "q117",
-                                          "q118",
+                                          "q118", "q119",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

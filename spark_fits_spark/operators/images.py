@@ -387,6 +387,49 @@ def reproject_nearest(rows: DataFrame, src_wcs, dst_wcs,
         "n_valid")
 
 
+def mosaic(exposures, dst_wcs, dst_height: int, dst_width: int,
+           y_col: str = "y", values_col: str = "Image") -> DataFrame:
+    """Full mosaicking: reproject every ``(rows, src_wcs)`` exposure
+    onto the common ``dst_wcs`` grid (:func:`reproject_nearest`) and
+    stack the resamples per destination pixel — NULL-aware mean, so a
+    pixel outside one exposure's footprint still stacks from the
+    others (the coadd rule). Returns ``(y, values, n_exposures)``
+    where ``n_exposures[x]`` counts contributors at each position.
+
+    Plan shape: the N reprojections are independent branches unioned
+    BEFORE the final groupBy(y), so the whole mosaic is the N gather
+    joins + ONE stacking shuffle keyed by destination row — depth
+    grows the union, not the shuffle count. The N·H·W resampled rows
+    shuffle once; per-task state is n_exposures·width values."""
+    exposures = list(exposures)
+    if not exposures:
+        raise ValueError("mosaic needs at least one exposure")
+    parts = [reproject_nearest(rows, src_wcs, dst_wcs,
+                               dst_height, dst_width,
+                               y_col=y_col, values_col=values_col)
+             .select("y", "values")
+             for rows, src_wcs in exposures]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("y").agg(F.collect_list("values").alias("_l"))
+    width = F.size(F.col("_l")[0])
+    psum = F.aggregate(
+        "_l", F.array_repeat(F.lit(0.0), width),
+        lambda acc, v: F.zip_with(
+            acc, v, lambda a, x: a + F.coalesce(x, F.lit(0.0))))
+    pcnt = F.aggregate(
+        "_l", F.array_repeat(F.lit(0), width),
+        lambda acc, v: F.zip_with(
+            acc, v,
+            lambda a, x: a + F.when(x.isNotNull(), 1).otherwise(0)))
+    stacked = F.zip_with(
+        psum, pcnt,
+        lambda s, c: F.when(c > 0, s / c).otherwise(F.lit(None)))
+    return g.select("y", stacked.alias("values"),
+                    pcnt.alias("n_exposures"))
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """Per-plane pixel statistics straight off the scan (no reassembly
     needed): min/max/sum over the flattened pixels, all-JVM."""

@@ -4461,6 +4461,92 @@ def q118_reproject_mosaic(spark, sf):
     ).select("y", F.col("x").cast("long").alias("x"), "value")
 
 
+_Q119_SRCS = [
+    _Q118_SRC,
+    {**_Q118_SRC, "crpix1": _Q118_SRC["crpix1"] + 3,
+     "crpix2": _Q118_SRC["crpix2"] + 2},
+    {**_Q118_SRC, "crpix1": _Q118_SRC["crpix1"] - 2,
+     "crpix2": _Q118_SRC["crpix2"] + 4, "cd1_2": 3.4e-5},
+]
+
+
+def _q119_oracle() -> str:
+    from spark_fits_spark.functions.wcs import (TanWcs, tan_pixel_to_sky_sql,
+                                                tan_sky_to_pixel_sql)
+
+    ra, dec = tan_pixel_to_sky_sql(TanWcs(**_Q118_DST), "x", "y")
+    arms = []
+    for k, src in enumerate(_Q119_SRCS):
+        xs, ys = tan_sky_to_pixel_sql(TanWcs(**src), "ra", "dec")
+        arms.append(f"""
+  SELECT y, x,
+         CASE WHEN CAST(round({ys}) AS BIGINT)
+                   BETWEEN 0 AND {_Q118_SH - 1}
+               AND CAST(round({xs}) AS BIGINT)
+                   BETWEEN 0 AND {_Q118_SW - 1}
+              THEN CAST({k + 1} * (CAST(round({ys}) AS BIGINT)
+                                   * {_Q118_SW}
+                                   + CAST(round({xs}) AS BIGINT) + 1)
+                        AS DOUBLE) END AS v
+  FROM s""")
+    union = "\n  UNION ALL".join(arms)
+    return f"""
+WITH g AS (
+  SELECT CAST(floor(t.range / {_Q118_DW}) AS BIGINT) AS y,
+         CAST(t.range % {_Q118_DW} AS BIGINT) AS x
+  FROM range(0, {_Q118_DH * _Q118_DW}) t
+), s AS (
+  SELECT y, x, {ra} AS ra, {dec} AS dec FROM g
+), c AS ({union}
+)
+SELECT y, x, CAST(COUNT(v) AS BIGINT) AS n_exp, AVG(v) AS value
+FROM c GROUP BY 1, 2
+"""
+
+
+@query("q119_mosaic_stack", _q119_oracle())
+def q119_mosaic_stack(spark, sf):
+    """End-to-end mosaicking (r5): three exposures with different WCS
+    solutions reproject onto one common sky grid and stack — the full
+    Montage-style path (`mosaic` = N `reproject_nearest` branches
+    unioned into ONE stacking shuffle keyed by destination row;
+    NULL-aware mean so footprint edges still stack from the exposures
+    that cover them). Exposure k's pixel (y, x) is (k+1)·(y·W+x+1),
+    so every stacked value is an exact small-integer mean — the hash
+    pins all three transform chains, the per-exposure gathers, the
+    footprint masks AND the cross-exposure combine. The oracle replays
+    the whole composition as a 3-arm UNION ALL over the SQL twins."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.functions.wcs import TanWcs
+    from spark_fits_spark.operators.images import mosaic, with_plane_rows
+
+    register_fits(spark)
+    base = (np.arange(_Q118_SH * _Q118_SW, dtype="f8") + 1).reshape(
+        _Q118_SH, _Q118_SW)
+    cube = np.stack([(k + 1) * base for k in range(len(_Q119_SRCS))])
+    d = _os.path.join(
+        "/tmp", "spark_fits_q119_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "exps.fits")
+    fw.write_fits(path, [fw.image_hdu(cube)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    rows = with_plane_rows(df)
+    exps = [(rows.filter(F.col("ImgIndex") == k).select("y", "Image"),
+             TanWcs(**src)) for k, src in enumerate(_Q119_SRCS)]
+    out = mosaic(exps, TanWcs(**_Q118_DST), _Q118_DH, _Q118_DW)
+    z = F.posexplode_outer(F.arrays_zip("values", "n_exposures"))
+    return (out.select("y", z.alias("x", "_z"))
+            .select("y", F.col("x").cast("long").alias("x"),
+                    F.col("_z.n_exposures").cast("long").alias("n_exp"),
+                    F.col("_z.values").alias("value")))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4516,9 +4602,9 @@ _DRIVER_PRIORITY = [
     # q108_fits_plane_slice, q109_fits_image_sink_roundtrip,
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
-    # q115_coadd_planes, q116_wcs_solve, q117_variability_features and
-    # q118_reproject_mosaic also land past the cap and lead the r6
-    # gate alongside them.)
+    # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
+    # q118_reproject_mosaic and q119_mosaic_stack also land past the
+    # cap and lead the r6 gate alongside them.)
 ]
 
 

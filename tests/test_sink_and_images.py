@@ -419,3 +419,41 @@ def test_reproject_nearest_identity_and_shift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="positive"):
         reproject_nearest(rows, wcs, wcs, 0, 5)
+
+
+def test_mosaic_null_aware_stack(spark, tmp_path):
+    """Mosaic: two shifted exposures stack with a NULL-aware mean —
+    overlap averages, single-coverage passes through, no-coverage
+    stays NULL; n_exposures counts contributors per position."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.functions.wcs import TanWcs
+    from spark_fits_spark.operators.images import mosaic, with_plane_rows
+
+    h, w = 6, 8
+    base = (np.arange(h * w, dtype="f8") + 1).reshape(h, w)
+    cube = np.stack([base, 10.0 * base])
+    p = str(tmp_path / "exps.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+    rows = with_plane_rows(df)
+    wcs = TanWcs(crval1=10.0, crval2=1.0, crpix1=4.5, crpix2=3.5,
+                 cd1_1=-3e-4, cd1_2=0.0, cd2_1=0.0, cd2_2=3e-4)
+    # exposure 1's SRC CRPIX is +2 in x: dst (x, y) reads its src
+    # pixel (x+2, y), so dst x >= w-2 falls off exposure 1's footprint
+    shifted = TanWcs(**{**wcs.__dict__, "crpix1": wcs.crpix1 + 2})
+    exps = [(rows.filter(F.col("ImgIndex") == 0).select("y", "Image"), wcs),
+            (rows.filter(F.col("ImgIndex") == 1).select("y", "Image"),
+             shifted)]
+    out = {r["y"]: r for r in mosaic(exps, wcs, h, w).collect()}
+    for y in range(h):
+        vals, n = out[y]["values"], out[y]["n_exposures"]
+        for x in range(w):
+            if x >= w - 2:     # only exposure 0 covers the right edge
+                assert n[x] == 1 and vals[x] == base[y, x]
+            else:              # overlap: mean of v and 10*v(src x+2)
+                assert n[x] == 2
+                assert vals[x] == (base[y, x] + 10.0 * base[y, x + 2]) / 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        mosaic([], wcs, h, w)
