@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q117_variability_features",
     "q118_reproject_mosaic",
     "q119_mosaic_stack",
+    "q120_cone_search",
 ]
 
 
@@ -564,7 +565,7 @@ def main() -> None:
                                           "q109", "q110", "q111",
                                           "q112", "q113", "q114",
                                           "q115", "q116", "q117",
-                                          "q118", "q119",
+                                          "q118", "q119", "q120",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -1,0 +1,59 @@
+"""Spherical-geometry primitives as JVM columns.
+
+The reference's users run cone searches and separations driver-side
+(astropy SkyCoord over collected rows); here the great-circle distance
+is `pyspark.sql.functions` arithmetic so an angular predicate filters
+at scan speed and composes with the Zones crossmatch
+(`relational.py`), HEALPix maps (`healpix.py`) and WCS transforms
+(`wcs.py`).
+
+The haversine form is used (numerically stable at small separations,
+exact at the antipode for practical purposes) — Sinnott 1984, Sky &
+Telescope 68, 159; standard published formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return (F.col(x) if isinstance(x, str) else x).cast("double")
+
+
+def angular_sep(ra1, dec1, ra2, dec2) -> Column:
+    """Great-circle separation in DEGREES between two sky positions
+    given in degrees — haversine: 2·asin√(sin²(Δδ/2) +
+    cos δ₁ cos δ₂ sin²(Δα/2))."""
+    r1, d1 = F.radians(_c(ra1)), F.radians(_c(dec1))
+    r2, d2 = F.radians(_c(ra2)), F.radians(_c(dec2))
+    sd = F.sin((d2 - d1) / 2)
+    sr = F.sin((r2 - r1) / 2)
+    h = sd * sd + F.cos(d1) * F.cos(d2) * sr * sr
+    return F.degrees(2 * F.asin(F.least(F.sqrt(h), F.lit(1.0))))
+
+
+def angular_sep_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
+    """ANSI-SQL twin of :func:`angular_sep` (textually parallel)."""
+    d1, d2 = f"radians({dec1})", f"radians({dec2})"
+    sd = f"sin(({d2} - {d1}) / 2)"
+    sr = f"sin((radians({ra2}) - radians({ra1})) / 2)"
+    h = f"({sd} * {sd} + cos({d1}) * cos({d2}) * {sr} * {sr})"
+    return f"degrees(2 * asin(least(sqrt({h}), 1.0)))"
+
+
+def cone_filter(ra_col, dec_col, ra0: float, dec0: float,
+                radius_deg: float) -> Column:
+    """Boolean cone-search predicate: within ``radius_deg`` of
+    (ra0, dec0). The declination BAND test leads the conjunction —
+    a sargable range predicate on a plain column, so on dec-sorted /
+    dec-bucketed data it prunes files and row groups BEFORE the
+    trigonometry runs on survivors (the Zones-algorithm trick applied
+    to a point query)."""
+    if radius_deg <= 0:
+        raise ValueError("radius_deg must be positive")
+    band = _c(dec_col).between(dec0 - radius_deg, dec0 + radius_deg)
+    sep = angular_sep(ra_col, dec_col, F.lit(float(ra0)),
+                      F.lit(float(dec0)))
+    return band & (sep <= F.lit(float(radius_deg)))

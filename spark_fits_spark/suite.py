@@ -4547,6 +4547,68 @@ def q119_mosaic_stack(spark, sf):
                     F.col("_z.values").alias("value")))
 
 
+_Q120_CENTER = (150.1163, 2.2058)
+_Q120_RADIUS = 0.03
+
+
+def _q120_oracle() -> str:
+    from spark_fits_spark.functions.sphere import angular_sep_sql
+    from spark_fits_spark.functions.wcs import TanWcs, tan_pixel_to_sky_sql
+
+    w = TanWcs(**_Q116_WCS)
+    x = ("CAST(('0x' || substr(md5('px|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    y = ("CAST(('0x' || substr(md5('py|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    ra, dec = tan_pixel_to_sky_sql(w, x, y)
+    ra0, dec0 = _Q120_CENTER
+    r = _Q120_RADIUS
+    sep = angular_sep_sql("ra", "dec", repr(ra0), repr(dec0))
+    return f"""
+WITH sky AS (
+  SELECT c_custkey AS obj_id, {ra} AS ra, {dec} AS dec FROM customer
+)
+SELECT obj_id, round({sep} * 3600.0, 6) AS sep_arcsec6
+FROM sky
+WHERE dec BETWEEN {dec0 - r!r} AND {dec0 + r!r}
+  AND {sep} <= {r!r}
+"""
+
+
+@query("q120_cone_search", _q120_oracle())
+def q120_cone_search(spark, sf):
+    """Cone search (r5) — every archive's point query: all sources
+    within an angular radius of a sky position, with the declination
+    BAND predicate leading the conjunction so dec-sorted/bucketed
+    data prunes files before any trigonometry runs (the Zones trick
+    applied to a point query; on this generated catalog the band is
+    an ordinary sargable range filter). Separations are the haversine
+    great-circle form as pure JVM arithmetic (`functions/sphere.py`).
+    The oracle replays the catalog generation (q116's hash→pixel→sky
+    chain) and the identical predicate through the SQL twins;
+    separations round at 1e-6 arcsec."""
+    from spark_fits_spark.functions.sphere import angular_sep, cone_filter
+    from spark_fits_spark.functions.wcs import TanWcs, pixel_to_sky
+
+    w = TanWcs(**_Q116_WCS)
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    px = c.select(F.col("c_custkey").alias("obj_id"),
+                  h("px", 1024).alias("x"), h("py", 1024).alias("y"))
+    ra, dec = pixel_to_sky(w, "x", "y")
+    sky = px.select("obj_id", ra.alias("ra"), dec.alias("dec"))
+    ra0, dec0 = _Q120_CENTER
+    sep = angular_sep("ra", "dec", F.lit(ra0), F.lit(dec0))
+    return (sky.where(cone_filter("ra", "dec", ra0, dec0, _Q120_RADIUS))
+            .select("obj_id",
+                    F.round(sep * 3600.0, 6).alias("sep_arcsec6")))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4603,8 +4665,8 @@ _DRIVER_PRIORITY = [
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
-    # q118_reproject_mosaic and q119_mosaic_stack also land past the
-    # cap and lead the r6 gate alongside them.)
+    # q118_reproject_mosaic, q119_mosaic_stack and q120_cone_search
+    # also land past the cap and lead the r6 gate alongside them.)
 ]
 
 

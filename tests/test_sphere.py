@@ -1,0 +1,65 @@
+"""Spherical geometry (`functions/sphere.py`): haversine separations
+against known exact values, and the cone predicate's band+radius
+semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fits_spark.functions.sphere import (angular_sep, angular_sep_sql,
+                                               cone_filter)
+
+
+def test_angular_sep_known_values(spark):
+    cases = [
+        # ra1, dec1, ra2, dec2, expected degrees
+        (10.0, 20.0, 10.0, 20.0, 0.0),          # coincident
+        (0.0, 0.0, 90.0, 0.0, 90.0),            # equator quarter turn
+        (0.0, -90.0, 0.0, 90.0, 180.0),         # pole to pole
+        (0.0, 0.0, 180.0, 0.0, 180.0),          # antipode on equator
+        (45.0, 30.0, 45.0, 31.0, 1.0),          # pure dec offset
+        (359.9, 0.0, 0.1, 0.0, 0.2),            # RA wrap across 0
+    ]
+    df = spark.createDataFrame(
+        [(i, *c[:4]) for i, c in enumerate(cases)],
+        "i long, ra1 double, dec1 double, ra2 double, dec2 double")
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", angular_sep("ra1", "dec1", "ra2", "dec2").alias("s")).collect()}
+    for i, c in enumerate(cases):
+        assert abs(got[i] - c[4]) < 1e-9, (c, got[i])
+
+
+def test_angular_sep_sql_twin_parity(spark):
+    import duckdb
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = [(float(a), float(d), float(a2), float(d2))
+            for a, d, a2, d2 in zip(rng.uniform(0, 360, 200),
+                                    rng.uniform(-89, 89, 200),
+                                    rng.uniform(0, 360, 200),
+                                    rng.uniform(-89, 89, 200))]
+    df = spark.createDataFrame(
+        rows, "ra1 double, dec1 double, ra2 double, dec2 double")
+    got = [r[0] for r in df.select(
+        angular_sep("ra1", "dec1", "ra2", "dec2")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ra1 double, dec1 double,"
+                " ra2 double, dec2 double)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    sql = angular_sep_sql("ra1", "dec1", "ra2", "dec2")
+    want = [r[0] for r in con.execute(f"SELECT {sql} FROM t").fetchall()]
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-11, (g, w)
+
+
+def test_cone_filter(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, 10.4, 0.0), (3, 10.0, 0.6),
+         (4, 10.3, 0.3)],
+        "i long, ra double, dec double")
+    kept = sorted(r["i"] for r in df.where(
+        cone_filter("ra", "dec", 10.0, 0.0, 0.5)).collect())
+    assert kept == [1, 2, 4]                    # 3 is outside the band
+    with pytest.raises(ValueError, match="positive"):
+        cone_filter("ra", "dec", 10.0, 0.0, 0.0)
