@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q118_reproject_mosaic",
     "q119_mosaic_stack",
     "q120_cone_search",
+    "q121_epoch_crossmatch",
 ]
 
 
@@ -566,6 +567,7 @@ def main() -> None:
                                           "q112", "q113", "q114",
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
+                                          "q121",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -43,6 +43,32 @@ def angular_sep_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
     return f"degrees(2 * asin(least(sqrt({h}), 1.0)))"
 
 
+def epoch_propagate(ra_col, dec_col, pmra_col, pmdec_col,
+                    dt_years: float) -> tuple[Column, Column]:
+    """Propagate sky positions by proper motion over ``dt_years`` —
+    the step before crossmatching catalogs observed at different
+    epochs (e.g. a 2016.0 survey against a 2000.0 one). ``pmra`` is
+    the true angular rate μ_α★ = μ_α·cos δ in mas/yr (the standard
+    catalog convention), ``pmdec`` in mas/yr; the linear (small-motion)
+    propagation used by the archives away from the poles:
+    α' = α + Δt·μ_α★/(cos δ · 3.6e6), δ' = δ + Δt·μ_δ/3.6e6."""
+    ra, dec = _c(ra_col), _c(dec_col)
+    dt = float(dt_years)
+    ra2 = ra + F.lit(dt) * _c(pmra_col) / (F.lit(3.6e6) * F.cos(F.radians(dec)))
+    dec2 = dec + F.lit(dt) * _c(pmdec_col) / F.lit(3.6e6)
+    return ra2, dec2
+
+
+def epoch_propagate_sql(ra: str, dec: str, pmra: str, pmdec: str,
+                        dt_years: float) -> tuple[str, str]:
+    """ANSI-SQL twin of :func:`epoch_propagate` (textually parallel)."""
+    dt = float(dt_years)
+    ra2 = (f"(({ra}) + {dt!r} * ({pmra})"
+           f" / (3600000.0 * cos(radians({dec}))))")
+    dec2 = f"(({dec}) + {dt!r} * ({pmdec}) / 3600000.0)"
+    return ra2, dec2
+
+
 def cone_filter(ra_col, dec_col, ra0: float, dec0: float,
                 radius_deg: float) -> Column:
     """Boolean cone-search predicate: within ``radius_deg`` of

@@ -4609,6 +4609,107 @@ def q120_cone_search(spark, sf):
                     F.round(sep * 3600.0, 6).alias("sep_arcsec6")))
 
 
+_Q121_DT = 16.0                  # years between the two epochs
+# 10 arcsec: wide enough that even the sf0.001 fixture density yields
+# matched pairs (the gate must pin pairs, not an empty set)
+_Q121_RADIUS_MAS = 10000
+
+
+def _q121_consts():
+    import math
+    kx = math.cos(math.radians(_Q116_WCS["crval2"])) * 3.6e6
+    return kx, 3.6e6
+
+
+def _q121_oracle() -> str:
+    from spark_fits_spark.functions.sphere import epoch_propagate_sql
+    from spark_fits_spark.functions.wcs import TanWcs, tan_pixel_to_sky_sql
+
+    w = TanWcs(**_Q116_WCS)
+    kx, ky = _q121_consts()
+
+    def h(salt, ident, mod):
+        return (f"CAST(('0x' || substr(md5('{salt}|' ||"
+                f" CAST({ident} AS VARCHAR)), 1, 15)) AS BIGINT) % {mod}")
+
+    ra_a, dec_a = tan_pixel_to_sky_sql(
+        w, h("px", "c_custkey", 1024), h("py", "c_custkey", 1024))
+    ra_b, dec_b = tan_pixel_to_sky_sql(
+        w, h("qx", "s_suppkey", 1024), h("qy", "s_suppkey", 1024))
+    ra2, dec2 = epoch_propagate_sql("ra", "dec", "pmra", "pmdec", _Q121_DT)
+    r2 = _Q121_RADIUS_MAS * _Q121_RADIUS_MAS
+    return f"""
+WITH acat AS (
+  SELECT c_custkey AS id, {ra_a} AS ra, {dec_a} AS dec,
+         {h("pma", "c_custkey", 2001)} - 1000 AS pmra,
+         {h("pmd", "c_custkey", 2001)} - 1000 AS pmdec
+  FROM customer
+), ai AS (
+  SELECT id AS id_a,
+         CAST(round({ra2} * {kx!r}) AS BIGINT) AS xa,
+         CAST(round({dec2} * {ky!r}) AS BIGINT) AS ya
+  FROM acat
+), bi AS (
+  SELECT s_suppkey AS id_b,
+         CAST(round({ra_b} * {kx!r}) AS BIGINT) AS xb,
+         CAST(round({dec_b} * {ky!r}) AS BIGINT) AS yb
+  FROM supplier
+)
+SELECT id_a, id_b,
+       (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist_sq
+FROM ai, bi
+WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= {r2}
+"""
+
+
+@query("q121_epoch_crossmatch", _q121_oracle())
+def q121_epoch_crossmatch(spark, sf):
+    """Epoch-propagated crossmatch (r5): catalog A (hash proper
+    motions up to ±1 arcsec/yr) propagates 16 years via
+    `epoch_propagate` (linear μ_α★/cos δ convention), positions
+    quantize onto an exact integer milli-arcsec grid (RA flattened by
+    cos δ₀), and the match runs through the SAME Zones blocking as
+    q102 — radius 10 arcsec, integer-exact residuals. The oracle is
+    the all-pairs formulation over the full composition (WCS chain →
+    propagation → quantization), so the green hash certifies both the
+    propagation formulas AND that the blocking loses no pair."""
+    from spark_fits_spark.functions.sphere import epoch_propagate
+    from spark_fits_spark.functions.wcs import TanWcs, pixel_to_sky
+    from spark_fits_spark.operators import relational
+
+    w = TanWcs(**_Q116_WCS)
+    kx, ky = _q121_consts()
+
+    def h(idc, salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        h("c_custkey", "px", 1024).alias("x"),
+        h("c_custkey", "py", 1024).alias("y"),
+        (h("c_custkey", "pma", 2001) - 1000).alias("pmra"),
+        (h("c_custkey", "pmd", 2001) - 1000).alias("pmdec"))
+    ra_a, dec_a = pixel_to_sky(w, "x", "y")
+    acat = cust.select("id", ra_a.alias("ra"), dec_a.alias("dec"),
+                       "pmra", "pmdec")
+    ra2, dec2 = epoch_propagate("ra", "dec", "pmra", "pmdec", _Q121_DT)
+    a = acat.select(
+        "id", F.round(ra2 * F.lit(kx)).cast("long").alias("x"),
+        F.round(dec2 * F.lit(ky)).cast("long").alias("y"))
+
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        h("s_suppkey", "qx", 1024).alias("x"),
+        h("s_suppkey", "qy", 1024).alias("y"))
+    ra_b, dec_b = pixel_to_sky(w, "x", "y")
+    b = supp.select(
+        "id", F.round(ra_b * F.lit(kx)).cast("long").alias("x"),
+        F.round(dec_b * F.lit(ky)).cast("long").alias("y"))
+    return relational.zone_crossmatch(a, b, radius=_Q121_RADIUS_MAS)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4665,8 +4766,9 @@ _DRIVER_PRIORITY = [
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
-    # q118_reproject_mosaic, q119_mosaic_stack and q120_cone_search
-    # also land past the cap and lead the r6 gate alongside them.)
+    # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search and
+    # q121_epoch_crossmatch also land past the cap and lead the r6
+    # gate alongside them.)
 ]
 
 

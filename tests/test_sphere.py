@@ -63,3 +63,19 @@ def test_cone_filter(spark):
     assert kept == [1, 2, 4]                    # 3 is outside the band
     with pytest.raises(ValueError, match="positive"):
         cone_filter("ra", "dec", 10.0, 0.0, 0.0)
+
+
+def test_epoch_propagate(spark):
+    from spark_fits_spark.functions.sphere import epoch_propagate
+
+    # 100 mas/yr for 36 years = 3.6 arcsec = 1e-3 deg
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 100.0, -100.0),      # equator: no cos-dec factor
+         (10.0, 60.0, 100.0, 0.0)],      # dec 60: mu_a* / cos(60) = 2x
+        "ra double, dec double, pmra double, pmdec double")
+    ra2, dec2 = epoch_propagate("ra", "dec", "pmra", "pmdec", 36.0)
+    rows = df.select(ra2.alias("ra2"), dec2.alias("dec2")).collect()
+    assert abs(rows[0]["ra2"] - 1e-3) < 1e-12
+    assert abs(rows[0]["dec2"] - (-1e-3)) < 1e-12
+    assert abs(rows[1]["ra2"] - (10.0 + 2e-3)) < 1e-9
+    assert rows[1]["dec2"] == 60.0
