@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q119_mosaic_stack",
     "q120_cone_search",
     "q121_epoch_crossmatch",
+    "q122_periodogram_peaks",
 ]
 
 
@@ -567,7 +568,7 @@ def main() -> None:
                                           "q112", "q113", "q114",
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
-                                          "q121",
+                                          "q121", "q122",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

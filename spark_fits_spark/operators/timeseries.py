@@ -148,6 +148,39 @@ def variability_features(df: DataFrame, t_col: str, y_col: str,
                     "amplitude", eta.alias("eta"), j.alias("stetson_j"))
 
 
+def periodogram_peaks(pg: DataFrame, n_trials: int,
+                      power_decimals: int = 6) -> DataFrame:
+    """Best-frequency extraction from a :func:`lomb_scargle` output:
+    per object, the peak frequency row plus the classical
+    multiple-trial false-alarm probability FAP = 1 − (1 − e^(−z))^M
+    (Scargle 1982 §IV; M = ``n_trials`` independent frequencies) —
+    the detection-significance step that turns a periodogram into a
+    candidate list.
+
+    Peaks rank on power ROUNDED to ``power_decimals`` with
+    ``freq_idx`` as the tie-break, so the winner is stable under
+    engine-level 1-ulp float differences. NULL powers (degenerate
+    series) drop out. One window over the (object, frequency) table —
+    |objects|·|freqs| rows in, |objects| out."""
+    if n_trials < 1:
+        raise ValueError("n_trials must be >= 1")
+    from pyspark.sql.window import Window
+
+    p6 = F.round("power", power_decimals)
+    w = Window.partitionBy("object_id").orderBy(
+        p6.desc(), F.col("freq_idx").asc())
+    ranked = (pg.where(F.col("power").isNotNull())
+              .withColumn("_p6", p6)
+              .withColumn("_rn", F.row_number().over(w)))
+    fap = 1.0 - F.pow(1.0 - F.exp(-F.col("_p6")), F.lit(float(n_trials)))
+    return (ranked.where(F.col("_rn") == 1)
+            .select("object_id",
+                    F.col("freq_idx").alias("best_freq_idx"),
+                    F.col("freq").alias("best_freq"),
+                    F.col("_p6").alias("power"),
+                    fap.alias("fap")))
+
+
 def phase_fold(df: DataFrame, t_col: str, y_col: str, id_col: str,
                period: float, n_bins: int = 16,
                t0: float = 0.0) -> DataFrame:

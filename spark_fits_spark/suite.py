@@ -4710,6 +4710,52 @@ def q121_epoch_crossmatch(spark, sf):
     return relational.zone_crossmatch(a, b, radius=_Q121_RADIUS_MAS)
 
 
+def _q122_oracle() -> str:
+    # q113's full periodogram as a nested-WITH CTE (standard SQL;
+    # DuckDB accepts WITH inside a CTE body), then peak + FAP on top
+    return f"""
+WITH pg AS ({ORACLES["q113_lomb_scargle"]}
+), r AS (
+  SELECT object_id, freq_idx, power6,
+         row_number() OVER (PARTITION BY object_id
+                            ORDER BY power6 DESC, freq_idx) AS rn
+  FROM pg WHERE power6 IS NOT NULL
+)
+SELECT object_id, CAST(freq_idx AS BIGINT) AS best_freq_idx, power6,
+       round(1.0 - power(1.0 - exp(-power6), {len(_LS_FREQS)}.0), 6)
+           AS fap6
+FROM r WHERE rn = 1
+"""
+
+
+@query("q122_periodogram_peaks", _q122_oracle())
+def q122_periodogram_peaks(spark, sf):
+    """Periodogram peak extraction + detection significance (r5): the
+    step after q113 that turns per-frequency powers into a candidate
+    list — per object the best frequency (ranked on power ROUNDED at
+    1e-6 with freq_idx tie-break, so the winner is stable under
+    engine-level 1-ulp float differences) and the classical
+    multiple-trial false-alarm probability 1 − (1 − e^(−z))^M
+    (Scargle 1982 §IV, M = the 5 trial frequencies). One window over
+    the |objects|·|freqs| periodogram; |objects| output rows. The
+    oracle nests q113's full SQL as a CTE and replays ranking + FAP."""
+    from spark_fits_spark.operators.timeseries import (lomb_scargle,
+                                                       periodogram_peaks)
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    tmin = e.agg(F.min(F.col("ts").cast("double"))).first()[0]
+    base = e.select(
+        "user_id",
+        ((F.col("ts").cast("double") - F.lit(tmin)) / 3600.0).alias("t_h"),
+        "value")
+    pg = lomb_scargle(base, "t_h", "value", "user_id", _LS_FREQS)
+    pk = periodogram_peaks(pg, n_trials=len(_LS_FREQS))
+    return pk.select("object_id", "best_freq_idx",
+                     F.col("power").alias("power6"),
+                     F.round("fap", 6).alias("fap6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4766,9 +4812,9 @@ _DRIVER_PRIORITY = [
     # q110_aperture_photometry, q111_source_detection,
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
-    # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search and
-    # q121_epoch_crossmatch also land past the cap and lead the r6
-    # gate alongside them.)
+    # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
+    # q121_epoch_crossmatch and q122_periodogram_peaks also land past
+    # the cap and lead the r6 gate alongside them.)
 ]
 
 

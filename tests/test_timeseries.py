@@ -133,3 +133,31 @@ def test_phase_fold(spark):
     assert sum(r["n_obs"] for r in right) == 600
     assert spread(right) > 3.0          # coherent fold ≈ full amplitude
     assert spread(wrong) < 1.0          # incoherent fold averages out
+
+
+def test_periodogram_peaks(spark):
+    import math
+
+    from spark_fits_spark.operators.timeseries import periodogram_peaks
+
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.uniform(0, 100, 300))
+    y = 2.0 * np.sin(2 * np.pi * 0.3 * t) + rng.normal(0, 0.2, 300)
+    freqs = [0.1, 0.2, 0.3, 0.4]
+    df = spark.createDataFrame(
+        [(1, float(a), float(b)) for a, b in zip(t, y)]
+        + [(2, float(i), 7.0) for i in range(10)],   # constant: NULLs
+        "oid long, t double, y double")
+    pg = lomb_scargle(df, "t", "y", "oid", freqs)
+    got = periodogram_peaks(pg, n_trials=len(freqs)).collect()
+    assert len(got) == 1                    # degenerate object drops
+    r = got[0]
+    assert r["object_id"] == 1 and r["best_freq"] == 0.3
+    # planted signal: huge power -> FAP numerically 0
+    assert r["power"] > 50 and r["fap"] < 1e-12
+    want = 1.0 - (1.0 - math.exp(-r["power"])) ** 4
+    assert abs(r["fap"] - want) < 1e-15
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_trials"):
+        periodogram_peaks(pg, n_trials=0)
