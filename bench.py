@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q120_cone_search",
     "q121_epoch_crossmatch",
     "q122_periodogram_peaks",
+    "q123_zone_partitioned_cone",
 ]
 
 
@@ -568,7 +569,7 @@ def main() -> None:
                                           "q112", "q113", "q114",
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
-                                          "q121", "q122",
+                                          "q121", "q122", "q123",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -4756,6 +4756,90 @@ def q122_periodogram_peaks(spark, sf):
                      F.round("fap", 6).alias("fap6"))
 
 
+_Q123_ZONE_H = 0.01              # declination zone height, degrees
+
+
+def _q123_oracle() -> str:
+    from spark_fits_spark.functions.sphere import angular_sep_sql
+    from spark_fits_spark.functions.wcs import TanWcs, tan_pixel_to_sky_sql
+
+    w = TanWcs(**_Q116_WCS)
+    x = ("CAST(('0x' || substr(md5('px|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    y = ("CAST(('0x' || substr(md5('py|' || CAST(c_custkey AS VARCHAR)),"
+         " 1, 15)) AS BIGINT) % 1024")
+    ra, dec = tan_pixel_to_sky_sql(w, x, y)
+    ra0, dec0 = _Q120_CENTER
+    r, h = _Q120_RADIUS, _Q123_ZONE_H
+    import math
+    zlo = math.floor((dec0 - r) / h)
+    zhi = math.floor((dec0 + r) / h)
+    sep = angular_sep_sql("ra", "dec", repr(ra0), repr(dec0))
+    return f"""
+WITH sky AS (
+  SELECT c_custkey AS obj_id, {ra} AS ra, {dec} AS dec,
+         CAST(floor({dec} / {h!r}) AS BIGINT) AS zone
+  FROM customer
+)
+SELECT obj_id, zone, round({sep} * 3600.0, 6) AS sep_arcsec6
+FROM sky
+WHERE zone BETWEEN {zlo} AND {zhi}
+  AND dec BETWEEN {dec0 - r!r} AND {dec0 + r!r}
+  AND {sep} <= {r!r}
+"""
+
+
+@query("q123_zone_partitioned_cone", _q123_oracle())
+def q123_zone_partitioned_cone(spark, sf):
+    """Zone-partitioned catalog layout + pruned cone search (r5) — the
+    PHYSICAL-layout half of the cone-search story: the catalog writes
+    `partitionBy(zone)` (declination zones of 0.01°, the Gray Zones
+    layout as a parquet directory scheme), and the cone query leads
+    with `zone BETWEEN z(δ₀−r) AND z(δ₀+r)` — a PartitionFilter, so at
+    archive scale the scan reads ONLY the handful of zone directories
+    the cone can touch; file pruning happens at plan time, before any
+    row is read (pinned by a plan assertion in tests). The residual
+    band + haversine predicates then run on the survivors. The oracle
+    replays generation, zoning and all three predicates; results must
+    equal the logical cone exactly — pruning can lose nothing."""
+    import hashlib
+    import math
+    import os as _os
+
+    from spark_fits_spark.functions.sphere import angular_sep, cone_filter
+    from spark_fits_spark.functions.wcs import TanWcs, pixel_to_sky
+
+    w = TanWcs(**_Q116_WCS)
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    px = c.select(F.col("c_custkey").alias("obj_id"),
+                  h("px", 1024).alias("x"), h("py", 1024).alias("y"))
+    ra, dec = pixel_to_sky(w, "x", "y")
+    zh = _Q123_ZONE_H
+    sky = px.select(
+        "obj_id", ra.alias("ra"), dec.alias("dec"),
+        F.floor(dec / F.lit(zh)).cast("long").alias("zone"))
+    d = _os.path.join(
+        "/tmp", "spark_fits_q123_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    sky.write.mode("overwrite").partitionBy("zone").parquet(d)
+
+    cat = spark.read.parquet(d)
+    ra0, dec0 = _Q120_CENTER
+    r = _Q120_RADIUS
+    zlo = math.floor((dec0 - r) / zh)
+    zhi = math.floor((dec0 + r) / zh)
+    sep = angular_sep("ra", "dec", F.lit(ra0), F.lit(dec0))
+    return (cat.where(F.col("zone").cast("long").between(zlo, zhi))
+            .where(cone_filter("ra", "dec", ra0, dec0, r))
+            .select("obj_id", F.col("zone").cast("long").alias("zone"),
+                    F.round(sep * 3600.0, 6).alias("sep_arcsec6")))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4813,8 +4897,9 @@ _DRIVER_PRIORITY = [
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
-    # q121_epoch_crossmatch and q122_periodogram_peaks also land past
-    # the cap and lead the r6 gate alongside them.)
+    # q121_epoch_crossmatch, q122_periodogram_peaks and
+    # q123_zone_partitioned_cone also land past the cap and lead the
+    # r6 gate alongside them.)
 ]
 
 

@@ -79,3 +79,21 @@ def test_epoch_propagate(spark):
     assert abs(rows[0]["dec2"] - (-1e-3)) < 1e-12
     assert abs(rows[1]["ra2"] - (10.0 + 2e-3)) < 1e-9
     assert rows[1]["dec2"] == 60.0
+
+
+def test_zone_partitioned_pruning(spark, tmp_path):
+    """A zone range predicate on a partitionBy(zone) layout must land
+    in PartitionFilters (plan-time directory pruning), not just data
+    filters over a full scan."""
+    rows = [(i, 10.0 + i * 0.01, float(i % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "obj_id long, ra double, dec double")
+    d = str(tmp_path / "zones")
+    (df.withColumn("zone", F.floor(F.col("dec") / 1.0).cast("long"))
+       .write.partitionBy("zone").parquet(d))
+    cat = spark.read.parquet(d)
+    q = cat.where(F.col("zone").cast("long").between(3, 5))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "zone" in pf[0].split("PartitionFilters")[1].split("]")[0], pf[0]
+    assert q.count() == 60           # zones 3,4,5 x 20 rows each
