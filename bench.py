@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q121_epoch_crossmatch",
     "q122_periodogram_peaks",
     "q123_zone_partitioned_cone",
+    "q124_galactic_skymap",
 ]
 
 
@@ -570,6 +571,7 @@ def main() -> None:
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
                                           "q121", "q122", "q123",
+                                          "q124",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

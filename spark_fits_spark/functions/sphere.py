@@ -69,6 +69,58 @@ def epoch_propagate_sql(ra: str, dec: str, pmra: str, pmdec: str,
     return ra2, dec2
 
 
+# IAU J2000 galactic frame constants (Reid & Brunthaler 2004 /
+# Hipparcos definition): north galactic pole and the node longitude
+_GAL_RA_NGP = 192.85948      # deg
+_GAL_DEC_NGP = 27.12825      # deg
+_GAL_L_NCP = 122.93192       # galactic longitude of the NCP, deg
+
+
+def equatorial_to_galactic(ra_col, dec_col) -> tuple[Column, Column]:
+    """(l, b) galactic coordinates in degrees from J2000 equatorial —
+    the published spherical rotation (no matrix, so it stays textually
+    parallel with the SQL twin):
+    ``sin b = sin δ sin δ_G + cos δ cos δ_G cos(α−α_G)``,
+    ``l = l_NCP − atan2(cos δ sin(α−α_G),
+    sin δ cos δ_G − cos δ sin δ_G cos(α−α_G))``, l wrapped to
+    [0, 360)."""
+    import math
+    ag = math.radians(_GAL_RA_NGP)
+    dgs, dgc = (math.sin(math.radians(_GAL_DEC_NGP)),
+                math.cos(math.radians(_GAL_DEC_NGP)))
+    a, d = F.radians(_c(ra_col)), F.radians(_c(dec_col))
+    sinb = (F.sin(d) * F.lit(dgs)
+            + F.cos(d) * F.lit(dgc) * F.cos(a - F.lit(ag)))
+    b = F.degrees(F.asin(F.greatest(F.least(sinb, F.lit(1.0)),
+                                    F.lit(-1.0))))
+    l = F.pmod(
+        F.lit(_GAL_L_NCP) - F.degrees(F.atan2(
+            F.cos(d) * F.sin(a - F.lit(ag)),
+            F.sin(d) * F.lit(dgc)
+            - F.cos(d) * F.lit(dgs) * F.cos(a - F.lit(ag)))),
+        F.lit(360.0))
+    return l, b
+
+
+def equatorial_to_galactic_sql(ra: str, dec: str) -> tuple[str, str]:
+    """ANSI-SQL twin of :func:`equatorial_to_galactic` (textually
+    parallel)."""
+    import math
+    ag = math.radians(_GAL_RA_NGP)
+    dgs = math.sin(math.radians(_GAL_DEC_NGP))
+    dgc = math.cos(math.radians(_GAL_DEC_NGP))
+    a, d = f"radians({ra})", f"radians({dec})"
+    sinb = (f"(sin({d}) * {dgs!r}"
+            f" + cos({d}) * {dgc!r} * cos({a} - {ag!r}))")
+    b = f"degrees(asin(greatest(least({sinb}, 1.0), -1.0)))"
+    l_raw = (f"({_GAL_L_NCP!r} - degrees(atan2("
+             f"cos({d}) * sin({a} - {ag!r}), "
+             f"sin({d}) * {dgc!r}"
+             f" - cos({d}) * {dgs!r} * cos({a} - {ag!r}))))")
+    l = f"(({l_raw}) % 360.0 + 360.0) % 360.0"
+    return l, b
+
+
 def cone_filter(ra_col, dec_col, ra0: float, dec0: float,
                 radius_deg: float) -> Column:
     """Boolean cone-search predicate: within ``radius_deg`` of

@@ -4840,6 +4840,60 @@ def q123_zone_partitioned_cone(spark, sf):
                     F.round(sep * 3600.0, 6).alias("sep_arcsec6")))
 
 
+def _q124_oracle() -> str:
+    from spark_fits_spark.functions.healpix import ang2pix_ring_sql
+    from spark_fits_spark.functions.sphere import equatorial_to_galactic_sql
+
+    ra = ("(CAST(('0x' || substr(md5('gra|' || CAST(c_custkey AS VARCHAR)),"
+          " 1, 15)) AS BIGINT) % 360000) / 1000.0")
+    dec = ("(CAST(('0x' || substr(md5('gde|' || CAST(c_custkey AS"
+           " VARCHAR)), 1, 15)) AS BIGINT) % 120000) / 1000.0 - 60.0")
+    l, b = equatorial_to_galactic_sql("ra", "dec")
+    return f"""
+WITH sky AS (
+  SELECT c_custkey AS obj_id, {ra} AS ra, {dec} AS dec FROM customer
+), gal AS (
+  SELECT obj_id, {l} AS l, {b} AS b FROM sky
+)
+SELECT {ang2pix_ring_sql(8, "l", "b")} AS hpx,
+       CAST(COUNT(*) AS BIGINT) AS n_src,
+       round(AVG(b), 6) AS mean_b6
+FROM gal GROUP BY 1
+"""
+
+
+@query("q124_galactic_skymap", _q124_oracle())
+def q124_galactic_skymap(spark, sf):
+    """Galactic-frame sky map (r5): J2000 equatorial → galactic (l, b)
+    via the published IAU spherical rotation (`functions/sphere.py` —
+    exact at the pole, matches the Crab nebula / galactic center to
+    0.01° in tests), then the nside-8 RING HEALPix map — the standard
+    survey product for anything tracing galactic structure (dust,
+    stellar density). Whole chain is codegen column arithmetic; the
+    map is one map-side-combined groupBy with ≤ 768 output rows at
+    any corpus size. The oracle replays rotation + pixelization
+    through the SQL twins; mean latitudes round at 1e-6."""
+    from spark_fits_spark.functions.healpix import ang2pix_ring
+    from spark_fits_spark.functions.sphere import equatorial_to_galactic
+
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    sky = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (h("gra", 360000) / 1000.0).alias("ra"),
+        (h("gde", 120000) / 1000.0 - 60.0).alias("dec"))
+    l, b = equatorial_to_galactic("ra", "dec")
+    gal = sky.select("obj_id", l.alias("l"), b.alias("b"))
+    return (gal.groupBy(ang2pix_ring(8, "l", "b").alias("hpx"))
+            .agg(F.count("*").alias("n_src"),
+                 F.round(F.avg("b"), 6).alias("mean_b6")))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4897,9 +4951,9 @@ _DRIVER_PRIORITY = [
     # q112_healpix_skymap, q113_lomb_scargle, q114_phase_fold,
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
-    # q121_epoch_crossmatch, q122_periodogram_peaks and
-    # q123_zone_partitioned_cone also land past the cap and lead the
-    # r6 gate alongside them.)
+    # q121_epoch_crossmatch, q122_periodogram_peaks,
+    # q123_zone_partitioned_cone and q124_galactic_skymap also land
+    # past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -97,3 +97,21 @@ def test_zone_partitioned_pruning(spark, tmp_path):
     assert pf, plan
     assert "zone" in pf[0].split("PartitionFilters")[1].split("]")[0], pf[0]
     assert q.count() == 60           # zones 3,4,5 x 20 rows each
+
+
+def test_equatorial_to_galactic(spark):
+    from spark_fits_spark.functions.sphere import equatorial_to_galactic
+
+    df = spark.createDataFrame(
+        [(0, 192.85948, 27.12825),      # north galactic pole
+         (1, 266.40499, -28.93617),     # galactic center (J2000)
+         (2, 83.63308, 22.01450)],      # Crab nebula: l~184.56, b~-5.78
+        "i long, ra double, dec double")
+    l, b = equatorial_to_galactic("ra", "dec")
+    got = {r["i"]: (r["l"], r["b"]) for r in
+           df.select("i", l.alias("l"), b.alias("b")).collect()}
+    assert abs(got[0][1] - 90.0) < 1e-9             # pole: b = 90
+    assert abs(got[1][0] - 0.0) < 0.01 or abs(got[1][0] - 360.0) < 0.01
+    assert abs(got[1][1] - 0.0) < 0.01              # GC: l ~ 0, b ~ 0
+    assert abs(got[2][0] - 184.557) < 0.01
+    assert abs(got[2][1] + 5.784) < 0.01
