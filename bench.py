@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q122_periodogram_peaks",
     "q123_zone_partitioned_cone",
     "q124_galactic_skymap",
+    "q125_photometric_calibration",
 ]
 
 
@@ -571,7 +572,7 @@ def main() -> None:
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
                                           "q121", "q122", "q123",
-                                          "q124",
+                                          "q124", "q125",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -4894,6 +4894,67 @@ def q124_galactic_skymap(spark, sf):
                  F.round(F.avg("b"), 6).alias("mean_b6")))
 
 
+@query("q125_photometric_calibration", """
+WITH m AS (
+  SELECT c_custkey % 5 AS plane,
+         (CAST(('0x' || substr(md5('im|' || CAST(c_custkey AS VARCHAR)),
+                               1, 15)) AS BIGINT) % 8000) / 1000.0 + 12.0
+             AS x,
+         ((CAST(('0x' || substr(md5('im|' || CAST(c_custkey AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 8000) / 1000.0 + 12.0)
+         + 25.0 + (c_custkey % 5) * 0.1
+         + ((CAST(('0x' || substr(md5('ns|' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 201) - 100) / 2000.0
+             AS y
+  FROM customer
+), g AS (
+  SELECT plane, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM m GROUP BY 1
+)
+SELECT plane, CAST(n AS BIGINT) AS n_stars,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope6,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS zp6
+FROM g
+""")
+def q125_photometric_calibration(spark, sf):
+    """Photometric zero-point calibration (r5): per CCD/plane, the
+    linear fit of catalog magnitudes against instrumental magnitudes
+    over the matched stars — closed-form least squares
+    (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), zp from the means) computed in
+    ONE map-side-combined groupBy of five sums; |planes| output rows
+    at any catalog size, no second pass, no driver-side solver. The
+    fixture plants zp = 25.0 + 0.1·plane with ±0.05 mag noise, so the
+    fit must recover the planted offsets; the oracle replays the
+    identical sums and closed form (rounded at 1e-6 — summation-order
+    drift is ~1e-15 relative)."""
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    x = h("im", 8000) / 1000.0 + 12.0
+    y = (x + 25.0 + (F.col("c_custkey") % 5) * 0.1
+         + (h("ns", 201) - 100) / 2000.0)
+    m = c.select((F.col("c_custkey") % 5).alias("plane"),
+                 x.alias("x"), y.alias("y"))
+    g = m.groupBy("plane").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    n = F.col("n").cast("double")
+    slope = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (n * F.col("sxx") - F.col("sx") * F.col("sx")))
+    zp = (F.col("sy") - slope * F.col("sx")) / n
+    return g.select("plane", F.col("n").alias("n_stars"),
+                    F.round(slope, 6).alias("slope6"),
+                    F.round(zp, 6).alias("zp6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -4952,8 +5013,9 @@ _DRIVER_PRIORITY = [
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
     # q121_epoch_crossmatch, q122_periodogram_peaks,
-    # q123_zone_partitioned_cone and q124_galactic_skymap also land
-    # past the cap and lead the r6 gate alongside them.)
+    # q123_zone_partitioned_cone, q124_galactic_skymap and
+    # q125_photometric_calibration also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 
