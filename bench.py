@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q123_zone_partitioned_cone",
     "q124_galactic_skymap",
     "q125_photometric_calibration",
+    "q126_transient_detection",
 ]
 
 
@@ -572,7 +573,7 @@ def main() -> None:
                                           "q115", "q116", "q117",
                                           "q118", "q119", "q120",
                                           "q121", "q122", "q123",
-                                          "q124", "q125",
+                                          "q124", "q125", "q126",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -177,7 +177,8 @@ _YX_BITS = 20     # y, x < 2^20 - 1 enforced (±1 neighbor offsets)
 def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
                    sigma: float = 3.0, iters: int = 3,
                    min_npix: int = 1,
-                   connectivity: int = 8) -> DataFrame:
+                   connectivity: int = 8,
+                   prepared: bool = False) -> DataFrame:
     """Distributed source extraction over the image scan surface — the
     Spark-first replacement for the reference example's driver-side
     photutils pass (``examples/python/im2cat.py``: background stats →
@@ -197,10 +198,15 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
 
     Returns ``(plane, source_id, n_px, flux, peak, x_centroid,
     y_centroid)`` — flux-weighted centroids, ``source_id`` = packed id
-    of the component's minimum (y, x) pixel."""
+    of the component's minimum (y, x) pixel.
+
+    ``prepared=True`` accepts ``(ImgIndex, y, Image)`` rows directly
+    (e.g. a :func:`difference_image` output) instead of the raw scan —
+    the only raw-scan dependency is :func:`with_plane_rows`' ordering
+    contract; the background stats are ordering-free."""
     from spark_fits_spark.operators.dedup import connected_components
 
-    rows = with_plane_rows(df)
+    rows = df if prepared else with_plane_rows(df)
     stats = sigma_clipped_plane_stats(df, sigma=sigma, iters=iters)
     thr = stats.select(
         "ImgIndex",
@@ -275,6 +281,28 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
         # materialize before the scope releases the bright-pixel cache
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def difference_image(science: DataFrame, template: DataFrame,
+                     y_col: str = "y",
+                     template_values: str = "values") -> DataFrame:
+    """Difference imaging: subtract one aligned template frame
+    (``(y, values)`` rows — typically a :func:`coadd_planes` /
+    :func:`mosaic` output) from EVERY science plane of
+    ``(ImgIndex, y, Image)`` rows — statics cancel, transients and
+    variables remain for :func:`detect_sources(prepared=True)`.
+
+    The template must cover every science row index (inner join on
+    y). Plan: one equi-join keyed by row index — N science planes
+    against ONE template, so AQE broadcasts any template that fits;
+    the combine is JVM ``zip_with``, pixels never explode. Returns
+    the science rows with ``Image`` replaced by the difference."""
+    t = template.select(F.col(y_col).alias("y"),
+                        F.col(template_values).alias("_tv"))
+    j = science.join(t, "y")
+    diff = F.zip_with("Image", "_tv",
+                      lambda a, b: a.cast("double") - b)
+    return j.select("ImgIndex", "y", diff.alias("Image"))
 
 
 def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:

@@ -4955,6 +4955,67 @@ def q125_photometric_calibration(spark, sf):
                     F.round(zp, 6).alias("zp6"))
 
 
+@query("q126_transient_detection", """
+SELECT CAST(n_nationkey + 3 AS BIGINT) AS plane,
+       (CAST(n_nationkey + 3 AS BIGINT) * 1048576
+        + (2 + n_nationkey % 3)) * 1048576
+       + (3 + n_nationkey % 5) AS source_id,
+       CAST(6 AS BIGINT) AS n_px,
+       CAST(6 * (50 + n_nationkey) AS DOUBLE) AS flux,
+       CAST(50 + n_nationkey AS DOUBLE) AS peak,
+       CAST(3 + n_nationkey % 5 + 1 AS DOUBLE) AS x_centroid,
+       CAST(2 + n_nationkey % 3 + 0.5 AS DOUBLE) AS y_centroid
+FROM nation
+""")
+def q126_transient_detection(spark, sf):
+    """Difference imaging + transient detection (r5) — the time-domain
+    imaging workload: co-add the repeat exposures into a deep
+    template (`coadd_planes`), subtract it from every science frame
+    (`difference_image` — one row-index equi-join, statics cancel
+    EXACTLY on this fixture), and run `detect_sources` on the
+    residuals (prepared-rows path) so only what changed is found.
+    The fixture plants identical static sources in all 28 planes and
+    one nation-keyed 2×3 transient per science frame; the oracle
+    states every transient's (id, flux, peak, centroid) analytically,
+    so a green row certifies the subtraction alignment AND that no
+    static leaks through (a mis-aligned template floods the catalog
+    immediately)."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import (coadd_planes,
+                                                   detect_sources,
+                                                   difference_image,
+                                                   with_plane_rows)
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    n_tmpl = 3
+    cube = np.zeros((n_tmpl + len(keys), 12, 16), dtype="f8")
+    cube[:, 8:10, 10:13] = 60.0          # statics, every exposure
+    for i, k in enumerate(keys):
+        y0, x0 = 2 + k % 3, 3 + k % 5
+        cube[n_tmpl + i, y0:y0 + 2, x0:x0 + 3] = 50.0 + k
+    d = _os.path.join(
+        "/tmp", "spark_fits_q126_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    fw.write_fits(path, [fw.image_hdu(cube)])
+    scan = spark.read.format("fits").option("hdu", 1).load(path)
+    template = coadd_planes(scan.where(F.col("ImgIndex") < n_tmpl),
+                            method="mean")
+    science = (with_plane_rows(scan.where(F.col("ImgIndex") >= n_tmpl))
+               .select("ImgIndex", "y", "Image"))
+    diff = difference_image(science, template, template_values="image")
+    return detect_sources(diff, threshold_sigma=5.0, connectivity=8,
+                          prepared=True)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5013,9 +5074,9 @@ _DRIVER_PRIORITY = [
     # q115_coadd_planes, q116_wcs_solve, q117_variability_features,
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
     # q121_epoch_crossmatch, q122_periodogram_peaks,
-    # q123_zone_partitioned_cone, q124_galactic_skymap and
-    # q125_photometric_calibration also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q123_zone_partitioned_cone, q124_galactic_skymap,
+    # q125_photometric_calibration and q126_transient_detection also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

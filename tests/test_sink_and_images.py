@@ -457,3 +457,32 @@ def test_mosaic_null_aware_stack(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one"):
         mosaic([], wcs, h, w)
+
+
+def test_difference_image_cancels_statics(spark, tmp_path):
+    """Difference imaging: statics cancel exactly against a coadd
+    template; only the transient survives, and detect_sources on the
+    prepared rows finds exactly it."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import (coadd_planes,
+                                                   detect_sources,
+                                                   difference_image,
+                                                   with_plane_rows)
+
+    cube = np.zeros((3, 6, 8), dtype="f8")
+    cube[:, 1:3, 2:4] = 40.0             # static in all planes
+    cube[2, 4, 6] = 90.0                 # transient in the science one
+    p = str(tmp_path / "di.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    scan = spark.read.format("fits").option("hdu", 1).load(p)
+    tmpl = coadd_planes(scan.where(F.col("ImgIndex") < 2), method="mean")
+    sci = (with_plane_rows(scan.where(F.col("ImgIndex") == 2))
+           .select("ImgIndex", "y", "Image"))
+    diff = difference_image(sci, tmpl, template_values="image")
+    rows = {r["y"]: r["Image"] for r in diff.collect()}
+    assert rows[1] == [0.0] * 8 and rows[2] == [0.0] * 8   # static gone
+    assert rows[4][6] == 90.0
+    det = detect_sources(diff, prepared=True).collect()
+    assert len(det) == 1
+    assert det[0]["flux"] == 90.0 and det[0]["n_px"] == 1
+    assert det[0]["x_centroid"] == 6.0 and det[0]["y_centroid"] == 4.0
