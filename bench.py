@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q124_galactic_skymap",
     "q125_photometric_calibration",
     "q126_transient_detection",
+    "q127_astrometric_solve",
 ]
 
 
@@ -574,6 +575,7 @@ def main() -> None:
                                           "q118", "q119", "q120",
                                           "q121", "q122", "q123",
                                           "q124", "q125", "q126",
+                                          "q127",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

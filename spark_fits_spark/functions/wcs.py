@@ -104,6 +104,62 @@ def tan_pixel_to_sky_sql(wcs: TanWcs, x_expr: str,
     return ra, dec
 
 
+def fit_tangent_affine(df, plane_col: str, u_col: str, v_col: str,
+                       xi_col: str, eta_col: str):
+    """Astrometric solve (plate solution): per plane, the
+    least-squares 6-parameter affine mapping pixel offsets (u, v) to
+    tangent-plane coordinates ``ξ = a·u + b·v + c``,
+    ``η = d·u + e·v + f`` — the linear part of fitting a TAN WCS to
+    matched (detection, catalog) star pairs (Greisen & Calabretta
+    2002 §2; the CD matrix IS (a b; d e) and CRVAL follows from
+    (c, f)).
+
+    Solved in closed form: ONE map-side-combined groupBy collects the
+    12 normal-equation sums, then Cramer's rule on the shared 3×3
+    system as column arithmetic — no driver-side solver, |planes|
+    output rows at any pair count. Returns
+    ``(plane, n_pairs, a, b, c, d, e, f)``; planes with a singular
+    system (< 3 non-collinear pairs) yield NULL coefficients."""
+    u = F.col(u_col).cast("double")
+    v = F.col(v_col).cast("double")
+    xi = F.col(xi_col).cast("double")
+    eta = F.col(eta_col).cast("double")
+    g = df.groupBy(F.col(plane_col).alias("plane")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(u).alias("su"), F.sum(v).alias("sv"),
+        F.sum(u * u).alias("suu"), F.sum(v * v).alias("svv"),
+        F.sum(u * v).alias("suv"),
+        F.sum(xi).alias("sx"), F.sum(xi * u).alias("sxu"),
+        F.sum(xi * v).alias("sxv"),
+        F.sum(eta).alias("se"), F.sum(eta * u).alias("seu"),
+        F.sum(eta * v).alias("sev"))
+    n = F.col("n_pairs").cast("double")
+    suu, svv, suv = F.col("suu"), F.col("svv"), F.col("suv")
+    su, sv = F.col("su"), F.col("sv")
+
+    def det3(c1, c2, c3):
+        # columns of the 3x3 matrix, each a (row1, row2, row3) triple
+        (a1, a2, a3), (b1, b2, b3), (d1, d2, d3) = c1, c2, c3
+        return (a1 * (b2 * d3 - b3 * d2) - b1 * (a2 * d3 - a3 * d2)
+                + d1 * (a2 * b3 - a3 * b2))
+
+    m1, m2, m3 = (suu, suv, su), (suv, svv, sv), (su, sv, n)
+    det = det3(m1, m2, m3)
+    ok = F.abs(det) > F.lit(1e-12)
+
+    def solve(r1, r2, r3):
+        rhs = (r1, r2, r3)
+        return (F.when(ok, det3(rhs, m2, m3) / det),
+                F.when(ok, det3(m1, rhs, m3) / det),
+                F.when(ok, det3(m1, m2, rhs) / det))
+
+    a, b, c = solve(F.col("sxu"), F.col("sxv"), F.col("sx"))
+    d, e, f = solve(F.col("seu"), F.col("sev"), F.col("se"))
+    return g.select("plane", "n_pairs", a.alias("a"), b.alias("b"),
+                    c.alias("c"), d.alias("d"), e.alias("e"),
+                    f.alias("f"))
+
+
 def tan_sky_to_pixel_sql(wcs: TanWcs, ra_expr: str,
                          dec_expr: str) -> tuple[str, str]:
     """(x_sql, y_sql) ANSI-SQL twins of :func:`sky_to_pixel` — same

@@ -5016,6 +5016,84 @@ def q126_transient_detection(spark, sf):
                           prepared=True)
 
 
+@query("q127_astrometric_solve", """
+WITH pairs AS (
+  SELECT c_custkey % 4 AS plane,
+         CAST(CAST(('0x' || substr(md5('au|' || CAST(c_custkey AS
+              VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) AS u,
+         CAST(CAST(('0x' || substr(md5('av|' || CAST(c_custkey AS
+              VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) AS v
+  FROM customer
+), m AS (
+  SELECT plane, u, v,
+         (2 + plane) * u - 3 * v + 7 AS xi,
+         u + (5 + plane) * v - 11 AS eta
+  FROM pairs
+), g AS (
+  SELECT plane, COUNT(*) AS nn, SUM(u) AS su, SUM(v) AS sv,
+         SUM(u*u) AS suu, SUM(v*v) AS svv, SUM(u*v) AS suv,
+         SUM(xi) AS sx, SUM(xi*u) AS sxu, SUM(xi*v) AS sxv,
+         SUM(eta) AS se, SUM(eta*u) AS seu, SUM(eta*v) AS sev
+  FROM m GROUP BY 1
+), s AS (
+  SELECT *,
+    suu*(svv*nn - sv*sv) - suv*(suv*nn - su*sv)
+        + su*(suv*sv - svv*su) AS det
+  FROM g
+)
+SELECT plane, CAST(nn AS BIGINT) AS n_pairs,
+  round((sxu*(svv*nn - sv*sv) - suv*(sxv*nn - sx*sv)
+         + su*(sxv*sv - svv*sx)) / det, 9) AS a9,
+  round((suu*(sxv*nn - sx*sv) - sxu*(suv*nn - su*sv)
+         + su*(suv*sx - su*sxv)) / det, 9) AS b9,
+  round((suu*(svv*sx - sv*sxv) - suv*(suv*sx - su*sxv)
+         + sxu*(suv*sv - su*svv)) / det, 9) AS c9,
+  round((seu*(svv*nn - sv*sv) - suv*(sev*nn - se*sv)
+         + su*(sev*sv - svv*se)) / det, 9) AS d9,
+  round((suu*(sev*nn - se*sv) - seu*(suv*nn - su*sv)
+         + su*(suv*se - su*sev)) / det, 9) AS e9,
+  round((suu*(svv*se - sv*sev) - suv*(suv*se - su*sev)
+         + seu*(suv*sv - su*svv)) / det, 9) AS f9
+FROM s
+""")
+def q127_astrometric_solve(spark, sf):
+    """Astrometric solve (r5) — fitting the linear TAN WCS (CD matrix
+    + tangent offset) to matched star pairs, the plate-solution step
+    of survey calibration: per plane, `fit_tangent_affine` collects
+    the 12 normal-equation sums in ONE map-side-combined groupBy and
+    solves the shared 3×3 system by Cramer's rule as column
+    arithmetic — no driver-side solver, |planes| output rows at any
+    pair count (validated against numpy lstsq at 1e-10 on noisy data
+    in tests). The fixture's (ξ, η) are EXACT integer affines of
+    integer pixel offsets, so sums and determinants are exact and the
+    recovered coefficients (a = 2+plane, b = −3, c = 7, d = 1,
+    e = 5+plane, f = −11) hash exactly; the oracle replays sums +
+    Cramer in SQL."""
+    from spark_fits_spark.functions.wcs import fit_tangent_affine
+
+    c = _t(spark, sf, "customer")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    plane = (F.col("c_custkey") % 4).alias("plane")
+    pairs = c.select(
+        plane, h("au", 1000).cast("double").alias("u"),
+        h("av", 1000).cast("double").alias("v"))
+    m = pairs.select(
+        "plane", "u", "v",
+        ((2 + F.col("plane")) * F.col("u") - 3 * F.col("v") + 7).alias("xi"),
+        (F.col("u") + (5 + F.col("plane")) * F.col("v") - 11).alias("eta"))
+    out = fit_tangent_affine(m, "plane", "u", "v", "xi", "eta")
+    return out.select(
+        "plane", "n_pairs",
+        F.round("a", 9).alias("a9"), F.round("b", 9).alias("b9"),
+        F.round("c", 9).alias("c9"), F.round("d", 9).alias("d9"),
+        F.round("e", 9).alias("e9"), F.round("f", 9).alias("f9"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5075,8 +5153,9 @@ _DRIVER_PRIORITY = [
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
     # q121_epoch_crossmatch, q122_periodogram_peaks,
     # q123_zone_partitioned_cone, q124_galactic_skymap,
-    # q125_photometric_calibration and q126_transient_detection also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q125_photometric_calibration, q126_transient_detection and
+    # q127_astrometric_solve also land past the cap and lead the r6
+    # gate alongside them.)
 ]
 
 

@@ -79,3 +79,32 @@ def test_from_header():
         TanWcs.from_header({**h, "CROTA2": 30.0})
     with pytest.raises(ValueError, match="CRVAL1"):
         TanWcs.from_header({k: v for k, v in h.items() if k != "CRVAL1"})
+
+
+def test_fit_tangent_affine(spark):
+    import numpy as np
+
+    from spark_fits_spark.functions.wcs import fit_tangent_affine
+
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 1000, 60).astype(float)
+    v = rng.integers(0, 1000, 60).astype(float)
+    xi = 2e-4 * u - 3e-5 * v + 0.01 + rng.normal(0, 1e-7, 60)
+    eta = 2.5e-5 * u + 1.9e-4 * v - 0.02 + rng.normal(0, 1e-7, 60)
+    rows = [(0, float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(u, v, xi, eta)]
+    rows += [(1, 1.0, 1.0, 0.5, 0.5), (1, 2.0, 2.0, 1.0, 1.0)]  # singular
+    df = spark.createDataFrame(
+        rows, "plane long, u double, v double, xi double, eta double")
+    out = {r["plane"]: r for r in
+           fit_tangent_affine(df, "plane", "u", "v", "xi", "eta").collect()}
+    # numpy lstsq reference
+    A = np.column_stack([u, v, np.ones_like(u)])
+    ref_x = np.linalg.lstsq(A, xi, rcond=None)[0]
+    ref_e = np.linalg.lstsq(A, eta, rcond=None)[0]
+    got = out[0]
+    for k, w in zip("abc", ref_x):
+        assert abs(got[k] - w) < 1e-10, (k, got[k], w)
+    for k, w in zip("def", ref_e):
+        assert abs(got[k] - w) < 1e-10, (k, got[k], w)
+    assert out[1]["a"] is None and out[1]["f"] is None   # singular
