@@ -241,3 +241,37 @@ def zone_crossmatch(
         .where(dist <= F.lit(radius * radius))
         .select("id_a", "id_b", dist.cast("long").alias("dist_sq"))
     )
+
+
+def best_match_crossmatch(
+    cat_a: DataFrame,
+    cat_b: DataFrame,
+    *,
+    radius: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """Nearest-counterpart crossmatch — for each row of A, the single
+    CLOSEST B row within ``radius`` → ``(id_a, id_b, dist_sq)``; A rows
+    with no candidate in range are absent. The "best match" semantics
+    every survey association step actually wants (one counterpart per
+    detection), vs :func:`zone_crossmatch`'s all-pairs-within-radius.
+
+    Built as zones blocking + ONE ``groupBy(id_a).min(struct(dist_sq,
+    id_b))``: the lexicographic struct-min is a partial (map-side
+    combined) aggregation, so the ≤9 candidate pairs per A row collapse
+    before the single shuffle on ``id_a`` — cheaper at scale than a
+    window sort over the pair table (no per-partition full sort, and
+    combiner output is one row per (task, id_a)). Ties on distance
+    break deterministically toward the smaller ``id_b``.
+    """
+    pairs = zone_crossmatch(
+        cat_a, cat_b, radius=radius,
+        x_col=x_col, y_col=y_col, id_col=id_col)
+    best = pairs.groupBy("id_a").agg(
+        F.min(F.struct("dist_sq", "id_b")).alias("_m"))
+    return best.select(
+        "id_a",
+        F.col("_m.id_b").alias("id_b"),
+        F.col("_m.dist_sq").alias("dist_sq"))

@@ -5094,6 +5094,57 @@ def q127_astrometric_solve(spark, sf):
         F.round("e", 9).alias("e9"), F.round("f", 9).alias("f9"))
 
 
+@query("q128_best_match_crossmatch", """
+WITH a AS (
+  SELECT c_custkey AS id_a,
+         CAST(('0x' || substr(md5('ax|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS xa,
+         CAST(('0x' || substr(md5('ay|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS ya
+  FROM customer
+), b AS (
+  SELECT s_suppkey AS id_b,
+         CAST(('0x' || substr(md5('bx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS xb,
+         CAST(('0x' || substr(md5('by|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS yb
+  FROM supplier
+), p AS (
+  SELECT id_a, id_b,
+         (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist_sq
+  FROM a, b
+  WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 16000000
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                               ORDER BY dist_sq, id_b) AS rn
+  FROM p
+)
+SELECT id_a, id_b, dist_sq FROM r WHERE rn = 1
+""")
+def q128_best_match_crossmatch(spark, sf):
+    """Nearest-counterpart crossmatch (r5) — the association step a
+    survey pipeline runs after q102's all-pairs match: each detection
+    keeps its single CLOSEST catalog counterpart within radius
+    (distance tie → smaller id_b). Zones blocking feeds ONE
+    ``groupBy(id_a).min(struct(dist_sq, id_b))`` — a map-side-combined
+    partial aggregation, no window sort over the pair table. Same
+    integer md5-grid fixture as q102 (radius 4000); the oracle is the
+    all-pairs + ROW_NUMBER formulation, so the green hash certifies
+    both exact recall of the blocking AND the argmin semantics."""
+    def grid(df, idc, sx, sy):
+        def h(salt):
+            return (
+                F.conv(F.substring(F.md5(F.concat(
+                    F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+                    16, 10).cast("long") % 100000)
+        return df.select(F.col(idc).alias("id"),
+                         h(sx).alias("x"), h(sy).alias("y"))
+
+    a = grid(_t(spark, sf, "customer"), "c_custkey", "ax", "ay")
+    b = grid(_t(spark, sf, "supplier"), "s_suppkey", "bx", "by")
+    return relational.best_match_crossmatch(a, b, radius=4000)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5153,9 +5204,9 @@ _DRIVER_PRIORITY = [
     # q118_reproject_mosaic, q119_mosaic_stack, q120_cone_search,
     # q121_epoch_crossmatch, q122_periodogram_peaks,
     # q123_zone_partitioned_cone, q124_galactic_skymap,
-    # q125_photometric_calibration, q126_transient_detection and
-    # q127_astrometric_solve also land past the cap and lead the r6
-    # gate alongside them.)
+    # q125_photometric_calibration, q126_transient_detection,
+    # q127_astrometric_solve and q128_best_match_crossmatch also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

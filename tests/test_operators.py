@@ -1568,3 +1568,39 @@ def test_bigram_logprob_penalizes_word_order_violations(spark):
     uni = {r["doc_id"]: r["avg_logprob"] for r in
            T.corpus_unigram_logprob(df, "text", "doc_id").collect()}
     assert abs(uni[100] - uni[0]) < 1e-6
+
+
+def test_best_match_crossmatch(spark):
+    """Best-match == brute-force argmin over the in-radius candidates,
+    one row per matched A, tie toward smaller id_b, unmatched absent,
+    and the plan aggregates (partial min) rather than window-sorts."""
+    from spark_fits_spark.operators import relational
+
+    rows_a = [(0, 10, 10), (1, 99, 99), (2, 100, 100), (3, 205, 10),
+              (4, 0, 0), (5, 900, 900)]
+    rows_b = [(10, 12, 14), (11, 101, 101), (12, 200, 10), (13, 0, 5),
+              (14, 97, 97), (15, 105, 97)]
+    a = spark.createDataFrame(rows_a, ["id", "x", "y"])
+    b = spark.createDataFrame(rows_b, ["id", "x", "y"])
+    for r in (5, 15, 100):
+        got = sorted(tuple(x) for x in relational.best_match_crossmatch(
+            a, b, radius=r).collect())
+        want = {}
+        for ia, xa, ya in rows_a:
+            cands = sorted(
+                ((xa - xb) ** 2 + (ya - yb) ** 2, ib)
+                for ib, xb, yb in rows_b
+                if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r)
+            if cands:
+                want[ia] = (ia, cands[0][1], cands[0][0])
+        assert got == sorted(want.values()), (r, got)
+        assert len(got) == len({g[0] for g in got})
+    # tie-break: (1, 99, 99) is dist_sq 8 from BOTH 11 (101,101) and
+    # 14 (97,97) -> smaller id_b wins
+    got = {r["id_a"]: r for r in relational.best_match_crossmatch(
+        a, b, radius=100).collect()}
+    assert got[1]["id_b"] == 11 and got[1]["dist_sq"] == 8
+    plan = (relational.best_match_crossmatch(a, b, radius=100)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
