@@ -469,3 +469,80 @@ def image_stats(df: DataFrame) -> DataFrame:
         F.max("px").alias("max_px"),
         F.sum(F.col("px").cast("double")).alias("sum_px"),
     )
+
+
+def convolve2d(df: DataFrame, kernel,
+               value_col: str = "Image") -> DataFrame:
+    """Distributed 2-D kernel correlation over ``(ImgIndex, y,
+    Image)`` rows — the PSF-smoothing pass real source extraction
+    runs before thresholding (SExtractor's filter step; the
+    reference's im2cat example delegates it to photutils on the
+    driver, `examples/python/im2cat.py`) and the matching step
+    before :func:`difference_image`. ``out[y][x] = Σ_{dy,dx}
+    k[dy+cy][dx+cx] · img[y+dy][x+dx]`` with zero padding outside
+    the plane; output rows are ``(ImgIndex, y, Image)`` and feed
+    ``detect_sources(prepared=True)`` directly.
+
+    Scale shape: the horizontal pass is a JVM ``transform`` over each
+    row (whole-stage codegen, ``F.get`` zero-pads the x edges); each
+    row then contributes its per-kernel-row partial to at most
+    ``kernel_height`` target rows via ONE ``groupBy(plane, y)`` whose
+    shuffle is kernel_height × pixel volume, partitioned by ROW — a
+    one-plane 100 GB image keeps full row-level parallelism (a
+    per-plane sort window would collapse it onto one task). The
+    vertical combine is a JVM ``zip_with`` fold; nothing leaves the
+    JVM. Rows outside the plane (zero-pad ghosts) are dropped against
+    a broadcast per-plane height table (|planes| rows)."""
+    kh = len(kernel)
+    kw = len(kernel[0]) if kh else 0
+    if kh == 0 or kw == 0 or any(len(r) != kw for r in kernel):
+        raise ValueError("kernel must be a non-empty rectangle")
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(
+            f"kernel dimensions must be odd, got {kh}x{kw}")
+    cy, cx = kh // 2, kw // 2
+
+    img = F.transform(F.col(value_col), lambda v: v.cast("double"))
+    rows = df.select("ImgIndex", "y", img.alias("_img"))
+
+    def hrow(krow):
+        # horizontal 1-D correlation with one kernel row; F.get is
+        # 0-based and NULL out of bounds -> coalesce = zero padding
+        def px(v, i):
+            terms = [
+                F.lit(float(krow[dx + cx]))
+                * F.coalesce(F.get(F.col("_img"), i + dx), F.lit(0.0))
+                for dx in range(-cx, cx + 1) if krow[dx + cx] != 0]
+            if not terms:
+                return F.lit(0.0)
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
+        return F.transform(F.col("_img"), px)
+
+    contribs = [
+        F.struct((F.col("y") - dy).alias("ty"),
+                 hrow(kernel[dy + cy]).alias("hv"))
+        for dy in range(-cy, cy + 1)
+        if any(k != 0 for k in kernel[dy + cy])]
+    if not contribs:
+        raise ValueError("kernel is all zeros")
+    parts = (
+        rows.select("ImgIndex", F.explode(F.array(*contribs)).alias("_c"))
+        .select("ImgIndex", F.col("_c.ty").alias("y"),
+                F.col("_c.hv").alias("_hv"))
+        .where(F.col("y") >= 0)
+    )
+    heights = df.groupBy("ImgIndex").agg(F.max("y").alias("_maxy"))
+    agg = (
+        parts.join(F.broadcast(heights), "ImgIndex")
+        .where(F.col("y") <= F.col("_maxy"))
+        .groupBy("ImgIndex", "y")
+        .agg(F.collect_list("_hv").alias("_l"))
+    )
+    summed = F.aggregate(
+        F.slice(F.col("_l"), 2, F.size(F.col("_l"))),
+        F.element_at(F.col("_l"), 1),
+        lambda acc, r: F.zip_with(acc, r, lambda a, b: a + b))
+    return agg.select("ImgIndex", "y", summed.alias(value_col))

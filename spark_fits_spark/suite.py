@@ -5145,6 +5145,71 @@ def q128_best_match_crossmatch(spark, sf):
     return relational.best_match_crossmatch(a, b, radius=4000)
 
 
+@query("q129_psf_convolution", """
+WITH p AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS plane,
+         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+         CAST(('0x' || substr(md5('px|' || CAST(n_nationkey AS VARCHAR)
+               || '|' || CAST(yy.y AS VARCHAR)
+               || '|' || CAST(xx.x AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 100 AS v
+  FROM nation,
+       (SELECT unnest(range(0, 12)) AS y) yy,
+       (SELECT unnest(range(0, 16)) AS x) xx
+), k AS (
+  SELECT * FROM (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),
+                        (0,-1,2),(0,0,4),(0,1,2),
+                        (1,-1,1),(1,0,2),(1,1,1)) AS t(dy, dx, w)
+), c AS (
+  SELECT plane, p.y - dy AS y, p.x - dx AS x,
+         SUM(w * v) AS conv
+  FROM p CROSS JOIN k
+  GROUP BY 1, 2, 3
+)
+SELECT plane, y, x, CAST(conv AS BIGINT) AS conv
+FROM c WHERE y BETWEEN 0 AND 11 AND x BETWEEN 0 AND 15
+""")
+def q129_psf_convolution(spark, sf):
+    """Distributed PSF smoothing (r5) — `convolve2d`, the filter pass
+    real source extraction runs before thresholding (SExtractor's
+    convolution; the reference's im2cat example leaves it to driver-
+    side photutils) as an all-JVM plan: horizontal 1-D correlation
+    inside a codegen `transform` (F.get zero-pads the x edges), each
+    row ships ≤ kernel_height per-kernel-row partials through ONE
+    row-partitioned groupBy, vertical combine is a zip_with fold —
+    full row-level parallelism on a one-plane 100 GB image, no
+    per-plane sort window. Fixture: a 25-plane 12×16 cube of exact
+    md5-derived integer pixels built by closed-form column arithmetic
+    (no data read); integer 3×3 Gaussian-ish kernel, so sums are
+    order-free exact and the flattened output hashes bit-for-bit
+    against the oracle's pixel×kernel cross-join replay (zero padding
+    = dropped ghost contributions in BOTH formulations)."""
+    from spark_fits_spark.operators.images import convolve2d
+
+    n = _t(spark, sf, "nation")
+    plane = F.col("n_nationkey").cast("long")
+    y = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y")
+    base = n.select(plane.alias("ImgIndex"), y)
+
+    def px(x):
+        s = F.concat(F.lit("px|"), F.col("ImgIndex").cast("string"),
+                     F.lit("|"), F.col("y").cast("string"),
+                     F.lit("|"), x.cast("string"))
+        return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long") % 100)
+
+    rows = base.select(
+        "ImgIndex", F.col("y").cast("long").alias("y"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: px(x)).alias("Image"))
+    out = convolve2d(rows, [[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    return out.select(
+        F.col("ImgIndex").alias("plane"), "y",
+        F.posexplode("Image").alias("x", "_c")
+    ).select("plane", "y", F.col("x").cast("long").alias("x"),
+             F.col("_c").cast("long").alias("conv"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5205,8 +5270,9 @@ _DRIVER_PRIORITY = [
     # q121_epoch_crossmatch, q122_periodogram_peaks,
     # q123_zone_partitioned_cone, q124_galactic_skymap,
     # q125_photometric_calibration, q126_transient_detection,
-    # q127_astrometric_solve and q128_best_match_crossmatch also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q127_astrometric_solve, q128_best_match_crossmatch and
+    # q129_psf_convolution also land past the cap and lead the
+    # r6 gate alongside them.)
 ]
 
 

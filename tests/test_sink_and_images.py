@@ -486,3 +486,64 @@ def test_difference_image_cancels_statics(spark, tmp_path):
     assert len(det) == 1
     assert det[0]["flux"] == 90.0 and det[0]["n_px"] == 1
     assert det[0]["x_centroid"] == 6.0 and det[0]["y_centroid"] == 4.0
+
+
+def test_convolve2d_numpy_parity(spark):
+    """convolve2d == hand-rolled zero-padded numpy correlation, exactly
+    (integer pixels -> order-free double sums), incl. edges, multiple
+    planes, and a non-square kernel; kernel validation raises."""
+    import numpy as np
+
+    from spark_fits_spark.operators.images import convolve2d
+
+    rng = np.random.default_rng(7)
+    cube = rng.integers(0, 100, (3, 9, 11)).astype("i8")
+    rows = [(int(p), int(y), [int(v) for v in cube[p, y]])
+            for p in range(3) for y in range(9)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<long>")
+
+    def ref(k):
+        k = np.asarray(k, dtype="f8")
+        cy, cx = k.shape[0] // 2, k.shape[1] // 2
+        pad = np.pad(cube.astype("f8"),
+                     ((0, 0), (cy, cy), (cx, cx)))
+        out = np.zeros_like(cube, dtype="f8")
+        for dy in range(k.shape[0]):
+            for dx in range(k.shape[1]):
+                out += k[dy, dx] * pad[:, dy:dy + 9, dx:dx + 11]
+        return out
+
+    for k in ([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+              [[-1, 0, 1]],
+              [[1], [0], [-1]],
+              [[0, 1, 0, 0, 0], [1, 2, 1, 0, 0], [0, 1, 0, 0, 1]]):
+        got = {(r["ImgIndex"], r["y"]): r["Image"]
+               for r in convolve2d(df, k).collect()}
+        want = ref(k)
+        assert len(got) == 27, k
+        for p in range(3):
+            for y in range(9):
+                assert got[(p, y)] == list(want[p, y]), (k, p, y)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="odd"):
+        convolve2d(df, [[1, 2], [3, 4]])
+    with _pt.raises(ValueError, match="rectangle"):
+        convolve2d(df, [[1, 2, 3], [1, 2]])
+    with _pt.raises(ValueError, match="all zeros"):
+        convolve2d(df, [[0]])
+    # composes with detect_sources(prepared=True): smoothing must not
+    # move the single hot pixel's component peak position
+    one = [(0, y, [0] * 11) for y in range(9)]
+    one[4] = (0, 4, [0] * 5 + [900] + [0] * 5)
+    sdf = spark.createDataFrame(
+        one, "ImgIndex long, y long, Image array<long>")
+    sm = convolve2d(sdf, [[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    from spark_fits_spark.operators.images import detect_sources
+    src = detect_sources(sm, threshold_sigma=5.0,
+                         prepared=True).collect()
+    assert len(src) == 1
+    assert abs(src[0]["x_centroid"] - 5.0) < 1e-9
+    assert abs(src[0]["y_centroid"] - 4.0) < 1e-9
+    assert src[0]["peak"] == 3600.0
