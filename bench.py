@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q127_astrometric_solve",
     "q128_best_match_crossmatch",
     "q129_psf_convolution",
+    "q130_two_point_correlation",
 ]
 
 
@@ -577,7 +578,7 @@ def main() -> None:
                                           "q118", "q119", "q120",
                                           "q121", "q122", "q123",
                                           "q124", "q125", "q126",
-                                          "q127", "q128", "q129",
+                                          "q127", "q128", "q129", "q130",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -275,3 +275,72 @@ def best_match_crossmatch(
         "id_a",
         F.col("_m.id_b").alias("id_b"),
         F.col("_m.dist_sq").alias("dist_sq"))
+
+
+def two_point_correlation(
+    data: DataFrame,
+    randoms: DataFrame,
+    *,
+    radius: int,
+    nbins: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """Angular two-point correlation function — the Landy–Szalay
+    (1993) estimator ``ξ(θ) = (DD − 2DR + RR) / RR`` over a data
+    catalog and a random (unclustered) catalog, the galaxy-clustering
+    measurement survey pipelines run over the whole sky. Returns one
+    row per separation bin: ``(bin, dd, dr, rr, xi6)``.
+
+    Pair counting never goes all-pairs: each of DD/DR/RR is a
+    :func:`zone_crossmatch` (cell equi-join, O(n·density)) with
+    self-pairs removed by an id filter; DD/RR count ORDERED pairs
+    (each unordered pair twice) and the normalizations ``n(n−1)`` /
+    ``nd·nr`` match that convention, so the estimator is exact. Bins
+    are equal-width annuli in SQUARED separation (``bin = dist_sq ·
+    nbins div radius²``, integer-exact in any engine); pairs at
+    exactly ``radius`` are excluded so every bin is well-defined.
+    Per-bin counts are map-side-combined aggs of the blocked pair
+    streams; empty bins appear with zero counts (one generated
+    |nbins|-row frame, broadcast-joined); ``xi6`` is NULL where
+    ``rr = 0``."""
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    r2 = radius * radius
+
+    def counts(a, b, name, self_pairs):
+        pairs = zone_crossmatch(
+            a, b, radius=radius, x_col=x_col, y_col=y_col, id_col=id_col)
+        if self_pairs:
+            pairs = pairs.where(F.col("id_a") != F.col("id_b"))
+        return (
+            pairs.where(F.col("dist_sq") < r2)
+            .groupBy(F.expr(
+                f"(dist_sq * {nbins}) div {r2}").cast("long").alias("bin"))
+            .agg(F.count("*").alias(name))
+        )
+
+    dd = counts(data, data, "dd", True)
+    dr = counts(data, randoms, "dr", False)
+    rr = counts(randoms, randoms, "rr", True)
+    nd = data.count()
+    nr = randoms.count()
+    bins = data.sparkSession.range(nbins).select(
+        F.col("id").alias("bin"))
+    out = (
+        bins.join(dd, "bin", "left")
+        .join(dr, "bin", "left")
+        .join(rr, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("dd", F.lit(0)).alias("dd"),
+            F.coalesce("dr", F.lit(0)).alias("dr"),
+            F.coalesce("rr", F.lit(0)).alias("rr"))
+    )
+    ddn = F.col("dd") / F.lit(float(nd * (nd - 1)))
+    drn = F.col("dr") / F.lit(float(nd * nr))
+    rrn = F.col("rr") / F.lit(float(nr * (nr - 1)))
+    xi = F.when(F.col("rr") > 0,
+                F.round((ddn - 2 * drn + rrn) / rrn, 6))
+    return out.select("bin", "dd", "dr", "rr", xi.alias("xi6"))

@@ -5210,6 +5210,82 @@ def q129_psf_convolution(spark, sf):
              F.col("_c").cast("long").alias("conv"))
 
 
+@query("q130_two_point_correlation", """
+WITH a AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substr(md5('ax|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS x,
+         CAST(('0x' || substr(md5('ay|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS y
+  FROM customer
+), b AS (
+  SELECT s_suppkey AS id,
+         CAST(('0x' || substr(md5('bx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS x,
+         CAST(('0x' || substr(md5('by|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS y
+  FROM supplier
+), nd AS (SELECT COUNT(*) AS c FROM a),
+nr AS (SELECT COUNT(*) AS c FROM b),
+ddp AS (
+  SELECT ((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) AS d2
+  FROM a p, a q WHERE p.id <> q.id
+    AND (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), drp AS (
+  SELECT ((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) AS d2
+  FROM a p, b q
+  WHERE (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), rrp AS (
+  SELECT ((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) AS d2
+  FROM b p, b q WHERE p.id <> q.id
+    AND (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), dd AS (SELECT (d2 * 8) // 64000000 AS bin, COUNT(*) AS dd
+          FROM ddp GROUP BY 1),
+dr AS (SELECT (d2 * 8) // 64000000 AS bin, COUNT(*) AS dr
+       FROM drp GROUP BY 1),
+rr AS (SELECT (d2 * 8) // 64000000 AS bin, COUNT(*) AS rr
+       FROM rrp GROUP BY 1),
+bins AS (SELECT unnest(range(0, 8)) AS bin)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       COALESCE(dd, 0) AS dd, COALESCE(dr, 0) AS dr,
+       COALESCE(rr, 0) AS rr,
+       CASE WHEN COALESCE(rr, 0) > 0 THEN
+         round(((COALESCE(dd, 0) / (nd.c * (nd.c - 1.0))
+                 - 2 * COALESCE(dr, 0) / (nd.c * 1.0 * nr.c)
+                 + COALESCE(rr, 0) / (nr.c * (nr.c - 1.0)))
+                / (COALESCE(rr, 0) / (nr.c * (nr.c - 1.0)))), 6)
+       END AS xi6
+FROM bins LEFT JOIN dd ON bins.bin = dd.bin
+          LEFT JOIN dr ON bins.bin = dr.bin
+          LEFT JOIN rr ON bins.bin = rr.bin, nd, nr
+ORDER BY 1
+""")
+def q130_two_point_correlation(spark, sf):
+    """Angular two-point correlation function (r5) — the Landy–Szalay
+    (1993) ξ estimator, the galaxy-clustering statistic that IS a
+    100 TB workload at a real survey: DD/DR/RR pair counts via three
+    zones-blocked cell equi-joins (O(n·density), never all-pairs),
+    ordered-pair convention matched by n(n−1) normalizations,
+    integer-exact squared-separation annuli (``dist_sq·nbins div
+    r²``), empty bins zero-filled from a generated frame. Same
+    md5-grid fixture family as q102 (customer = data, supplier =
+    randoms, radius 8000, 8 bins); the oracle is the all-pairs
+    formulation, so the green hash certifies blocking recall,
+    self-pair exclusion, strict outer edge, binning arithmetic, and
+    the estimator itself."""
+    def grid(df, idc, sx, sy):
+        def h(salt):
+            return (F.conv(F.substring(F.md5(F.concat(
+                F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+                16, 10).cast("long") % 100000)
+        return df.select(F.col(idc).alias("id"),
+                         h(sx).alias("x"), h(sy).alias("y"))
+
+    a = grid(_t(spark, sf, "customer"), "c_custkey", "ax", "ay")
+    b = grid(_t(spark, sf, "supplier"), "s_suppkey", "bx", "by")
+    return relational.two_point_correlation(a, b, radius=8000, nbins=8)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5271,8 +5347,8 @@ _DRIVER_PRIORITY = [
     # q123_zone_partitioned_cone, q124_galactic_skymap,
     # q125_photometric_calibration, q126_transient_detection,
     # q127_astrometric_solve, q128_best_match_crossmatch and
-    # q129_psf_convolution also land past the cap and lead the
-    # r6 gate alongside them.)
+    # q129_psf_convolution and q130_two_point_correlation also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

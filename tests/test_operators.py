@@ -1604,3 +1604,56 @@ def test_best_match_crossmatch(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_min" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_two_point_correlation(spark):
+    """Landy-Szalay pair counts == brute force (ordered pairs,
+    self-excluded, strict outer edge, integer dist_sq binning), empty
+    bins present with zero counts, xi NULL where rr=0, xi>0 at small
+    separations for clustered data vs a uniform random field."""
+    from spark_fits_spark.operators import relational
+
+    # two tight clusters + a uniform 12x12 random grid (spacing 8 so
+    # the smallest separation bin has random pairs -> rr > 0 there)
+    data = [(i, 10 + i % 3, 10 + (i // 3) % 3) for i in range(9)]
+    data += [(100 + i, 80 + i % 3, 80 + (i // 3) % 3) for i in range(9)]
+    rnd = [(1000 + 12 * j + i, 4 + 8 * i, 4 + 8 * j)
+           for i in range(12) for j in range(12)]
+    a = spark.createDataFrame(data, ["id", "x", "y"])
+    b = spark.createDataFrame(rnd, ["id", "x", "y"])
+    radius, nbins = 30, 5
+    got = {r["bin"]: r for r in relational.two_point_correlation(
+        a, b, radius=radius, nbins=nbins).collect()}
+    assert sorted(got) == list(range(nbins))
+
+    def brute(pa, pb, self_pairs):
+        c = {}
+        for ia, xa, ya in pa:
+            for ib, xb, yb in pb:
+                if self_pairs and ia == ib:
+                    continue
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 < radius * radius:
+                    c[d2 * nbins // (radius * radius)] = \
+                        c.get(d2 * nbins // (radius * radius), 0) + 1
+        return c
+
+    dd, dr, rr = (brute(data, data, True), brute(data, rnd, False),
+                  brute(rnd, rnd, True))
+    nd, nr = len(data), len(rnd)
+    for i in range(nbins):
+        g = got[i]
+        assert (g["dd"], g["dr"], g["rr"]) == \
+            (dd.get(i, 0), dr.get(i, 0), rr.get(i, 0)), i
+        if rr.get(i, 0) == 0:
+            assert g["xi6"] is None
+        else:
+            ddn = dd.get(i, 0) / (nd * (nd - 1))
+            drn = dr.get(i, 0) / (nd * nr)
+            rrn = rr.get(i, 0) / (nr * (nr - 1))
+            assert abs(g["xi6"] - round(
+                (ddn - 2 * drn + rrn) / rrn, 6)) < 2e-6, i
+    # clustered: excess correlation in the smallest bin
+    assert got[0]["xi6"] is not None and got[0]["xi6"] > 1.0
+    with pytest.raises(ValueError, match="nbins"):
+        relational.two_point_correlation(a, b, radius=10, nbins=0)
