@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "q128_best_match_crossmatch",
     "q129_psf_convolution",
     "q130_two_point_correlation",
+    "q131_median_stack",
+    "q132_clipped_stack",
 ]
 
 
@@ -579,6 +581,7 @@ def main() -> None:
                                           "q121", "q122", "q123",
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
+                                          "q131", "q132",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -305,7 +305,63 @@ def difference_image(science: DataFrame, template: DataFrame,
     return j.select("ImgIndex", "y", diff.alias("Image"))
 
 
-def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
+def _robust_stack(g, width, method, sigma, iters):
+    """median / sigma-clipped combine across planes, per position.
+
+    ``g`` is the per-y grouped frame (``_imgs``: list of plane rows).
+    Builds ONE array<array<double>> column of per-position finite
+    values, then runs the robust statistic as JVM higher-order
+    functions; clip rounds are successive Project nodes so the
+    expression tree stays bounded (each round references the previous
+    round's COLUMN, not its expression)."""
+    pv = F.transform(
+        F.sequence(F.lit(0), width - 1),
+        lambda x: F.filter(
+            F.transform(F.col("_imgs"),
+                        lambda img: F.get(img, x).cast("double")),
+            lambda v: v.isNotNull() & ~F.isnan(v)))
+    pvd = g.select("y", "n_planes", pv.alias("_pv"))
+
+    def asum(vals):
+        return F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+
+    def med(vals):
+        s = F.array_sort(vals)
+        n = F.size(s)
+        lo = F.element_at(s, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(s, (F.floor(n / 2) + 1).cast("int"))
+        return F.when(n > 0, (lo + hi) / 2)
+
+    if method == "median":
+        image = F.transform(F.col("_pv"), med)
+        return pvd.select("y", image.alias("image"), "n_planes")
+
+    # clipped_mean: median-centered, MAD-scaled rejection (astropy's
+    # mad_std convention, 1.4826 ≈ 1/Φ⁻¹(3/4)). Mean/std clipping
+    # cannot work here: a single outlier among n frames is at most
+    # √(n−1) std from the mean, so 3σ would NEVER fire for n ≤ 10 —
+    # exactly the few-exposure stacks this operator exists for.
+    for _ in range(iters):
+        def clip(vals):
+            m = med(vals)
+            mad = med(F.transform(vals, lambda v: F.abs(v - m)))
+            return F.filter(
+                vals,
+                lambda v: F.abs(v - m)
+                <= F.lit(float(sigma) * 1.4826) * mad)
+        pvd = pvd.select(
+            "y", "n_planes",
+            F.transform(F.col("_pv"), clip).alias("_pv"))
+    image = F.transform(
+        F.col("_pv"),
+        lambda vals: F.when(F.size(vals) > 0, asum(vals) / F.size(vals)))
+    n_kept = F.transform(F.col("_pv"), F.size)
+    return pvd.select("y", image.alias("image"), "n_planes",
+                      n_kept.alias("n_kept"))
+
+
+def coadd_planes(df: DataFrame, method: str = "mean",
+                 sigma: float = 3.0, iters: int = 2) -> DataFrame:
     """Co-add (stack) all planes of an aligned cube into one image —
     the survey depth-building step (N dithered-and-registered exposures
     → one deeper frame): output row ``(y, image, n_planes)`` where
@@ -326,16 +382,33 @@ def coadd_planes(df: DataFrame, method: str = "mean") -> DataFrame:
     expressions over the collected per-y list (state per task ≈
     n_planes·width values, independent of image height).
 
-    ``method``: ``mean`` or ``sum``. NaN pixels (masked/undefined)
-    are excluded per-position under ``mean`` (the usual coadd rule:
-    a pixel masked in one exposure still stacks from the others)."""
-    if method not in ("mean", "sum"):
-        raise ValueError(f"method must be 'mean' or 'sum', got {method!r}")
+    ``method``: ``mean``, ``sum``, ``median`` or ``clipped_mean``.
+    NaN pixels (masked/undefined) are excluded per-position under
+    every method but ``sum`` (the usual coadd rule: a pixel masked in
+    one exposure still stacks from the others). ``median`` is the
+    robust stack (interpolating for even counts); ``clipped_mean``
+    is the cosmic-ray-rejection stack — ``iters`` rounds of
+    discarding pixels beyond ``sigma`` population standard deviations
+    of the surviving values' mean, then the mean of what remains.
+    Both run per POSITION across planes as JVM higher-order
+    functions over the same single groupBy(y) — the clip iterations
+    are successive Project nodes (no extra shuffle, bounded
+    expression depth)."""
+    if method not in ("mean", "sum", "median", "clipped_mean"):
+        raise ValueError(
+            f"method must be 'mean', 'sum', 'median' or "
+            f"'clipped_mean', got {method!r}")
     rows = with_plane_rows(df)
     g = (rows.groupBy("y")
          .agg(F.collect_list("Image").alias("_imgs"),
               F.count("*").alias("n_planes")))
     width = F.size(F.col("_imgs")[0])
+    if method in ("median", "clipped_mean"):
+        if method == "clipped_mean" and (sigma <= 0 or iters < 1):
+            raise ValueError(
+                f"clipped_mean needs sigma > 0 and iters >= 1, got "
+                f"sigma={sigma}, iters={iters}")
+        return _robust_stack(g, width, method, sigma, iters)
     finite = lambda v: ~F.isnan(v.cast("double"))  # noqa: E731
     psum = F.aggregate(
         "_imgs", F.array_repeat(F.lit(0.0), width),

@@ -5286,6 +5286,131 @@ def q130_two_point_correlation(spark, sf):
     return relational.two_point_correlation(a, b, radius=8000, nbins=8)
 
 
+_Q131_PX = """
+  SELECT n_nationkey AS k, r.y, c.x,
+         CASE WHEN CAST(('0x' || substr(md5('cr|'
+                || CAST(n_nationkey AS VARCHAR) || '|'
+                || CAST(r.y AS VARCHAR) || '|'
+                || CAST(c.x AS VARCHAR)), 1, 15)) AS BIGINT) % 17 = 0
+              THEN CAST(100000 AS DOUBLE)
+              ELSE CAST(CAST(('0x' || substr(md5('cr|'
+                || CAST(n_nationkey AS VARCHAR) || '|'
+                || CAST(r.y AS VARCHAR) || '|'
+                || CAST(c.x AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+                AS DOUBLE)
+         END AS v
+  FROM nation, range(0, 12) r(y), range(0, 16) c(x)
+"""
+
+
+def _q131_cube(spark, sf):
+    """Shared q131/q132 fixture: a 25-plane cube whose pixels are
+    md5-derived integers with ~6% planted cosmic-ray spikes (the SQL
+    twin of the expression is `_Q131_PX`), written once per sf as a
+    FITS cube and scanned back — so the gate also rides the
+    writer→scan round trip."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    img = np.empty((len(keys), 12, 16), dtype="f8")
+    for i, k in enumerate(keys):
+        for y in range(12):
+            for x in range(16):
+                h = int(hashlib.md5(
+                    f"cr|{k}|{y}|{x}".encode()).hexdigest()[:15], 16)
+                img[i, y, x] = 100000.0 if h % 17 == 0 else float(h % 1000)
+    d = _os.path.join(
+        "/tmp", "spark_fits_q131_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    if not _os.path.exists(path):
+        from spark_fits_spark.fitscore import writer as fw
+        fw.write_fits(path, [fw.image_hdu(img)])
+    return spark.read.format("fits").option("hdu", 1).load(path)
+
+
+def _flatten_stack(out):
+    return out.select(
+        "y", F.posexplode("image").alias("x", "value"), "n_planes"
+    ).select(F.col("y").cast("long").alias("y"),
+             F.col("x").cast("long").alias("x"),
+             F.col("n_planes").cast("long").alias("n_planes"), "value")
+
+
+@query("q131_median_stack", f"""
+WITH px AS ({_Q131_PX})
+SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+       CAST(COUNT(*) AS BIGINT) AS n_planes,
+       CAST(median(v) AS DOUBLE) AS value
+FROM px GROUP BY 1, 2
+""")
+def q131_median_stack(spark, sf):
+    """Median co-addition (r5) — the robust exposure stack
+    (`coadd_planes(method="median")`): per-position median across
+    planes as a JVM array_sort + element_at over the SAME single
+    groupBy(y) shuffle as the mean coadd (interpolating for even
+    counts = quantile_cont(0.5) semantics). ~6% planted 100000-valued
+    cosmic rays leave the median untouched wherever spikes are a
+    minority at that position — which the oracle certifies pixel by
+    pixel; integer pixel values make every median exact."""
+    from spark_fits_spark.operators.images import coadd_planes
+
+    return _flatten_stack(
+        coadd_planes(_q131_cube(spark, sf), method="median"))
+
+
+@query("q132_clipped_stack", f"""
+WITH px AS ({_Q131_PX}),
+m1 AS (SELECT y, x, median(v) AS md FROM px GROUP BY 1, 2),
+a1 AS (SELECT px.y, px.x, v, md FROM px JOIN m1 USING (y, x)),
+d1 AS (SELECT y, x, median(abs(v - md)) AS mad FROM a1 GROUP BY 1, 2),
+k1 AS (SELECT a1.y, a1.x, v FROM a1 JOIN d1 USING (y, x)
+       WHERE abs(v - md) <= 3.0 * 1.4826 * mad),
+m2 AS (SELECT y, x, median(v) AS md FROM k1 GROUP BY 1, 2),
+a2 AS (SELECT k1.y, k1.x, v, md FROM k1 JOIN m2 USING (y, x)),
+d2 AS (SELECT y, x, median(abs(v - md)) AS mad FROM a2 GROUP BY 1, 2),
+k2 AS (SELECT a2.y, a2.x, v FROM a2 JOIN d2 USING (y, x)
+       WHERE abs(v - md) <= 3.0 * 1.4826 * mad)
+SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+       CAST(COUNT(*) AS BIGINT) AS n_kept, AVG(v) AS value
+FROM k2 GROUP BY 1, 2
+""")
+def q132_clipped_stack(spark, sf):
+    """Sigma-clipped co-addition (r5) — cosmic-ray rejection
+    (`coadd_planes(method="clipped_mean")`): median-centered,
+    MAD-scaled clipping (astropy's mad_std convention; mean/std
+    clipping provably CANNOT reject a single outlier among n ≤ 10
+    frames — max deviation is √(n−1)·σ) for 2 rounds, then the mean
+    of survivors — all JVM higher-order functions over the one
+    groupBy(y) shuffle, clip rounds as successive Project nodes.
+    The oracle replays both rounds in SQL; exact integer pixels +
+    identical IEEE threshold arithmetic make the hash pin the clip
+    decisions themselves. Spikes (100000 vs ≤999 base) vanish from
+    every position's mean."""
+    from spark_fits_spark.operators.images import coadd_planes
+
+    out = coadd_planes(
+        _q131_cube(spark, sf), method="clipped_mean", sigma=3.0, iters=2)
+    return out.select(
+        F.col("y").cast("long").alias("y"),
+        F.arrays_zip(
+            F.col("image").alias("value"),
+            F.col("n_kept").alias("n_kept")).alias("_z")
+    ).select(
+        "y", F.posexplode("_z").alias("x", "_s")
+    ).select(
+        "y", F.col("x").cast("long").alias("x"),
+        F.col("_s.n_kept").cast("long").alias("n_kept"),
+        F.col("_s.value").alias("value"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5347,8 +5472,9 @@ _DRIVER_PRIORITY = [
     # q123_zone_partitioned_cone, q124_galactic_skymap,
     # q125_photometric_calibration, q126_transient_detection,
     # q127_astrometric_solve, q128_best_match_crossmatch and
-    # q129_psf_convolution and q130_two_point_correlation also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q129_psf_convolution, q130_two_point_correlation and the
+    # q131/q132 robust stacks also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

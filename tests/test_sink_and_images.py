@@ -375,7 +375,60 @@ def test_coadd_planes_nan_masking(spark, tmp_path):
     s = {r["y"]: r for r in coadd_planes(df, "sum").collect()}
     assert s[2]["image"][3] == 70.0
     with pytest.raises(ValueError, match="method"):
-        coadd_planes(df, "median")
+        coadd_planes(df, "mode")
+
+
+def test_coadd_planes_robust_stacks(spark, tmp_path):
+    """median / clipped_mean stacking == numpy reference per position:
+    NaN exclusion, even/odd-count median interpolation, cosmic-ray
+    spike rejected by the clip but dragging the plain mean."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    rng = np.random.default_rng(3)
+    cube = rng.integers(90, 110, (7, 4, 5)).astype("f8")
+    cube[4, 1, 2] = 5000.0          # cosmic ray
+    cube[2, 2, 3] = np.nan          # masked -> even count there
+    p = str(tmp_path / "robust.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+
+    med = {r["y"]: r["image"] for r in
+           coadd_planes(df, "median").collect()}
+    cm = {r["y"]: r["image"] for r in
+          coadd_planes(df, "clipped_mean", sigma=3.0, iters=2).collect()}
+    for y in range(4):
+        for x in range(5):
+            v = cube[:, y, x]
+            v = v[~np.isnan(v)]
+            assert abs(med[y][x] - float(np.median(v))) < 1e-12, (y, x)
+    # the spike: median and clipped mean reject it, plain mean doesn't
+    v = cube[:, 1, 2]
+    kept = v[v < 1000]
+    assert abs(cm[1][2] - kept.mean()) < 1e-12
+    mean = {r["y"]: r["image"] for r in
+            coadd_planes(df, "mean").collect()}
+    assert mean[1][2] > 700.0
+
+    def ref_clip(v, sigma=3.0, iters=2):
+        v = v[~np.isnan(v)]
+        for _ in range(iters):
+            m = np.median(v)
+            mad = np.median(np.abs(v - m))
+            v = v[np.abs(v - m) <= sigma * 1.4826 * mad]
+        return v
+
+    nk = {r["y"]: r["n_kept"] for r in
+          coadd_planes(df, "clipped_mean", sigma=3.0, iters=2).collect()}
+    for y in range(4):
+        for x in range(5):
+            keep = ref_clip(cube[:, y, x])
+            assert abs(cm[y][x] - keep.mean()) < 1e-12, (y, x)
+            assert nk[y][x] == len(keep), (y, x)
+    with pytest.raises(ValueError, match="sigma"):
+        coadd_planes(df, "clipped_mean", sigma=0.0)
+    with pytest.raises(ValueError, match="iters"):
+        coadd_planes(df, "clipped_mean", iters=0)
 
 
 def test_reproject_nearest_identity_and_shift(spark, tmp_path):
