@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q130_two_point_correlation",
     "q131_median_stack",
     "q132_clipped_stack",
+    "q133_structure_function",
 ]
 
 
@@ -581,7 +582,7 @@ def main() -> None:
                                           "q121", "q122", "q123",
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
-                                          "q131", "q132",
+                                          "q131", "q132", "q133",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -201,3 +201,51 @@ def phase_fold(df: DataFrame, t_col: str, y_col: str, id_col: str,
             .groupBy("object_id", "phase_bin")
             .agg(F.count("*").alias("n_obs"),
                  F.avg("_y").alias("mean_y")))
+
+
+def structure_function(df: DataFrame, t_col: str, y_col: str,
+                       key_col: str, *, max_lag: int,
+                       nbins: int) -> DataFrame:
+    """Ensemble structure function — ``SF(τ) = ⟨(y(t+τ) − y(t))²⟩``
+    over all same-object epoch pairs, binned by lag: the QSO/AGN
+    variability statistic (e.g. Vanden Berk et al. 2004) a survey
+    computes across every light curve at once. Returns one row per
+    lag bin: ``(bin, n_pairs, sf6)`` (equal-width integer-exact bins,
+    ``bin = lag·nbins div max_lag``, pairs with ``0 < lag <
+    max_lag``; ``sf6`` = mean squared difference rounded at 1e-6).
+
+    Never all-pairs per object: epochs are blocked into max_lag-sized
+    time cells (the Zones trick in 1-D) — the earlier epoch probes
+    its own cell and the next, the later epoch sits in its single
+    cell, so every qualifying pair meets the ``(key, cell)``
+    equi-join exactly once and the join cost is O(n · epochs-per-
+    window), not O(n²) for long-baseline curves. The closing per-bin
+    aggregation is map-side combined; pairs at identical timestamps
+    are excluded (lag 0 is not a structure-function point)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    t = F.col(t_col).cast("long")
+    cell = F.expr(
+        f"((cast({t_col} as bigint)) - pmod(cast({t_col} as bigint), "
+        f"{max_lag})) div {max_lag}").cast("long")
+    a = df.select(F.col(key_col).alias("_k"), t.alias("_t1"),
+                  F.col(y_col).cast("double").alias("_y1"),
+                  F.explode(F.array(cell, cell + 1)).alias("_c"))
+    b = df.select(F.col(key_col).alias("_k"), t.alias("_t2"),
+                  F.col(y_col).cast("double").alias("_y2"),
+                  cell.alias("_c"))
+    lag = F.col("_t2") - F.col("_t1")
+    dy = F.col("_y2") - F.col("_y1")
+    pairs = (
+        a.join(b, ["_k", "_c"])
+        .where((lag > 0) & (lag < max_lag))
+        .select((lag * nbins).alias("_ln"), (dy * dy).alias("_d2"))
+    )
+    return (
+        pairs.groupBy(
+            F.expr(f"_ln div {max_lag}").cast("long").alias("bin"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.round(F.avg("_d2"), 6).alias("sf6"))
+    )

@@ -5411,6 +5411,44 @@ def q132_clipped_stack(spark, sf):
         F.col("_s.value").alias("value"))
 
 
+@query("q133_structure_function", """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), p AS (
+  SELECT ((b2.t - b1.t) * 8) // 604800 AS bin,
+         (b2.y - b1.y) * (b2.y - b1.y) AS d2
+  FROM b b1 JOIN b b2 USING (user_id)
+  WHERE b2.t - b1.t > 0 AND b2.t - b1.t < 604800
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(AVG(d2), 6) AS sf6
+FROM p GROUP BY 1
+""")
+def q133_structure_function(spark, sf):
+    """Ensemble structure function (r5) — ``SF(τ) = ⟨(Δy)²⟩`` binned
+    by lag over every same-object epoch pair, the QSO/AGN variability
+    measurement (Vanden Berk 2004) a survey computes across all light
+    curves at once. Never all-pairs: epochs block into max_lag-sized
+    time cells (the 1-D Zones trick — earlier epoch probes cell and
+    cell+1, later epoch sits in its one cell), so each qualifying
+    pair meets the (object, cell) equi-join exactly once and cost is
+    O(n·epochs-per-window); one map-side-combined per-bin agg closes
+    it. One-week max lag, 8 bins over the events light curves; the
+    oracle is the all-pairs self-join, so the green hash certifies
+    blocking recall, the strict lag window, and the binning. The
+    floor(epoch) in the oracle mirrors Spark's truncating
+    timestamp→long cast (DuckDB's BIGINT cast would ROUND)."""
+    from spark_fits_spark.operators.timeseries import structure_function
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    base = e.select("user_id", F.col("ts").cast("long").alias("t"),
+                    "value")
+    return structure_function(base, "t", "value", "user_id",
+                              max_lag=604800, nbins=8)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5473,8 +5511,8 @@ _DRIVER_PRIORITY = [
     # q125_photometric_calibration, q126_transient_detection,
     # q127_astrometric_solve, q128_best_match_crossmatch and
     # q129_psf_convolution, q130_two_point_correlation and the
-    # q131/q132 robust stacks also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q131/q132 robust stacks and q133_structure_function also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

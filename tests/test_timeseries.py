@@ -161,3 +161,44 @@ def test_periodogram_peaks(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_trials"):
         periodogram_peaks(pg, n_trials=0)
+
+
+def test_structure_function(spark):
+    """SF == brute force over all same-object ordered pairs with
+    0 < lag < max_lag (cell-edge pairs included exactly once, equal
+    timestamps excluded), per-bin mean of squared diffs; a pure
+    sinusoid's SF rises from the smallest lags to half-period lags."""
+    import numpy as np
+
+    from spark_fits_spark.operators.timeseries import structure_function
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in range(4):
+        ts = np.sort(rng.choice(5000, 80, replace=False))
+        ys = np.sin(2 * np.pi * ts / 1000.0) + 0.05 * k
+        rows += [(k, int(t), float(y)) for t, y in zip(ts, ys)]
+    rows.append((0, int(rows[5][1]), 0.37))  # duplicate timestamp
+    df = spark.createDataFrame(rows, "k long, t long, y double")
+    max_lag, nbins = 600, 6
+    got = {r["bin"]: r for r in structure_function(
+        df, "t", "y", "k", max_lag=max_lag, nbins=nbins).collect()}
+
+    acc = {}
+    for k1, t1, y1 in rows:
+        for k2, t2, y2 in rows:
+            if k1 == k2 and 0 < t2 - t1 < max_lag:
+                b = (t2 - t1) * nbins // max_lag
+                acc.setdefault(b, []).append((y2 - y1) ** 2)
+    for b, vals in acc.items():
+        assert got[b]["n_pairs"] == len(vals), b
+        assert abs(got[b]["sf6"] - round(float(np.mean(vals)), 6)) \
+            < 2e-6, b
+    assert set(got) == set(acc)
+    # sinusoid: SF grows toward the half-period (500) lags
+    assert got[5]["sf6"] > got[0]["sf6"] * 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_lag"):
+        structure_function(df, "t", "y", "k", max_lag=0, nbins=4)
+    with _pt.raises(ValueError, match="nbins"):
+        structure_function(df, "t", "y", "k", max_lag=10, nbins=0)
