@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q131_median_stack",
     "q132_clipped_stack",
     "q133_structure_function",
+    "q134_equivalent_width",
 ]
 
 
@@ -582,7 +583,7 @@ def main() -> None:
                                           "q121", "q122", "q123",
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
-                                          "q131", "q132", "q133",
+                                          "q131", "q132", "q133", "q134",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

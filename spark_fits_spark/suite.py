@@ -5449,6 +5449,73 @@ def q133_structure_function(spark, sf):
                               max_lag=604800, nbins=8)
 
 
+@query("q134_equivalent_width", """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS object,
+         CAST(4000 + 2 * i.i AS DOUBLE) AS wl,
+         CAST(10 * (4000 + 2 * i.i) + 100 * n_nationkey
+              - CASE WHEN 4000 + 2 * i.i BETWEEN 4100 AND 4110
+                     THEN 500 + 100 * n_nationkey ELSE 0 END
+              + CASE WHEN 4000 + 2 * i.i BETWEEN 4200 AND 4204
+                     THEN 300 ELSE 0 END AS DOUBLE) AS fx
+  FROM nation, range(0, 150) i(i)
+), g AS (
+  SELECT object, COUNT(*) AS n, SUM(wl) AS sx, SUM(fx) AS sy,
+         SUM(wl * wl) AS sxx, SUM(wl * fx) AS sxy
+  FROM s GROUP BY 1
+), c AS (
+  SELECT object,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS a,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b
+  FROM g
+), d AS (
+  SELECT object, wl, fx,
+         lead(wl) OVER (PARTITION BY object ORDER BY wl) - wl AS dl
+  FROM s
+), l AS (
+  SELECT * FROM (VALUES ('dip', 4105.0, 6.0), ('emi', 4202.0, 3.0))
+         t(line, ctr, hw)
+)
+SELECT d.object, line, CAST(COUNT(*) AS BIGINT) AS n_window,
+       round(SUM((1 - fx / (a * wl + b)) * dl), 6) AS ew6
+FROM d JOIN c USING (object) JOIN l
+  ON wl >= ctr - hw AND wl <= ctr + hw
+WHERE dl IS NOT NULL
+GROUP BY 1, 2
+""")
+def q134_equivalent_width(spark, sf):
+    """Spectroscopy (r5) — per-object linear continuum fit
+    (`fit_continuum`: five sums in ONE map-side-combined groupBy,
+    closed-form 2×2 Cramer) + `equivalent_width` (EW = Σ(1 − f/c)Δλ
+    over each line window; Δλ from a per-object lead window whose
+    sort partitioning the continuum join and the closing
+    (object, line) agg both reuse; the line list is broadcast). The
+    fixture plants a per-object-scaled absorption dip and a fixed
+    emission bump on an exact integer spectrum, so the continuum
+    sums, the tilted fit, the window membership, and the EW signs
+    are all certified by the oracle's replay of the identical
+    closed forms (positive dip EW, negative emission EW)."""
+    from spark_fits_spark.operators.spectra import equivalent_width
+
+    n = _t(spark, sf, "nation")
+    wl = 4000 + 2 * F.col("i")
+    fx = (10 * wl + 100 * F.col("object")
+          - F.when(wl.between(4100, 4110),
+                   500 + 100 * F.col("object")).otherwise(0)
+          + F.when(wl.between(4200, 4204), 300).otherwise(0))
+    s = (n.select(F.col("n_nationkey").cast("long").alias("object"),
+                  F.explode(F.sequence(F.lit(0), F.lit(149))).alias("i"))
+         .select("object", wl.cast("double").alias("wl"),
+                 fx.cast("double").alias("fx")))
+    lines = spark.createDataFrame(
+        [("dip", 4105.0, 6.0), ("emi", 4202.0, 3.0)],
+        "line string, center double, halfwidth double")
+    out = equivalent_width(s, lines, "object", "wl", "fx")
+    return out.select("object", "line",
+                      F.col("n_window").cast("long").alias("n_window"),
+                      F.round("ew", 6).alias("ew6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5511,8 +5578,9 @@ _DRIVER_PRIORITY = [
     # q125_photometric_calibration, q126_transient_detection,
     # q127_astrometric_solve, q128_best_match_crossmatch and
     # q129_psf_convolution, q130_two_point_correlation and the
-    # q131/q132 robust stacks and q133_structure_function also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q131/q132 robust stacks, q133_structure_function and
+    # q134_equivalent_width also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

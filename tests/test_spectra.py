@@ -1,0 +1,72 @@
+"""Spectroscopy operator tests: continuum fit + equivalent widths."""
+import numpy as np
+import pytest
+
+from spark_fits_spark.operators.spectra import (equivalent_width,
+                                                fit_continuum)
+
+
+def test_fit_continuum_numpy_parity(spark):
+    rng = np.random.default_rng(2)
+    rows = []
+    for k in range(3):
+        wl = 4000 + 2.0 * np.arange(120)
+        fx = (k + 1) * 0.01 * wl + 5 + k + rng.normal(0, 0.01, 120)
+        rows += [(k, float(w), float(f)) for w, f in zip(wl, fx)]
+    rows += [(9, 5000.0, 1.0), (9, 5000.0, 3.0)]   # degenerate
+    df = spark.createDataFrame(rows, "obj long, wl double, flux double")
+    got = {r["object"]: r for r in
+           fit_continuum(df, "obj", "wl", "flux").collect()}
+    for k in range(3):
+        wl = 4000 + 2.0 * np.arange(120)
+        fx = np.array([f for o, w, f in rows if o == k])
+        a, b = np.polyfit(wl, fx, 1)
+        assert abs(got[k]["a"] - a) < 1e-9, k
+        assert abs(got[k]["b"] - b) < 1e-6, k
+    assert got[9]["a"] is None and got[9]["b"] is None
+
+
+def test_equivalent_width(spark):
+    """A planted rectangular absorption dip: EW == depth/continuum
+    summed over the window (exact integers); emission comes back
+    negative; red-edge sample contributes nothing; line list joined
+    broadcast (plan-pinned)."""
+    rows = []
+    # flat continuum 1000, dip of 200 at wl in [4100, 4110] (6 samples
+    # spaced 2), emission +100 at [4200, 4204]
+    for i in range(200):
+        wl = 4000 + 2 * i
+        f = 1000
+        if 4100 <= wl <= 4110:
+            f -= 200
+        if 4200 <= wl <= 4204:
+            f += 100
+        rows.append((1, float(wl), float(f)))
+    df = spark.createDataFrame(rows, "obj long, wl double, flux double")
+    lines = spark.createDataFrame(
+        [("dip", 4105.0, 6.0), ("emi", 4202.0, 3.0)],
+        "line string, center double, halfwidth double")
+    out = {r["line"]: r for r in equivalent_width(
+        df, lines, "obj", "wl", "flux").collect()}
+    # continuum fit over the full spectrum is slightly tilted by the
+    # planted features -> replay the closed form exactly
+    wl = np.array([r[1] for r in rows])
+    fx = np.array([r[2] for r in rows])
+    n = len(wl)
+    det = n * (wl * wl).sum() - wl.sum() ** 2
+    a = (n * (wl * fx).sum() - wl.sum() * fx.sum()) / det
+    b = (fx.sum() - a * wl.sum()) / n
+
+    def ew(lo, hi):
+        s = 0.0
+        for w, f in zip(wl, fx):
+            if lo <= w <= hi and w < wl[-1]:
+                s += (1 - f / (a * w + b)) * 2.0
+        return s
+
+    assert abs(out["dip"]["ew"] - ew(4099, 4111)) < 1e-9
+    assert out["dip"]["n_window"] == 6
+    assert out["dip"]["ew"] > 0 and out["emi"]["ew"] < 0
+    plan = (equivalent_width(df, lines, "obj", "wl", "flux")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
