@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q132_clipped_stack",
     "q133_structure_function",
     "q134_equivalent_width",
+    "q135_composite_spectrum",
 ]
 
 
@@ -584,6 +585,7 @@ def main() -> None:
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
+                                          "q135",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -86,3 +86,51 @@ def equivalent_width(df: DataFrame, lines: DataFrame, obj_col: str,
         .agg(F.count("*").alias("n_window"),
              F.sum(term).alias("ew"))
     )
+
+
+def resample_linear(df: DataFrame, obj_col: str, wl_col: str,
+                    flux_col: str, *, wl0: int, step: int,
+                    n_grid: int) -> DataFrame:
+    """Resample every spectrum onto one shared uniform wavelength
+    grid ``g_k = wl0 + k·step`` (k = 0..n_grid−1) by linear
+    interpolation — the alignment step before spectral stacking or
+    cross-correlation (a log-λ grid is the same operator after a
+    λ → log λ column transform). Returns ``(object, k, wl_grid,
+    flux)``; grid points outside an object's sampled range are
+    absent (no extrapolation).
+
+    Scale shape: ONE per-object sort window turns samples into
+    segments ``[λᵢ, λᵢ₊₁)``; each segment owns the grid points
+    ``ceil((λᵢ−wl0)/step) ≤ k < ceil((λᵢ₊₁−wl0)/step)`` by exact
+    integer arithmetic (for integer wavelengths the segment
+    membership is bit-deterministic — no float log/floor boundary),
+    emitted with a JVM ``sequence`` explode. Output volume is
+    |objects|·n_grid regardless of native sampling; nothing leaves
+    the JVM and no join is needed at all."""
+    if step < 1 or n_grid < 1:
+        raise ValueError(
+            f"step >= 1 and n_grid >= 1 required, got step={step}, "
+            f"n_grid={n_grid}")
+    wl = F.col(wl_col).cast("long")
+    w = Window.partitionBy(obj_col).orderBy(wl)
+    seg = df.select(
+        F.col(obj_col).alias("object"), wl.alias("_w1"),
+        F.col(flux_col).cast("double").alias("_f1"),
+        F.lead(wl).over(w).alias("_w2"),
+        F.lead(F.col(flux_col).cast("double")).over(w).alias("_f2"),
+    ).where(F.col("_w2").isNotNull())
+    kmin = F.greatest(
+        F.expr(f"(_w1 - {wl0} + {step} - 1) div {step}"), F.lit(0))
+    kmax = F.least(
+        F.expr(f"(_w2 - {wl0} + {step} - 1) div {step}") - 1,
+        F.lit(n_grid - 1))
+    ks = seg.where(kmax >= kmin).select(
+        "object", "_w1", "_f1", "_w2", "_f2",
+        F.explode(F.sequence(kmin, kmax)).alias("k"))
+    g = F.lit(wl0) + F.col("k") * F.lit(step)
+    frac = (g - F.col("_w1")).cast("double") \
+        / (F.col("_w2") - F.col("_w1")).cast("double")
+    flux = F.col("_f1") + (F.col("_f2") - F.col("_f1")) * frac
+    return ks.select(
+        "object", F.col("k").cast("long").alias("k"),
+        g.cast("long").alias("wl_grid"), flux.alias("flux"))

@@ -5516,6 +5516,63 @@ def q134_equivalent_width(spark, sf):
                       F.round("ew", 6).alias("ew6"))
 
 
+@query("q135_composite_spectrum", """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS object, i.i AS i,
+         CAST(4000 + 4 * i.i + (i.i % 3) AS BIGINT) AS wl,
+         CAST((n_nationkey + 1) * 100
+              + (7 * i.i + n_nationkey) % 13 AS DOUBLE) AS fx
+  FROM nation, range(0, 150) i(i)
+), seg AS (
+  SELECT object, wl AS w1, fx AS f1,
+         lead(wl) OVER (PARTITION BY object ORDER BY wl) AS w2,
+         lead(fx) OVER (PARTITION BY object ORDER BY wl) AS f2
+  FROM s
+), kk AS (
+  SELECT object, w1, f1, w2, f2, u.k AS k
+  FROM seg, unnest(generate_series(
+        greatest((w1 - 3997 + 6) // 7, 0),
+        least((w2 - 3997 + 6) // 7 - 1, 84))) u(k)
+  WHERE w2 IS NOT NULL
+), r AS (
+  SELECT object, k, 3997 + 7 * k AS wl_grid,
+         f1 + (f2 - f1) * ((3997 + 7 * k - w1) * 1.0 / (w2 - w1))
+           AS flux
+  FROM kk
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(wl_grid AS BIGINT) AS wl_grid,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       round(AVG(flux), 6) AS flux6
+FROM r GROUP BY 1, 2
+""")
+def q135_composite_spectrum(spark, sf):
+    """Spectral resampling + composite stack (r5) — every spectrum
+    interpolated onto ONE shared uniform grid (`resample_linear`:
+    per-object lead window → segments, exact integer segment→grid-
+    point ownership, JVM sequence explode — no join, no float
+    log/floor boundary), then the mean composite spectrum per grid
+    point (the stacked-spectrum measurement; one map-side-combined
+    groupBy(k), ≤ n_grid output rows at any corpus size). Irregular
+    integer sampling (Δλ alternating 5/5/2) exercises real
+    interpolation; the oracle replays segments, ownership arithmetic
+    and the interpolation formula in SQL."""
+    from spark_fits_spark.operators.spectra import resample_linear
+
+    n = _t(spark, sf, "nation")
+    wl = (4000 + 4 * F.col("i") + F.col("i") % 3)
+    fx = ((F.col("object") + 1) * 100
+          + (7 * F.col("i") + F.col("object")) % 13)
+    s = (n.select(F.col("n_nationkey").cast("long").alias("object"),
+                  F.explode(F.sequence(F.lit(0), F.lit(149))).alias("i"))
+         .select("object", wl.cast("long").alias("wl"),
+                 fx.cast("double").alias("fx")))
+    r = resample_linear(s, "object", "wl", "fx",
+                        wl0=3997, step=7, n_grid=85)
+    return (r.groupBy("k", "wl_grid")
+            .agg(F.count("*").alias("n_objects"),
+                 F.round(F.avg("flux"), 6).alias("flux6")))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5578,9 +5635,9 @@ _DRIVER_PRIORITY = [
     # q125_photometric_calibration, q126_transient_detection,
     # q127_astrometric_solve, q128_best_match_crossmatch and
     # q129_psf_convolution, q130_two_point_correlation and the
-    # q131/q132 robust stacks, q133_structure_function and
-    # q134_equivalent_width also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q131/q132 robust stacks, q133_structure_function,
+    # q134_equivalent_width and q135_composite_spectrum also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -70,3 +70,36 @@ def test_equivalent_width(spark):
     plan = (equivalent_width(df, lines, "obj", "wl", "flux")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_resample_linear(spark):
+    """Interpolation == numpy.interp on every in-range grid point,
+    grid points outside the sampled range absent, no extrapolation,
+    irregular sampling handled, exact grid-point hits exact."""
+    rows = []
+    for k in range(3):
+        wls = [100 + 4 * i + (i % 3) for i in range(40)]
+        for i, w in enumerate(wls):
+            rows.append((k, w, float((k + 1) * w + (i % 7))))
+    df = spark.createDataFrame(rows, "obj long, wl long, flux double")
+    from spark_fits_spark.operators.spectra import resample_linear
+    out = resample_linear(df, "obj", "wl", "flux",
+                          wl0=90, step=7, n_grid=30)
+    got = {(r["object"], r["k"]): r for r in out.collect()}
+    for k in range(3):
+        wls = np.array([100 + 4 * i + (i % 3) for i in range(40)],
+                       dtype=float)
+        fxs = np.array([(k + 1) * w + (i % 7)
+                        for i, w in enumerate(wls)])
+        for kk in range(30):
+            g = 90 + 7 * kk
+            if wls[0] <= g < wls[-1]:
+                assert (k, kk) in got, (k, kk)
+                want = float(np.interp(g, wls, fxs))
+                assert abs(got[(k, kk)]["flux"] - want) < 1e-9, (k, kk)
+                assert got[(k, kk)]["wl_grid"] == g
+            else:
+                assert (k, kk) not in got, (k, kk)
+    with pytest.raises(ValueError, match="step"):
+        resample_linear(df, "obj", "wl", "flux",
+                        wl0=90, step=0, n_grid=5)
