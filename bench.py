@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q133_structure_function",
     "q134_equivalent_width",
     "q135_composite_spectrum",
+    "q136_injection_recovery",
 ]
 
 
@@ -585,7 +586,7 @@ def main() -> None:
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
-                                          "q135",
+                                          "q135", "q136",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -619,3 +619,46 @@ def convolve2d(df: DataFrame, kernel,
         F.element_at(F.col("_l"), 1),
         lambda acc, r: F.zip_with(acc, r, lambda a, b: a + b))
     return agg.select("ImgIndex", "y", summed.alias(value_col))
+
+
+def inject_sources(df: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Synthetic source injection — add rectangular fake sources to
+    the image surface: ``catalog`` rows ``(plane, y0, x0, height,
+    width, amplitude)`` raise every covered pixel by ``amplitude``.
+    The completeness-measurement primitive (inject → re-detect →
+    recovery fraction = survey depth QA).
+
+    Scale shape: the catalog (tiny vs the pixels) explodes to one row
+    per covered IMAGE ROW, collapses to a per-(plane, y) interval
+    list, and broadcast-LEFT-joins the pixel rows — untouched rows
+    stream through unchanged, touched rows apply all their intervals
+    inside one JVM ``transform``; the pixel data is never shuffled.
+    Input rows must carry ``(ImgIndex, y, Image)``."""
+    spans = catalog.select(
+        F.col("plane").cast("long").alias("_p"),
+        F.explode(F.sequence(
+            F.col("y0").cast("long"),
+            F.col("y0").cast("long") + F.col("height").cast("long") - 1)
+        ).alias("_y"),
+        F.struct(
+            F.col("x0").cast("int").alias("x0"),
+            (F.col("x0").cast("int") + F.col("width").cast("int") - 1
+             ).alias("x1"),
+            F.col("amplitude").cast("double").alias("amp")).alias("_s"))
+    per_row = spans.groupBy("_p", "_y").agg(
+        F.collect_list("_s").alias("_spans"))
+    j = df.join(
+        F.broadcast(per_row),
+        (df["ImgIndex"].cast("long") == F.col("_p"))
+        & (df["y"].cast("long") == F.col("_y")), "left")
+    bumped = F.transform(
+        df["Image"],
+        lambda v, x: v.cast("double") + F.aggregate(
+            F.col("_spans"), F.lit(0.0),
+            lambda acc, s: acc + F.when(
+                (x >= s.x0) & (x <= s.x1), s.amp).otherwise(0.0)))
+    image = F.when(F.col("_spans").isNull(),
+                   F.transform(df["Image"],
+                               lambda v: v.cast("double"))
+                   ).otherwise(bumped)
+    return j.select(df["ImgIndex"], df["y"], image.alias("Image"))

@@ -5573,6 +5573,67 @@ def q135_composite_spectrum(spark, sf):
                  F.round(F.avg("flux"), 6).alias("flux6")))
 
 
+@query("q136_injection_recovery", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       CAST(2 AS BIGINT) AS n_injected,
+       CAST(2 AS BIGINT) AS n_detected,
+       CAST(2 AS BIGINT) AS n_matched,
+       CAST(6 * (1000 + n_nationkey) + 2 * 500 AS DOUBLE)
+           AS flux_recovered
+FROM nation
+""")
+def q136_injection_recovery(spark, sf):
+    """Synthetic-source injection + recovery (r5) — the completeness
+    QA every survey runs: `inject_sources` plants two fake sources
+    per plane (a 2×3 of amplitude 1000+k keyed like q111's, and a
+    1×2 of 500) on a zero cube by broadcast-interval bumps (pixels
+    never shuffle), `detect_sources(prepared=True)` re-extracts
+    them, and detections are matched back to the truth catalog by
+    centroid-in-box (broadcast join). The oracle states recovery
+    analytically: every plane must come back exactly (2, 2, 2,
+    6·(1000+k)+1000) — a centroid drift, a merged/split component,
+    or a flux bias anywhere in the chain breaks the hash."""
+    from spark_fits_spark.operators.images import (detect_sources,
+                                                   inject_sources)
+
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y"),
+                    F.array_repeat(F.lit(0.0), 16).alias("Image")))
+    cat = spark.createDataFrame(
+        [(k, 2 + k % 3, 3 + k % 5, 2, 3, 1000.0 + k) for k in keys]
+        + [(k, 7, 10, 1, 2, 500.0) for k in keys],
+        "plane long, y0 long, x0 long, height long, width long, "
+        "amplitude double")
+    injected = inject_sources(base, cat)
+    det = detect_sources(injected, threshold_sigma=5.0,
+                         connectivity=8, prepared=True)
+    truth = F.broadcast(cat.select(
+        F.col("plane"), F.col("y0"), F.col("x0"),
+        (F.col("y0") + F.col("height") - 1).alias("y1"),
+        (F.col("x0") + F.col("width") - 1).alias("x1")))
+    matched = det.join(
+        truth,
+        (det["plane"] == truth["plane"])
+        & (F.col("x_centroid") >= F.col("x0"))
+        & (F.col("x_centroid") <= F.col("x1"))
+        & (F.col("y_centroid") >= F.col("y0"))
+        & (F.col("y_centroid") <= F.col("y1"))
+    ).select(det["plane"], "source_id")
+    per_det = det.groupBy("plane").agg(
+        F.count("*").alias("n_detected"),
+        F.sum("flux").alias("flux_recovered"))
+    per_match = matched.groupBy("plane").agg(
+        F.countDistinct("source_id").alias("n_matched"))
+    n_inj = cat.groupBy("plane").agg(F.count("*").alias("n_injected"))
+    return (n_inj.join(per_det, "plane").join(per_match, "plane")
+            .select("plane", "n_injected", "n_detected", "n_matched",
+                    "flux_recovered"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5636,8 +5697,9 @@ _DRIVER_PRIORITY = [
     # q127_astrometric_solve, q128_best_match_crossmatch and
     # q129_psf_convolution, q130_two_point_correlation and the
     # q131/q132 robust stacks, q133_structure_function,
-    # q134_equivalent_width and q135_composite_spectrum also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q134_equivalent_width, q135_composite_spectrum and
+    # q136_injection_recovery also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

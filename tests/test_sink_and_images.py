@@ -600,3 +600,36 @@ def test_convolve2d_numpy_parity(spark):
     assert abs(src[0]["x_centroid"] - 5.0) < 1e-9
     assert abs(src[0]["y_centroid"] - 4.0) < 1e-9
     assert src[0]["peak"] == 3600.0
+
+
+def test_inject_sources(spark):
+    """Injection == numpy reference: covered pixels raised by amp,
+    overlapping injections add, untouched rows/planes bit-identical,
+    pixel data broadcast-joined (no pixel shuffle)."""
+    from spark_fits_spark.operators.images import inject_sources
+
+    rows = [(p, y, [float(10 * p + y)] * 6)
+            for p in range(2) for y in range(5)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+    cat = spark.createDataFrame(
+        [(0, 1, 2, 2, 3, 100.0),     # plane 0: rows 1-2, cols 2-4
+         (0, 2, 4, 1, 2, 7.0),       # overlaps previous at (2,4)
+         (1, 0, 0, 1, 1, 5.0)],
+        "plane long, y0 long, x0 long, height long, width long, "
+        "amplitude double")
+    got = {(r["ImgIndex"], r["y"]): r["Image"]
+           for r in inject_sources(df, cat).collect()}
+    base = {(p, y): [float(10 * p + y)] * 6
+            for p in range(2) for y in range(5)}
+    want = {k: list(v) for k, v in base.items()}
+    for x in (2, 3, 4):
+        want[(0, 1)][x] += 100.0
+        want[(0, 2)][x] += 100.0
+    for x in (4, 5):
+        want[(0, 2)][x] += 7.0
+    want[(1, 0)][0] += 5.0
+    assert got == want
+    plan = (inject_sources(df, cat)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
