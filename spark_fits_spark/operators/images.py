@@ -662,3 +662,74 @@ def inject_sources(df: DataFrame, catalog: DataFrame) -> DataFrame:
                                lambda v: v.cast("double"))
                    ).otherwise(bumped)
     return j.select(df["ImgIndex"], df["y"], image.alias("Image"))
+
+
+def background_mesh(df: DataFrame, cell: int) -> DataFrame:
+    """Local background mesh (SExtractor's BACK_SIZE grid): the image
+    surface is cut into ``cell × cell`` tiles and each tile's
+    background is its pixel MEDIAN (robust to sources covering a
+    minority of the tile). Returns ``(ImgIndex, cy, cx, bg, n_px)``.
+
+    One shuffle keyed (plane, cy, cx) over the exploded pixels; the
+    exact interpolating percentile is an ObjectHashAggregate, and the
+    mesh is pixels/cell² rows — 4096× smaller than the image at the
+    SExtractor default cell=64. Input rows carry (ImgIndex, y,
+    Image)."""
+    if cell < 1:
+        raise ValueError(f"cell must be >= 1, got {cell}")
+    flat = df.select(
+        F.col("ImgIndex"), F.col("y").cast("long").alias("_y"),
+        F.posexplode("Image").alias("_x", "_v"))
+    return (
+        flat.groupBy(
+            "ImgIndex",
+            F.expr(f"_y div {cell}").cast("long").alias("cy"),
+            F.expr(f"_x div {cell}").cast("long").alias("cx"))
+        .agg(F.percentile(F.col("_v").cast("double"), F.lit(0.5))
+             .alias("bg"),
+             F.count("*").alias("n_px"))
+    )
+
+
+def subtract_background(df: DataFrame, mesh: DataFrame,
+                        cell: int) -> DataFrame:
+    """Subtract a :func:`background_mesh` from the image surface by
+    BILINEAR interpolation between mesh-cell centers (clamped at the
+    borders — edge pixels take the edge cell's value), the standard
+    local-background model feeding detection/photometry on images
+    whose sky varies across the field.
+
+    The mesh collapses to one map column per plane (``(cy, cx) →
+    bg``) and broadcast-joins the pixel rows; the four corner lookups
+    and the interpolation run inside one JVM ``transform`` — the
+    pixel data never shuffles. Mesh-cell centers sit at ``cy·cell +
+    (cell−1)/2`` (exact dyadic arithmetic for power-of-two cells).
+    Returns the rows with ``Image`` replaced by the residual."""
+    if cell < 1:
+        raise ValueError(f"cell must be >= 1, got {cell}")
+    per_plane = mesh.groupBy("ImgIndex").agg(
+        F.map_from_entries(F.collect_list(F.struct(
+            (F.col("cy") * 100000 + F.col("cx")).alias("k"),
+            F.col("bg").alias("v")))).alias("_mesh"),
+        F.max("cy").alias("_maxcy"), F.max("cx").alias("_maxcx"))
+    j = df.join(F.broadcast(per_plane), "ImgIndex")
+    half = (cell - 1) / 2.0
+
+    def interp(v, x):
+        def axis(p, mx):
+            t = (p.cast("double") - half) / float(cell)
+            t = F.greatest(F.lit(0.0), F.least(t, mx.cast("double")))
+            c0 = F.floor(t).cast("long")
+            c1 = F.least(c0 + 1, mx)
+            return c0, c1, t - c0
+        y0, y1, fy = axis(F.col("y"), F.col("_maxcy"))
+        x0, x1, fx = axis(x, F.col("_maxcx"))
+
+        def m(cy, cx):
+            return F.element_at(F.col("_mesh"), cy * 100000 + cx)
+        bg = ((1 - fy) * ((1 - fx) * m(y0, x0) + fx * m(y0, x1))
+              + fy * ((1 - fx) * m(y1, x0) + fx * m(y1, x1)))
+        return v.cast("double") - bg
+
+    image = F.transform(df["Image"], lambda v, x: interp(v, x))
+    return j.select(df["ImgIndex"], df["y"], image.alias("Image"))

@@ -5634,6 +5634,87 @@ def q136_injection_recovery(spark, sf):
                     "flux_recovered"))
 
 
+@query("q137_local_background", """
+WITH px AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS plane,
+         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+         CAST(20 * (yy.y // 4) + 10 * (xx.x // 4)
+              + CAST(('0x' || substr(md5('bg|'
+                    || CAST(n_nationkey AS VARCHAR) || '|'
+                    || CAST(yy.y AS VARCHAR) || '|'
+                    || CAST(xx.x AS VARCHAR)), 1, 15)) AS BIGINT) % 9
+              AS DOUBLE) AS v
+  FROM nation,
+       (SELECT unnest(range(0, 12)) AS y) yy,
+       (SELECT unnest(range(0, 16)) AS x) xx
+), mesh AS (
+  SELECT plane, y // 4 AS cy, x // 4 AS cx, median(v) AS bg
+  FROM px GROUP BY 1, 2, 3
+), t AS (
+  SELECT plane, y, x, v,
+         least(greatest((y - 1.5) / 4.0, 0.0), 2.0) AS ty,
+         least(greatest((x - 1.5) / 4.0, 0.0), 3.0) AS tx
+  FROM px
+), c AS (
+  SELECT plane, y, x, v, ty, tx,
+         CAST(floor(ty) AS BIGINT) AS y0, CAST(floor(tx) AS BIGINT) AS x0,
+         least(CAST(floor(ty) AS BIGINT) + 1, 2) AS y1,
+         least(CAST(floor(tx) AS BIGINT) + 1, 3) AS x1
+  FROM t
+)
+SELECT c.plane, c.y, c.x,
+       round(v - ((1 - (ty - y0)) * ((1 - (tx - x0)) * m00.bg
+                                     + (tx - x0) * m01.bg)
+                  + (ty - y0) * ((1 - (tx - x0)) * m10.bg
+                                 + (tx - x0) * m11.bg)), 6) AS sub6
+FROM c
+JOIN mesh m00 ON m00.plane = c.plane AND m00.cy = y0 AND m00.cx = x0
+JOIN mesh m01 ON m01.plane = c.plane AND m01.cy = y0 AND m01.cx = x1
+JOIN mesh m10 ON m10.plane = c.plane AND m10.cy = y1 AND m10.cx = x0
+JOIN mesh m11 ON m11.plane = c.plane AND m11.cy = y1 AND m11.cx = x1
+""")
+def q137_local_background(spark, sf):
+    """Local background estimation + subtraction (r5) — SExtractor's
+    BACK_SIZE mesh re-expressed Spark-first: per-tile pixel MEDIAN
+    (one shuffle keyed (plane, cell); mesh is pixels/cell² rows),
+    then BILINEAR interpolation between mesh-cell centers applied
+    inside one JVM transform after a broadcast join of the per-plane
+    mesh map — the pixel data never shuffles in the subtraction.
+    The fixture plants a cell-aligned background staircase (+ md5
+    noise < one staircase step), so every mesh median, the clamped
+    cell-center geometry (exact dyadic arithmetic at cell=4), and
+    the interpolation weights are certified by the oracle's 4-corner
+    join replay."""
+    from spark_fits_spark.operators.images import (background_mesh,
+                                                   subtract_background)
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+
+    def px(x):
+        s = F.concat(F.lit("bg|"), F.col("ImgIndex").cast("string"),
+                     F.lit("|"), F.col("y").cast("string"),
+                     F.lit("|"), x.cast("string"))
+        noise = (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                 .cast("long") % 9)
+        return (20 * F.floor(F.col("y") / 4) + 10 * F.floor(x / 4)
+                + noise).cast("double")
+
+    rows = base.select(
+        "ImgIndex", "y",
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: px(x)).alias("Image"))
+    mesh = background_mesh(rows, 4)
+    sub = subtract_background(rows, mesh, 4)
+    return sub.select(
+        F.col("ImgIndex").alias("plane"), "y",
+        F.posexplode("Image").alias("x", "_s")
+    ).select("plane", "y", F.col("x").cast("long").alias("x"),
+             F.round("_s", 6).alias("sub6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5698,8 +5779,8 @@ _DRIVER_PRIORITY = [
     # q129_psf_convolution, q130_two_point_correlation and the
     # q131/q132 robust stacks, q133_structure_function,
     # q134_equivalent_width, q135_composite_spectrum and
-    # q136_injection_recovery also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q136_injection_recovery and q137_local_background also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -633,3 +633,61 @@ def test_inject_sources(spark):
     plan = (inject_sources(df, cat)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_background_mesh_and_subtract(spark):
+    """Mesh == per-cell numpy median; bilinear subtraction == a
+    hand-rolled clamped bilinear reference at every pixel; flat
+    background subtracts to ~zero away from sources."""
+    from spark_fits_spark.operators.images import (background_mesh,
+                                                   subtract_background)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(100, 120, (2, 12, 16)).astype(float)
+    img[0, 3:5, 6:9] += 500.0          # a source in one tile
+    rows = [(p, y, [float(v) for v in img[p, y]])
+            for p in range(2) for y in range(12)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+    cell = 4
+    mesh = background_mesh(df, cell)
+    got_mesh = {(r["ImgIndex"], r["cy"], r["cx"]): r
+                for r in mesh.collect()}
+    nm = {}
+    for p in range(2):
+        for cy in range(3):
+            for cx in range(4):
+                tile = img[p, cy * 4:cy * 4 + 4, cx * 4:cx * 4 + 4]
+                nm[(p, cy, cx)] = float(np.median(tile))
+                assert got_mesh[(p, cy, cx)]["n_px"] == 16
+                assert abs(got_mesh[(p, cy, cx)]["bg"]
+                           - nm[(p, cy, cx)]) < 1e-12
+
+    sub = {(r["ImgIndex"], r["y"]): r["Image"] for r in
+           subtract_background(df, mesh, cell).collect()}
+
+    def bg_at(p, y, x):
+        ty = min(max((y - 1.5) / 4.0, 0.0), 2.0)
+        tx = min(max((x - 1.5) / 4.0, 0.0), 3.0)
+        y0, x0 = int(ty), int(tx)
+        y1, x1 = min(y0 + 1, 2), min(x0 + 1, 3)
+        fy, fx = ty - y0, tx - x0
+        return ((1 - fy) * ((1 - fx) * nm[(p, y0, x0)]
+                            + fx * nm[(p, y0, x1)])
+                + fy * ((1 - fx) * nm[(p, y1, x0)]
+                        + fx * nm[(p, y1, x1)]))
+
+    resid = []
+    for p in range(2):
+        for y in range(12):
+            for x in range(16):
+                want = img[p, y, x] - bg_at(p, y, x)
+                assert abs(sub[(p, y)][x] - want) < 1e-9, (p, y, x)
+                if not (p == 0 and 3 <= y < 5 and 6 <= x < 9):
+                    resid.append(sub[(p, y)][x])
+    assert max(abs(r) for r in resid) < 25   # flat field ~ cancels
+    plan = (subtract_background(df, mesh, cell)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="cell"):
+        background_mesh(df, 0)
