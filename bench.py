@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q135_composite_spectrum",
     "q136_injection_recovery",
     "q137_local_background",
+    "q138_tracklet_linking",
 ]
 
 
@@ -587,7 +588,7 @@ def main() -> None:
                                           "q124", "q125", "q126",
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
-                                          "q135", "q136", "q137",
+                                          "q135", "q136", "q137", "q138",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

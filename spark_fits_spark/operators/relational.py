@@ -344,3 +344,81 @@ def two_point_correlation(
     xi = F.when(F.col("rr") > 0,
                 F.round((ddn - 2 * drn + rrn) / rrn, 6))
     return out.select("bin", "dd", "dr", "rr", xi.alias("xi6"))
+
+
+def tracklet_pairs(
+    det: DataFrame,
+    *,
+    dt: int,
+    radius: int,
+    id_col: str = "det_id",
+    t_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Moving-object tracklet building, step 1 (the MOPS linking
+    primitive behind asteroid pipelines): pair every detection at
+    epoch ``t`` with the detections at ``t + dt`` within ``radius``
+    (the maximum apparent motion per ``dt``). Returns ``(id_a, id_b,
+    t0, dx, dy)`` — exact integer displacements, ready for
+    constant-velocity chaining by :func:`link_chains`.
+
+    Same zones blocking as :func:`zone_crossmatch` with the EPOCH in
+    the equi-key: the earlier detection explodes into its 3×3 spatial
+    neighborhood at ``t + dt``, the later sits in its single (t,
+    cell) — every qualifying pair meets exactly once, cost
+    O(n · density), never all-pairs across the night."""
+    if radius < 1 or dt < 1:
+        raise ValueError(
+            f"radius >= 1 and dt >= 1 required, got radius={radius}, "
+            f"dt={dt}")
+
+    def cell(name):
+        return F.expr(
+            f"(({name}) - pmod(({name}), {radius})) div {radius}"
+        ).cast("long")
+
+    a = det.select(
+        F.col(id_col).alias("id_a"), F.col(t_col).cast("long").alias("t0"),
+        F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya"))
+    a = (a.withColumn("_tj", F.col("t0") + dt)
+         .withColumn("_cx", F.explode(F.array(
+             *[cell("_xa") + d for d in (-1, 0, 1)])))
+         .withColumn("_cy", F.explode(F.array(
+             *[cell("_ya") + d for d in (-1, 0, 1)]))))
+    b = det.select(
+        F.col(id_col).alias("id_b"), F.col(t_col).cast("long").alias("_tj"),
+        F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
+        cell(x_col).alias("_cx"), cell(y_col).alias("_cy"))
+    dx = F.col("_xb") - F.col("_xa")
+    dy = F.col("_yb") - F.col("_ya")
+    return (
+        a.join(b, ["_tj", "_cx", "_cy"])
+        .where(dx * dx + dy * dy <= F.lit(radius * radius))
+        .select("id_a", "id_b", "t0",
+                dx.cast("long").alias("dx"), dy.cast("long").alias("dy"))
+    )
+
+
+def link_chains(pairs: DataFrame, *, dt: int = 1,
+                exclude_stationary: bool = True) -> DataFrame:
+    """Moving-object tracklet building, step 2: chain two
+    consecutive :func:`tracklet_pairs` legs (built with the same
+    ``dt``) that share their middle detection and move with the SAME
+    displacement (constant-velocity gate) into 3-detection candidate
+    tracklets ``(id_0, id_1, id_2, t0, dx, dy)`` — one hash
+    equi-join on ``(middle id, t, dx, dy)``, so only kinematically
+    consistent legs ever meet. ``exclude_stationary`` drops
+    zero-motion chains (static sources pair with themselves at every
+    epoch)."""
+    p1 = pairs.select(F.col("id_a").alias("id_0"),
+                      F.col("id_b").alias("id_1"),
+                      "t0", "dx", "dy")
+    p2 = pairs.select(F.col("id_a").alias("id_1"),
+                      F.col("id_b").alias("id_2"),
+                      (F.col("t0") - dt).alias("t0"), "dx", "dy")
+    out = p1.join(p2, ["id_1", "t0", "dx", "dy"]).select(
+        "id_0", "id_1", "id_2", "t0", "dx", "dy")
+    if exclude_stationary:
+        out = out.where((F.col("dx") != 0) | (F.col("dy") != 0))
+    return out

@@ -5715,6 +5715,84 @@ def q137_local_background(spark, sf):
              F.round("_s", 6).alias("sub6"))
 
 
+@query("q138_tracklet_linking", """
+WITH m AS (
+  SELECT n_nationkey AS k,
+         CAST(('0x' || substr(md5('mx|' || CAST(n_nationkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 5000 AS x0,
+         CAST(('0x' || substr(md5('my|' || CAST(n_nationkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 5000 AS y0,
+         (n_nationkey % 7) * 10 - 30 AS vx,
+         (n_nationkey % 5) * 10 - 20 AS vy
+  FROM nation
+), d AS (
+  SELECT CAST(1000000 + k * 10 + t.t AS BIGINT) AS det_id,
+         CAST(t.t AS BIGINT) AS t,
+         x0 + vx * t.t AS x, y0 + vy * t.t AS y
+  FROM m, range(0, 3) t(t)
+  UNION ALL
+  SELECT CAST(2000000 + s_suppkey * 10 + t.t AS BIGINT), CAST(t.t AS BIGINT),
+         CAST(('0x' || substr(md5('sx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 5000,
+         CAST(('0x' || substr(md5('sy|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 5000
+  FROM supplier, range(0, 3) t(t)
+), p AS (
+  SELECT a.det_id AS id_a, b.det_id AS id_b, a.t AS t0,
+         b.x - a.x AS dx, b.y - a.y AS dy
+  FROM d a JOIN d b ON b.t = a.t + 1
+  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) <= 3600
+)
+SELECT p1.id_a AS id_0, p1.id_b AS id_1, p2.id_b AS id_2,
+       p1.t0 AS t0, p1.dx AS dx, p1.dy AS dy
+FROM p p1 JOIN p p2 ON p2.id_a = p1.id_b AND p2.t0 = p1.t0 + 1
+       AND p2.dx = p1.dx AND p2.dy = p1.dy
+WHERE p1.dx <> 0 OR p1.dy <> 0
+""")
+def q138_tracklet_linking(spark, sf):
+    """Moving-object tracklet linking (r5) — the MOPS/asteroid
+    pipeline core: `tracklet_pairs` pairs detections across
+    consecutive epochs with the EPOCH in the zones equi-key (3×3
+    spatial explode at t+dt, O(n·density) never all-pairs across the
+    night), `link_chains` chains legs sharing the middle detection
+    under an exact constant-velocity equi-join (dx, dy in the key —
+    only kinematically consistent legs meet) and drops stationary
+    chains. 25 planted constant-motion movers (one of which, k=17,
+    is legitimately stationary and must be excluded) over md5-grid
+    static clutter across 3 epochs; the oracle is the all-pairs
+    formulation, so the hash certifies blocking recall, the velocity
+    gate, and the stationary filter."""
+    n = _t(spark, sf, "nation")
+
+    def h(df, salt, idc):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+            16, 10).cast("long") % 5000)
+
+    m = n.select(F.col("n_nationkey").cast("long").alias("k"),
+                 h(n, "mx", "n_nationkey").alias("x0"),
+                 h(n, "my", "n_nationkey").alias("y0"),
+                 ((F.col("n_nationkey") % 7) * 10 - 30).alias("vx"),
+                 ((F.col("n_nationkey") % 5) * 10 - 20).alias("vy"))
+    t = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("t")
+    movers = (m.select("k", "x0", "y0", "vx", "vy", t)
+              .select((1000000 + F.col("k") * 10 + F.col("t"))
+                      .cast("long").alias("det_id"),
+                      F.col("t").cast("long").alias("t"),
+                      (F.col("x0") + F.col("vx") * F.col("t")).alias("x"),
+                      (F.col("y0") + F.col("vy") * F.col("t")).alias("y")))
+    s = _t(spark, sf, "supplier")
+    clutter = (s.select(F.col("s_suppkey").cast("long").alias("k"),
+                        h(s, "sx", "s_suppkey").alias("x"),
+                        h(s, "sy", "s_suppkey").alias("y"), t)
+               .select((2000000 + F.col("k") * 10 + F.col("t"))
+                       .cast("long").alias("det_id"),
+                       F.col("t").cast("long").alias("t"), "x", "y"))
+    det = movers.unionByName(clutter)
+    pairs = relational.tracklet_pairs(det, dt=1, radius=60)
+    return relational.link_chains(pairs, dt=1)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5779,8 +5857,9 @@ _DRIVER_PRIORITY = [
     # q129_psf_convolution, q130_two_point_correlation and the
     # q131/q132 robust stacks, q133_structure_function,
     # q134_equivalent_width, q135_composite_spectrum and
-    # q136_injection_recovery and q137_local_background also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q136_injection_recovery, q137_local_background and
+    # q138_tracklet_linking also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

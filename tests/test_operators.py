@@ -1657,3 +1657,39 @@ def test_two_point_correlation(spark):
     assert got[0]["xi6"] is not None and got[0]["xi6"] > 1.0
     with pytest.raises(ValueError, match="nbins"):
         relational.two_point_correlation(a, b, radius=10, nbins=0)
+
+
+def test_tracklet_linking(spark):
+    """Pairs == brute force (epoch-keyed zones recall, boundary
+    inclusive); chains recover every planted constant-velocity mover
+    exactly once, static clutter chains are excluded, and a
+    velocity-changing object never links."""
+    from spark_fits_spark.operators import relational
+
+    dets = []
+    movers = {1: (100, 100, 9, -4), 2: (300, 50, -7, 8)}
+    for m, (x0, y0, vx, vy) in movers.items():
+        for t in range(3):
+            dets.append((100 + m * 10 + t, t, x0 + vx * t, y0 + vy * t))
+    for s, (x, y) in enumerate([(500, 500), (40, 220)]):
+        for t in range(3):
+            dets.append((200 + s * 10 + t, t, x, y))
+    # velocity changer: (10, -3) then (2, 2)
+    dets += [(900, 0, 700, 700), (901, 1, 710, 697), (902, 2, 712, 699)]
+    df = spark.createDataFrame(dets, ["det_id", "t", "x", "y"])
+    pairs = relational.tracklet_pairs(df, dt=1, radius=15)
+    got = sorted(tuple(r) for r in pairs.collect())
+    want = sorted(
+        (ia, ib, ta, xb - xa, yb - ya)
+        for ia, ta, xa, ya in dets for ib, tb, xb, yb in dets
+        if tb == ta + 1 and (xb - xa) ** 2 + (yb - ya) ** 2 <= 225)
+    assert got == want
+    chains = sorted(tuple(r) for r in
+                    relational.link_chains(pairs).collect())
+    assert chains == [
+        (110, 111, 112, 0, 9, -4), (120, 121, 122, 0, -7, 8)]
+    stat = relational.link_chains(
+        pairs, exclude_stationary=False).collect()
+    assert len(stat) == 4   # + the two static clutter chains
+    with pytest.raises(ValueError, match="radius"):
+        relational.tracklet_pairs(df, dt=1, radius=0)
