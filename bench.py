@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q136_injection_recovery",
     "q137_local_background",
     "q138_tracklet_linking",
+    "q139_header_table",
 ]
 
 
@@ -589,6 +590,7 @@ def main() -> None:
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
+                                          "q139",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

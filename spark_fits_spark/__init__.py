@@ -194,6 +194,64 @@ def _with_scoped_fs(files):
     return out
 
 
+def fits_headers(spark, path: str, hdu: int | None = None):
+    """Header cards as a DataFrame: one row per 80-byte card —
+    ``(file, hdu, pos, keyword, value, comment)`` — the survey-ops
+    query surface over an archive's metadata ("which of my 100k
+    files have FILTER='r' and EXPTIME > 30?") that the reference
+    leaves to driver-side ``parseHeader`` loops
+    (``FitsLib.scala``'s header API, one file at a time).
+
+    String values are unquoted (FITS '' escapes honored), other
+    values kept verbatim; COMMENT/HISTORY/blank cards carry their
+    text in ``comment`` with NULL ``value``. Like :func:`fits_info`,
+    listing is driver-side and header walking is one distributed
+    task per file. ``hdu`` restricts to one HDU index (None = all
+    HDUs)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from spark_fits_spark.sources.fits_datasource import search_fits_files
+
+    files = search_fits_files(path)
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("hdu", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("keyword", StringType()),
+        StructField("value", StringType()),
+        StructField("comment", StringType()),
+    ])
+    want = hdu
+
+    def _walk(pair):
+        from spark_fits_spark.fitscore.file import walk_hdus
+        from spark_fits_spark.fitscore.header import (short_string_value,
+                                                      split_card)
+
+        fp, fs = pair
+        out = []
+        with fs.open_input(fp) as f:
+            for i, (b, cards) in enumerate(walk_hdus(f)):
+                if want is not None and i != want:
+                    continue
+                for pos, card in enumerate(cards):
+                    kw, raw, comment = split_card(card)
+                    if kw == "END":
+                        continue
+                    val = None
+                    if raw is not None:
+                        val = (short_string_value(raw)
+                               if raw.startswith("'") else raw)
+                    out.append((fp, i, pos, kw, val, comment))
+        return out
+
+    rdd = spark.sparkContext.parallelize(
+        _with_scoped_fs(files), max(1, len(files)))
+    return spark.createDataFrame(rdd.flatMap(_walk), schema)
+
+
 def fits_verify_checksums(spark, path: str):
     """Distributed integrity audit: one row per (file, HDU) with the
     stored DATASUM/CHECKSUM verdicts (FITS 4.0 §4.4.2.7). ``NULL``

@@ -5793,6 +5793,60 @@ def q138_tracklet_linking(spark, sf):
     return relational.link_chains(pairs, dt=1)
 
 
+@query("q139_header_table", """
+SELECT 'XTENSION' AS keyword, 'BINTABLE' AS value
+UNION ALL SELECT 'NAXIS1',
+  CAST(8 + (SELECT MAX(length(n_name)) FROM nation) AS VARCHAR)
+UNION ALL SELECT 'NAXIS2',
+  CAST((SELECT COUNT(*) FROM nation) AS VARCHAR)
+UNION ALL SELECT 'TFIELDS', '3'
+UNION ALL SELECT 'TTYPE1', 'n_nationkey'
+UNION ALL SELECT 'TFORM1', 'J'
+UNION ALL SELECT 'TTYPE2', 'n_name'
+UNION ALL SELECT 'TFORM2',
+  CAST((SELECT MAX(length(n_name)) FROM nation) AS VARCHAR) || 'A'
+UNION ALL SELECT 'TTYPE3', 'n_regionkey'
+UNION ALL SELECT 'TFORM3', 'J'
+UNION ALL SELECT 'TDMIN1',
+  CAST((SELECT MIN(n_nationkey) FROM nation) AS VARCHAR)
+UNION ALL SELECT 'TDMAX1',
+  CAST((SELECT MAX(n_nationkey) FROM nation) AS VARCHAR)
+UNION ALL SELECT 'TDMIN3',
+  CAST((SELECT MIN(n_regionkey) FROM nation) AS VARCHAR)
+UNION ALL SELECT 'TDMAX3',
+  CAST((SELECT MAX(n_regionkey) FROM nation) AS VARCHAR)
+""")
+def q139_header_table(spark, sf):
+    """Header-cards-as-a-table (r5) — `fits_headers`: one row per
+    80-byte card over an archive (distributed one-task-per-file walk,
+    strings unquoted, comments captured), the metadata query surface
+    ("which files have FILTER='r'?") the reference serves only
+    driver-side one file at a time (`FitsLib.scala` header API). The
+    gate writes the nation table through the FITS sink and reads its
+    bintable header back; the oracle derives every card's expected
+    value FROM THE DATA (NAXIS1 = 8 + max name width, NAXIS2 = row
+    count, TFORMs from types/widths, TDMIN/TDMAX stats cards from
+    column min/max) — certifying the writer's header production and
+    the card parser against data-derived truth simultaneously."""
+    import hashlib
+    import os as _os
+
+    from spark_fits_spark import fits_headers, register_fits
+
+    register_fits(spark)
+    d = _os.path.join(
+        "/tmp", "spark_fits_q139_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    out = _os.path.join(d, "nat")
+    (_t(spark, sf, "nation").coalesce(1)
+     .write.format("fits").mode("overwrite").save(out))
+    keep = ("XTENSION", "NAXIS1", "NAXIS2", "TFIELDS",
+            "TTYPE1", "TFORM1", "TTYPE2", "TFORM2", "TTYPE3", "TFORM3",
+            "TDMIN1", "TDMAX1", "TDMIN3", "TDMAX3")
+    return (fits_headers(spark, out, hdu=1)
+            .where(F.col("keyword").isin(*keep))
+            .select("keyword", "value"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5858,8 +5912,8 @@ _DRIVER_PRIORITY = [
     # q131/q132 robust stacks, q133_structure_function,
     # q134_equivalent_width, q135_composite_spectrum and
     # q136_injection_recovery, q137_local_background and
-    # q138_tracklet_linking also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q138_tracklet_linking and q139_header_table also land
+    # past the cap and lead the r6 gate alongside them.)
 ]
 
 

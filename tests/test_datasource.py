@@ -1078,3 +1078,36 @@ def test_image_columns_option(spark, tmp_path):
         with _pytest.raises(Exception, match="not found"):
             (spark.read.format("fits").option("hdu", 1)
              .option("columns", "Pixels").load(path).schema)
+
+
+def test_fits_headers_table(spark):
+    """fits_headers: one row per card, strings unquoted, comments
+    captured, COMMENT/HISTORY rows carry text in comment with NULL
+    value, hdu filter restricts, END absent — queryable metadata."""
+    from spark_fits_spark import fits_headers
+
+    df = fits_headers(spark, f"{REF}/toTest/swift_events.fits")
+    rows = df.collect()
+    assert not any(r["keyword"] == "END" for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault((r["hdu"], r["keyword"]), r)
+    assert by[(0, "SIMPLE")]["value"] == "T"
+    assert by[(1, "EXTNAME")]["value"] == "EVENTS"   # unquoted
+    assert by[(1, "NAXIS2")]["value"] == "50000"
+    # comments survive where present on standard cards
+    assert any(r["comment"] for r in rows if r["hdu"] == 0)
+    # per-card position is the card index within its header
+    h0 = sorted(r["pos"] for r in rows if r["hdu"] == 0)
+    assert h0[0] == 0 and h0 == sorted(set(h0))
+    # hdu filter
+    only1 = fits_headers(
+        spark, f"{REF}/toTest/swift_events.fits", hdu=1).collect()
+    assert {r["hdu"] for r in only1} == {1}
+    # SQL over the archive's metadata — the point of the operator
+    df.createOrReplaceTempView("hdrs")
+    n = spark.sql("""
+        SELECT COUNT(*) FROM hdrs
+        WHERE keyword = 'EXTNAME' AND value = 'GTI'
+    """).first()[0]
+    assert n == 1
