@@ -691,3 +691,39 @@ def test_background_mesh_and_subtract(spark):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="cell"):
         background_mesh(df, 0)
+
+
+def test_detect_sources_local_background(spark):
+    """A strong sky gradient: global thresholding either floods the
+    bright corner or misses the faint source in it; local-background
+    detection recovers BOTH planted sources at exact centroids with
+    gradient-free fluxes."""
+    from spark_fits_spark.operators.images import detect_sources
+
+    h, w, cell = 16, 16, 4
+    img = np.zeros((1, h, w))
+    for y in range(h):
+        for x in range(w):
+            img[0, y, x] = 200.0 * (y // cell)  # cell-aligned staircase
+    img[0, 2, 2] += 500.0                        # source in the dark rows
+    img[0, 13, 10] += 500.0                      # source in the bright rows
+    rows = [(0, y, [float(v) for v in img[0, y]]) for y in range(h)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+    got = detect_sources(df, threshold_sigma=5.0, prepared=True,
+                         local_background_cell=cell).collect()
+    cents = sorted((round(r["y_centroid"], 6), round(r["x_centroid"], 6),
+                    r["flux"]) for r in got)
+    # bilinear smoothing of the staircase leaves a small sawtooth
+    # residual, so fluxes are near (not exactly) the amplitudes;
+    # centroids of the single-pixel sources are exact
+    assert len(cents) == 2, cents
+    assert cents[0][:2] == (2.0, 2.0) and abs(cents[0][2] - 500.0) < 110
+    assert cents[1][:2] == (13.0, 10.0) and abs(cents[1][2] - 500.0) < 110
+    # global mode on the same field cannot see both: it merges the
+    # bright rows into one giant component or misses the faint one
+    glob = detect_sources(df, threshold_sigma=5.0,
+                          prepared=True).collect()
+    gcents = sorted((round(r["y_centroid"], 2), round(r["x_centroid"], 2))
+                    for r in glob)
+    assert gcents != [(2.0, 2.0), (13.0, 10.0)]
