@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q137_local_background",
     "q138_tracklet_linking",
     "q139_header_table",
+    "q140_matched_filter_detection",
 ]
 
 
@@ -590,7 +591,7 @@ def main() -> None:
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
-                                          "q139",
+                                          "q139", "q140",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

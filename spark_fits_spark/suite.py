@@ -5847,6 +5847,51 @@ def q139_header_table(spark, sf):
             .select("keyword", "value"))
 
 
+@query("q140_matched_filter_detection", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       (CAST(n_nationkey AS BIGINT) * 1048576
+        + (3 + n_nationkey % 4)) * 1048576
+       + (4 + n_nationkey % 5) AS source_id,
+       CAST(9 AS BIGINT) AS n_px,
+       CAST(14400 AS DOUBLE) AS flux,
+       CAST(3600 AS DOUBLE) AS peak,
+       CAST(5 + n_nationkey % 5 AS DOUBLE) AS x_centroid,
+       CAST(4 + n_nationkey % 4 AS DOUBLE) AS y_centroid
+FROM nation
+""")
+def q140_matched_filter_detection(spark, sf):
+    """Matched-filter detection (r5) — SExtractor's actual flow:
+    convolve with the PSF THEN threshold (`convolve2d` →
+    `detect_sources(prepared=True)`), the composition that lifts
+    point sources above the noise before labeling. One 900-count hot
+    pixel per plane on a zero background becomes the exact 3×3
+    kernel footprint after smoothing, so the oracle states the
+    detected component analytically: 9 pixels, flux = 900·Σk =
+    14400, peak = 900·4, centroid back at the hot pixel (kernel
+    symmetry), source_id = packed id of the footprint's min (y, x)
+    corner. Any convolution offset, mis-normalization, or
+    merge/split breaks the hash."""
+    from spark_fits_spark.operators.images import (convolve2d,
+                                                   detect_sources)
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+    yc = 4 + F.col("ImgIndex") % 4
+    xc = 5 + F.col("ImgIndex") % 5
+    rows = base.select(
+        "ImgIndex", "y",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda x: F.when((F.col("y") == yc) & (x == xc),
+                             F.lit(900.0)).otherwise(F.lit(0.0))
+        ).alias("Image"))
+    sm = convolve2d(rows, [[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    return detect_sources(sm, threshold_sigma=5.0, connectivity=8,
+                          prepared=True)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5912,8 +5957,9 @@ _DRIVER_PRIORITY = [
     # q131/q132 robust stacks, q133_structure_function,
     # q134_equivalent_width, q135_composite_spectrum and
     # q136_injection_recovery, q137_local_background and
-    # q138_tracklet_linking and q139_header_table also land
-    # past the cap and lead the r6 gate alongside them.)
+    # q138_tracklet_linking, q139_header_table and
+    # q140_matched_filter_detection also land past the cap and
+    # lead the r6 gate alongside them.)
 ]
 
 
