@@ -134,3 +134,52 @@ def resample_linear(df: DataFrame, obj_col: str, wl_col: str,
     return ks.select(
         "object", F.col("k").cast("long").alias("k"),
         g.cast("long").alias("wl_grid"), flux.alias("flux"))
+
+
+def xcorr_lag(df: DataFrame, template, obj_col: str = "object",
+              k_col: str = "k", flux_col: str = "flux", *,
+              max_lag: int) -> DataFrame:
+    """Cross-correlation lag estimation — slide every gridded
+    spectrum against one shared template and keep the best-scoring
+    integer lag: the redshift/velocity measurement step (on a log-λ
+    grid a lag IS a velocity shift), run for every object at once.
+    Input is :func:`resample_linear`-style rows ``(object, k,
+    flux)``; ``template`` is a plain Python sequence on the same
+    grid. Returns ``(object, best_lag, best_score, n_overlap)``;
+    score ties break toward the SMALLEST lag.
+
+    Scale shape: the template is a literal array evaluated JVM-side
+    (``F.get`` — no join at all); each sample explodes into the
+    2·max_lag+1 lag hypotheses map-side; ONE map-side-combined
+    groupBy accumulates per-(object, lag) scores and ONE more
+    (struct-max, also map-side combined) takes the argmax — output
+    is |objects| rows, and nothing driver-side ever sees a
+    spectrum."""
+    n = len(template)
+    if n == 0:
+        raise ValueError("template must be non-empty")
+    if max_lag < 0 or max_lag >= n:
+        raise ValueError(
+            f"0 <= max_lag < len(template) required, got {max_lag}")
+    tmpl = F.array(*[F.lit(float(v)) for v in template])
+    rows = df.select(
+        F.col(obj_col).alias("object"),
+        F.col(k_col).cast("long").alias("_k"),
+        F.col(flux_col).cast("double").alias("_f"),
+        F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+        .alias("lag"))
+    tv = F.get(tmpl, (F.col("_k") + F.col("lag")).cast("int"))
+    scores = (
+        rows.select("object", "lag", (F.col("_f") * tv).alias("_c"))
+        .where(F.col("_c").isNotNull())
+        .groupBy("object", F.col("lag").cast("long").alias("lag"))
+        .agg(F.sum("_c").alias("score"),
+             F.count("*").alias("n_overlap"))
+    )
+    best = scores.groupBy("object").agg(
+        F.max(F.struct(F.col("score"), (-F.col("lag")).alias("_nl"),
+                       F.col("n_overlap"))).alias("_b"))
+    return best.select(
+        "object", (-F.col("_b._nl")).alias("best_lag"),
+        F.col("_b.score").alias("best_score"),
+        F.col("_b.n_overlap").alias("n_overlap"))

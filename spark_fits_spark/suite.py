@@ -5892,6 +5892,64 @@ def q140_matched_filter_detection(spark, sf):
                           prepared=True)
 
 
+@query("q141_xcorr_redshift", """
+WITH tmpl AS (
+  SELECT j.j AS j,
+         CAST(CAST(('0x' || substr(md5('t|' || CAST(j.j AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 50 AS DOUBLE) AS tv
+  FROM range(0, 48) j(j)
+), obj AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS object,
+         n_nationkey % 9 - 4 AS sh
+  FROM nation
+), s AS (
+  SELECT object, k.k AS k, COALESCE(t.tv, 0.0) AS flux
+  FROM obj CROSS JOIN range(0, 48) k(k)
+  LEFT JOIN tmpl t ON t.j = k.k + obj.sh
+), sc AS (
+  SELECT object, CAST(l.lag AS BIGINT) AS lag,
+         SUM(s.flux * t2.tv) AS score, COUNT(*) AS n_overlap
+  FROM s CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag) l
+  JOIN tmpl t2 ON t2.j = s.k + l.lag
+  GROUP BY 1, 2
+)
+SELECT object, lag AS best_lag, score AS best_score,
+       CAST(n_overlap AS BIGINT) AS n_overlap
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY object
+                                   ORDER BY score DESC, lag ASC) AS rn
+      FROM sc)
+WHERE rn = 1
+""")
+def q141_xcorr_redshift(spark, sf):
+    """Cross-correlation lag / redshift estimation (r5) — the
+    template-correlation measurement a spectroscopic survey runs per
+    object (on a log-λ grid an integer lag IS a velocity shift):
+    `xcorr_lag` slides every gridded spectrum against a shared
+    literal-array template entirely JVM-side (F.get lookups, no
+    join), explodes the 13 lag hypotheses map-side, and closes with
+    two map-side-combined aggs (per-(object, lag) dot products, then
+    a struct-argmax with ties toward the smaller lag). Every object
+    is the md5 template shifted by a planted lag in [-4, 4], so the
+    recovered best_lag must equal the plant; the oracle replays
+    scores, overlap counts, and the tie rule in SQL."""
+    import hashlib
+
+    from spark_fits_spark.operators.spectra import xcorr_lag
+
+    tmpl = [float(int(hashlib.md5(f"t|{j}".encode()).hexdigest()[:15],
+                      16) % 50) for j in range(48)]
+    tarr = F.array(*[F.lit(v) for v in tmpl])
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("object"),
+                     (F.col("n_nationkey") % 9 - 4).alias("sh"),
+                     F.explode(F.sequence(F.lit(0), F.lit(47))).alias("k")))
+    flux = F.coalesce(
+        F.get(tarr, (F.col("k") + F.col("sh")).cast("int")), F.lit(0.0))
+    s = base.select("object", F.col("k").cast("long").alias("k"),
+                    flux.alias("flux"))
+    return xcorr_lag(s, tmpl, max_lag=6)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5957,9 +6015,10 @@ _DRIVER_PRIORITY = [
     # q131/q132 robust stacks, q133_structure_function,
     # q134_equivalent_width, q135_composite_spectrum and
     # q136_injection_recovery, q137_local_background and
-    # q138_tracklet_linking, q139_header_table and
-    # q140_matched_filter_detection also land past the cap and
-    # lead the r6 gate alongside them.)
+    # q138_tracklet_linking, q139_header_table,
+    # q140_matched_filter_detection and q141_xcorr_redshift
+    # also land past the cap and lead the r6 gate alongside
+    # them.)
 ]
 
 

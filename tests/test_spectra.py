@@ -103,3 +103,39 @@ def test_resample_linear(spark):
     with pytest.raises(ValueError, match="step"):
         resample_linear(df, "obj", "wl", "flux",
                         wl0=90, step=0, n_grid=5)
+
+
+def test_xcorr_lag(spark):
+    """Recovered lag == numpy argmax of the sliding dot product for
+    every planted shift in range; tie toward smaller lag; overlap
+    counts exact; guards raise."""
+    rng = np.random.default_rng(4)
+    tmpl = rng.integers(0, 50, 48).astype(float)
+    rows = []
+    shifts = {0: -3, 1: 0, 2: 5}
+    for o, sh in shifts.items():
+        for k in range(48):
+            src = k + sh
+            v = tmpl[src] if 0 <= src < 48 else 0.0
+            rows.append((o, k, float(v)))
+    df = spark.createDataFrame(rows, "object long, k long, flux double")
+    from spark_fits_spark.operators.spectra import xcorr_lag
+    got = {r["object"]: r for r in
+           xcorr_lag(df, list(tmpl), max_lag=6).collect()}
+
+    for o, sh in shifts.items():
+        flux = np.array([r[2] for r in rows if r[0] == o])
+        best, bscore, bn = None, None, None
+        for lag in range(-6, 7):
+            ks = np.arange(48)
+            sel = (ks + lag >= 0) & (ks + lag < 48)
+            sc = float((flux[sel] * tmpl[ks[sel] + lag]).sum())
+            if best is None or sc > bscore:
+                best, bscore, bn = lag, sc, int(sel.sum())
+        assert got[o]["best_lag"] == best == sh, (o, got[o], best)
+        assert abs(got[o]["best_score"] - bscore) < 1e-9
+        assert got[o]["n_overlap"] == bn
+    with pytest.raises(ValueError, match="max_lag"):
+        xcorr_lag(df, list(tmpl), max_lag=48)
+    with pytest.raises(ValueError, match="non-empty"):
+        xcorr_lag(df, [], max_lag=0)
