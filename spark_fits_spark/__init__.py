@@ -26,6 +26,8 @@ Usage::
 
 from __future__ import annotations
 
+import math
+
 __version__ = "0.1.0"
 
 
@@ -250,6 +252,66 @@ def fits_headers(spark, path: str, hdu: int | None = None):
     rdd = spark.sparkContext.parallelize(
         _with_scoped_fs(files), max(1, len(files)))
     return spark.createDataFrame(rdd.flatMap(_walk), schema)
+
+
+def read_sky_cutout(spark, path: str, *, ra: float, dec: float,
+                    half: int, hdu: int = 1, wcs=None):
+    """Sky-position cutout — the cutout-service primitive: resolve
+    (ra, dec) through the image's TAN WCS driver-side, push the
+    row window down as a ``rowrange`` scan bound (only the covered
+    2880-byte blocks are ever read — q108's plane/row pruning path),
+    and slice the x window JVM-side. Returns ``(y, x0, Image)`` rows
+    — absolute pixel coordinates, ``Image`` trimmed to the cutout
+    width; a cutout clipped by the image edge returns the clipped
+    window, one fully outside returns no rows.
+
+    ``wcs`` (a ``TanWcs``) overrides the header's; otherwise the
+    header cards of ``hdu`` are parsed driver-side. 2-D image HDUs
+    (one plane) — the row window is the logical row range the scan
+    prunes on."""
+    from pyspark.sql import functions as F
+
+    from spark_fits_spark.fitscore.file import open_hdu
+    from spark_fits_spark.fitscore.vfs import resolve_fs
+    from spark_fits_spark.functions.wcs import TanWcs, sky_to_pixel_scalar
+    from spark_fits_spark.sources.fits_datasource import search_fits_files
+
+    files = search_fits_files(path)
+    if len(files) != 1:
+        raise ValueError(
+            f"read_sky_cutout expects exactly one file, got "
+            f"{len(files)} under {path!r}")
+    fp = files[0]
+    fs = resolve_fs(fp).scoped_for(fp)
+    with fs.open_input(fp) as f:
+        info = open_hdu(f, fp, hdu)
+    if wcs is None:
+        wcs = TanWcs.from_header(info.header)
+    width = int(info.header.get("NAXIS1", "0") or "0")
+    height = int(info.header.get("NAXIS2", "0") or "0")
+    xc, yc = sky_to_pixel_scalar(wcs, ra, dec)
+    # nearest pixel (not floor): the inverse transform of an exact
+    # pixel center can come back 1 ulp under the integer
+    cx = int(math.floor(xc + 0.5))
+    cy = int(math.floor(yc + 0.5))
+    y0 = max(0, cy - half)
+    y1 = min(height, cy + half + 1)
+    x0 = max(0, cx - half)
+    x1 = min(width, cx + half + 1)
+    if y0 >= y1 or x0 >= x1:
+        empty = spark.range(0).select(
+            F.col("id").alias("y"), F.col("id").alias("x0"),
+            F.array(F.lit(0.0)).alias("Image"))
+        return empty.where(F.lit(False))
+    from spark_fits_spark.operators.images import with_plane_rows
+
+    df = (spark.read.format("fits").option("hdu", hdu)
+          .option("rowrange", f"{y0},{y1}").load(fp))
+    rows = with_plane_rows(df)
+    return rows.select(
+        (F.col("y") + F.lit(y0)).alias("y"),
+        F.lit(x0).alias("x0"),
+        F.slice("Image", x0 + 1, x1 - x0).alias("Image"))
 
 
 def fits_verify_checksums(spark, path: str):

@@ -208,3 +208,27 @@ def sky_to_pixel(wcs: TanWcs, ra_deg, dec_deg) -> tuple[Column, Column]:
     xpix = u + F.lit(wcs.crpix1 - 1.0)
     ypix = v + F.lit(wcs.crpix2 - 1.0)
     return xpix, ypix
+
+
+def sky_to_pixel_scalar(wcs: TanWcs, ra_deg: float,
+                        dec_deg: float) -> tuple[float, float]:
+    """Driver-side scalar twin of :func:`sky_to_pixel` (same gnomonic
+    inversion, plain ``math``) — for planning decisions that need a
+    pixel position BEFORE any DataFrame exists (e.g. the sky-cutout
+    reader's rowrange pushdown bounds)."""
+    det = wcs.cd1_1 * wcs.cd2_2 - wcs.cd1_2 * wcs.cd2_1
+    if det == 0:
+        raise ValueError("WCS: singular CD matrix")
+    a = math.radians(ra_deg)
+    d = math.radians(dec_deg)
+    a0 = math.radians(wcs.crval1)
+    d0 = math.radians(wcs.crval2)
+    cosda = math.cos(a - a0)
+    bigd = (math.sin(d0) * math.sin(d)
+            + math.cos(d0) * math.cos(d) * cosda)
+    xi = math.degrees(math.cos(d) * math.sin(a - a0) / bigd)
+    eta = math.degrees((math.cos(d0) * math.sin(d)
+                        - math.sin(d0) * math.cos(d) * cosda) / bigd)
+    u = wcs.cd2_2 / det * xi - wcs.cd1_2 / det * eta
+    v = -wcs.cd2_1 / det * xi + wcs.cd1_1 / det * eta
+    return u + wcs.crpix1 - 1.0, v + wcs.crpix2 - 1.0

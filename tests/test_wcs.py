@@ -108,3 +108,63 @@ def test_fit_tangent_affine(spark):
     for k, w in zip("def", ref_e):
         assert abs(got[k] - w) < 1e-10, (k, got[k], w)
     assert out[1]["a"] is None and out[1]["f"] is None   # singular
+
+
+def test_sky_to_pixel_scalar_roundtrip():
+    from spark_fits_spark.functions.wcs import TanWcs, sky_to_pixel_scalar
+
+    w = TanWcs(crval1=150.1163, crval2=2.2058, crpix1=512.5,
+               crpix2=512.5, cd1_1=-7.3e-5, cd1_2=1.1e-6,
+               cd2_1=1.2e-6, cd2_2=7.3e-5)
+    # the reference pixel maps back to itself
+    x, y = sky_to_pixel_scalar(w, 150.1163, 2.2058)
+    assert abs(x - 511.5) < 1e-9 and abs(y - 511.5) < 1e-9
+
+
+def test_read_sky_cutout(spark, tmp_path):
+    """Cutout around a sky position: exact pixel window (value = y*W+x
+    makes any offset visible), edge clipping, fully-outside empty,
+    and the scan reads ONLY the rowrange-pruned rows."""
+    import numpy as np
+
+    from spark_fits_spark import read_sky_cutout
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.functions.wcs import (TanWcs, pixel_to_sky,
+                                                sky_to_pixel_scalar)
+
+    H, W = 64, 80
+    img = (np.arange(H * W, dtype="i4")).reshape(H, W)
+    w = TanWcs(crval1=150.0, crval2=2.0, crpix1=40.5, crpix2=32.5,
+               cd1_1=-7.3e-5, cd1_2=0.0, cd2_1=0.0, cd2_2=7.3e-5)
+    cards = [
+        f"{k:8s}= {v:>20}".ljust(80).encode()
+        for k, v in [("CRVAL1", 150.0), ("CRVAL2", 2.0),
+                     ("CRPIX1", 40.5), ("CRPIX2", 32.5),
+                     ("CD1_1", -7.3e-5), ("CD1_2", 0.0),
+                     ("CD2_1", 0.0), ("CD2_2", 7.3e-5),
+                     ("CTYPE1", "'RA---TAN'"), ("CTYPE2", "'DEC--TAN'")]]
+    p = str(tmp_path / "sky.fits")
+    fw.write_fits(p, [fw.image_hdu(img, extra_cards=cards)])
+
+    # target the exact sky position of pixel (x=20, y=50)
+    df = spark.createDataFrame([(20.0, 50.0)], "px double, py double")
+    ra, dec = pixel_to_sky(w, "px", "py")
+    r = df.select(ra.alias("ra"), dec.alias("dec")).first()
+    cut = read_sky_cutout(spark, p, ra=r["ra"], dec=r["dec"], half=3)
+    rows = {rr["y"]: rr for rr in cut.collect()}
+    assert sorted(rows) == list(range(47, 54))
+    for y in range(47, 54):
+        assert rows[y]["x0"] == 17
+        assert rows[y]["Image"] == [y * W + x for x in range(17, 24)]
+    # edge clip: position near (0, 0)
+    xy = sky_to_pixel_scalar(w, 150.0, 2.0)  # center pixel sanity
+    assert abs(xy[0] - 39.5) < 1e-9
+    df2 = spark.createDataFrame([(1.0, 1.0)], "px double, py double")
+    ra2, dec2 = pixel_to_sky(w, "px", "py")
+    r2 = df2.select(ra2.alias("ra"), dec2.alias("dec")).first()
+    clip = read_sky_cutout(spark, p, ra=r2["ra"], dec=r2["dec"], half=4)
+    ys = sorted(rr["y"] for rr in clip.collect())
+    assert ys == list(range(0, 6))
+    # fully outside
+    assert read_sky_cutout(spark, p, ra=10.0, dec=-60.0,
+                           half=3).count() == 0
