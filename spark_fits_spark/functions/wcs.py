@@ -232,3 +232,52 @@ def sky_to_pixel_scalar(wcs: TanWcs, ra_deg: float,
     u = wcs.cd2_2 / det * xi - wcs.cd1_2 / det * eta
     v = -wcs.cd2_1 / det * xi + wcs.cd1_1 / det * eta
     return u + wcs.crpix1 - 1.0, v + wcs.crpix2 - 1.0
+
+
+def sin_pixel_to_sky(wcs: TanWcs, x, y) -> tuple[Column, Column]:
+    """SIN (orthographic, Greisen & Calabretta 2002 §5.1.5)
+    pixel → sky as JVM columns — the projection of choice for radio
+    interferometry images (small-field FITS from synthesis arrays):
+    ``δ = asin(√(1−ρ²)·sin δ0 + η cos δ0)``,
+    ``α = α0 + atan2(ξ, √(1−ρ²)·cos δ0 − η sin δ0)``,
+    (ξ, η) the CD-mapped intermediates in radians, ρ² = ξ² + η².
+    Same ``TanWcs`` parameter bundle — only CTYPE differs on disk."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("double")
+    u = xc + F.lit(1.0 - wcs.crpix1)
+    v = yc + F.lit(1.0 - wcs.crpix2)
+    xi = F.radians(F.lit(wcs.cd1_1) * u + F.lit(wcs.cd1_2) * v)
+    eta = F.radians(F.lit(wcs.cd2_1) * u + F.lit(wcs.cd2_2) * v)
+    d0 = math.radians(wcs.crval2)
+    cosc = F.sqrt(F.greatest(
+        F.lit(1.0) - xi * xi - eta * eta, F.lit(0.0)))
+    dec = F.degrees(F.asin(
+        cosc * F.lit(math.sin(d0)) + eta * F.lit(math.cos(d0))))
+    ra = F.pmod(F.degrees(
+        F.lit(math.radians(wcs.crval1))
+        + F.atan2(xi, cosc * F.lit(math.cos(d0))
+                  - eta * F.lit(math.sin(d0)))), F.lit(360.0))
+    return ra, dec
+
+
+def sin_sky_to_pixel(wcs: TanWcs, ra_deg, dec_deg) -> tuple[Column,
+                                                            Column]:
+    """Inverse of :func:`sin_pixel_to_sky`: the forward orthographic
+    ``ξ = cos δ sin Δα``, ``η = cos δ0 sin δ − sin δ0 cos δ cos Δα``
+    through the inverted CD matrix → 0-based (x, y) columns."""
+    det = wcs.cd1_1 * wcs.cd2_2 - wcs.cd1_2 * wcs.cd2_1
+    if det == 0:
+        raise ValueError("WCS: singular CD matrix")
+    ra = (F.col(ra_deg) if isinstance(ra_deg, str) else ra_deg)
+    dec = (F.col(dec_deg) if isinstance(dec_deg, str) else dec_deg)
+    a = F.radians(ra.cast("double"))
+    d = F.radians(dec.cast("double"))
+    a0 = math.radians(wcs.crval1)
+    d0 = math.radians(wcs.crval2)
+    xi = F.degrees(F.cos(d) * F.sin(a - F.lit(a0)))
+    eta = F.degrees(F.lit(math.cos(d0)) * F.sin(d)
+                    - F.lit(math.sin(d0)) * F.cos(d)
+                    * F.cos(a - F.lit(a0)))
+    u = (F.lit(wcs.cd2_2 / det) * xi - F.lit(wcs.cd1_2 / det) * eta)
+    v = (F.lit(-wcs.cd2_1 / det) * xi + F.lit(wcs.cd1_1 / det) * eta)
+    return (u + F.lit(wcs.crpix1 - 1.0), v + F.lit(wcs.crpix2 - 1.0))

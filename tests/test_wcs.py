@@ -168,3 +168,38 @@ def test_read_sky_cutout(spark, tmp_path):
     # fully outside
     assert read_sky_cutout(spark, p, ra=10.0, dec=-60.0,
                            half=3).count() == 0
+
+
+def test_sin_projection(spark):
+    """Orthographic SIN: exact roundtrip over a pixel grid, center
+    maps to CRVAL, and agreement with TAN to first order on a small
+    field (they differ only at second order in the field angle)."""
+    from spark_fits_spark.functions.wcs import (TanWcs, pixel_to_sky,
+                                                sin_pixel_to_sky,
+                                                sin_sky_to_pixel)
+
+    w = TanWcs(crval1=201.3, crval2=-43.0, crpix1=256.5, crpix2=256.5,
+               cd1_1=-2.8e-4, cd1_2=1.0e-5, cd2_1=1.1e-5, cd2_2=2.8e-4)
+    pts = [(float(x), float(y)) for x in (0, 100, 255.5, 511)
+           for y in (0, 127, 256, 511)]
+    df = spark.createDataFrame(pts, "px double, py double")
+    ra, dec = sin_pixel_to_sky(w, "px", "py")
+    back = sin_sky_to_pixel(w, ra, dec)
+    rows = df.select("px", "py", back[0].alias("bx"),
+                     back[1].alias("by"),
+                     ra.alias("ra"), dec.alias("dec")).collect()
+    for r in rows:
+        assert abs(r["bx"] - r["px"]) < 1e-8, r
+        assert abs(r["by"] - r["py"]) < 1e-8, r
+    # center pixel -> CRVAL
+    from pyspark.sql import functions as F
+    c = df.limit(1).select(
+        *sin_pixel_to_sky(w, F.lit(255.5), F.lit(255.5))).first()
+    assert abs(c[0] - 201.3) < 1e-9 and abs(c[1] - (-43.0)) < 1e-9
+    # small-field agreement with TAN (few-arcsec at ~0.1 deg field)
+    tra, tdec = pixel_to_sky(w, "px", "py")
+    t = df.select(ra.alias("sra"), dec.alias("sdec"),
+                  tra.alias("tra"), tdec.alias("tdec")).collect()
+    for r in t:
+        assert abs(r["sra"] - r["tra"]) < 0.01
+        assert abs(r["sdec"] - r["tdec"]) < 0.01
