@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q139_header_table",
     "q140_matched_filter_detection",
     "q141_xcorr_redshift",
+    "q142_stream_cone_alerts",
 ]
 
 
@@ -592,7 +593,7 @@ def main() -> None:
                                           "q127", "q128", "q129", "q130",
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
-                                          "q139", "q140", "q141",
+                                          "q139", "q140", "q141", "q142",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -5950,6 +5950,78 @@ def q141_xcorr_redshift(spark, sf):
     return xcorr_lag(s, tmpl, max_lag=6)
 
 
+@query("q142_stream_cone_alerts", """
+WITH pos AS (
+  SELECT event_id,
+         (CAST(('0x' || substr(md5('era|' || CAST(event_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % 360000) / 1000.0 AS ra,
+         (CAST(('0x' || substr(md5('edec|' || CAST(event_id AS VARCHAR)),
+                1, 15)) AS BIGINT) % 160000) / 1000.0 - 80.0 AS dec
+  FROM events WHERE event_id IS NOT NULL
+), hit AS (
+  SELECT event_id FROM pos
+  WHERE dec BETWEEN 2.0 - 20.0 AND 2.0 + 20.0
+    AND degrees(2 * asin(least(sqrt(
+          sin((radians(dec) - radians(2.0)) / 2)
+          * sin((radians(dec) - radians(2.0)) / 2)
+          + cos(radians(2.0)) * cos(radians(dec))
+          * sin((radians(ra) - radians(150.0)) / 2)
+          * sin((radians(ra) - radians(150.0)) / 2)), 1.0))) <= 20.0
+)
+SELECT CAST(('0x' || substr(md5('alerts|' || CAST(event_id AS VARCHAR)),
+            1, 15)) AS BIGINT) % 4 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_alerts,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM hit GROUP BY 1
+""")
+def q142_stream_cone_alerts(spark, sf):
+    """Streaming transient-alert filtering (r5) — the alert-broker
+    shape (ZTF/LSST: a stream of detections, keep those inside a
+    watched sky region, land them exactly-once for downstream
+    consumers): events replayed through a REAL Structured Streaming
+    file source, `cone_filter` (declination band leads the
+    conjunction, then haversine — all JVM) applied ON THE STREAM,
+    survivors landed by the epoch-overwrite shard sink, the layout
+    read back and summarized. The oracle recomputes cone membership
+    (the angular_sep SQL twin) + the salted-md5 shard rule over
+    `events` directly — the hash matches only if the stream
+    delivered exactly the cone members, exactly once, into their
+    deterministic shards. Fresh out/checkpoint dirs per call (q93's
+    stale-offset rule)."""
+    import tempfile
+
+    from spark_fits_spark.functions.sphere import cone_filter
+    from spark_fits_spark.streaming.events import stream_to_shards
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_id").isNotNull()).select("event_id")
+    base = tempfile.mkdtemp(prefix="spark_fits_q142_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("event_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    pos = stream.select(
+        "event_id",
+        (h("era", 360000) / 1000.0).alias("ra"),
+        (h("edec", 160000) / 1000.0 - 80.0).alias("dec"))
+    alerts = pos.where(cone_filter("ra", "dec", 150.0, 2.0, 20.0)) \
+                .select("event_id")
+    q = stream_to_shards(alerts, out, ckpt,
+                         id_col="event_id", n_shards=4, salt="alerts")
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count("*").alias("n_alerts"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.sum("event_id").alias("id_sum"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6016,9 +6088,9 @@ _DRIVER_PRIORITY = [
     # q134_equivalent_width, q135_composite_spectrum and
     # q136_injection_recovery, q137_local_background and
     # q138_tracklet_linking, q139_header_table,
-    # q140_matched_filter_detection and q141_xcorr_redshift
-    # also land past the cap and lead the r6 gate alongside
-    # them.)
+    # q140_matched_filter_detection, q141_xcorr_redshift and
+    # q142_stream_cone_alerts also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 
