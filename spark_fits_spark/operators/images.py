@@ -179,7 +179,8 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
                    min_npix: int = 1,
                    connectivity: int = 8,
                    prepared: bool = False,
-                   local_background_cell: int | None = None) -> DataFrame:
+                   local_background_cell: int | None = None,
+                   moments: bool = False) -> DataFrame:
     """Distributed source extraction over the image scan surface — the
     Spark-first replacement for the reference example's driver-side
     photutils pass (``examples/python/im2cat.py``: background stats →
@@ -277,17 +278,32 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
                 "_id", "left")
             .withColumn("_cl", F.coalesce("_cl", "_id"))  # isolated px
         )
+        aggs = [F.count("*").alias("n_px"),
+                F.sum("px").alias("flux"),
+                F.max("px").alias("peak"),
+                (F.sum(F.col("px") * F.col("x"))
+                 / F.sum("px")).alias("x_centroid"),
+                (F.sum(F.col("px") * F.col("y"))
+                 / F.sum("px")).alias("y_centroid")]
+        if moments:
+            # flux-weighted CENTRAL second moments (SExtractor's
+            # X2/Y2/XY shape parameters): Σw·u²/Σw − (Σw·u/Σw)² —
+            # same single groupBy, no extra pass
+            sp = F.sum("px")
+            mx = F.sum(F.col("px") * F.col("x")) / sp
+            my = F.sum(F.col("px") * F.col("y")) / sp
+            aggs += [
+                (F.sum(F.col("px") * F.col("x") * F.col("x")) / sp
+                 - mx * mx).alias("xx_moment"),
+                (F.sum(F.col("px") * F.col("y") * F.col("y")) / sp
+                 - my * my).alias("yy_moment"),
+                (F.sum(F.col("px") * F.col("x") * F.col("y")) / sp
+                 - mx * my).alias("xy_moment")]
         out = (
             labeled.groupBy(
                 F.col("ImgIndex").alias("plane"),
                 F.col("_cl").alias("source_id"))
-            .agg(F.count("*").alias("n_px"),
-                 F.sum("px").alias("flux"),
-                 F.max("px").alias("peak"),
-                 (F.sum(F.col("px") * F.col("x"))
-                  / F.sum("px")).alias("x_centroid"),
-                 (F.sum(F.col("px") * F.col("y"))
-                  / F.sum("px")).alias("y_centroid"))
+            .agg(*aggs)
             .where(F.col("n_px") >= min_npix)
         )
         # materialize before the scope releases the bright-pixel cache

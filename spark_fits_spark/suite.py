@@ -6022,6 +6022,59 @@ def q142_stream_cone_alerts(spark, sf):
         F.sum("event_id").alias("id_sum"))
 
 
+@query("q143_source_shapes", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       CAST(6 AS BIGINT) AS n_px,
+       CAST(6 * (100 + n_nationkey) AS DOUBLE) AS flux,
+       CAST(3 + n_nationkey % 5 + 1 AS DOUBLE) AS x_centroid,
+       CAST(2 + n_nationkey % 3 + 0.5 AS DOUBLE) AS y_centroid,
+       CAST(0.666666667 AS DOUBLE) AS xx9,
+       CAST(0.25 AS DOUBLE) AS yy9, CAST(0.0 AS DOUBLE) AS xy9
+FROM nation
+""")
+def q143_source_shapes(spark, sf):
+    """Source shape measurement (r5) — SExtractor's X2/Y2/XY second
+    moments (`detect_sources(moments=True)`): flux-weighted CENTRAL
+    second moments in the SAME single measurement groupBy (no extra
+    pass), the inputs to FWHM/ellipticity/star-galaxy separation.
+    The q111 fixture's uniform 2×3 rectangles have analytic moments
+    — var_x = 2/3, var_y = 1/4, cov = 0 for EVERY plane regardless
+    of position or amplitude — so the oracle states them as
+    constants (rounded at 1e-9; the flux-weighted sums are exact
+    integer rationals, identical correctly-rounded doubles in both
+    engines)."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import detect_sources
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    img = np.zeros((len(keys), 12, 16), dtype="i4")
+    for i, k in enumerate(keys):
+        y0, x0 = 2 + k % 3, 3 + k % 5
+        img[i, y0:y0 + 2, x0:x0 + 3] = 100 + k
+    d = _os.path.join(
+        "/tmp", "spark_fits_q143_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    if not _os.path.exists(path):
+        fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    out = detect_sources(df, threshold_sigma=5.0, connectivity=8,
+                         moments=True)
+    return out.select(
+        "plane", "n_px", "flux", "x_centroid", "y_centroid",
+        F.round("xx_moment", 9).alias("xx9"),
+        F.round("yy_moment", 9).alias("yy9"),
+        F.round("xy_moment", 9).alias("xy9"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6088,9 +6141,9 @@ _DRIVER_PRIORITY = [
     # q134_equivalent_width, q135_composite_spectrum and
     # q136_injection_recovery, q137_local_background and
     # q138_tracklet_linking, q139_header_table,
-    # q140_matched_filter_detection, q141_xcorr_redshift and
-    # q142_stream_cone_alerts also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q140_matched_filter_detection, q141_xcorr_redshift,
+    # q142_stream_cone_alerts and q143_source_shapes also land
+    # past the cap and lead the r6 gate alongside them.)
 ]
 
 
