@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q141_xcorr_redshift",
     "q142_stream_cone_alerts",
     "q143_source_shapes",
+    "q144_defect_columns",
 ]
 
 
@@ -595,7 +596,7 @@ def main() -> None:
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
                                           "q139", "q140", "q141", "q142",
-                                          "q143",
+                                          "q143", "q144",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -791,3 +791,36 @@ def subtract_background(df: DataFrame, mesh: DataFrame,
 
     image = F.transform(df["Image"], lambda v, x: interp(v, x))
     return j.select(df["ImgIndex"], df["y"], image.alias("Image"))
+
+
+def defect_columns(df: DataFrame, sigma: float = 5.0) -> DataFrame:
+    """CCD defect-column detection (the bad-column/hot-column map a
+    survey builds from its calibration frames): per (plane, x) the
+    COLUMN median over all rows, flagged defective when it deviates
+    from the plane's typical column by more than ``sigma`` robust
+    standard deviations (median/MAD over the column medians — the
+    majority of columns define "normal"). Returns ``(ImgIndex, x,
+    col_median, is_defect)``.
+
+    One shuffle keyed (plane, x) over the exploded pixels (exact
+    interpolating percentile per column), then a |planes|·width-row
+    reduction to per-plane median/MAD of the column medians,
+    broadcast back — pixel volume is touched exactly once. Input
+    rows carry (ImgIndex, y, Image)."""
+    flat = df.select(
+        "ImgIndex", F.posexplode("Image").alias("_x", "_v"))
+    cols = (flat.groupBy("ImgIndex", F.col("_x").cast("long").alias("x"))
+            .agg(F.percentile(F.col("_v").cast("double"), F.lit(0.5))
+                 .alias("col_median")))
+    plane = cols.groupBy("ImgIndex").agg(
+        F.percentile("col_median", F.lit(0.5)).alias("_m"))
+    d = cols.join(F.broadcast(plane), "ImgIndex").select(
+        "ImgIndex", "x", "col_median",
+        F.abs(F.col("col_median") - F.col("_m")).alias("_ad"), "_m")
+    mad = d.groupBy("ImgIndex").agg(
+        F.percentile("_ad", F.lit(0.5)).alias("_mad"))
+    out = d.join(F.broadcast(mad), "ImgIndex")
+    return out.select(
+        "ImgIndex", "x", "col_median",
+        (F.col("_ad") > F.lit(float(sigma) * 1.4826) * F.col("_mad"))
+        .alias("is_defect"))

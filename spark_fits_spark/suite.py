@@ -6075,6 +6075,67 @@ def q143_source_shapes(spark, sf):
         F.round("xy_moment", 9).alias("xy9"))
 
 
+@query("q144_defect_columns", """
+WITH px AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS plane,
+         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+         CAST(CAST(('0x' || substr(md5('dc|'
+               || CAST(n_nationkey AS VARCHAR) || '|'
+               || CAST(yy.y AS VARCHAR) || '|'
+               || CAST(xx.x AS VARCHAR)), 1, 15)) AS BIGINT) % 9
+              + CASE WHEN xx.x = n_nationkey % 16 THEN 1000 ELSE 0 END
+              AS DOUBLE) AS v
+  FROM nation,
+       (SELECT unnest(range(0, 12)) AS y) yy,
+       (SELECT unnest(range(0, 16)) AS x) xx
+), cols AS (
+  SELECT plane, x, median(v) AS col_median FROM px GROUP BY 1, 2
+), pm AS (
+  SELECT plane, median(col_median) AS m FROM cols GROUP BY 1
+), d AS (
+  SELECT plane, x, col_median, abs(col_median - m) AS ad
+  FROM cols JOIN pm USING (plane)
+), md AS (
+  SELECT plane, median(ad) AS mad FROM d GROUP BY 1
+)
+SELECT plane, x, col_median,
+       (ad > 5.0 * 1.4826 * mad) AS is_defect
+FROM d JOIN md USING (plane)
+""")
+def q144_defect_columns(spark, sf):
+    """CCD defect-column map (r5) — `defect_columns`: per-(plane, x)
+    exact column medians over one shuffle of the exploded pixels,
+    flagged against the plane's median/MAD of column medians
+    (broadcast back — pixel volume touched once). One planted
+    1000-count hot column per plane (position = plane mod width)
+    over md5 noise < one MAD unit; the oracle replays all three
+    median levels and the robust threshold in SQL, so the flags and
+    every column median hash exactly."""
+    from spark_fits_spark.operators.images import defect_columns
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+
+    def px(x):
+        s = F.concat(F.lit("dc|"), F.col("ImgIndex").cast("string"),
+                     F.lit("|"), F.col("y").cast("string"),
+                     F.lit("|"), x.cast("string"))
+        noise = (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                 .cast("long") % 9)
+        return (noise + F.when(x == F.col("ImgIndex") % 16, 1000)
+                .otherwise(0)).cast("double")
+
+    rows = base.select(
+        "ImgIndex", "y",
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: px(x)).alias("Image"))
+    out = defect_columns(rows, sigma=5.0)
+    return out.select(F.col("ImgIndex").alias("plane"), "x",
+                      "col_median", "is_defect")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6142,8 +6203,9 @@ _DRIVER_PRIORITY = [
     # q136_injection_recovery, q137_local_background and
     # q138_tracklet_linking, q139_header_table,
     # q140_matched_filter_detection, q141_xcorr_redshift,
-    # q142_stream_cone_alerts and q143_source_shapes also land
-    # past the cap and lead the r6 gate alongside them.)
+    # q142_stream_cone_alerts, q143_source_shapes and
+    # q144_defect_columns also land past the cap and lead the
+    # r6 gate alongside them.)
 ]
 
 

@@ -727,3 +727,28 @@ def test_detect_sources_local_background(spark):
     gcents = sorted((round(r["y_centroid"], 2), round(r["x_centroid"], 2))
                     for r in glob)
     assert gcents != [(2.0, 2.0), (13.0, 10.0)]
+
+
+def test_defect_columns(spark):
+    """Planted hot and dead columns are flagged; normal columns are
+    not; medians match numpy per column; MAD=0 planes (perfectly
+    uniform) flag any deviating column."""
+    from spark_fits_spark.operators.images import defect_columns
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(100, 110, (2, 20, 12)).astype(float)
+    img[0, :, 4] += 900.0       # hot column on plane 0
+    img[0, :, 9] = 0.0          # dead column on plane 0
+    rows = [(p, y, [float(v) for v in img[p, y]])
+            for p in range(2) for y in range(20)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+    got = {(r["ImgIndex"], r["x"]): r for r in
+           defect_columns(df, sigma=5.0).collect()}
+    assert len(got) == 24
+    for p in range(2):
+        for x in range(12):
+            assert abs(got[(p, x)]["col_median"]
+                       - float(np.median(img[p, :, x]))) < 1e-12
+    flagged = sorted(k for k, r in got.items() if r["is_defect"])
+    assert flagged == [(0, 4), (0, 9)]
