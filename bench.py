@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q142_stream_cone_alerts",
     "q143_source_shapes",
     "q144_defect_columns",
+    "q145_transient_light_curve",
 ]
 
 
@@ -596,7 +597,7 @@ def main() -> None:
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
                                           "q139", "q140", "q141", "q142",
-                                          "q143", "q144",
+                                          "q143", "q144", "q145",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -83,7 +83,8 @@ def with_plane_rows(df: DataFrame) -> DataFrame:
 
 
 def aperture_photometry(df: DataFrame, apertures: DataFrame,
-                        radius: int) -> DataFrame:
+                        radius: int,
+                        prepared: bool = False) -> DataFrame:
     """Forced circular-aperture photometry over the image scan surface
     — the survey measurement loop (sum the pixels within ``radius`` of
     each target position on its plane) as a distributed plan:
@@ -103,8 +104,12 @@ def aperture_photometry(df: DataFrame, apertures: DataFrame,
       image.
 
     Pixels off the image edge contribute nothing (slice clamps).
-    Returns ``(ap_id, plane, flux, n_px)``."""
-    rows = with_plane_rows(df)
+    Returns ``(ap_id, plane, flux, n_px)``. ``prepared=True``
+    accepts ``(ImgIndex, y, Image)`` rows directly (e.g. a
+    :func:`difference_image` output — forced photometry on
+    residuals IS the transient-light-curve measurement) instead
+    of the raw scan."""
+    rows = df if prepared else with_plane_rows(df)
     ap = apertures.select(
         F.col("ap_id"), F.col("plane").cast("long").alias("_p"),
         F.col("x").cast("long").alias("_ax"),

@@ -6136,6 +6136,71 @@ def q144_defect_columns(spark, sf):
                       "col_median", "is_defect")
 
 
+@query("q145_transient_light_curve", """
+SELECT CAST(n_nationkey AS BIGINT) AS ap_id,
+       CAST(n_nationkey AS BIGINT) AS plane,
+       CAST(100 * (n_nationkey + 1) - 1300 AS DOUBLE) AS flux,
+       CAST(13 AS BIGINT) AS n_px
+FROM nation
+""")
+def q145_transient_light_curve(spark, sf):
+    """Transient light-curve extraction (r5) — the alert-pipeline
+    last mile (LSST/ZTF forced photometry on difference images):
+    scan the epoch cube, build the mean-coadd template, subtract it
+    from every epoch (`difference_image` — statics cancel EXACTLY),
+    and run `aperture_photometry(prepared=True)` at the transient's
+    position on the residuals. The fixture's static md5 pattern is
+    identical in every epoch and the planted transient ramps
+    100·(t+1), so each epoch's forced flux is analytically
+    100·(t+1) − mean = 100·(t+1) − 1300 with exactly the 13 pixels
+    of the radius-2 disc — any template misalignment, incomplete
+    static cancellation, or aperture-geometry error breaks the
+    hash."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import (aperture_photometry,
+                                                   coadd_planes,
+                                                   difference_image)
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    static = np.empty((12, 16), dtype="f8")
+    for y in range(12):
+        for x in range(16):
+            static[y, x] = float(int(hashlib.md5(
+                f"st|{y}|{x}".encode()).hexdigest()[:15], 16) % 500)
+    img = np.stack([static.copy() for _ in keys])
+    for i, k in enumerate(keys):
+        img[i, 5, 8] += 100.0 * (k + 1)
+    d = _os.path.join(
+        "/tmp", "spark_fits_q145_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    if not _os.path.exists(path):
+        fw.write_fits(path, [fw.image_hdu(img)])
+    from spark_fits_spark.operators.images import with_plane_rows
+
+    sci = spark.read.format("fits").option("hdu", 1).load(path)
+    template = coadd_planes(sci, method="mean").select(
+        "y", F.col("image").alias("values"))
+    science_rows = with_plane_rows(
+        spark.read.format("fits").option("hdu", 1).load(path))
+    resid = difference_image(science_rows, template)
+    aps = spark.createDataFrame(
+        [(int(k), int(k), 8, 5) for k in keys],
+        "ap_id long, plane long, x long, y long")
+    out = aperture_photometry(resid, aps, radius=2, prepared=True)
+    return out.select(F.col("ap_id").cast("long").alias("ap_id"),
+                      F.col("plane").cast("long").alias("plane"),
+                      "flux", F.col("n_px").cast("long").alias("n_px"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6203,9 +6268,9 @@ _DRIVER_PRIORITY = [
     # q136_injection_recovery, q137_local_background and
     # q138_tracklet_linking, q139_header_table,
     # q140_matched_filter_detection, q141_xcorr_redshift,
-    # q142_stream_cone_alerts, q143_source_shapes and
-    # q144_defect_columns also land past the cap and lead the
-    # r6 gate alongside them.)
+    # q142_stream_cone_alerts, q143_source_shapes,
+    # q144_defect_columns and q145_transient_light_curve also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 
