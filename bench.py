@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q143_source_shapes",
     "q144_defect_columns",
     "q145_transient_light_curve",
+    "q146_bls_transit_search",
 ]
 
 
@@ -597,7 +598,7 @@ def main() -> None:
                                           "q131", "q132", "q133", "q134",
                                           "q135", "q136", "q137", "q138",
                                           "q139", "q140", "q141", "q142",
-                                          "q143", "q144", "q145",
+                                          "q143", "q144", "q145", "q146",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

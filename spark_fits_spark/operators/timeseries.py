@@ -249,3 +249,52 @@ def structure_function(df: DataFrame, t_col: str, y_col: str,
         .agg(F.count("*").alias("n_pairs"),
              F.round(F.avg("_d2"), 6).alias("sf6"))
     )
+
+
+def bls_search(df: DataFrame, t_col: str, y_col: str, key_col: str,
+               *, periods, nbins: int = 8) -> DataFrame:
+    """Box-least-squares transit search (Kovács, Zucker & Mazeh 2002,
+    simplified box statistic) — for every object, fold on each trial
+    period, bin the phase into ``nbins`` boxes, and score the period
+    by its transit depth ``mean(all) − min(bin mean)``; the best
+    period (ties → smaller) wins. The exoplanet/eclipsing-binary
+    search run over every light curve of a survey at once. Returns
+    ``(object, best_period, depth, transit_bin)``.
+
+    Scale shape: samples explode into |periods| hypotheses map-side
+    (phase bin = ``(t mod P)·nbins div P``, integer-exact for integer
+    times/periods); per-(object, period, bin) sums are ONE map-side-
+    combined groupBy; the per-(object, period) depth folds the ≤nbins
+    rows with a second map-side-combined agg, and the argmax is a
+    third — output |objects| rows, everything JVM-side."""
+    if not periods:
+        raise ValueError("periods must be non-empty")
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    for p in periods:
+        if int(p) < 1:
+            raise ValueError(f"periods must be positive ints, got {p}")
+    pa = F.explode(F.array(
+        *[F.lit(int(p)) for p in periods])).alias("_P")
+    rows = df.select(
+        F.col(key_col).alias("object"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("double").alias("_y"), pa)
+    bin_ = F.expr(f"(pmod(_t, _P) * {nbins}) div _P").cast("long")
+    per_bin = (rows.groupBy("object", "_P", bin_.alias("_b"))
+               .agg(F.sum("_y").alias("_s"), F.count("*").alias("_n")))
+    per_period = per_bin.groupBy("object", "_P").agg(
+        (F.sum("_s") / F.sum("_n")).alias("_mall"),
+        F.min(F.struct((F.col("_s") / F.col("_n")).alias("m"),
+                       F.col("_b"))).alias("_lo"))
+    scored = per_period.select(
+        "object", "_P",
+        (F.col("_mall") - F.col("_lo.m")).alias("_depth"),
+        F.col("_lo._b").alias("_bin"))
+    best = scored.groupBy("object").agg(
+        F.max(F.struct(F.col("_depth"), (-F.col("_P")).alias("_np"),
+                       F.col("_bin"))).alias("_w"))
+    return best.select(
+        "object", (-F.col("_w._np")).alias("best_period"),
+        F.col("_w._depth").alias("depth"),
+        F.col("_w._bin").alias("transit_bin"))

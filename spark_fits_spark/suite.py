@@ -6201,6 +6201,81 @@ def q145_transient_light_curve(spark, sf):
                       "flux", F.col("n_px").cast("long").alias("n_px"))
 
 
+@query("q146_bls_transit_search", """
+WITH s AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS object,
+         20 + (n_nationkey % 5) * 10 AS P0, t.t AS t,
+         CAST(100
+              + CAST(('0x' || substr(md5('bls|'
+                    || CAST(n_nationkey AS VARCHAR) || '|'
+                    || CAST(t.t AS VARCHAR)), 1, 15)) AS BIGINT) % 3
+              - CASE WHEN ((t.t % (20 + (n_nationkey % 5) * 10)) * 8)
+                          // (20 + (n_nationkey % 5) * 10) = 0
+                     THEN 50 ELSE 0 END AS DOUBLE) AS y
+  FROM nation, range(0, 200) t(t)
+), e AS (
+  SELECT object, t, y, p.P AS P
+  FROM s, (SELECT unnest([20, 25, 30, 40, 50, 60]) AS P) p
+), pb AS (
+  SELECT object, P, ((t % P) * 8) // P AS b,
+         SUM(y) AS sy, COUNT(*) AS n
+  FROM e GROUP BY 1, 2, 3
+), lo AS (
+  SELECT object, P, b, sy * 1.0 / n AS mbin,
+         ROW_NUMBER() OVER (PARTITION BY object, P
+                            ORDER BY sy * 1.0 / n ASC, b ASC) AS rn
+  FROM pb
+), mall AS (
+  SELECT object, P, SUM(sy) / SUM(n) AS mall FROM pb GROUP BY 1, 2
+), sc AS (
+  SELECT mall.object, mall.P, mall.mall - lo.mbin AS depth, lo.b
+  FROM mall JOIN lo ON lo.object = mall.object AND lo.P = mall.P
+                    AND lo.rn = 1
+)
+SELECT object, CAST(P AS BIGINT) AS best_period, depth,
+       CAST(b AS BIGINT) AS transit_bin
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY object
+                                   ORDER BY depth DESC, P ASC) AS rn
+      FROM sc)
+WHERE rn = 1
+""")
+def q146_bls_transit_search(spark, sf):
+    """Box-least-squares transit search (r5) — Kovács, Zucker & Mazeh
+    2002's exoplanet/eclipsing-binary statistic over every light
+    curve at once (`bls_search`): fold on each trial period
+    (integer-exact phase bins), depth = mean(all) − min(bin mean),
+    best period by depth with ties toward the smaller period —
+    three map-side-combined aggs, |objects| output rows. Every
+    object carries a planted 50-count box at its own true period
+    (phase fraction 1/8); harmonics lose because their wider bins
+    dilute the dip. The oracle replays bins, depths, and both tie
+    rules in SQL."""
+    from spark_fits_spark.operators.timeseries import bls_search
+
+    n = _t(spark, sf, "nation")
+    p0 = 20 + (F.col("object") % 5) * 10
+    base = (n.select(F.col("n_nationkey").cast("long").alias("object"),
+                     F.explode(F.sequence(F.lit(0), F.lit(199)))
+                     .alias("t")))
+    noise = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("bls|"), F.col("object").cast("string"),
+        F.lit("|"), F.col("t").cast("string"))), 1, 15),
+        16, 10).cast("long") % 3)
+    # integer-exact box membership: (t mod P0)·8 div P0 == 0
+    dip = F.when(
+        F.expr("(pmod(t, 20 + (object % 5) * 10) * 8) "
+               "div (20 + (object % 5) * 10)") == 0,
+        50).otherwise(0)
+    y = (100 + noise - dip).cast("double")
+    s = base.select("object", F.col("t").cast("long").alias("t"),
+                    y.alias("y"))
+    out = bls_search(s, "t", "y", "object",
+                     periods=[20, 25, 30, 40, 50, 60], nbins=8)
+    return out.select(
+        "object", F.col("best_period").cast("long").alias("best_period"),
+        "depth", F.col("transit_bin").cast("long").alias("transit_bin"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6269,8 +6344,9 @@ _DRIVER_PRIORITY = [
     # q138_tracklet_linking, q139_header_table,
     # q140_matched_filter_detection, q141_xcorr_redshift,
     # q142_stream_cone_alerts, q143_source_shapes,
-    # q144_defect_columns and q145_transient_light_curve also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q144_defect_columns, q145_transient_light_curve and
+    # q146_bls_transit_search also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 
