@@ -6276,6 +6276,57 @@ def q146_bls_transit_search(spark, sf):
         "depth", F.col("transit_bin").cast("long").alias("transit_bin"))
 
 
+@query("q147_proper_motion_fit", """
+SELECT CAST(n_nationkey AS BIGINT) AS object,
+       CAST(10 AS BIGINT) AS n_epochs,
+       CAST(3 * ((n_nationkey % 11) - 5) AS DOUBLE) AS pmra,
+       CAST(2 * ((n_nationkey % 7) - 3) AS DOUBLE) AS pmdec,
+       CAST(CAST(('0x' || substr(md5('ra0|'
+            || CAST(n_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 3600000 AS DOUBLE) AS ra0,
+       CAST(CAST(('0x' || substr(md5('de0|'
+            || CAST(n_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1800000 AS DOUBLE) AS dec0
+FROM nation
+""")
+def q147_proper_motion_fit(spark, sf):
+    """Proper-motion solve (r5) — the multi-epoch astrometric fit a
+    survey runs per star (Gaia-style: position vs time, slope = μ):
+    TWO applications of the closed-form per-object least-squares
+    fitter (`spectra.fit_continuum` — five map-side-combined sums +
+    2×2 Cramer) on the ra and dec tracks, joined on the object key.
+    Epoch positions are EXACTLY linear integers (mas), so the
+    normal equations yield the planted μ and reference position as
+    exact integer rationals — the oracle states them analytically;
+    any pairing/fit/join error breaks the hash."""
+    from spark_fits_spark.operators.spectra import fit_continuum
+
+    n = _t(spark, sf, "nation")
+    k = F.col("object")
+
+    def h(salt, mod):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), k.cast("string"))), 1, 15),
+            16, 10).cast("long") % mod)
+
+    base = (n.select(F.col("n_nationkey").cast("long").alias("object"),
+                     F.explode(F.sequence(F.lit(0), F.lit(9))).alias("t"))
+            .select("object", "t",
+                    (h("ra0", 3600000)
+                     + (3 * (k % 11 - 5)) * F.col("t")).alias("ra_mas"),
+                    (h("de0", 1800000)
+                     + (2 * (k % 7 - 3)) * F.col("t")).alias("de_mas")))
+    fra = fit_continuum(base, "object", "t", "ra_mas").select(
+        "object", F.col("n_samples").alias("n_epochs"),
+        F.col("a").alias("pmra"), F.col("b").alias("ra0"))
+    fde = fit_continuum(base, "object", "t", "de_mas").select(
+        "object", F.col("a").alias("pmdec"), F.col("b").alias("dec0"))
+    return (fra.join(fde, "object")
+            .select("object", F.col("n_epochs").cast("long")
+                    .alias("n_epochs"),
+                    "pmra", "pmdec", "ra0", "dec0"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6344,9 +6395,9 @@ _DRIVER_PRIORITY = [
     # q138_tracklet_linking, q139_header_table,
     # q140_matched_filter_detection, q141_xcorr_redshift,
     # q142_stream_cone_alerts, q143_source_shapes,
-    # q144_defect_columns, q145_transient_light_curve and
-    # q146_bls_transit_search also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q144_defect_columns, q145_transient_light_curve,
+    # q146_bls_transit_search and q147_proper_motion_fit also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 
