@@ -829,3 +829,29 @@ def defect_columns(df: DataFrame, sigma: float = 5.0) -> DataFrame:
         "ImgIndex", "x", "col_median",
         (F.col("_ad") > F.lit(float(sigma) * 1.4826) * F.col("_mad"))
         .alias("is_defect"))
+
+
+def calibrate_frames(science: DataFrame, dark: DataFrame,
+                     flat: DataFrame, y_col: str = "y",
+                     values_col: str = "values") -> DataFrame:
+    """Instrumental calibration — ``(science − dark) / flat`` per
+    pixel, the first step of every imaging pipeline (bias/dark
+    removal + flat-fielding). ``science`` is ``(ImgIndex, y, Image)``
+    rows (N exposures); ``dark`` and ``flat`` are single master
+    frames of ``(y, values)`` rows (typically :func:`coadd_planes`
+    outputs of the calibration stacks).
+
+    Plan: two row-index equi-joins (N planes against ONE master each
+    — AQE broadcasts masters that fit) and a JVM zip_with chain;
+    pixels never explode and never shuffle. Flat pixels ≤ 0 (dead)
+    yield NULL rather than dividing by zero/negative."""
+    d = dark.select(F.col(y_col).alias("y"),
+                    F.col(values_col).alias("_dv"))
+    fl = flat.select(F.col(y_col).alias("y"),
+                     F.col(values_col).alias("_fv"))
+    j = science.join(d, "y").join(fl, "y")
+    sub = F.zip_with("Image", "_dv",
+                     lambda a, b: a.cast("double") - b)
+    out = F.zip_with(sub, "_fv",
+                     lambda a, b: F.when(b > 0, a / b))
+    return j.select("ImgIndex", "y", out.alias("Image"))

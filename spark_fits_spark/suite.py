@@ -6327,6 +6327,63 @@ def q147_proper_motion_fit(spark, sf):
                     "pmra", "pmdec", "ra0", "dec0"))
 
 
+@query("q148_frame_calibration", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+       CAST(CAST(('0x' || substr(md5('cal|'
+             || CAST(n_nationkey AS VARCHAR) || '|'
+             || CAST(yy.y AS VARCHAR) || '|'
+             || CAST(xx.x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 + 50
+            AS DOUBLE) AS value
+FROM nation,
+     (SELECT unnest(range(0, 12)) AS y) yy,
+     (SELECT unnest(range(0, 16)) AS x) xx
+""")
+def q148_frame_calibration(spark, sf):
+    """Instrumental calibration (r5) — `calibrate_frames`:
+    ``(science − dark)/flat``, the bias/dark removal + flat-fielding
+    every imaging pipeline runs first. Two row-index equi-joins (N
+    planes vs ONE master each, AQE-broadcastable) + a JVM zip_with
+    chain — pixels never explode or shuffle. The fixture FORGES the
+    science frames as ``truth·flat + dark`` with exactly-dyadic flat
+    values (0.5/1/1.5/2) and integer dark/truth, so the calibration
+    must return the md5 truth field BIT-EXACTLY (the oracle simply
+    states it); any join misalignment, ordering drift, or arithmetic
+    error shows as a wrong pixel."""
+    from spark_fits_spark.operators.images import calibrate_frames
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+
+    def truth(x):
+        s = F.concat(F.lit("cal|"), F.col("ImgIndex").cast("string"),
+                     F.lit("|"), F.col("y").cast("string"),
+                     F.lit("|"), x.cast("string"))
+        return (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                .cast("long") % 100 + 50).cast("double")
+
+    flat_of = lambda x: (1 + (x % 4)).cast("double") * 0.5  # noqa: E731
+    dark_of = lambda y: (10 * (y % 3)).cast("double")       # noqa: E731
+    sci = base.select(
+        "ImgIndex", "y",
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: truth(x) * flat_of(x)
+                    + dark_of(F.col("y"))).alias("Image"))
+    ys = spark.range(12).select(F.col("id").cast("long").alias("y"))
+    dark = ys.select(
+        "y", F.array_repeat(dark_of(F.col("y")), 16).alias("values"))
+    flat = ys.select(
+        "y", F.transform(F.sequence(F.lit(0), F.lit(15)),
+                         lambda x: flat_of(x)).alias("values"))
+    out = calibrate_frames(sci, dark, flat)
+    return out.select(
+        F.col("ImgIndex").alias("plane"), "y",
+        F.posexplode("Image").alias("x", "value")
+    ).select("plane", "y", F.col("x").cast("long").alias("x"), "value")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6396,8 +6453,9 @@ _DRIVER_PRIORITY = [
     # q140_matched_filter_detection, q141_xcorr_redshift,
     # q142_stream_cone_alerts, q143_source_shapes,
     # q144_defect_columns, q145_transient_light_curve,
-    # q146_bls_transit_search and q147_proper_motion_fit also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q146_bls_transit_search, q147_proper_motion_fit and
+    # q148_frame_calibration also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

@@ -752,3 +752,38 @@ def test_defect_columns(spark):
                        - float(np.median(img[p, :, x]))) < 1e-12
     flagged = sorted(k for k, r in got.items() if r["is_defect"])
     assert flagged == [(0, 4), (0, 9)]
+
+
+def test_calibrate_frames(spark):
+    """(science - dark) / flat per pixel == numpy; dead flat pixels
+    (<= 0) come back NULL; all planes calibrated against the same
+    masters."""
+    from spark_fits_spark.operators.images import calibrate_frames
+
+    rng = np.random.default_rng(6)
+    sci = rng.integers(500, 600, (3, 5, 8)).astype(float)
+    dark = rng.integers(40, 60, (5, 8)).astype(float)
+    flat = rng.uniform(0.8, 1.2, (5, 8))
+    flat[2, 3] = 0.0            # dead pixel
+    flat[4, 7] = -1.0           # pathological
+    sdf = spark.createDataFrame(
+        [(p, y, [float(v) for v in sci[p, y]])
+         for p in range(3) for y in range(5)],
+        "ImgIndex long, y long, Image array<double>")
+    ddf = spark.createDataFrame(
+        [(y, [float(v) for v in dark[y]]) for y in range(5)],
+        "y long, values array<double>")
+    fdf = spark.createDataFrame(
+        [(y, [float(v) for v in flat[y]]) for y in range(5)],
+        "y long, values array<double>")
+    got = {(r["ImgIndex"], r["y"]): r["Image"] for r in
+           calibrate_frames(sdf, ddf, fdf).collect()}
+    for p in range(3):
+        for y in range(5):
+            for x in range(8):
+                v = got[(p, y)][x]
+                if flat[y, x] <= 0:
+                    assert v is None, (p, y, x)
+                else:
+                    want = (sci[p, y, x] - dark[y, x]) / flat[y, x]
+                    assert abs(v - want) < 1e-12, (p, y, x)
