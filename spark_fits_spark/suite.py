@@ -6384,6 +6384,71 @@ def q148_frame_calibration(spark, sf):
     ).select("plane", "y", F.col("x").cast("long").alias("x"), "value")
 
 
+@query("q149_gls_periodogram", """
+WITH b AS (
+  SELECT user_id,
+         (epoch(ts) - (SELECT min(epoch(ts)) FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL))
+         / 3600.0 AS t,
+         value AS y,
+         1.0 / ((1 + event_id % 3) * (1 + event_id % 3)) AS w
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), f AS (
+  SELECT * FROM (VALUES (0, 0.01), (1, 0.1), (2, 0.5), (3, 1.0),
+                        (4, 2.0)) AS tt(freq_idx, freq)
+), g AS (
+  SELECT user_id AS object_id, CAST(freq_idx AS BIGINT) AS freq_idx,
+         COUNT(*) AS n, SUM(w) AS sw,
+         SUM(w*y) AS swy, SUM(w*y*y) AS swyy,
+         SUM(w*cos(2*pi()*freq*t)) AS swc,
+         SUM(w*sin(2*pi()*freq*t)) AS sws,
+         SUM(w*y*cos(2*pi()*freq*t)) AS swyc,
+         SUM(w*y*sin(2*pi()*freq*t)) AS swys,
+         SUM(w*cos(2*pi()*freq*t)*cos(2*pi()*freq*t)) AS swcc,
+         SUM(w*cos(2*pi()*freq*t)*sin(2*pi()*freq*t)) AS swcs
+  FROM b, f GROUP BY 1, 2
+), k AS (
+  SELECT *,
+    swyy/sw - (swy/sw)*(swy/sw) AS yy,
+    swyc/sw - (swy/sw)*(swc/sw) AS yc,
+    swys/sw - (swy/sw)*(sws/sw) AS ys,
+    swcc/sw - (swc/sw)*(swc/sw) AS cc,
+    (sw - swcc)/sw - (sws/sw)*(sws/sw) AS ss,
+    swcs/sw - (swc/sw)*(sws/sw) AS cs
+  FROM g
+)
+SELECT object_id, freq_idx,
+       CASE WHEN n >= 3 AND yy > 0 AND cc*ss - cs*cs > 0
+            THEN round((ss*yc*yc + cc*ys*ys - 2*cs*yc*ys)
+                       / (yy * (cc*ss - cs*cs)), 6) END AS power6
+FROM k
+""")
+def q149_gls_periodogram(spark, sf):
+    """Generalized Lomb–Scargle (r5) — Zechmeister & Kürster 2009:
+    floating mean + 1/σ² weights fitted simultaneously with the
+    sinusoid (`gls_periodogram`), the statistically correct
+    periodogram for real survey photometry with per-point errors.
+    Same one-aggregation plan as q113 (nine weighted sums, closed
+    form after); per-point errors derived deterministically from
+    event_id so the oracle replays the identical weighted sums in
+    SQL; powers round at 1e-6 (cross-engine libm trig)."""
+    from spark_fits_spark.operators.timeseries import gls_periodogram
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    tmin = e.agg(F.min(F.col("ts").cast("double"))).first()[0]
+    base = e.select(
+        "user_id",
+        ((F.col("ts").cast("double") - F.lit(tmin)) / 3600.0).alias("t"),
+        F.col("value").alias("y"),
+        (1 + F.col("event_id") % 3).cast("double").alias("err"))
+    out = gls_periodogram(base, "t", "y", "user_id",
+                          [0.01, 0.1, 0.5, 1.0, 2.0], "err")
+    return out.select(
+        F.col("object_id"), "freq_idx",
+        F.round("power", 6).alias("power6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6453,9 +6518,9 @@ _DRIVER_PRIORITY = [
     # q140_matched_filter_detection, q141_xcorr_redshift,
     # q142_stream_cone_alerts, q143_source_shapes,
     # q144_defect_columns, q145_transient_light_curve,
-    # q146_bls_transit_search, q147_proper_motion_fit and
-    # q148_frame_calibration also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q146_bls_transit_search, q147_proper_motion_fit,
+    # q148_frame_calibration and q149_gls_periodogram also
+    # land past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -240,3 +240,52 @@ def test_bls_search(spark):
         bls_search(df, "t", "y", "obj", periods=[])
     with _pt.raises(ValueError, match="nbins"):
         bls_search(df, "t", "y", "obj", periods=[10], nbins=1)
+
+
+def test_gls_periodogram(spark):
+    """GLS == direct numpy Zechmeister-Kurster (weighted, floating
+    mean) at every frequency; the planted frequency dominates; 0..1
+    bounded; degenerate series NULL; weights matter (down-weighted
+    outliers recover the clean spectrum)."""
+    import numpy as np
+
+    from spark_fits_spark.operators.timeseries import gls_periodogram
+
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.uniform(0, 80, 250))
+    y = 5.0 + 2.0 * np.sin(2 * np.pi * 0.25 * t + 0.4) \
+        + rng.normal(0, 0.3, 250)
+    err = np.where(rng.random(250) < 0.1, 5.0, 0.5)
+    freqs = [0.05, 0.1, 0.25, 0.4]
+    rows = [(1, float(a), float(b), float(c))
+            for a, b, c in zip(t, y, err)]
+    rows += [(2, float(i), 7.0, 1.0) for i in range(10)]  # constant
+    df = spark.createDataFrame(rows, "oid long, t double, y double, "
+                                     "e double")
+    got = {(r["object_id"], r["freq"]): r["power"] for r in
+           gls_periodogram(df, "t", "y", "oid", freqs, "e").collect()}
+
+    def ref(f):
+        w = 1.0 / (err * err)
+        w = w / w.sum()
+        wt = 2 * np.pi * f * t
+        c, s = np.cos(wt), np.sin(wt)
+        Y = (w * y).sum(); C = (w * c).sum(); S = (w * s).sum()
+        YY = (w * y * y).sum() - Y * Y
+        YC = (w * y * c).sum() - Y * C
+        YS = (w * y * s).sum() - Y * S
+        CC = (w * c * c).sum() - C * C
+        SS = (w * s * s).sum() - S * S
+        CS = (w * c * s).sum() - C * S
+        D = CC * SS - CS * CS
+        return (SS * YC**2 + CC * YS**2 - 2 * CS * YC * YS) / (YY * D)
+
+    for f in freqs:
+        assert abs(got[(1, f)] - ref(f)) < 1e-9, f
+        assert -1e-12 <= got[(1, f)] <= 1.0 + 1e-12
+    assert got[(1, 0.25)] > 0.8
+    assert all(got[(1, f)] < 0.2 for f in freqs if f != 0.25)
+    assert all(got[(2, f)] is None for f in freqs)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        gls_periodogram(df, "t", "y", "oid", [])
