@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q147_proper_motion_fit",
     "q148_frame_calibration",
     "q149_gls_periodogram",
+    "q150_image_pipeline_end_to_end",
 ]
 
 
@@ -602,7 +603,7 @@ def main() -> None:
                                           "q135", "q136", "q137", "q138",
                                           "q139", "q140", "q141", "q142",
                                           "q143", "q144", "q145", "q146",
-                                          "q147", "q148", "q149",
+                                          "q147", "q148", "q149", "q150",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

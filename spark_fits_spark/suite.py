@@ -6449,6 +6449,60 @@ def q149_gls_periodogram(spark, sf):
         F.round("power", 6).alias("power6"))
 
 
+@query("q150_image_pipeline_end_to_end", """
+SELECT CAST(n_nationkey AS BIGINT) AS plane,
+       (CAST(n_nationkey AS BIGINT) * 1048576
+        + (3 + n_nationkey % 4)) * 1048576
+       + (4 + n_nationkey % 5) AS source_id,
+       CAST(9 AS BIGINT) AS n_px,
+       CAST(14400 AS DOUBLE) AS flux,
+       CAST(3600 AS DOUBLE) AS peak,
+       CAST(5 + n_nationkey % 5 AS DOUBLE) AS x_centroid,
+       CAST(4 + n_nationkey % 4 AS DOUBLE) AS y_centroid
+FROM nation
+""")
+def q150_image_pipeline_end_to_end(spark, sf):
+    """The complete instrument-to-catalog path (r5 capstone) — what a
+    survey actually runs on raw frames, as ONE composed Spark plan:
+    `calibrate_frames` ((raw − dark)/flat; raw frames are FORGED as
+    truth·flat + dark with dyadic flats so calibration is
+    bit-exact) → `convolve2d` (PSF matched filter) →
+    `detect_sources(prepared=True)`. The truth field is q140's
+    hot-pixel-per-plane sky, so the final catalog must be exactly
+    q140's analytic footprints — an error ANYWHERE in the three-
+    stage chain (join misalignment, flat division, kernel offset,
+    labeling, measurement) breaks the hash."""
+    from spark_fits_spark.operators.images import (calibrate_frames,
+                                                   convolve2d,
+                                                   detect_sources)
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+    yc = 4 + F.col("ImgIndex") % 4
+    xc = 5 + F.col("ImgIndex") % 5
+    truth = lambda x: F.when(                                # noqa: E731
+        (F.col("y") == yc) & (x == xc), F.lit(900.0)).otherwise(F.lit(0.0))
+    flat_of = lambda x: (1 + (x % 4)).cast("double") * 0.5   # noqa: E731
+    dark_of = lambda y: (10 * (y % 3)).cast("double")        # noqa: E731
+    raw = base.select(
+        "ImgIndex", "y",
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: truth(x) * flat_of(x)
+                    + dark_of(F.col("y"))).alias("Image"))
+    ys = spark.range(12).select(F.col("id").cast("long").alias("y"))
+    dark = ys.select(
+        "y", F.array_repeat(dark_of(F.col("y")), 16).alias("values"))
+    flat = ys.select(
+        "y", F.transform(F.sequence(F.lit(0), F.lit(15)),
+                         lambda x: flat_of(x)).alias("values"))
+    cal = calibrate_frames(raw, dark, flat)
+    sm = convolve2d(cal, [[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    return detect_sources(sm, threshold_sigma=5.0, connectivity=8,
+                          prepared=True)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6519,8 +6573,9 @@ _DRIVER_PRIORITY = [
     # q142_stream_cone_alerts, q143_source_shapes,
     # q144_defect_columns, q145_transient_light_curve,
     # q146_bls_transit_search, q147_proper_motion_fit,
-    # q148_frame_calibration and q149_gls_periodogram also
-    # land past the cap and lead the r6 gate alongside them.)
+    # q148_frame_calibration, q149_gls_periodogram and
+    # q150_image_pipeline_end_to_end also land past the cap
+    # and lead the r6 gate alongside them.)
 ]
 
 
