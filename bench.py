@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "q148_frame_calibration",
     "q149_gls_periodogram",
     "q150_image_pipeline_end_to_end",
+    "q151_defect_repair",
 ]
 
 
@@ -604,6 +605,7 @@ def main() -> None:
                                           "q139", "q140", "q141", "q142",
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
+                                          "q151",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -855,3 +855,45 @@ def calibrate_frames(science: DataFrame, dark: DataFrame,
     out = F.zip_with(sub, "_fv",
                      lambda a, b: F.when(b > 0, a / b))
     return j.select("ImgIndex", "y", out.alias("Image"))
+
+
+def repair_defects(df: DataFrame, defects: DataFrame) -> DataFrame:
+    """Defect repair — replace every flagged column's pixels with the
+    mean of the SAME ROW's nearest good columns left and right (one
+    side at the image edges; NULL if a plane has no good column),
+    the standard interpolation step after :func:`defect_columns`
+    builds the bad-column map.
+
+    The defect map (mesh-small) turns into per-plane nearest-good
+    lookup arrays via two window fills over |planes|·width rows,
+    collapses to one array-triple per plane, and broadcast-joins the
+    pixel rows — the repair itself is one JVM ``transform``; pixel
+    data never shuffles. ``defects`` is :func:`defect_columns`
+    output (``ImgIndex, x, is_defect``)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ImgIndex").orderBy("x")
+    good_x = F.when(~F.col("is_defect"), F.col("x"))
+    cols = defects.select(
+        "ImgIndex", F.col("x").cast("int").alias("x"),
+        F.col("is_defect").alias("_bad"),
+        F.last(good_x, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int").alias("_gl"),
+        F.first(good_x, ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .cast("int").alias("_gr"))
+    per_plane = cols.groupBy("ImgIndex").agg(
+        F.array_sort(F.collect_list(F.struct(
+            "x", "_bad", "_gl", "_gr"))).alias("_m"))
+    j = df.join(F.broadcast(per_plane), "ImgIndex")
+
+    def fix(v, x):
+        e = F.element_at(F.col("_m"), x + 1)
+        lv = F.get(F.col("Image"), e["_gl"]).cast("double")
+        rv = F.get(F.col("Image"), e["_gr"]).cast("double")
+        rep = F.coalesce((lv + rv) / 2, lv, rv)
+        return F.when(e["_bad"], rep).otherwise(v.cast("double"))
+
+    image = F.transform(df["Image"], fix)
+    return j.select(df["ImgIndex"], df["y"], image.alias("Image"))

@@ -6503,6 +6503,68 @@ def q150_image_pipeline_end_to_end(spark, sf):
                           prepared=True)
 
 
+@query("q151_defect_repair", """
+WITH px AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS plane,
+         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x,
+         CAST(CAST(('0x' || substr(md5('dc|'
+               || CAST(n_nationkey AS VARCHAR) || '|'
+               || CAST(yy.y AS VARCHAR) || '|'
+               || CAST(xx.x AS VARCHAR)), 1, 15)) AS BIGINT) % 9
+              AS DOUBLE) AS v
+  FROM nation,
+       (SELECT unnest(range(0, 12)) AS y) yy,
+       (SELECT unnest(range(0, 16)) AS x) xx
+)
+SELECT p.plane, p.y, p.x,
+       CASE WHEN p.x = p.plane % 16
+            THEN COALESCE((lv.v + rv.v) / 2.0, lv.v, rv.v)
+            ELSE p.v END AS value
+FROM px p
+LEFT JOIN px lv ON lv.plane = p.plane AND lv.y = p.y
+                AND lv.x = p.x - 1
+LEFT JOIN px rv ON rv.plane = p.plane AND rv.y = p.y
+                AND rv.x = p.x + 1
+""")
+def q151_defect_repair(spark, sf):
+    """Defect repair (r5) — the detect→repair chain: q144's
+    `defect_columns` map feeds `repair_defects`, which replaces every
+    flagged column's pixels with the SAME-ROW mean of the nearest
+    good neighbors (one-sided at edges) via per-plane lookup arrays
+    broadcast onto the pixel rows — the repair is one JVM transform,
+    pixels never shuffle. One planted hot column per plane means the
+    repaired value at (p, y, p mod 16) must be exactly the neighbor
+    mean of the md5 NOISE field and everything else passes through
+    bit-identically — the oracle states that directly, so the hash
+    certifies flag placement AND interpolation semantics."""
+    from spark_fits_spark.operators.images import (defect_columns,
+                                                   repair_defects)
+
+    n = _t(spark, sf, "nation")
+    base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
+                     F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
+            .select("ImgIndex", F.col("y").cast("long").alias("y")))
+
+    def px(x):
+        s = F.concat(F.lit("dc|"), F.col("ImgIndex").cast("string"),
+                     F.lit("|"), F.col("y").cast("string"),
+                     F.lit("|"), x.cast("string"))
+        noise = (F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                 .cast("long") % 9)
+        return (noise + F.when(x == F.col("ImgIndex") % 16, 1000)
+                .otherwise(0)).cast("double")
+
+    rows = base.select(
+        "ImgIndex", "y",
+        F.transform(F.sequence(F.lit(0), F.lit(15)),
+                    lambda x: px(x)).alias("Image"))
+    fixed = repair_defects(rows, defect_columns(rows, sigma=5.0))
+    return fixed.select(
+        F.col("ImgIndex").alias("plane"), "y",
+        F.posexplode("Image").alias("x", "value")
+    ).select("plane", "y", F.col("x").cast("long").alias("x"), "value")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6573,9 +6635,10 @@ _DRIVER_PRIORITY = [
     # q142_stream_cone_alerts, q143_source_shapes,
     # q144_defect_columns, q145_transient_light_curve,
     # q146_bls_transit_search, q147_proper_motion_fit,
-    # q148_frame_calibration, q149_gls_periodogram and
-    # q150_image_pipeline_end_to_end also land past the cap
-    # and lead the r6 gate alongside them.)
+    # q148_frame_calibration, q149_gls_periodogram,
+    # q150_image_pipeline_end_to_end and q151_defect_repair
+    # also land past the cap and lead the r6 gate alongside
+    # them.)
 ]
 
 

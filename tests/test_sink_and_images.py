@@ -787,3 +787,30 @@ def test_calibrate_frames(spark):
                 else:
                     want = (sci[p, y, x] - dark[y, x]) / flat[y, x]
                     assert abs(v - want) < 1e-12, (p, y, x)
+
+
+def test_repair_defects(spark):
+    """Flagged columns take the same-row mean of nearest good left and
+    right neighbors (one-sided at the edges, adjacent bad columns skip
+    to the next good one); good columns pass through bit-identical."""
+    from spark_fits_spark.operators.images import repair_defects
+
+    W = 8
+    rows = [(0, y, [float(10 * y + x) for x in range(W)])
+            for y in range(4)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+    bad = {0, 3, 4, 7}   # edge, adjacent pair, other edge
+    defects = spark.createDataFrame(
+        [(0, x, x in bad) for x in range(W)],
+        "ImgIndex long, x long, is_defect boolean")
+    got = {r["y"]: r["Image"] for r in
+           repair_defects(df, defects).collect()}
+    for y in range(4):
+        v = [10.0 * y + x for x in range(W)]
+        want = list(v)
+        want[0] = v[1]                 # left edge: right-only
+        want[3] = (v[2] + v[5]) / 2    # skips bad 4
+        want[4] = (v[2] + v[5]) / 2
+        want[7] = v[6]                 # right edge: left-only
+        assert got[y] == want, (y, got[y], want)
