@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q149_gls_periodogram",
     "q150_image_pipeline_end_to_end",
     "q151_defect_repair",
+    "q152_xi_jackknife",
 ]
 
 
@@ -605,7 +606,7 @@ def main() -> None:
                                           "q139", "q140", "q141", "q142",
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
-                                          "q151",
+                                          "q151", "q152",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

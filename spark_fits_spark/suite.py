@@ -6565,6 +6565,106 @@ def q151_defect_repair(spark, sf):
     ).select("plane", "y", F.col("x").cast("long").alias("x"), "value")
 
 
+@query("q152_xi_jackknife", """
+WITH a AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substr(md5('ax|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS x,
+         CAST(('0x' || substr(md5('ay|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS y,
+         CAST(('0x' || substr(md5('rg|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 6 AS region
+  FROM customer
+), b AS (
+  SELECT s_suppkey AS id,
+         CAST(('0x' || substr(md5('bx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS x,
+         CAST(('0x' || substr(md5('by|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100000 AS y,
+         CAST(('0x' || substr(md5('rgb|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 6 AS region
+  FROM supplier
+), ks AS (SELECT unnest(range(-1, 6)) AS k),
+ddp AS (
+  SELECT (((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) * 4)
+           // 64000000 AS bin, p.region AS ra, q.region AS rb
+  FROM a p, a q WHERE p.id <> q.id
+    AND (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), drp AS (
+  SELECT (((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) * 4)
+           // 64000000 AS bin, p.region AS ra, q.region AS rb
+  FROM a p, b q
+  WHERE (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), rrp AS (
+  SELECT (((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)) * 4)
+           // 64000000 AS bin, p.region AS ra, q.region AS rb
+  FROM b p, b q WHERE p.id <> q.id
+    AND (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y) < 64000000
+), frame AS (
+  SELECT bb.bin, ks.k FROM (SELECT unnest(range(0, 4)) AS bin) bb, ks
+), cnt AS (
+  SELECT f.bin, f.k,
+    (SELECT COUNT(*) FROM ddp WHERE ddp.bin = f.bin
+       AND (f.k = -1 OR (ddp.ra <> f.k AND ddp.rb <> f.k))) AS dd,
+    (SELECT COUNT(*) FROM drp WHERE drp.bin = f.bin
+       AND (f.k = -1 OR (drp.ra <> f.k AND drp.rb <> f.k))) AS dr,
+    (SELECT COUNT(*) FROM rrp WHERE rrp.bin = f.bin
+       AND (f.k = -1 OR (rrp.ra <> f.k AND rrp.rb <> f.k))) AS rr
+  FROM frame f
+), norms AS (
+  SELECT ks.k,
+    (SELECT COUNT(*) FROM a WHERE ks.k = -1 OR region <> ks.k)
+      * 1.0 AS nd,
+    (SELECT COUNT(*) FROM b WHERE ks.k = -1 OR region <> ks.k)
+      * 1.0 AS nr
+  FROM ks
+), sc AS (
+  SELECT bin, cnt.k, dd, dr, rr,
+    CASE WHEN rr > 0 THEN
+      ((dd / (nd * (nd - 1)) - 2 * dr / (nd * nr)
+        + rr / (nr * (nr - 1))) / (rr / (nr * (nr - 1))))
+    END AS xi
+  FROM cnt JOIN norms ON norms.k = cnt.k
+), fullsc AS (
+  SELECT bin, dd, dr, rr, round(xi, 6) AS xi6 FROM sc WHERE k = -1
+), jk AS (
+  SELECT bin,
+    CASE WHEN COUNT(xi) = 6 THEN
+      round(sqrt(greatest(5.0 / 6.0
+        * (SUM(xi * xi) - 6 * AVG(xi) * AVG(xi)), 0.0)), 6)
+    END AS xi_jk_sigma6
+  FROM sc WHERE k <> -1 GROUP BY bin
+)
+SELECT fullsc.bin, dd, dr, rr, xi6, xi_jk_sigma6
+FROM fullsc LEFT JOIN jk ON jk.bin = fullsc.bin
+""")
+def q152_xi_jackknife(spark, sf):
+    """Jackknife errors for ξ(θ) (r5) — the delete-one-region error
+    bar every clustering measurement publishes (`two_point_
+    correlation_jackknife`): the SAME zones-blocked pair streams as
+    q130, but the per-bin close keeps the (region_a, region_b) label
+    (a ≤ nbins·K² table, not pair volume); K leave-one-out estimates
+    come from exploding k over that tiny table, normalizations from
+    one K-row broadcast map, σ² = (K−1)/K·Σ(ξ_k−ξ̄)². The oracle is
+    the all-pairs formulation with the identical leave-out and
+    variance arithmetic — the hash certifies blocking recall, every
+    leave-out count, and the error bar itself."""
+    def grid(df, idc, sx, sy, rsalt):
+        def h(salt, mod):
+            return (F.conv(F.substring(F.md5(F.concat(
+                F.lit(f"{salt}|"), F.col(idc).cast("string"))), 1, 15),
+                16, 10).cast("long") % mod)
+        return df.select(F.col(idc).alias("id"),
+                         h(sx, 100000).alias("x"),
+                         h(sy, 100000).alias("y"),
+                         h(rsalt, 6).alias("region"))
+
+    a = grid(_t(spark, sf, "customer"), "c_custkey", "ax", "ay", "rg")
+    b = grid(_t(spark, sf, "supplier"), "s_suppkey", "bx", "by", "rgb")
+    return relational.two_point_correlation_jackknife(
+        a, b, radius=8000, nbins=4, n_regions=6)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6636,9 +6736,9 @@ _DRIVER_PRIORITY = [
     # q144_defect_columns, q145_transient_light_curve,
     # q146_bls_transit_search, q147_proper_motion_fit,
     # q148_frame_calibration, q149_gls_periodogram,
-    # q150_image_pipeline_end_to_end and q151_defect_repair
-    # also land past the cap and lead the r6 gate alongside
-    # them.)
+    # q150_image_pipeline_end_to_end, q151_defect_repair and
+    # q152_xi_jackknife also land past the cap and lead the
+    # r6 gate alongside them.)
 ]
 
 

@@ -1693,3 +1693,77 @@ def test_tracklet_linking(spark):
     assert len(stat) == 4   # + the two static clutter chains
     with pytest.raises(ValueError, match="radius"):
         relational.tracklet_pairs(df, dt=1, radius=0)
+
+
+def test_two_point_correlation_jackknife(spark):
+    """Full-sample xi and per-bin jackknife sigma == brute-force
+    delete-one-region replay; leave-out with an empty RR yields NULL
+    sigma; counts match the plain estimator."""
+    import math
+
+    from spark_fits_spark.operators import relational
+
+    rng_pts = [(i, (37 * i) % 97, (53 * i) % 89, i % 4)
+               for i in range(60)]
+    rnd_pts = [(1000 + i, (29 * i) % 97, (41 * i) % 89, i % 4)
+               for i in range(80)]
+    a = spark.createDataFrame(rng_pts, ["id", "x", "y", "region"])
+    b = spark.createDataFrame(rnd_pts, ["id", "x", "y", "region"])
+    radius, nbins, K = 30, 3, 4
+    got = {r["bin"]: r for r in
+           relational.two_point_correlation_jackknife(
+               a, b, radius=radius, nbins=nbins, n_regions=K).collect()}
+
+    def counts(pa, pb, self_pairs, skip):
+        c = [0] * nbins
+        for ia, xa, ya, ra in pa:
+            if ra == skip:
+                continue
+            for ib, xb, yb, rb in pb:
+                if rb == skip or (self_pairs and ia == ib):
+                    continue
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 < radius * radius:
+                    c[d2 * nbins // (radius * radius)] += 1
+        return c
+
+    def xi(skip):
+        nd = sum(1 for p in rng_pts if p[3] != skip or skip == -1) \
+            if skip == -1 else sum(1 for p in rng_pts if p[3] != skip)
+        nr = len(rnd_pts) if skip == -1 else \
+            sum(1 for p in rnd_pts if p[3] != skip)
+        dd = counts(rng_pts, rng_pts, True, skip)
+        dr = counts(rng_pts, rnd_pts, False, skip)
+        rr = counts(rnd_pts, rnd_pts, True, skip)
+        out = []
+        for i in range(nbins):
+            if rr[i] == 0:
+                out.append(None)
+                continue
+            ddn = dd[i] / (nd * (nd - 1))
+            drn = dr[i] / (nd * nr)
+            rrn = rr[i] / (nr * (nr - 1))
+            out.append((ddn - 2 * drn + rrn) / rrn)
+        return dd, dr, rr, out
+
+    dd, dr, rr, full = xi(-1)
+    jks = [xi(k)[3] for k in range(K)]
+    for i in range(nbins):
+        g = got[i]
+        assert (g["dd"], g["dr"], g["rr"]) == (dd[i], dr[i], rr[i]), i
+        if full[i] is None:
+            assert g["xi6"] is None
+        else:
+            assert abs(g["xi6"] - round(full[i], 6)) < 2e-6, i
+        vals = [j[i] for j in jks]
+        if any(v is None for v in vals):
+            assert g["xi_jk_sigma6"] is None, i
+        else:
+            m = sum(vals) / K
+            sig = math.sqrt((K - 1) / K
+                            * sum((v - m) ** 2 for v in vals))
+            assert abs(g["xi_jk_sigma6"] - round(sig, 6)) < 2e-6, i
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_regions"):
+        relational.two_point_correlation_jackknife(
+            a, b, radius=10, nbins=2, n_regions=1)
