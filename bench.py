@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q150_image_pipeline_end_to_end",
     "q151_defect_repair",
     "q152_xi_jackknife",
+    "q153_weighted_coadd",
 ]
 
 
@@ -606,7 +607,7 @@ def main() -> None:
                                           "q139", "q140", "q141", "q142",
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
-                                          "q151", "q152",
+                                          "q151", "q152", "q153",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

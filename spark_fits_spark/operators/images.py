@@ -423,8 +423,45 @@ def _robust_stack(g, width, method, sigma, iters):
                       n_kept.alias("n_kept"))
 
 
+def _weighted_stack(df, plane_weights):
+    """Exposure-weighted co-addition — ``image[x] = Σ w_p·v_p(x) /
+    Σ w_p`` over the finite pixels (the inverse-variance /
+    exposure-time weighting of a real depth stack; ``plane_weights``
+    maps ImgIndex → weight). Same single groupBy(y) as the mean
+    coadd; the per-plane weight rides each collected row via one
+    broadcast map literal."""
+    wmap = F.create_map(*[x for k, v in sorted(plane_weights.items())
+                          for x in (F.lit(int(k)), F.lit(float(v)))])
+    rows = with_plane_rows(df).select(
+        "y", F.struct(
+            F.element_at(wmap, F.col("ImgIndex").cast("int"))
+            .alias("w"), F.col("Image").alias("img")).alias("_wi"))
+    g = (rows.groupBy("y")
+         .agg(F.collect_list("_wi").alias("_l"),
+              F.count("*").alias("n_planes")))
+    width = F.size(F.col("_l")[0]["img"])
+    finite = lambda v: ~F.isnan(v.cast("double"))  # noqa: E731
+    psum = F.aggregate(
+        "_l", F.array_repeat(F.lit(0.0), width),
+        lambda acc, s: F.zip_with(
+            acc, s["img"],
+            lambda a, x: a + F.when(finite(x),
+                                    s["w"] * x.cast("double"))
+                              .otherwise(F.lit(0.0))))
+    pw = F.aggregate(
+        "_l", F.array_repeat(F.lit(0.0), width),
+        lambda acc, s: F.zip_with(
+            acc, s["img"],
+            lambda a, x: a + F.when(finite(x), s["w"])
+                              .otherwise(F.lit(0.0))))
+    image = F.zip_with(psum, pw,
+                       lambda sm, w: F.when(w > 0, sm / w))
+    return g.select("y", image.alias("image"), "n_planes")
+
+
 def coadd_planes(df: DataFrame, method: str = "mean",
-                 sigma: float = 3.0, iters: int = 2) -> DataFrame:
+                 sigma: float = 3.0, iters: int = 2,
+                 plane_weights: dict | None = None) -> DataFrame:
     """Co-add (stack) all planes of an aligned cube into one image —
     the survey depth-building step (N dithered-and-registered exposures
     → one deeper frame): output row ``(y, image, n_planes)`` where
@@ -457,10 +494,15 @@ def coadd_planes(df: DataFrame, method: str = "mean",
     functions over the same single groupBy(y) — the clip iterations
     are successive Project nodes (no extra shuffle, bounded
     expression depth)."""
-    if method not in ("mean", "sum", "median", "clipped_mean"):
+    if method not in ("mean", "sum", "median", "clipped_mean",
+                      "wmean"):
         raise ValueError(
-            f"method must be 'mean', 'sum', 'median' or "
-            f"'clipped_mean', got {method!r}")
+            f"method must be 'mean', 'sum', 'median', 'clipped_mean' "
+            f"or 'wmean', got {method!r}")
+    if method == "wmean":
+        if not plane_weights:
+            raise ValueError("wmean requires plane_weights")
+        return _weighted_stack(df, plane_weights)
     rows = with_plane_rows(df)
     g = (rows.groupBy("y")
          .agg(F.collect_list("Image").alias("_imgs"),

@@ -6665,6 +6665,52 @@ def q152_xi_jackknife(spark, sf):
         a, b, radius=8000, nbins=4, n_regions=6)
 
 
+@query("q153_weighted_coadd", """
+SELECT CAST(r.y AS BIGINT) AS y, CAST(c.x AS BIGINT) AS x,
+       CAST(25 AS BIGINT) AS n_planes,
+       CAST(17 * (r.y * 16 + c.x + 1) AS DOUBLE) AS value
+FROM range(0, 12) r(y), range(0, 16) c(x)
+""")
+def q153_weighted_coadd(spark, sf):
+    """Exposure-weighted co-addition (r5) —
+    `coadd_planes(method="wmean", plane_weights=…)`: the
+    inverse-variance/exposure-time stack (same single groupBy(y) as
+    the mean coadd; per-plane weights ride the collected rows via a
+    broadcast map literal). Plane k's pixel is (k+1)·base and its
+    weight (k+1), so the stack is base·Σ(k+1)²/Σ(k+1) =
+    base·5525/325 = EXACTLY 17·base for 25 planes — the oracle
+    states the closed form; a wrong weight pairing or a dropped
+    plane shifts every pixel."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
+    img = np.stack([(k + 1) * base for k in keys])
+    d = _os.path.join(
+        "/tmp", "spark_fits_q153_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    if not _os.path.exists(path):
+        fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    out = coadd_planes(df, method="wmean",
+                       plane_weights={k: float(k + 1) for k in keys})
+    return out.select(
+        "y", F.posexplode("image").alias("x", "value"), "n_planes"
+    ).select(F.col("y").cast("long").alias("y"),
+             F.col("x").cast("long").alias("x"),
+             F.col("n_planes").cast("long").alias("n_planes"), "value")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6736,9 +6782,9 @@ _DRIVER_PRIORITY = [
     # q144_defect_columns, q145_transient_light_curve,
     # q146_bls_transit_search, q147_proper_motion_fit,
     # q148_frame_calibration, q149_gls_periodogram,
-    # q150_image_pipeline_end_to_end, q151_defect_repair and
-    # q152_xi_jackknife also land past the cap and lead the
-    # r6 gate alongside them.)
+    # q150_image_pipeline_end_to_end, q151_defect_repair,
+    # q152_xi_jackknife and q153_weighted_coadd also land
+    # past the cap and lead the r6 gate alongside them.)
 ]
 
 

@@ -814,3 +814,21 @@ def test_repair_defects(spark):
         want[4] = (v[2] + v[5]) / 2
         want[7] = v[6]                 # right edge: left-only
         assert got[y] == want, (y, got[y], want)
+
+
+def test_coadd_planes_weighted(spark, tmp_path):
+    """wmean == numpy weighted mean per position, NaN pixels drop
+    their weight, missing plane_weights raises."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    cube = np.array([[[10.0, 20.0]], [[30.0, np.nan]], [[50.0, 60.0]]])
+    p = str(tmp_path / "w.fits")
+    fw.write_fits(p, [fw.image_hdu(cube)])
+    df = spark.read.format("fits").option("hdu", 1).load(p)
+    w = {0: 1.0, 1: 2.0, 2: 5.0}
+    got = coadd_planes(df, "wmean", plane_weights=w).collect()[0]["image"]
+    assert abs(got[0] - (10 + 2 * 30 + 5 * 50) / 8.0) < 1e-12
+    assert abs(got[1] - (20 + 5 * 60) / 6.0) < 1e-12  # NaN drops w=2
+    with pytest.raises(ValueError, match="plane_weights"):
+        coadd_planes(df, "wmean")
