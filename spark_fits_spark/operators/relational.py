@@ -498,7 +498,8 @@ def two_point_correlation_jackknife(
     def rc(df_):
         return {r["r"]: r["n"] for r in
                 df_.groupBy(F.col(region_col).cast("long").alias("r"))
-                .agg(F.count("*").alias("n")).collect()}
+                .agg(F.count("*").alias("n"))
+                .collect()}  # bounded-collect: <= n_regions rows
     ndr = rc(data)
     nrr = rc(randoms)
     nd = sum(ndr.values())
