@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q151_defect_repair",
     "q152_xi_jackknife",
     "q153_weighted_coadd",
+    "q154_distortion_solve",
 ]
 
 
@@ -607,7 +608,7 @@ def main() -> None:
                                           "q139", "q140", "q141", "q142",
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
-                                          "q151", "q152", "q153",
+                                          "q151", "q152", "q153", "q154",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

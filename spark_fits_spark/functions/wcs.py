@@ -281,3 +281,69 @@ def sin_sky_to_pixel(wcs: TanWcs, ra_deg, dec_deg) -> tuple[Column,
     u = (F.lit(wcs.cd2_2 / det) * xi - F.lit(wcs.cd1_2 / det) * eta)
     v = (F.lit(-wcs.cd2_1 / det) * xi + F.lit(wcs.cd1_1 / det) * eta)
     return (u + F.lit(wcs.crpix1 - 1.0), v + F.lit(wcs.crpix2 - 1.0))
+
+
+def fit_tangent_quadratic(df, plane_col: str, u_col: str, v_col: str,
+                          xi_col: str, eta_col: str):
+    """Astrometric solve with DISTORTION — per plane, the
+    least-squares quadratic mapping ``ξ ≈ a·u + b·v + c + d·u² +
+    e·uv + f·v²`` (and likewise η): the SIP-style optical-distortion
+    plate solution the affine :func:`fit_tangent_affine` cannot
+    absorb (Shupe et al. 2005). Returns ``(plane, n_pairs, xi_coef,
+    eta_coef)`` with 6-element coefficient arrays; singular planes
+    (< 6 well-conditioned pairs) yield NULL arrays.
+
+    Scale shape: ONE map-side-combined groupBy collects the ≤ 27
+    normal-equation moments per plane (all the data ever shuffles);
+    the tiny |planes|×27 table is solved driver-side with numpy
+    (bounded by the PLANE count, not the pair count) and returned as
+    a DataFrame — the same bounded-driver-step pattern as the
+    k-means centroid update."""
+    import numpy as np
+
+    u = F.col(u_col).cast("double")
+    v = F.col(v_col).cast("double")
+    basis = {"u": u, "v": v, "one": F.lit(1.0),
+             "uu": u * u, "uv": u * v, "vv": v * v}
+    keys = list(basis)
+    aggs = [F.count("*").alias("n_pairs")]
+    # Gram matrix entries (symmetric -> 21 distinct) + 2x6 RHS
+    seen = set()
+    for i, ki in enumerate(keys):
+        for kj in keys[i:]:
+            nm = f"g_{ki}_{kj}"
+            seen.add(nm)
+            aggs.append(F.sum(basis[ki] * basis[kj]).alias(nm))
+        for t, tc in (("xi", xi_col), ("eta", eta_col)):
+            aggs.append(F.sum(basis[ki] * F.col(tc).cast("double"))
+                        .alias(f"r_{t}_{ki}"))
+    g = df.groupBy(F.col(plane_col).alias("plane")).agg(*aggs)
+    rows = g.collect()  # bounded-collect: one row per PLANE (27 sums)
+
+    out = []
+    for r in rows:
+        G = np.empty((6, 6))
+        for i, ki in enumerate(keys):
+            for j, kj in enumerate(keys):
+                a, b = (ki, kj) if f"g_{ki}_{kj}" in seen else (kj, ki)
+                G[i, j] = r[f"g_{a}_{b}"]
+        sol = {}
+        ok = True
+        for t in ("xi", "eta"):
+            rhs = np.array([r[f"r_{t}_{k}"] for k in keys])
+            try:
+                cond = np.linalg.cond(G)
+                if not np.isfinite(cond) or cond > 1e12:
+                    ok = False
+                    break
+                sol[t] = [float(x) for x in np.linalg.solve(G, rhs)]
+            except np.linalg.LinAlgError:
+                ok = False
+                break
+        out.append((r["plane"], r["n_pairs"],
+                    sol["xi"] if ok else None,
+                    sol["eta"] if ok else None))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "plane long, n_pairs long, xi_coef array<double>, "
+             "eta_coef array<double>")

@@ -6711,6 +6711,57 @@ def q153_weighted_coadd(spark, sf):
              F.col("n_planes").cast("long").alias("n_planes"), "value")
 
 
+@query("q154_distortion_solve", """
+SELECT CAST(c_custkey % 4 AS BIGINT) AS plane,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(2 + c_custkey % 4 AS DOUBLE) AS xa6,
+       CAST(-3 AS DOUBLE) AS xb6, CAST(7 AS DOUBLE) AS xc6,
+       CAST(1 AS DOUBLE) AS xd6, CAST(-2 AS DOUBLE) AS xe6,
+       CAST(3 AS DOUBLE) AS xf6,
+       CAST(1 AS DOUBLE) AS ea6,
+       CAST(5 + c_custkey % 4 AS DOUBLE) AS eb6,
+       CAST(-11 AS DOUBLE) AS ec6, CAST(-1 AS DOUBLE) AS ed6,
+       CAST(2 AS DOUBLE) AS ee6, CAST(-2 AS DOUBLE) AS ef6
+FROM customer GROUP BY 1, 3, 10
+""")
+def q154_distortion_solve(spark, sf):
+    """Distortion plate solution (r5) — the SIP-style quadratic
+    astrometric solve (`fit_tangent_quadratic`): 27 normal-equation
+    moments per plane in ONE map-side-combined groupBy, the
+    |planes|×27 table solved driver-side (bounded by plane count —
+    the k-means pattern), coefficients returned as a DataFrame. The
+    fixture's (ξ, η) are EXACT integer quadratics of md5-grid pixel
+    offsets, so the normal system is consistent and the planted
+    coefficients are its unique exact solution — recovered to ≪1e-6
+    (conditioning bounded by the u,v < 100 range) and pinned by the
+    analytic oracle after 1e-6 rounding."""
+    from spark_fits_spark.functions.wcs import fit_tangent_quadratic
+
+    c = _t(spark, sf, "customer")
+
+    def h(salt):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{salt}|"), F.col("c_custkey").cast("string"))), 1, 15),
+            16, 10).cast("long") % 100)
+
+    p = (F.col("c_custkey") % 4).alias("plane")
+    pairs = c.select(p, h("qu").cast("double").alias("u"),
+                     h("qv").cast("double").alias("v"))
+    u, v = F.col("u"), F.col("v")
+    m = pairs.select(
+        "plane", "u", "v",
+        ((2 + F.col("plane")) * u - 3 * v + 7
+         + u * u - 2 * u * v + 3 * v * v).alias("xi"),
+        (u + (5 + F.col("plane")) * v - 11
+         - u * u + 2 * u * v - 2 * v * v).alias("eta"))
+    out = fit_tangent_quadratic(m, "plane", "u", "v", "xi", "eta")
+    cx = [F.round(F.element_at("xi_coef", i + 1), 6)
+          .alias(f"x{ch}6") for i, ch in enumerate("abcdef")]
+    ce = [F.round(F.element_at("eta_coef", i + 1), 6)
+          .alias(f"e{ch}6") for i, ch in enumerate("abcdef")]
+    return out.select("plane", "n_pairs", *cx, *ce)
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6783,8 +6834,9 @@ _DRIVER_PRIORITY = [
     # q146_bls_transit_search, q147_proper_motion_fit,
     # q148_frame_calibration, q149_gls_periodogram,
     # q150_image_pipeline_end_to_end, q151_defect_repair,
-    # q152_xi_jackknife and q153_weighted_coadd also land
-    # past the cap and lead the r6 gate alongside them.)
+    # q152_xi_jackknife, q153_weighted_coadd and
+    # q154_distortion_solve also land past the cap and lead
+    # the r6 gate alongside them.)
 ]
 
 

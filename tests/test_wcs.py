@@ -203,3 +203,38 @@ def test_sin_projection(spark):
     for r in t:
         assert abs(r["sra"] - r["tra"]) < 0.01
         assert abs(r["sdec"] - r["tdec"]) < 0.01
+
+
+def test_fit_tangent_quadratic(spark):
+    import numpy as np
+
+    from spark_fits_spark.functions.wcs import fit_tangent_quadratic
+
+    rng = np.random.default_rng(13)
+    u = rng.uniform(-500, 500, 80)
+    v = rng.uniform(-500, 500, 80)
+    true_xi = [2e-4, -3e-5, 0.01, 1e-9, -2e-9, 3e-9]
+    true_eta = [2.5e-5, 1.9e-4, -0.02, -1e-9, 2e-9, -3e-9]
+
+    def apply(c):
+        return (c[0] * u + c[1] * v + c[2]
+                + c[3] * u * u + c[4] * u * v + c[5] * v * v)
+
+    xi = apply(true_xi) + rng.normal(0, 1e-8, 80)
+    eta = apply(true_eta) + rng.normal(0, 1e-8, 80)
+    rows = [(0, float(a), float(b), float(c), float(d))
+            for a, b, c, d in zip(u, v, xi, eta)]
+    rows += [(1, 1.0, 1.0, 0.5, 0.5), (1, 2.0, 2.0, 1.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "plane long, u double, v double, xi double, eta double")
+    got = {r["plane"]: r for r in fit_tangent_quadratic(
+        df, "plane", "u", "v", "xi", "eta").collect()}
+    A = np.column_stack([u, v, np.ones_like(u), u * u, u * v, v * v])
+    ref_xi = np.linalg.lstsq(A, xi, rcond=None)[0]
+    ref_eta = np.linalg.lstsq(A, eta, rcond=None)[0]
+    for i in range(6):
+        assert abs(got[0]["xi_coef"][i] - ref_xi[i]) \
+            < 1e-9 * max(1.0, abs(ref_xi[i])), i
+        assert abs(got[0]["eta_coef"][i] - ref_eta[i]) \
+            < 1e-9 * max(1.0, abs(ref_eta[i])), i
+    assert got[1]["xi_coef"] is None    # singular: 2 points, 6 params
