@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q152_xi_jackknife",
     "q153_weighted_coadd",
     "q154_distortion_solve",
+    "q155_relative_photometry",
 ]
 
 
@@ -609,6 +610,7 @@ def main() -> None:
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
                                           "q151", "q152", "q153", "q154",
+                                          "q155",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

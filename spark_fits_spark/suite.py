@@ -6762,6 +6762,63 @@ def q154_distortion_solve(spark, sf):
     return out.select("plane", "n_pairs", *cx, *ce)
 
 
+@query("q155_relative_photometry", """
+WITH obs AS (
+  SELECT c_custkey AS s, n_nationkey AS e,
+         CAST(('0x' || substr(md5('sm|' || CAST(c_custkey AS VARCHAR)),
+               1, 15)) AS BIGINT) % 10000 / 100.0
+         + 3.0 * (n_nationkey % 10) AS m
+  FROM customer, nation
+  WHERE (c_custkey + n_nationkey) % 3 <> 0
+),
+ms1 AS (SELECT s, AVG(m) AS ms FROM obs GROUP BY s),
+zr1 AS (SELECT e, AVG(m - ms) AS zr, COUNT(*) AS n
+        FROM obs JOIN ms1 USING (s) GROUP BY e),
+zp1 AS (SELECT e, zr - (SELECT AVG(zr) FROM zr1) AS zp, n FROM zr1),
+ms2 AS (SELECT s, AVG(m - zp) AS ms
+        FROM obs JOIN zp1 USING (e) GROUP BY s),
+zr2 AS (SELECT e, AVG(m - ms) AS zr, COUNT(*) AS n
+        FROM obs JOIN ms2 USING (s) GROUP BY e),
+zp2 AS (SELECT e, zr - (SELECT AVG(zr) FROM zr2) AS zp, n FROM zr2),
+ms3 AS (SELECT s, AVG(m - zp) AS ms
+        FROM obs JOIN zp2 USING (e) GROUP BY s),
+zr3 AS (SELECT e, AVG(m - ms) AS zr, COUNT(*) AS n
+        FROM obs JOIN ms3 USING (s) GROUP BY e),
+zp3 AS (SELECT e, zr - (SELECT AVG(zr) FROM zr3) AS zp, n FROM zr3)
+SELECT CAST(e AS BIGINT) AS epoch, CAST(n AS BIGINT) AS n_obs,
+       round(zp, 6) AS zp6
+FROM zp3
+""")
+def q155_relative_photometry(spark, sf):
+    """Relative photometry / übercal (r5) — Padmanabhan et al. 2008's
+    global calibration: per-epoch zero points and per-star magnitudes
+    solved SIMULTANEOUSLY from an incomplete overlapping observation
+    graph (`relative_photometry`, alternating least squares; every
+    half-step is one map-side-combined aggregation, zero points
+    broadcast, gauge mean(zp)=0). Three rounds over a 37.5k-edge
+    star×epoch graph with a planted 3·(e mod 10) zero-point pattern;
+    the oracle replays all three ALS rounds CTE-for-CTE, so the hash
+    pins the iteration trajectory itself, not just the fixed
+    point."""
+    from spark_fits_spark.operators.calibration import relative_photometry
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    n = _t(spark, sf, "nation").select("n_nationkey")
+    m = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("sm|"), F.col("c_custkey").cast("string"))), 1, 15),
+        16, 10).cast("long") % 10000) / 100.0 \
+        + 3.0 * (F.col("n_nationkey") % 10)
+    obs = (c.crossJoin(n)
+           .where((F.col("c_custkey") + F.col("n_nationkey")) % 3 != 0)
+           .select(F.col("c_custkey").alias("star"),
+                   F.col("n_nationkey").alias("epoch"),
+                   m.alias("m")))
+    out = relative_photometry(obs, "star", "epoch", "m", iters=3)
+    return out.select(F.col("epoch").cast("long").alias("epoch"),
+                      F.col("n_obs").cast("long").alias("n_obs"),
+                      F.round("zp", 6).alias("zp6"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6834,9 +6891,10 @@ _DRIVER_PRIORITY = [
     # q146_bls_transit_search, q147_proper_motion_fit,
     # q148_frame_calibration, q149_gls_periodogram,
     # q150_image_pipeline_end_to_end, q151_defect_repair,
-    # q152_xi_jackknife, q153_weighted_coadd and
-    # q154_distortion_solve also land past the cap and lead
-    # the r6 gate alongside them.)
+    # q152_xi_jackknife, q153_weighted_coadd,
+    # q154_distortion_solve and q155_relative_photometry
+    # also land past the cap and lead the r6 gate alongside
+    # them.)
 ]
 
 
