@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q153_weighted_coadd",
     "q154_distortion_solve",
     "q155_relative_photometry",
+    "q156_coadd_variance_map",
 ]
 
 
@@ -610,7 +611,7 @@ def main() -> None:
                                           "q143", "q144", "q145", "q146",
                                           "q147", "q148", "q149", "q150",
                                           "q151", "q152", "q153", "q154",
-                                          "q155",
+                                          "q155", "q156",
                                           "fits_scan_multifile",
                                           "fits_scan_compressed",
                                           "fits_scan_rice",

@@ -528,11 +528,26 @@ def coadd_planes(df: DataFrame, method: str = "mean",
             lambda a, x: a + F.when(finite(x), 1).otherwise(0)))
     if method == "sum":
         image = psum
-    else:
-        image = F.zip_with(
-            psum, pcnt,
-            lambda s, c: F.when(c > 0, s / c).otherwise(F.lit(None)))
-    return g.select("y", image.alias("image"), "n_planes")
+        return g.select("y", image.alias("image"), "n_planes")
+    image = F.zip_with(
+        psum, pcnt,
+        lambda s, c: F.when(c > 0, s / c).otherwise(F.lit(None)))
+    # per-position population variance over the finite pixels — the
+    # depth/weight map shipped alongside a survey stack (computed in
+    # the SAME pass: one extra sum-of-squares fold)
+    psq = F.aggregate(
+        "_imgs", F.array_repeat(F.lit(0.0), width),
+        lambda acc, img: F.zip_with(
+            acc, img,
+            lambda a, x: a + F.when(finite(x),
+                                    x.cast("double") * x.cast("double"))
+                              .otherwise(F.lit(0.0))))
+    variance = F.zip_with(
+        F.zip_with(psq, pcnt,
+                   lambda q, c: F.when(c > 0, q / c)),
+        image, lambda m2, m: m2 - m * m)
+    return g.select("y", image.alias("image"), "n_planes",
+                    variance.alias("variance"))
 
 
 def reproject_nearest(rows: DataFrame, src_wcs, dst_wcs,

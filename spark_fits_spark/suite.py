@@ -6819,6 +6819,54 @@ def q155_relative_photometry(spark, sf):
                       F.round("zp", 6).alias("zp6"))
 
 
+@query("q156_coadd_variance_map", """
+SELECT CAST(r.y AS BIGINT) AS y, CAST(c.x AS BIGINT) AS x,
+       CAST(13 * (r.y * 16 + c.x + 1) AS DOUBLE) AS mean_px,
+       CAST(52 * (r.y * 16 + c.x + 1) * (r.y * 16 + c.x + 1)
+            AS DOUBLE) AS var_px
+FROM range(0, 12) r(y), range(0, 16) c(x)
+""")
+def q156_coadd_variance_map(spark, sf):
+    """Coadd variance / depth map (r5) — the mean stack now emits the
+    per-position population variance in the SAME single groupBy(y)
+    pass (one extra sum-of-squares fold): the weight map a survey
+    ships next to every stacked image. Plane k's pixel is
+    (k+1)·base, so per position mean = base·E[k+1] = 13·base and
+    variance = base²·Var(k+1) = base²·(5525/25 − 169) = EXACTLY
+    52·base² over the 25 planes — integer-exact closed forms the
+    oracle states directly."""
+    import hashlib
+    import os as _os
+
+    import numpy as np
+
+    from spark_fits_spark import register_fits
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.operators.images import coadd_planes
+
+    register_fits(spark)
+    keys = sorted(
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+    base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
+    img = np.stack([(k + 1) * base for k in keys])
+    d = _os.path.join(
+        "/tmp", "spark_fits_q156_" + hashlib.md5(sf.encode()).hexdigest()[:8])
+    _os.makedirs(d, exist_ok=True)
+    path = _os.path.join(d, "cube.fits")
+    if not _os.path.exists(path):
+        fw.write_fits(path, [fw.image_hdu(img)])
+    df = spark.read.format("fits").option("hdu", 1).load(path)
+    out = coadd_planes(df, method="mean")
+    z = F.arrays_zip(F.col("image").alias("m"),
+                     F.col("variance").alias("v"))
+    return out.select(
+        F.col("y").cast("long").alias("y"),
+        F.posexplode(z).alias("x", "_s")
+    ).select("y", F.col("x").cast("long").alias("x"),
+             F.col("_s.m").alias("mean_px"),
+             F.col("_s.v").alias("var_px"))
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6892,9 +6940,9 @@ _DRIVER_PRIORITY = [
     # q148_frame_calibration, q149_gls_periodogram,
     # q150_image_pipeline_end_to_end, q151_defect_repair,
     # q152_xi_jackknife, q153_weighted_coadd,
-    # q154_distortion_solve and q155_relative_photometry
-    # also land past the cap and lead the r6 gate alongside
-    # them.)
+    # q154_distortion_solve, q155_relative_photometry and
+    # q156_coadd_variance_map also land past the cap and
+    # lead the r6 gate alongside them.)
 ]
 
 
