@@ -1,0 +1,97 @@
+"""Pins the bench-artifact contract (r5 VERDICT #1): the FINAL stdout
+line bench.py prints must be count-invariant in the size of
+BENCH_QUERIES — r4 and r5 both shipped unparseable BENCH_rN.json
+because per-query content on the last line grew with the suite and
+blew past the harness's ~2,000-char stdout tail capture. Spark-free:
+exercises build_headline directly."""
+
+import json
+
+import pytest
+
+import bench
+
+
+def _fake_metrics():
+    # mirror of main()'s metrics dict: fixed key set, worst-case-ish
+    # float widths
+    return {
+        "fits_scan_mb_per_s": 1234.5,
+        "fits_scan_multifile_mb_per_s": 1234.5,
+        "fits_scan_compressed_mb_per_s": 1234.5,
+        "fits_scan_rice_mb_per_s": 1234.5,
+        "fits_scan_comptable_mb_per_s": 1234.5,
+        "fits_comptable_ratio": 0.389,
+        "decode_mb_per_s_per_task": 1137.4,
+        "fits_plan_files_per_s": 8540.3,
+        "fits_plan_cached_files_per_s": 8540.3,
+        "fits_plan_manifest_files_per_s": 8540.3,
+        "parallel_efficiency": 0.217,
+    }
+
+
+def _fake_timings(n_queries):
+    t = {f"q{i:03d}_some_generated_query_name_{i}": 123.456
+         for i in range(1, n_queries + 1)}
+    # the frozen flagship rows + fixed micro rows, as in a real run
+    for k in bench.HEADLINE_QUERIES:
+        t[k] = 12.345
+    for k in ("fits_scan_64mb", "fits_scan_multifile",
+              "fits_scan_compressed", "fits_scan_rice",
+              "fits_scan_comptable", "fits_plan_2048files",
+              "fits_plan_2048files_cached",
+              "fits_plan_2048files_manifest"):
+        t[k] = 1.234
+    return t
+
+
+@pytest.mark.parametrize("n_queries", [10, 154, 1000])
+def test_headline_is_count_invariant(n_queries):
+    line = bench.build_headline(
+        total=12345.678, core=999.999, sf=0.1, warmed=True,
+        timings=_fake_timings(n_queries), metrics=_fake_metrics())
+    assert len(line) <= bench.HEADLINE_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed["metric"] == "suite_total_seconds"
+    assert parsed["unit"] == "sec"
+    assert parsed["n_queries_benched"] >= n_queries
+    # per-query content is exactly the frozen subset (short keys) —
+    # never the full suite
+    expected = {k.split("_", 1)[0] for k in bench.HEADLINE_QUERIES}
+    qkeys = {k for k in parsed["queries"] if k.startswith("q")}
+    assert qkeys == expected
+
+
+def test_headline_lengths_identical_across_growth():
+    """The invariance itself: +990 queries must not change the line
+    length at all (modulo the n_queries_benched counter width)."""
+    small = bench.build_headline(1.0, 1.0, 0.1, True,
+                                 _fake_timings(10), _fake_metrics())
+    big = bench.build_headline(1.0, 1.0, 0.1, True,
+                               _fake_timings(1000), _fake_metrics())
+    assert abs(len(big) - len(small)) <= 2  # counter digits only
+
+
+def test_headline_queries_frozen():
+    """HEADLINE_QUERIES is a contract: it must stay exactly this set
+    (append-freeze). If you are editing this test to add a name, you
+    are repeating the r4/r5 artifact bug — put it in BENCH_DETAIL.json
+    coverage instead."""
+    assert bench.HEADLINE_QUERIES == [
+        "q01_pricing_summary", "q08_window_running", "q35_asof_join",
+        "q22_dedup_minhash_lsh", "q57_line_dedup",
+        "q79_exact_substring_dedup", "q102_zone_crossmatch",
+        "q111_source_detection", "q112_healpix_skymap",
+        "q152_xi_jackknife",
+    ]
+    assert set(bench.HEADLINE_QUERIES) <= set(bench.BENCH_QUERIES)
+
+
+def test_headline_overflow_fails_loudly():
+    """A future edit that reattaches growing content must die in the
+    assert, not ship truncated."""
+    huge = _fake_metrics()
+    huge["padding"] = "x" * 2000
+    with pytest.raises(AssertionError, match="count-invariant"):
+        bench.build_headline(1.0, 1.0, 0.1, True, _fake_timings(10),
+                             huge)

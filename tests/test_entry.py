@@ -165,3 +165,35 @@ def test_driver_gate_invariants():
     assert missing_oracle == [], missing_oracle
     # every registered query resolves; no stale priority entries
     assert all(n in QUERIES for n in _DRIVER_PRIORITY)
+
+
+def test_driver_gate_cadence_documented():
+    """r5 VERDICT #3: the rotation guarantee must match the arithmetic.
+    With N queries and a 50-row driver cap, a steady rotation covers
+    every query once per ceil(N/50) rounds; the documented invariant is
+    ceil(N/50)+1 (the +1 absorbs the composition slips that arise when
+    a block doesn't divide evenly). This test computes the cadence from
+    the live registry and pins that COVERAGE.md documents the SAME
+    number — doc drift here is exactly how the old 'trailing two
+    rounds' claim went arithmetically dead at N=154."""
+    import math
+
+    n = len(QUERIES)
+    rotation_rounds = math.ceil(n / 50)
+    cadence = rotation_rounds + 1
+    # N=154 today: full rotation in 4 rounds, documented cadence 5.
+    # Suite growth is frozen per r5 VERDICT #4 — if N changed, update
+    # COVERAGE.md's cadence paragraph alongside this expectation.
+    assert n == 154, (
+        f"suite has {n} queries — growth is frozen in r6 (r5 VERDICT "
+        "#4); if this is a later round, update COVERAGE.md's cadence "
+        "paragraph and this pin together")
+    assert cadence == 5
+    cov = open(os.path.join(os.path.dirname(__file__), "..",
+                            "COVERAGE.md")).read()
+    assert f"within {cadence} trailing rounds" in cov, (
+        "COVERAGE.md must document the computed cadence "
+        f"('within {cadence} trailing rounds'); found stale text")
+    assert "trailing two rounds" not in cov, (
+        "COVERAGE.md still carries the arithmetically-dead two-round "
+        "claim")
