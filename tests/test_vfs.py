@@ -498,3 +498,190 @@ def test_fsspec_wrapper_via_stub_module(tmp_path, monkeypatch):
     batches = list(reader.read(part))
     got = [v for b in batches for v in b.column(0).to_pylist()]
     assert got == list(range(7))
+
+
+# -- real S3 wire protocol via pyarrow's production S3 stack ---------------
+#
+# The reference reads s3:// through Hadoop's S3 FileSystem and needed a
+# seek-quirk workaround (FitsLib.scala:319-323,458-462). Here the same
+# surface is exercised against a REAL S3 client — pyarrow's bundled AWS
+# C++ SDK — talking HTTP to tests/minis3.py (an in-process S3 REST
+# subset: multipart upload, ranged GetObject, ListObjectsV2). Unlike the
+# mock:// / stub-fsspec paths, nothing on the client side is ours: the
+# requests on the wire are what a real object store would see. The
+# endpoint is injected purely through the standard AWS env vars
+# (AWS_ENDPOINT_URL), so resolve_fs() -> ArrowFileSystem -> from_uri
+# runs UNMODIFIED — the exact production code path for s3:// when
+# fsspec is absent.
+
+_AWS_ENV = {
+    "AWS_ACCESS_KEY_ID": "minis3-test-key",
+    "AWS_SECRET_ACCESS_KEY": "minis3-test-secret",
+    "AWS_DEFAULT_REGION": "us-east-1",
+    "AWS_EC2_METADATA_DISABLED": "true",
+}
+
+
+def _set_aws_env(monkeypatch, endpoint):
+    monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+    for k, v in _AWS_ENV.items():
+        monkeypatch.setenv(k, v)
+    for k in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY"):
+        monkeypatch.delenv(k, raising=False)
+
+
+def test_arrow_s3_backend_real_wire_protocol(monkeypatch):
+    """resolve_fs('s3://...') against a live S3 endpoint: multipart
+    write through open_output, ranged positional reads through the scan
+    byte path (open_hdu + partition read after a pickle round trip —
+    what an executor does), listing/glob/stat, delete. Asserts at the
+    PROTOCOL level that the client really issued multipart-upload and
+    Range'd GETs — the wire behavior the mock backends cannot pin."""
+    pytest.importorskip("pyarrow.fs")
+    import numpy as np
+
+    from tests import minis3
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    srv = minis3.start()
+    try:
+        _set_aws_env(monkeypatch, srv.endpoint)
+        srv.buckets["survey"] = {}  # buckets pre-exist, as in real life
+
+        fs = vfs.resolve_fs("s3://survey/catalog/part0.fits")
+        assert isinstance(fs, vfs.ArrowFileSystem)
+
+        # write a real FITS file through the VFS (multipart upload path)
+        n = 1000
+        with fs.open_output("s3://survey/catalog/part0.fits") as f:
+            fw.write_fits(None, [fw.bintable_hdu(
+                [("id", "K", np.arange(n, dtype=">i8")),
+                 ("ra", "E", np.linspace(0, 6, n, dtype=">f4"))])],
+                fobj=f)
+        with fs.open_output("s3://survey/catalog/notes.txt") as f:
+            f.write(b"not a fits file")
+
+        # metadata surface
+        size, mtime = fs.stat("s3://survey/catalog/part0.fits")
+        assert size > 0 and mtime > 0
+        assert fs.isfile("s3://survey/catalog/part0.fits")
+        assert fs.isdir("s3://survey/catalog")
+        assert fs.walk_files("s3://survey/catalog") == [
+            "s3://survey/catalog/notes.txt",
+            "s3://survey/catalog/part0.fits"]
+        assert fs.glob("s3://survey/catalog/*.fits") == [
+            "s3://survey/catalog/part0.fits"]
+        assert fs.listdir("s3://survey") == ["catalog"]
+
+        # the scan byte path: header walk + decode over ranged reads
+        with fs.open_input("s3://survey/catalog/part0.fits") as f:
+            hdu = open_hdu(f, "s3://survey/catalog/part0.fits", 1)
+        assert hdu.n_rows == n
+
+        # plan -> pickle (executor ship) -> read, all over s3://
+        from spark_fits_spark.sources.fits_datasource import (
+            FitsDataSource, FitsScanReader, _HDU_CACHE,
+        )
+
+        _HDU_CACHE.clear()
+        ds = FitsDataSource(options={
+            "path": "s3://survey/catalog/part0.fits", "hdu": "1"})
+        reader = FitsScanReader(
+            "s3://survey/catalog/part0.fits", 1, ds.schema(), None, None,
+            "PERMISSIVE", 8 * 1024 * 1024, False)
+        parts = reader.partitions()
+        assert len(parts) == 1
+        part = pickle.loads(pickle.dumps(parts[0]))
+        got = [v for b in reader.read(part)
+               for v in b.column(0).to_pylist()]
+        assert got == list(range(n))
+
+        fs.remove("s3://survey/catalog/notes.txt")
+        assert not fs.exists("s3://survey/catalog/notes.txt")
+
+        # protocol-level evidence (the point of this test): the client
+        # used the real S3 write path (multipart initiate + complete)
+        # and positional ranged reads — no whole-object staging
+        with srv.lock:
+            reqs = list(srv.requests)
+        assert any(m == "POST" and "uploads" in p for m, p, _ in reqs), reqs
+        assert any(m == "POST" and "uploadId" in p for m, p, _ in reqs)
+        assert any(m == "PUT" and "partNumber" in p for m, p, _ in reqs)
+        assert any(m == "GET" and r and r.startswith("bytes=")
+                   for m, p, r in reqs), "no ranged GETs seen"
+        assert any(m == "GET" and "list-type=2" in p for m, p, _ in reqs)
+        assert any(m == "DELETE" for m, p, _ in reqs)
+    finally:
+        srv.shutdown()
+
+
+def test_fits_scan_over_s3_spark_end_to_end(tmp_path):
+    """The full distributed path over s3://: a child Python process
+    (env carries AWS_ENDPOINT_URL before the JVM launches, exactly how
+    a real cluster injects a private endpoint) writes a FITS table via
+    df.write.format('fits') to s3://, scans it back with a pushed
+    filter, and inventories it with fits_info — executor tasks doing
+    real S3 I/O through pickled ArrowFileSystem handles. The parent
+    asserts the results AND the wire log (multipart part uploads from
+    write tasks, ranged GETs from scan tasks)."""
+    pytest.importorskip("pyarrow.fs")
+    import subprocess
+    import sys
+
+    from tests import minis3
+
+    srv = minis3.start()
+    try:
+        srv.buckets["lake"] = {}
+        child = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from spark_fits_spark.plans import build_session
+from spark_fits_spark import fits_info, register_fits
+from pyspark.sql import functions as F
+
+spark = build_session(app_name="s3-e2e", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+register_fits(spark)
+(spark.range(0, 4000)
+ .selectExpr("id", "cast(id %% 7 as double) as mag")
+ .repartition(4)
+ .write.format("fits").option("checksum", "true")
+ .mode("overwrite").save("s3://lake/cat"))
+df = spark.read.format("fits").option("hdu", 1).load("s3://lake/cat")
+assert df.count() == 4000, df.count()
+got = df.filter(F.col("id") < 100).agg(
+    F.sum("id"), F.count("*")).first()
+assert got[0] == 4950 and got[1] == 100, got
+info = fits_info(spark, "s3://lake/cat")
+rows = info.collect()
+assert all(r["file"].startswith("s3://lake/") for r in rows)
+nrows = sum(r["n_rows"] for r in rows if r["hdu_type"] == "BINTABLE")
+assert nrows == 4000, nrows
+print("S3_E2E_OK", got[0], nrows)
+spark.stop()
+""" % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+        env = {**os.environ, "AWS_ENDPOINT_URL": srv.endpoint, **_AWS_ENV}
+        for k in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY"):
+            env.pop(k, None)
+        proc = subprocess.run(
+            [sys.executable, "-c", child], env=env, cwd=str(tmp_path),
+            capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+        assert "S3_E2E_OK 4950 4000" in proc.stdout, proc.stdout[-2000:]
+
+        with srv.lock:
+            reqs = list(srv.requests)
+        # write tasks used multipart uploads; scan tasks used ranged GETs
+        assert sum(1 for m, p, _ in reqs
+                   if m == "POST" and "uploads" in p) >= 4, "expected >=4 part files"
+        assert any(m == "GET" and r and r.startswith("bytes=")
+                   for m, p, r in reqs)
+        # the dataset really lives on the server, all four parts + manifest
+        fits_keys = [k for k in srv.buckets["lake"] if k.endswith(".fits")]
+        assert len(fits_keys) >= 4
+        assert any(k.endswith("_fits_manifest.json")
+                   for k in srv.buckets["lake"])
+    finally:
+        srv.shutdown()
