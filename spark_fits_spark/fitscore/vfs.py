@@ -438,6 +438,15 @@ class FsspecFileSystem(FitsFileSystem):
         self._fs.rm(self._strip(path))
 
 
+#: Hadoop-convention URI schemes mapped to the filesystem pyarrow
+#: actually implements. The reference reads S3 through Hadoop's
+#: FileSystem API, so its users' paths are ``s3a://`` (occasionally the
+#: legacy ``s3n://``) — pyarrow's from_uri recognizes neither. Alias
+#: them for FS construction; the ORIGINAL scheme is preserved when
+#: re-prefixing result URIs, so paths round-trip exactly as written.
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
 class ArrowFileSystem(FitsFileSystem):
     """pyarrow.fs fallback for ``s3://`` / ``hdfs://`` / ``gs://`` when
     fsspec is not installed (pyarrow already ships with the package).
@@ -448,8 +457,11 @@ class ArrowFileSystem(FitsFileSystem):
         from pyarrow import fs as pafs
 
         self._scheme = scheme
-        # from_uri resolves the concrete FS (region, host, ...) once
-        self._fs, _ = pafs.FileSystem.from_uri(sample_uri)
+        # from_uri resolves the concrete FS (region, host, ...) once;
+        # Hadoop-style schemes (s3a/s3n) construct the s3 filesystem
+        resolved = _SCHEME_ALIASES.get(scheme, scheme)
+        raw = split_scheme(sample_uri)[1]
+        self._fs, _ = pafs.FileSystem.from_uri(f"{resolved}://{raw}")
 
     def __getstate__(self):
         return {"scheme": self._scheme, "fs": self._fs}

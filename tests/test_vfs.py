@@ -597,6 +597,19 @@ def test_arrow_s3_backend_real_wire_protocol(monkeypatch):
                for v in b.column(0).to_pylist()]
         assert got == list(range(n))
 
+        # Hadoop-convention URIs: the reference's users address S3 as
+        # s3a:// (Hadoop FS) — pyarrow's from_uri rejects that scheme,
+        # so resolve_fs aliases s3a/s3n -> s3 for FS construction while
+        # result URIs keep the scheme exactly as the user wrote it
+        fsa = vfs.resolve_fs("s3a://survey/catalog/part0.fits")
+        assert isinstance(fsa, vfs.ArrowFileSystem)
+        assert fsa.size("s3a://survey/catalog/part0.fits") == size
+        assert fsa.glob("s3a://survey/catalog/*.fits") == [
+            "s3a://survey/catalog/part0.fits"]
+        with fsa.open_input("s3a://survey/catalog/part0.fits") as f:
+            hdu_a = open_hdu(f, "s3a://survey/catalog/part0.fits", 1)
+        assert hdu_a.n_rows == n
+
         fs.remove("s3://survey/catalog/notes.txt")
         assert not fs.exists("s3://survey/catalog/notes.txt")
 
@@ -621,10 +634,13 @@ def test_fits_scan_over_s3_spark_end_to_end(tmp_path):
     (env carries AWS_ENDPOINT_URL before the JVM launches, exactly how
     a real cluster injects a private endpoint) writes a FITS table via
     df.write.format('fits') to s3://, scans it back with a pushed
-    filter, and inventories it with fits_info — executor tasks doing
-    real S3 I/O through pickled ArrowFileSystem handles. The parent
-    asserts the results AND the wire log (multipart part uploads from
-    write tasks, ranged GETs from scan tasks)."""
+    filter, inventories it with fits_info, and tails a second prefix
+    with the STREAMING source across two availableNow waves (file
+    discovery = real ListObjectsV2 polling; exactly-once into parquet)
+    — executor tasks doing real S3 I/O through pickled ArrowFileSystem
+    handles. The parent asserts the results AND the wire log
+    (multipart part uploads from write tasks, ranged GETs from scan
+    tasks)."""
     pytest.importorskip("pyarrow.fs")
     import subprocess
     import sys
@@ -660,6 +676,29 @@ assert all(r["file"].startswith("s3://lake/") for r in rows)
 nrows = sum(r["n_rows"] for r in rows if r["hdu_type"] == "BINTABLE")
 assert nrows == 4000, nrows
 print("S3_E2E_OK", got[0], nrows)
+
+# streaming source tailing the bucket (alert-broker shape): two waves
+# discovered via real ListObjectsV2 polling, exactly-once into parquet
+(spark.range(0, 80).selectExpr("id", "cast(id as double) as x")
+ .write.format("fits").mode("append").save("s3://lake/stream"))
+
+def drain():
+    q = (spark.readStream.format("fits").option("hdu", 1)
+         .load("s3://lake/stream")
+         .writeStream.format("parquet").option("path", "st_out")
+         .option("checkpointLocation", "st_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+drain()
+assert spark.read.parquet("st_out").count() == 80
+(spark.range(80, 120).selectExpr("id", "cast(id as double) as x")
+ .write.format("fits").mode("append").save("s3://lake/stream"))
+drain()
+got2 = spark.read.parquet("st_out")
+assert got2.count() == 120, got2.count()
+assert got2.select("id").distinct().count() == 120
+print("S3_STREAM_OK")
 spark.stop()
 """ % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
         env = {**os.environ, "AWS_ENDPOINT_URL": srv.endpoint, **_AWS_ENV}
@@ -670,6 +709,7 @@ spark.stop()
             capture_output=True, text=True, timeout=600)
         assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
         assert "S3_E2E_OK 4950 4000" in proc.stdout, proc.stdout[-2000:]
+        assert "S3_STREAM_OK" in proc.stdout, proc.stdout[-2000:]
 
         with srv.lock:
             reqs = list(srv.requests)
