@@ -1659,7 +1659,7 @@ def q74_fits_image_roundtrip(spark, sf):
     rows = sorted(
         (r[0], r[1])
         for r in _t(spark, sf, "nation")
-        .select("n_nationkey", "n_regionkey").collect()
+        .select("n_nationkey", "n_regionkey").collect()  # bounded-collect: |nation| rows
     )
     img = np.array(
         [[[k * 10 + rg + j for j in range(width)]] for k, rg in rows],
@@ -3569,7 +3569,7 @@ def q101_fits_compressed_roundtrip(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.array(
         [[[k * 100 + rw * 10 + pos for pos in range(6)]
           for rw in range(4)] for k in keys], dtype="i8")
@@ -3910,7 +3910,7 @@ def q108_fits_plane_slice(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.array(
         [[[k * 100 + rw * 10 + pos for pos in range(6)]
           for rw in range(4)] for k in keys], dtype="i8")
@@ -4018,7 +4018,7 @@ def q110_aperture_photometry(spark, sf):
 
     register_fits(spark)
     nation = _t(spark, sf, "nation")
-    keys = sorted(r[0] for r in nation.select("n_nationkey").collect())
+    keys = sorted(r[0] for r in nation.select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.array(
         [[[k * 1000 + y * 16 + x for x in range(16)]
           for y in range(12)] for k in keys], dtype="i4")
@@ -4073,7 +4073,7 @@ def q111_source_detection(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.zeros((len(keys), 12, 16), dtype="i4")
     for i, k in enumerate(keys):
         y0, x0 = 2 + k % 3, 3 + k % 5
@@ -4258,7 +4258,7 @@ def q115_coadd_planes(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
     img = np.stack([(k + 1) * base for k in keys])
     d = _os.path.join(
@@ -4994,7 +4994,7 @@ def q126_transient_detection(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     n_tmpl = 3
     cube = np.zeros((n_tmpl + len(keys), 12, 16), dtype="f8")
     cube[:, 8:10, 10:13] = 60.0          # statics, every exposure
@@ -5318,7 +5318,7 @@ def _q131_cube(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.empty((len(keys), 12, 16), dtype="f8")
     for i, k in enumerate(keys):
         for y in range(12):
@@ -5597,7 +5597,7 @@ def q136_injection_recovery(spark, sf):
                                                    inject_sources)
 
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     n = _t(spark, sf, "nation")
     base = (n.select(F.col("n_nationkey").cast("long").alias("ImgIndex"),
                      F.explode(F.sequence(F.lit(0), F.lit(11))).alias("y"))
@@ -6054,7 +6054,7 @@ def q143_source_shapes(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     img = np.zeros((len(keys), 12, 16), dtype="i4")
     for i, k in enumerate(keys):
         y0, x0 = 2 + k % 3, 3 + k % 5
@@ -6169,7 +6169,7 @@ def q145_transient_light_curve(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     static = np.empty((12, 16), dtype="f8")
     for y in range(12):
         for x in range(16):
@@ -6692,7 +6692,7 @@ def q153_weighted_coadd(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
     img = np.stack([(k + 1) * base for k in keys])
     d = _os.path.join(
@@ -6846,7 +6846,7 @@ def q156_coadd_variance_map(spark, sf):
 
     register_fits(spark)
     keys = sorted(
-        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())
+        r[0] for r in _t(spark, sf, "nation").select("n_nationkey").collect())  # bounded-collect: |nation| rows
     base = (np.arange(12 * 16, dtype="f8") + 1).reshape(12, 16)
     img = np.stack([(k + 1) * base for k in keys])
     d = _os.path.join(
