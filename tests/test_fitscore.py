@@ -383,3 +383,100 @@ if _HAVE_HYP:
                 assert g == pytest.approx(expected[i])
             else:
                 assert g == expected[i]
+
+if _HAVE_HYP:
+    _arr_tforms = st.sampled_from(
+        ["E", "D", "J", "K", "3E", "4J", "2D", "5I", "8A", "L", "B"])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tforms=st.lists(_arr_tforms, min_size=1, max_size=5),
+        n_rows=st.integers(min_value=1, max_value=300),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        specials=st.booleans(),
+    )
+    def test_roundtrip_property_arrays_specials_slices(
+            tforms, n_rows, seed, specials):
+        """Interaction fuzz over the paths the scalar property test
+        doesn't cross: fixed-size ARRAY columns (TFORM '3E'/'4J'/...),
+        IEEE specials (NaN/±inf planted into float columns), a RANDOM
+        row window (the partition read path: decode starts mid-table),
+        and a RANDOM column selection (pruned numpy dtype) — all in one
+        write→decode round trip. Exactness: floats compare by bit
+        pattern (big-endian IEEE754 passthrough), ints/strings/bools
+        exactly."""
+        import io
+        import math
+        import re as _re
+
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructField, StructType
+
+        from spark_fits_spark.fitscore import writer
+        from spark_fits_spark.fitscore.decode import decode_bintable
+        from spark_fits_spark.fitscore.file import open_hdu
+        from spark_fits_spark.fitscore.types import parse_tform
+
+        rng = np.random.RandomState(seed)
+        cols = []
+        for i, tf in enumerate(tforms):
+            m = _re.match(r"(\d*)([A-Z])", tf)
+            rep, code = int(m.group(1) or 1), m.group(2)
+            shape = (n_rows, rep) if (rep > 1 and code != "A") else n_rows
+            if code == "A":
+                vals = np.array(
+                    [f"v{rng.randint(0, 10**6)}" for _ in range(n_rows)])
+            elif code == "L":
+                vals = rng.randint(0, 2, shape).astype(bool)
+            elif code == "B":
+                vals = rng.randint(-128, 128, shape).astype("i1")
+            elif code in ("I", "J", "K"):
+                dt = {"I": ">i2", "J": ">i4", "K": ">i8"}[code]
+                lim = {"I": 2**15, "J": 2**31, "K": 2**62}[code]
+                vals = rng.randint(-lim, lim, shape).astype(dt)
+            else:
+                dt = ">f4" if code == "E" else ">f8"
+                vals = rng.randn(*(shape if isinstance(shape, tuple)
+                                   else (shape,))).astype(dt)
+                if specials and n_rows >= 3:
+                    flat = vals.reshape(-1)
+                    flat[0], flat[1], flat[2] = (
+                        np.nan, np.inf, -np.inf)
+            cols.append((f"c{i}", tf, vals))
+
+        raw = writer.primary_hdu() + writer.bintable_hdu(cols)
+        fobj = io.BytesIO(raw)
+        hdu = open_hdu(fobj, "<mem>", 1)
+        assert hdu.n_rows == n_rows
+
+        # random row window + random column selection
+        lo = int(rng.randint(0, n_rows))
+        hi = int(rng.randint(lo + 1, n_rows + 1))
+        sel = sorted(rng.choice(len(cols), size=rng.randint(
+            1, len(cols) + 1), replace=False).tolist())
+        schema = StructType([
+            StructField(cols[j][0], parse_tform(cols[j][1]).spark_type)
+            for j in sel])
+        fobj.seek(hdu.boundaries.data_start + lo * hdu.row_bytes)
+        buf = fobj.read((hi - lo) * hdu.row_bytes)
+        got = decode_bintable(
+            buf, hdu, sel, to_arrow_schema(schema)).to_pydict()
+
+        def _eq(a, b):
+            if isinstance(a, float):
+                return (math.isnan(a) and math.isnan(b)) or a == b
+            return a == b
+
+        for j in sel:
+            name, tf, vals = cols[j]
+            window = vals[lo:hi]
+            g = got[name]
+            assert len(g) == hi - lo
+            for r, (gv, ev) in enumerate(zip(g, window.tolist())):
+                if isinstance(ev, list):
+                    assert len(gv) == len(ev) and all(
+                        _eq(x, y) for x, y in zip(gv, ev)), (name, lo + r)
+                else:
+                    assert _eq(gv, ev), (name, lo + r, gv, ev)
