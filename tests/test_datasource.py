@@ -1111,3 +1111,127 @@ def test_fits_headers_table(spark):
         WHERE keyword = 'EXTNAME' AND value = 'GTI'
     """).first()[0]
     assert n == 1
+
+
+# ---------- zone-map prune soundness (hypothesis) ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    import math as _math
+
+    # boundary-biased pools: float53 edges, int64 extremes, signed
+    # zeros, subnormals, huge magnitudes — where double-rounding
+    # pruning bugs would live
+    _NASTY_INTS = [
+        0, 1, -1, 2**53 - 1, 2**53, 2**53 + 1, -(2**53) - 1,
+        2**62 - 1, 2**62, 2**62 + 1, 2**63 - 1, -(2**63),
+    ]
+    _NASTY_FLOATS = [
+        0.0, -0.0, 5e-324, -5e-324, 1e308, -1e308, 1.5, -2.75,
+        9007199254740993.0, _math.pi, 1e16, 1e16 + 2,
+    ]
+
+    _int_vals = st.one_of(st.sampled_from(_NASTY_INTS),
+                          st.integers(-(2**63), 2**63 - 1))
+    _float_vals = st.one_of(st.sampled_from(_NASTY_FLOATS),
+                            st.floats(allow_nan=False, allow_infinity=False))
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data(), is_float=st.booleans())
+    def test_zonemap_prune_soundness_property(data, is_float):
+        """SOUNDNESS of file-level data skipping, the one code path
+        where a bug is silent wrong results: for random column data
+        and random pushed-filter conjunctions (values drawn from the
+        same adversarial pools, ±1-ulp neighbors of the true bounds
+        included), whenever _stats_prune says the file can be skipped,
+        NO row may satisfy the conjunction — checked under BOTH
+        Python-exact comparison semantics and double-cast (Arrow
+        promotion) semantics. Goes end-to-end through the sink's real
+        card formatting (fw._card) and the scan's header parse, so
+        a TDMIN/TDMAX precision loss would fail here too."""
+        import io
+
+        import numpy as np
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        from spark_fits_spark.fitscore import writer as fw
+        from spark_fits_spark.fitscore.file import open_hdu
+        from spark_fits_spark.sources.fits_datasource import _stats_prune
+
+        pool = _float_vals if is_float else _int_vals
+        vals = data.draw(st.lists(pool, min_size=1, max_size=12))
+        lo, hi = min(vals), max(vals)
+
+        if is_float:
+            arr = np.array(vals, dtype=">f8")
+            # the writer records the column EXTREMES of what was stored
+            lo, hi = float(arr.min()), float(arr.max())
+            tform = "D"
+        else:
+            arr = np.array(vals, dtype=">i8")
+            tform = "K"
+        cards = [fw._card("TDMIN1", lo, "min of x"),
+                 fw._card("TDMAX1", hi, "max of x")]
+        raw = fw.primary_hdu() + fw.bintable_hdu(
+            [("x", tform, arr)], extra_cards=cards)
+        hdu = open_hdu(io.BytesIO(raw), "<mem>", 1)
+
+        # filter values: pools + the data's own values + 1-ulp/±1
+        # neighbors of the true bounds
+        neighbors = ([_math.nextafter(float(lo), -_math.inf),
+                      _math.nextafter(float(hi), _math.inf)]
+                     + ([lo - 1, hi + 1, lo, hi] if not is_float
+                        else [float(lo), float(hi)]))
+        vpool = st.one_of(pool, st.sampled_from(vals + neighbors))
+
+        ops = [
+            lambda v: (EqualTo(("x",), v),
+                       lambda x: x == v, lambda x: float(x) == float(v)),
+            lambda v: (GreaterThan(("x",), v),
+                       lambda x: x > v, lambda x: float(x) > float(v)),
+            lambda v: (GreaterThanOrEqual(("x",), v),
+                       lambda x: x >= v, lambda x: float(x) >= float(v)),
+            lambda v: (LessThan(("x",), v),
+                       lambda x: x < v, lambda x: float(x) < float(v)),
+            lambda v: (LessThanOrEqual(("x",), v),
+                       lambda x: x <= v, lambda x: float(x) <= float(v)),
+        ]
+        n_filters = data.draw(st.integers(1, 3))
+        filters, preds_exact, preds_double = [], [], []
+        for _ in range(n_filters):
+            if data.draw(st.booleans(), label="use_in"):
+                vs = data.draw(st.lists(vpool, min_size=1, max_size=4))
+                filters.append(In(("x",), tuple(vs)))
+                preds_exact.append(
+                    lambda x, vs=vs: any(x == v for v in vs))
+                preds_double.append(
+                    lambda x, vs=vs: any(float(x) == float(v) for v in vs))
+            else:
+                mk = data.draw(st.sampled_from(ops))
+                v = data.draw(vpool)
+                flt, pe, pd = mk(v)
+                filters.append(flt)
+                preds_exact.append(pe)
+                preds_double.append(pd)
+
+        if _stats_prune(hdu, filters):
+            stored = [float(x) for x in arr] if is_float else \
+                [int(x) for x in arr.astype("i8")]
+            match_exact = any(all(p(x) for p in preds_exact)
+                              for x in stored)
+            match_double = any(all(p(x) for p in preds_double)
+                               for x in stored)
+            assert not match_exact and not match_double, (
+                f"UNSOUND PRUNE: stats=({lo},{hi}) filters={filters} "
+                f"data={stored[:6]}...")
