@@ -1235,3 +1235,93 @@ if _HAVE_HYP:
             assert not match_exact and not match_double, (
                 f"UNSOUND PRUNE: stats=({lo},{hi}) filters={filters} "
                 f"data={stored[:6]}...")
+
+
+if _HAVE_HYP:
+    @settings(max_examples=80, deadline=None)
+    @given(data=st.data())
+    def test_imgindex_plane_bounds_soundness_property(data):
+        """SOUNDNESS of plan-time plane pruning: for any pushed-filter
+        conjunction (range ops, In, IsNull/IsNotNull, Not-wrapped,
+        integral and NON-integral values, None, bools, foreign
+        attributes), every plane index that satisfies the full
+        conjunction must lie inside the planned [lo, hi) interval —
+        under-inclusion would silently drop image rows before the
+        residual mask ever runs."""
+        from pyspark.sql.datasource import (
+            EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual,
+            In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not,
+        )
+
+        from spark_fits_spark.sources.fits_datasource import (
+            _imgindex_plane_bounds,
+        )
+
+        attrs = st.sampled_from([("ImgIndex",), ("Image",), ("other",)])
+        vals = st.one_of(
+            st.integers(-3, 25), st.sampled_from(
+                [3.0, 3.5, -0.5, 0.0, True, None, 2**40, 1e17]),
+            st.floats(-5, 30))
+
+        def mk(draw):
+            a = draw(attrs)
+            kind = draw(st.sampled_from(
+                ["eq", "eqns", "gt", "gte", "lt", "lte", "in",
+                 "isnull", "isnotnull"]))
+            if kind == "in":
+                f = In(a, tuple(draw(st.lists(vals, min_size=1,
+                                              max_size=4))))
+            elif kind == "isnull":
+                f = IsNull(a)
+            elif kind == "isnotnull":
+                f = IsNotNull(a)
+            else:
+                cls = {"eq": EqualTo, "eqns": EqualNullSafe,
+                       "gt": GreaterThan, "gte": GreaterThanOrEqual,
+                       "lt": LessThan, "lte": LessThanOrEqual}[kind]
+                f = cls(a, draw(vals))
+            return Not(f) if draw(st.booleans()) else f
+
+        filters = [mk(data.draw) for _ in range(data.draw(
+            st.integers(1, 4)))]
+        lo, hi = _imgindex_plane_bounds(filters)
+        assert lo >= 0 and (hi is None or isinstance(hi, int))
+
+        def _cmp_ok(v):
+            return isinstance(v, (int, float, bool))
+
+        def ev(f, p):
+            """Truth of one pushed filter at ImgIndex == p; foreign
+            attributes are assumed satisfiable (True) so the plane
+            counts as matching — the strictest reading for the
+            pruner."""
+            if isinstance(f, Not):
+                return not ev(f.child, p)
+            if tuple(f.attribute) != ("ImgIndex",):
+                return True
+            if isinstance(f, IsNull):
+                return False  # ImgIndex is never NULL
+            if isinstance(f, IsNotNull):
+                return True
+            v = getattr(f, "value", None)
+            if isinstance(f, In):
+                return any(_cmp_ok(x) and p == x for x in v)
+            if v is None or not _cmp_ok(v):
+                return False
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                return p == v
+            if isinstance(f, GreaterThan):
+                return p > v
+            if isinstance(f, GreaterThanOrEqual):
+                return p >= v
+            if isinstance(f, LessThan):
+                return p < v
+            if isinstance(f, LessThanOrEqual):
+                return p <= v
+            return True
+
+        for p in range(0, 64):
+            if all(ev(f, p) for f in filters):
+                assert p >= lo and (hi is None or p < hi), (
+                    f"UNSOUND PLANE PRUNE: plane {p} matches "
+                    f"{filters} but planned interval is [{lo}, {hi})")
