@@ -1162,6 +1162,8 @@ def _apply_filters(batch: pa.RecordBatch, filters: list[Filter]) -> pa.RecordBat
 
 
 def _filter_mask(batch: pa.RecordBatch, f: Filter):
+    import math
+
     import pyarrow.compute as pc
 
     if isinstance(f, Not):
@@ -1170,22 +1172,53 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
         # false and null, exactly like a SQL WHERE
         return pc.invert(_filter_mask(batch, f.child))
     col = batch.column(batch.schema.get_field_index(f.attribute[0]))
+
+    # Spark/SQL float semantics diverge from raw IEEE kernels in two
+    # ways that matter for NaN-laden FITS data (pushed filters are NOT
+    # re-evaluated post-scan, so the mask must match Spark exactly —
+    # both divergences found by the hypothesis mask-vs-DuckDB property
+    # test): (1) NaN is SELF-EQUAL and ORDERS GREATEST (Spark
+    # `float('NaN') > 5.0` is TRUE; IEEE compares are all false), and
+    # (2) Arrow's is_in matches floats BITWISE, missing -0.0 == 0.0.
+    fp = pa.types.is_floating(col.type)
+
+    def nanv(v) -> bool:
+        return isinstance(v, float) and math.isnan(v)
+
+    def eq_mask(v):
+        """x = v under Spark semantics (NaN = NaN true, ±0 equal)."""
+        if fp and nanv(v):
+            return pc.is_nan(col)  # null propagates
+        return pc.equal(col, v)
+
     if isinstance(f, EqualNullSafe):
         # <=> is two-valued: NULL <=> NULL is TRUE, NULL <=> v is FALSE
         if f.value is None:
             return pc.is_null(col)
-        return pc.fill_null(pc.equal(col, f.value), False)
+        return pc.fill_null(eq_mask(f.value), False)
     if isinstance(f, EqualTo):
         if f.value is None:  # x = NULL is NULL for every row
             return pa.nulls(batch.num_rows, pa.bool_())
-        return pc.equal(col, f.value)
+        return eq_mask(f.value)
     if isinstance(f, GreaterThan):
+        if fp:
+            if nanv(f.value):  # nothing exceeds the greatest value
+                return pc.and_(pc.is_nan(col), pc.invert(pc.is_nan(col)))
+            return pc.or_(pc.greater(col, f.value), pc.is_nan(col))
         return pc.greater(col, f.value)
     if isinstance(f, GreaterThanOrEqual):
+        if fp:
+            if nanv(f.value):
+                return pc.is_nan(col)  # only NaN >= NaN
+            return pc.or_(pc.greater_equal(col, f.value), pc.is_nan(col))
         return pc.greater_equal(col, f.value)
     if isinstance(f, LessThan):
-        return pc.less(col, f.value)
+        if fp and nanv(f.value):  # everything but NaN is < the max
+            return pc.invert(pc.is_nan(col))
+        return pc.less(col, f.value)  # col NaN: false — NaN is greatest
     if isinstance(f, LessThanOrEqual):
+        if fp and nanv(f.value):  # everything (incl. NaN) <= the max
+            return pc.or_(pc.is_nan(col), pc.invert(pc.is_nan(col)))
         return pc.less_equal(col, f.value)
     if isinstance(f, In):
         # SQL IN truth table (pc.is_in alone would match NULL against a
@@ -1193,8 +1226,30 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
         #   x IN (v...)        → TRUE on match, FALSE otherwise, NULL if x NULL
         #   x IN (v..., NULL)  → TRUE on match, NULL otherwise
         vals = [v for v in f.value if v is not None]
-        m = pc.is_in(col, value_set=pa.array(vals, type=col.type))
-        if len(vals) != len(list(f.value)):  # NULL in the value list
+        had_null = len(vals) != len(list(f.value))
+        if pa.types.is_integer(col.type):
+            # numeric IN semantics: a non-integral value can never
+            # equal an integer, but pa.array would silently TRUNCATE
+            # it into the value set (x IN (-2.5) matching x == -2 —
+            # found by the hypothesis mask-vs-DuckDB property test);
+            # the comparison kernels promote instead of truncating,
+            # so only this value-set construction needs the guard.
+            # Dropped values are non-NULL, so had_null is computed
+            # above — they contribute FALSE, not NULL.
+            vals = [int(v) for v in vals
+                    if not isinstance(v, float) or v == int(v)]
+        if fp:
+            # fold of Spark-semantics equality instead of pc.is_in:
+            # Arrow's is_in hashes float BITS, so it misses
+            # -0.0 == 0.0 and NaN-vs-NaN set membership. NULL rows are
+            # normalized by the is_valid/if_else returns below either
+            # way.
+            m = pa.array([False] * batch.num_rows, pa.bool_())
+            for v in vals:
+                m = pc.or_(m, pc.fill_null(eq_mask(v), False))
+        else:
+            m = pc.is_in(col, value_set=pa.array(vals, type=col.type))
+        if had_null:  # NULL in the value list
             return pc.if_else(m, m, pa.nulls(batch.num_rows, pa.bool_()))
         return pc.if_else(pc.is_valid(col), m,
                           pa.nulls(batch.num_rows, pa.bool_()))

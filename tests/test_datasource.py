@@ -298,9 +298,14 @@ def test_ieee_specials_and_int64_extremes(spark, tmp_path):
     assert agg["s"] == -(2**63) + (2**63 - 1) + 0 - 1 + 42
     # Spark orders NaN greater than any value, so max() is NaN
     assert math.isnan(agg["mx"])
-    # pushed filters: NaN never matches comparisons; Inf does
+    # pushed filters follow SPARK float semantics (r6 fix): NaN is the
+    # greatest value, so it matches x > 1e300 alongside +Inf — exactly
+    # what the same filter over parquet returns
+    # (test_pushdown_float_semantics_match_spark_parquet is the
+    # predicate battery). The pre-r6 mask used raw IEEE kernels and
+    # silently dropped the NaN row here.
     df = read_fits(spark, path)
-    assert df.filter(F.col("D_col") > 1e300).count() == 1  # +Inf only
+    assert df.filter(F.col("D_col") > 1e300).count() == 2  # +Inf and NaN
     assert df.filter(F.col("E_col") < 0).count() == 1      # -Inf only
 
 
@@ -1325,3 +1330,197 @@ if _HAVE_HYP:
                 assert p >= lo and (hi is None or p < hi), (
                     f"UNSOUND PLANE PRUNE: plane {p} matches "
                     f"{filters} but planned interval is [{lo}, {hi})")
+
+
+if _HAVE_HYP:
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def test_filter_mask_matches_duckdb_where_property(data):
+        """The in-source Arrow mask evaluator (_apply_filters) must
+        implement exactly SQL WHERE semantics — three-valued logic
+        with NULL data, NULL comparison values, NULL-containing IN
+        lists, Not-wrapped everything, across int/float/string
+        columns. Oracle: DuckDB evaluating the same conjunction over
+        the same Arrow table (values passed as bound parameters so no
+        literal formatting is in the loop). Rows are compared by id."""
+        import duckdb
+        import pyarrow as pa
+        from pyspark.sql.datasource import (
+            EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual,
+            In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not,
+            StringContains, StringEndsWith, StringStartsWith,
+        )
+
+        from spark_fits_spark.sources.fits_datasource import (
+            _apply_filters,
+        )
+
+        n = data.draw(st.integers(1, 40))
+        ints = data.draw(st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            min_size=n, max_size=n))
+        # NaN is deliberately absent on BOTH sides here: DuckDB's
+        # columnar comparisons are IEEE (NaN matches nothing) while
+        # Spark's are NaN-greatest/self-equal, so DuckDB cannot oracle
+        # NaN semantics — Spark itself does, in
+        # test_pushdown_float_semantics_match_spark_parquet. Signed
+        # zeros stay: both engines agree -0.0 == 0.0.
+        flts = data.draw(st.lists(
+            st.one_of(st.none(), st.sampled_from(
+                [0.0, -0.0, 1.5, -2.5, 3.0, 100.0])),
+            min_size=n, max_size=n))
+        strs = data.draw(st.lists(
+            st.one_of(st.none(), st.sampled_from(
+                ["", "a", "ab", "abc", "ba", "bab", "z"])),
+            min_size=n, max_size=n))
+        batch = pa.RecordBatch.from_pydict({
+            "_rid": pa.array(range(n), pa.int64()),
+            "i": pa.array(ints, pa.int64()),
+            "f": pa.array(flts, pa.float64()),
+            "s": pa.array(strs, pa.string()),
+        })
+
+        # int-column values: non-integral floats exercise the In
+        # truncation guard, but NO NaN — Catalyst wraps the attribute
+        # in a Cast for `int_col <cmp> NaN`, so such filters are never
+        # pushed (and exact-vs-double semantics would differ)
+        int_vals = st.one_of(st.none(), st.integers(-6, 6),
+                             st.sampled_from([1.5, -2.5, 0.0, 3.0]))
+        # float-column values: -0.0 (= 0.0) is the adversarial case;
+        # NaN is oracled against Spark itself (see the data pool note)
+        flt_vals = st.one_of(st.none(), st.integers(-6, 6),
+                             st.sampled_from(
+                                 [1.5, -2.5, 0.0, -0.0, 3.0]))
+        str_vals = st.one_of(st.none(), st.sampled_from(
+            ["", "a", "ab", "b", "z"]))
+
+        def mk(draw):
+            col = draw(st.sampled_from(["i", "f", "s"]))
+            vs = {"s": str_vals, "i": int_vals, "f": flt_vals}[col]
+            kinds = ["eq", "eqns", "gt", "gte", "lt", "lte", "in",
+                     "isnull", "isnotnull"]
+            if col == "s":
+                kinds += ["contains", "startswith", "endswith"]
+            kind = draw(st.sampled_from(kinds))
+            a = (col,)
+            sql, params = None, []
+            if kind == "in":
+                lst = draw(st.lists(vs, min_size=1, max_size=4))
+                f = In(a, tuple(lst))
+                sql = f"{col} IN (" + ",".join(
+                    "NULL" if v is None else "?" for v in lst) + ")"
+                params = [v for v in lst if v is not None]
+            elif kind == "isnull":
+                f, sql = IsNull(a), f"{col} IS NULL"
+            elif kind == "isnotnull":
+                f, sql = IsNotNull(a), f"{col} IS NOT NULL"
+            elif kind in ("contains", "startswith", "endswith"):
+                v = draw(st.sampled_from(["", "a", "ab", "b"]))
+                cls, fn = {
+                    "contains": (StringContains, "contains"),
+                    "startswith": (StringStartsWith, "starts_with"),
+                    "endswith": (StringEndsWith, "ends_with")}[kind]
+                f, sql, params = cls(a, v), f"{fn}({col}, ?)", [v]
+            else:
+                v = draw(vs)
+                cls, op = {
+                    "eq": (EqualTo, "="),
+                    "eqns": (EqualNullSafe, "IS NOT DISTINCT FROM"),
+                    "gt": (GreaterThan, ">"),
+                    "gte": (GreaterThanOrEqual, ">="),
+                    "lt": (LessThan, "<"),
+                    "lte": (LessThanOrEqual, "<=")}[kind]
+                # pyarrow compute can't compare against a None scalar
+                # for the range family; the source never pushes those
+                if v is None and kind != "eqns":
+                    v = draw(st.integers(-6, 6)) if col != "s" else "a"
+                f = cls(a, v)
+                if v is None:
+                    sql = f"{col} IS NULL"  # x <=> NULL
+                else:
+                    sql, params = f"{col} {op} ?", [v]
+            if draw(st.booleans()):
+                f = Not(f)
+                sql = f"NOT ({sql})"
+            return f, sql, params
+
+        parts = [mk(data.draw) for _ in range(data.draw(
+            st.integers(1, 3)))]
+        filters = [p[0] for p in parts]
+        where = " AND ".join(p[1] for p in parts)
+        params = [x for p in parts for x in p[2]]
+
+        got = sorted(_apply_filters(
+            batch, filters).column("_rid").to_pylist())
+        con = duckdb.connect()
+        con.register("t", pa.Table.from_batches([batch]))
+        want = sorted(r[0] for r in con.execute(
+            f"SELECT _rid FROM t WHERE {where}", params).fetchall())
+        assert got == want, (
+            f"mask != SQL WHERE: filters={filters} where={where!r} "
+            f"params={params} got={got} want={want}")
+
+
+def test_pushdown_float_semantics_match_spark_parquet(spark, tmp_path):
+    """AUTHORITATIVE float-semantics oracle for pushed filters: the
+    same predicate over the same values must return the same rows from
+    the fits scan (mask evaluated IN-SOURCE; Spark does not re-apply
+    pushed filters) and from parquet (Spark evaluates it itself).
+    Spark's float comparisons are NaN-greatest and NaN-self-equal and
+    treat -0.0 == 0.0 — raw IEEE kernels disagree on every one of
+    those, which made the pre-r6 mask silently DROP NaN rows for
+    predicates like `flux > 5` (found via the hypothesis
+    mask-vs-DuckDB property; fixed in _filter_mask). NaN is endemic in
+    FITS floats (undefined pixels), so this is the wrong-results case
+    a survey pipeline would actually hit."""
+    import math
+
+    import numpy as np
+
+    from spark_fits_spark.fitscore import writer as fw
+
+    nan = float("nan")
+    vals = [1.0, nan, -0.0, 0.0, 5.5, -3.25, nan, 2.0]
+    ids = list(range(len(vals)))
+    path = str(tmp_path / "nan.fits")
+    fw.write_fits(path, [fw.bintable_hdu(
+        [("id", "K", np.arange(len(vals), dtype=">i8")),
+         ("x", "D", np.array(vals, dtype=">f8"))])])
+    pq = str(tmp_path / "nan.parquet")
+    spark.createDataFrame(
+        list(zip(ids, vals)), "id long, x double").write.parquet(pq)
+
+    fits_df = read_fits(spark, path)
+    pq_df = spark.read.parquet(pq)
+
+    nan_lit = F.lit(nan).cast("double")
+    preds = [
+        F.col("x") > 0.0,
+        F.col("x") >= 0.0,
+        F.col("x") < 2.0,
+        F.col("x") <= 2.0,
+        F.col("x") == 0.0,
+        F.col("x") == -0.0,
+        F.col("x") == nan_lit,
+        F.col("x") > nan_lit,
+        F.col("x") >= nan_lit,
+        F.col("x") < nan_lit,
+        F.col("x") <= nan_lit,
+        F.col("x").isin(0.0, 1.0),
+        ~(F.col("x") > 0.0),
+        ~(F.col("x") == nan_lit),
+    ]
+    for p in preds:
+        got = sorted(r["id"] for r in fits_df.filter(p).collect())
+        want = sorted(r["id"] for r in pq_df.filter(p).collect())
+        assert got == want, f"pred {p}: fits={got} parquet={want}"
+    # sanity that the semantics actually bite: NaN rows DO match x > 0
+    assert sorted(
+        r["id"] for r in fits_df.filter(F.col("x") > 0.0).collect()
+    ) == [0, 1, 4, 6, 7]
+    # and the predicate really was consumed in-source (no post-scan
+    # Filter): Spark never re-checked these rows
+    plan = fits_df.filter(F.col("x") > 0.0) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "PushedFilters" in plan or \
+        "Filter" not in plan.split("RelationV2")[0]
