@@ -1071,10 +1071,24 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
     defines TDMINn/TDMAXn as PHYSICAL (scaled) values, while a scan
     with scaling off compares raw stored values (scaling ON disables
     pruning wholesale at the call site).
+
+    Floating-point columns and NaN (r6): NaN has no order, so writers
+    (ours included — Arrow min_max skips NaN) exclude it from
+    TDMIN/TDMAX, yet under Spark float semantics NaN is the GREATEST
+    value and matches ``x > v`` / ``x >= v`` for any finite v. A
+    hi-side prune on a float column is therefore sound only when the
+    file is PROVEN NaN-free — our sink records that as a ``TNANFRn``
+    card; without it (any foreign file), float hi-side prunes are
+    skipped. Lo-side prunes stay: NaN never matches ``x < v`` /
+    ``x <= v``, and equality/In against finite values never match
+    NaN. (±Inf needs no guard: TDMIN/TDMAX are defined over ALL
+    physical values and Inf is orderable, so a writer excluding it
+    violates the card's meaning outright — our own writer skips stats
+    entirely when extremes are non-finite.)
     """
     import math
 
-    stats: dict[str, tuple[float, float]] = {}
+    stats: dict[str, tuple[float, float, bool]] = {}
     for i, name in enumerate(hdu.col_names, start=1):
         lo_s = hdu.header.get(f"TDMIN{i}")
         hi_s = hdu.header.get(f"TDMAX{i}")
@@ -1088,8 +1102,13 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
             lo, hi = float(lo_s), float(hi_s)
         except ValueError:
             continue
+        tform = (hdu.col_tforms[i - 1]
+                 if i <= len(hdu.col_tforms) else "") or ""
+        is_float_col = tform.rstrip()[-1:] in ("E", "D", "C", "M")
+        hi_prune_ok = (not is_float_col
+                       or hdu.header.get(f"TNANFR{i}") in (True, "T"))
         if math.isfinite(lo) and math.isfinite(hi):
-            stats[name] = (lo, hi)
+            stats[name] = (lo, hi, hi_prune_ok)
     if not stats:
         return False
 
@@ -1104,18 +1123,22 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
         rng = stats.get(attr[0])
         if rng is None:
             continue
-        lo, hi = rng
+        lo, hi, hi_prune_ok = rng
         v = getattr(f, "value", None)
         if isinstance(f, (EqualTo, EqualNullSafe)) and num(v):
+            # sound for float cols even with NaN rows: NaN never
+            # equals a finite value
             if float(v) < lo or float(v) > hi:
                 return True
         elif isinstance(f, GreaterThan) and num(v):
             # strict: hi == v after float rounding may hide exact
-            # hi > v for int64 stats past 2^53 (see docstring)
-            if hi < float(v):
+            # hi > v for int64 stats past 2^53 (see docstring).
+            # hi_prune_ok: float cols need proven NaN-freeness —
+            # NaN orders greatest and would match x > v
+            if hi_prune_ok and hi < float(v):
                 return True
         elif isinstance(f, GreaterThanOrEqual) and num(v):
-            if hi < float(v):
+            if hi_prune_ok and hi < float(v):
                 return True
         elif isinstance(f, LessThan) and num(v):
             if lo > float(v):

@@ -116,7 +116,7 @@ def manifest_entry_from_hdu(hdu, size: int) -> dict:
         "col_tnull": list(hdu.col_tnull),
         "theap": hdu.theap,
         "stats": {k: v for k, v in hdu.header.items()
-                  if k.startswith(("TDMIN", "TDMAX"))},
+                  if k.startswith(("TDMIN", "TDMAX", "TNANFR"))},
     }
 
 
@@ -404,6 +404,20 @@ class FitsArrowWriter(DataSourceArrowWriter):
                 continue
             cards.append(fw._card(f"TDMIN{i}", lo, f"min of {field.name}"))
             cards.append(fw._card(f"TDMAX{i}", hi, f"max of {field.name}"))
+            if isinstance(field.dataType, (FloatType, DoubleType)):
+                # Arrow's min_max IGNORES NaN, so finite TDMIN/TDMAX
+                # say nothing about NaN rows — and under Spark float
+                # semantics NaN orders GREATEST, so it matches x > v
+                # for any finite v. Record proven NaN-freeness so the
+                # scan may hi-side-prune float columns; without this
+                # card _stats_prune keeps the file (r6 fix — a firing
+                # prune used to drop NaN rows a parquet-backed Spark
+                # query returns).
+                if not pc.any(pc.is_nan(col.combine_chunks().drop_null()),
+                              min_count=0).as_py():
+                    cards.append(fw._card(
+                        f"TNANFR{i}", True,
+                        f"{field.name} proven NaN-free at write"))
         return cards
 
     def _to_fits_column(self, name, dtype, col, n):

@@ -1142,6 +1142,7 @@ if _HAVE_HYP:
     _NASTY_FLOATS = [
         0.0, -0.0, 5e-324, -5e-324, 1e308, -1e308, 1.5, -2.75,
         9007199254740993.0, _math.pi, 1e16, 1e16 + 2,
+        float("nan"),  # r6: NaN rows vs hi-side prunes (TNANFR gate)
     ]
 
     _int_vals = st.one_of(st.sampled_from(_NASTY_INTS),
@@ -1176,18 +1177,28 @@ if _HAVE_HYP:
 
         pool = _float_vals if is_float else _int_vals
         vals = data.draw(st.lists(pool, min_size=1, max_size=12))
-        lo, hi = min(vals), max(vals)
 
         if is_float:
             arr = np.array(vals, dtype=">f8")
-            # the writer records the column EXTREMES of what was stored
-            lo, hi = float(arr.min()), float(arr.max())
+            # sink-faithful stats: extremes over the NON-NaN values
+            # (Arrow min_max skips NaN), no cards if nothing finite
+            # remains, and TNANFR1 exactly when the column is proven
+            # NaN-free — the r6 hi-side-prune gate
+            finite_pool = arr[~np.isnan(arr)]
+            has_nan = bool(np.isnan(arr).any())
+            if finite_pool.size == 0:
+                return  # sink writes no stats; nothing to prune
+            lo, hi = float(finite_pool.min()), float(finite_pool.max())
             tform = "D"
         else:
             arr = np.array(vals, dtype=">i8")
+            lo, hi = min(vals), max(vals)
+            has_nan = False
             tform = "K"
         cards = [fw._card("TDMIN1", lo, "min of x"),
                  fw._card("TDMAX1", hi, "max of x")]
+        if is_float and not has_nan:
+            cards.append(fw._card("TNANFR1", True, "proven NaN-free"))
         raw = fw.primary_hdu() + fw.bintable_hdu(
             [("x", tform, arr)], extra_cards=cards)
         hdu = open_hdu(io.BytesIO(raw), "<mem>", 1)
@@ -1200,17 +1211,53 @@ if _HAVE_HYP:
                         else [float(lo), float(hi)]))
         vpool = st.one_of(pool, st.sampled_from(vals + neighbors))
 
+        # SPARK float comparison semantics (NaN greatest + self-equal;
+        # the engine the scan must agree with — raw Python/IEEE
+        # comparisons would under-report matches and mask unsoundness)
+        def _nan(x):
+            return isinstance(x, float) and _math.isnan(x)
+
+        def s_eq(x, v):
+            if _nan(x) or _nan(v):
+                return _nan(x) and _nan(v)
+            return x == v
+
+        def s_gt(x, v):
+            if _nan(x):
+                return not _nan(v)
+            return False if _nan(v) else x > v
+
+        def s_gte(x, v):
+            if _nan(x):
+                return True
+            return False if _nan(v) else x >= v
+
+        def s_lt(x, v):
+            if _nan(x):
+                return False
+            return True if _nan(v) else x < v
+
+        def s_lte(x, v):
+            if _nan(x):
+                return _nan(v)
+            return True if _nan(v) else x <= v
+
         ops = [
             lambda v: (EqualTo(("x",), v),
-                       lambda x: x == v, lambda x: float(x) == float(v)),
+                       lambda x: s_eq(x, v),
+                       lambda x: s_eq(float(x), float(v))),
             lambda v: (GreaterThan(("x",), v),
-                       lambda x: x > v, lambda x: float(x) > float(v)),
+                       lambda x: s_gt(x, v),
+                       lambda x: s_gt(float(x), float(v))),
             lambda v: (GreaterThanOrEqual(("x",), v),
-                       lambda x: x >= v, lambda x: float(x) >= float(v)),
+                       lambda x: s_gte(x, v),
+                       lambda x: s_gte(float(x), float(v))),
             lambda v: (LessThan(("x",), v),
-                       lambda x: x < v, lambda x: float(x) < float(v)),
+                       lambda x: s_lt(x, v),
+                       lambda x: s_lt(float(x), float(v))),
             lambda v: (LessThanOrEqual(("x",), v),
-                       lambda x: x <= v, lambda x: float(x) <= float(v)),
+                       lambda x: s_lte(x, v),
+                       lambda x: s_lte(float(x), float(v))),
         ]
         n_filters = data.draw(st.integers(1, 3))
         filters, preds_exact, preds_double = [], [], []
@@ -1219,9 +1266,10 @@ if _HAVE_HYP:
                 vs = data.draw(st.lists(vpool, min_size=1, max_size=4))
                 filters.append(In(("x",), tuple(vs)))
                 preds_exact.append(
-                    lambda x, vs=vs: any(x == v for v in vs))
+                    lambda x, vs=vs: any(s_eq(x, v) for v in vs))
                 preds_double.append(
-                    lambda x, vs=vs: any(float(x) == float(v) for v in vs))
+                    lambda x, vs=vs: any(s_eq(float(x), float(v))
+                                         for v in vs))
             else:
                 mk = data.draw(st.sampled_from(ops))
                 v = data.draw(vpool)
@@ -1524,3 +1572,55 @@ def test_pushdown_float_semantics_match_spark_parquet(spark, tmp_path):
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "PushedFilters" in plan or \
         "Filter" not in plan.split("RelationV2")[0]
+
+
+def test_stats_prune_nan_rows_never_dropped(spark, tmp_path):
+    """r6: hi-side zone-map prunes on FLOAT columns require proven
+    NaN-freeness (the sink's TNANFRn card). Arrow min_max skips NaN,
+    so a NaN-bearing file carries finite TDMAX — but Spark orders NaN
+    GREATEST, so its NaN rows match `x > v` for any v. Pre-fix the
+    prune fired on TDMAX alone and silently dropped those rows; the
+    parquet twin of the same query returns them."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from spark_fits_spark.sources.fits_datasource import FitsDataSource
+
+    d = str(tmp_path / "nanzone")
+    rows = [(0, 1.0), (1, 2.0), (2, float("nan")),   # part 1: has NaN
+            (3, 900.0), (4, 901.0)]                  # part 2: NaN-free
+    df = spark.createDataFrame(rows, "id long, x double")
+    (df.repartitionByRange(2, "id")
+       .write.format("fits").mode("overwrite").save(d))
+    pq = str(tmp_path / "nanzone.parquet")
+    df.write.parquet(pq)
+
+    def planned_files(filters):
+        ds = FitsDataSource(options={"path": d, "hdu": "1"})
+        r = ds.reader(ds.schema())
+        assert list(r.pushFilters(filters)) == []
+        return {p.hdu.path for p in r.partitions() if p.hdu is not None}
+
+    # hi-side prune on the float column: the NaN-bearing file must
+    # stay planned even though its TDMAX (2.0) is far below the bound
+    assert len(planned_files([GreaterThan(("x",), 100.0)])) == 2
+    # the NaN-free file still hi-side-prunes (TNANFR present):
+    # x < 500 proves nothing for part 1 but excludes part 2? no —
+    # lo-side: part2 lo=900 > 500 prunes; part1 kept
+    assert len(planned_files([LessThan(("x",), 500.0)])) == 1
+    # and x > 100 with ONLY NaN-free files behaves as before:
+    # part 2 matches, part 1 is kept only because of its NaN rows
+
+    # end-to-end vs the parquet twin (the authoritative semantics)
+    fits_df = spark.read.format("fits").option("hdu", 1).load(d)
+    pq_df = spark.read.parquet(pq)
+    for pred in [F.col("x") > 100.0, F.col("x") >= 2.5,
+                 F.col("x") < 500.0, F.col("x") == 2.0]:
+        got = sorted(r["id"] for r in fits_df.filter(pred).collect())
+        want = sorted(r["id"] for r in pq_df.filter(pred).collect())
+        assert got == want, f"{pred}: fits={got} parquet={want}"
+    # the NaN row really is in the x > 100 answer
+    assert 2 in {r["id"] for r in
+                 fits_df.filter(F.col("x") > 100.0).collect()}
