@@ -46,6 +46,17 @@ def _card(keyword: str, value, comment: str | None = None) -> bytes:
     else:
         s = str(value).replace("'", "''")
         vstr = f"'{s:<8}'"
+        # a quoted string that doesn't fit the 80-byte card would be
+        # silently clipped below, leaving an UNTERMINATED quote the
+        # parser then mis-reads (found by inspection in r6) — the FITS
+        # limit is 68 value characters and this writer does not emit
+        # the OGIP CONTINUE long-string convention: fail loud, exactly
+        # like non-finite floats above
+        if len(f"{kw}= {vstr}") > FITS_CARD_SIZE:
+            raise ValueError(
+                f"card {keyword}: string value of {len(s)} chars "
+                "exceeds the 68-char FITS card limit (CONTINUE "
+                "long-string convention not supported)")
     body = f"{kw}= {vstr}"
     if comment:
         with_comment = f"{body} / {comment}"

@@ -480,3 +480,68 @@ if _HAVE_HYP:
                         _eq(x, y) for x, y in zip(gv, ev)), (name, lo + r)
                 else:
                     assert _eq(gv, ev), (name, lo + r, gv, ev)
+
+
+def test_card_long_string_rejected_loud():
+    """A quoted string that cannot fit the 80-byte card used to be
+    silently CLIPPED, leaving an unterminated quote that parse_cards
+    then mis-read with a leading quote glued on (r6 find). Like
+    non-finite floats, it now fails loud; 68 chars (the FITS limit)
+    still round-trips exactly."""
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.header import (
+        parse_cards, short_string_value,
+    )
+
+    ok = fw._card("EXTNAME", "x" * 68)
+    assert short_string_value(
+        parse_cards([ok.decode()])["EXTNAME"]) == "x" * 68
+    with pytest.raises(ValueError, match="68-char FITS card limit"):
+        fw._card("EXTNAME", "x" * 69)
+    # escaping counts against the budget: 35 quotes escape to 70 > 68
+    with pytest.raises(ValueError, match="FITS card limit"):
+        fw._card("EXTNAME", "'" * 35)
+
+
+if _HAVE_HYP:
+    _kw_st = st.from_regex(r"[A-Z][A-Z0-9_-]{0,7}", fullmatch=True)
+    _sval_st = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=68,
+    ).filter(lambda s: (not s.endswith(" "))  # trailing blanks are
+                                              # insignificant in FITS
+             and len(s) + s.count("'") <= 68)
+    _cmt_st = st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=90).filter(lambda s: "'" not in s))
+
+    @settings(max_examples=60, deadline=None)
+    @given(kw=_kw_st,
+           value=st.one_of(
+               st.integers(-(2**63), 2**63 - 1),
+               st.floats(allow_nan=False, allow_infinity=False),
+               st.booleans(),
+               _sval_st),
+           comment=_cmt_st)
+    def test_card_roundtrip_property(kw, value, comment):
+        """Any writable card must parse back to the exact value
+        through the same accessors the scan uses: short_string_value
+        for strings, float()/int() for numerics, T/F for logicals —
+        regardless of comment length (comments shorten/drop, values
+        never clip)."""
+        from spark_fits_spark.fitscore import writer as fw
+        from spark_fits_spark.fitscore.header import (
+            parse_cards, short_string_value,
+        )
+
+        card = fw._card(kw, value, comment)
+        assert len(card) == 80
+        raw = parse_cards([card.decode()])[kw]
+        if isinstance(value, bool):
+            assert raw == ("T" if value else "F")
+        elif isinstance(value, int):
+            assert int(raw) == value
+        elif isinstance(value, float):
+            assert float(raw) == value  # shortest-repr round trip
+        else:
+            assert short_string_value(raw) == value
