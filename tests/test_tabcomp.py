@@ -257,3 +257,118 @@ def test_comptable_gzip2_payloads_are_standard_gzip(tmp_path):
     shuffled = tabcomp.unshuffle_bytes(raw, 8)
     assert np.array_equal(np.frombuffer(shuffled, dtype=">i8"),
                           np.arange(40))
+
+
+# ---------- property-based compressed-table parity (hypothesis) ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+def _ds_rows(path):
+    """Read every row through the Python-datasource scan path (no
+    Spark session): plan partitions, read Arrow batches, return a
+    column-name -> values dict."""
+    import pickle
+
+    from spark_fits_spark.sources.fits_datasource import (
+        FitsDataSource, FitsScanReader,
+    )
+
+    ds = FitsDataSource(options={"path": path, "hdu": "1"})
+    reader = FitsScanReader(path, 1, ds.schema(), None, None,
+                            "PERMISSIVE", 8 * 1024 * 1024, False)
+    out = {}
+    for part in reader.partitions():
+        part = pickle.loads(pickle.dumps(part))  # executor ship
+        for b in reader.read(part):
+            d = b.to_pydict()
+            for k, v in d.items():
+                out.setdefault(k, []).extend(v)
+    return out
+
+
+if _HAVE_HYP:
+    import math as _math
+
+    _TFORMS = ["E", "D", "I", "J", "K", "B", "L", "8A", "3J", "2E"]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        tforms=st.lists(st.sampled_from(_TFORMS), min_size=1,
+                        max_size=5),
+        n_rows=st.integers(min_value=1, max_value=400),
+        tile_rows=st.integers(min_value=1, max_value=173),
+        codec=st.sampled_from(["GZIP_1", "GZIP_2"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        specials=st.booleans(),
+    )
+    def test_comptable_parity_property(tforms, n_rows, tile_rows,
+                                       codec, seed, specials):
+        """Value-level fuzz the deterministic matrix doesn't reach:
+        random schemas × dtype-extreme values (int bounds, NaN/±Inf/
+        ±0/subnormals in floats) × arbitrary tile_rows (1-row tiles,
+        tiles ≫ table, non-dividing boundaries) through BOTH write
+        paths, then bit-exact parity between the plain and compressed
+        scans via the actual datasource partition reader."""
+        import re as _re
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        cols = []
+        for i, tf in enumerate(tforms):
+            m = _re.match(r"(\d*)([A-Z])", tf)
+            rep, code = int(m.group(1) or 1), m.group(2)
+            shape = (n_rows, rep) if (rep > 1 and code != "A") else n_rows
+            if code == "A":
+                vals = np.array(
+                    [f"s{rng.randint(0, 10**6)}" for _ in range(n_rows)])
+            elif code == "L":
+                vals = rng.randint(0, 2, shape).astype(bool)
+            elif code == "B":
+                vals = rng.randint(-128, 128, shape).astype("i1")
+            elif code in ("I", "J", "K"):
+                dt = {"I": ">i2", "J": ">i4", "K": ">i8"}[code]
+                lim = {"I": 2**15, "J": 2**31, "K": 2**62}[code]
+                vals = rng.randint(-lim, lim, shape).astype(dt)
+                flat = vals.reshape(-1)
+                if specials and flat.size >= 2:
+                    flat[0], flat[1] = lim - 1, -lim
+            else:
+                dt = ">f4" if code == "E" else ">f8"
+                vals = rng.randn(*(shape if isinstance(shape, tuple)
+                                   else (shape,))).astype(dt)
+                flat = vals.reshape(-1)
+                if specials and flat.size >= 5:
+                    flat[0], flat[1], flat[2], flat[3], flat[4] = (
+                        np.nan, np.inf, -np.inf, -0.0, 5e-324)
+            cols.append((f"c{i}", tf, vals))
+
+        with tempfile.TemporaryDirectory() as d:
+            plain = os.path.join(d, "p.fits")
+            comp = os.path.join(d, "c.fits")
+            fw.write_fits(plain, [fw.bintable_hdu(cols)])
+            fw.write_fits(comp, [fw.compressed_bintable_hdu(
+                cols, tile_rows=tile_rows, ctypes=codec)])
+            a, b = _ds_rows(plain), _ds_rows(comp)
+
+        assert list(a) == list(b)
+
+        def _eq(x, y):
+            if isinstance(x, float):
+                return (_math.isnan(x) and _math.isnan(y)) or x == y
+            return x == y
+
+        for name in a:
+            assert len(a[name]) == n_rows == len(b[name]), name
+            for r, (x, y) in enumerate(zip(a[name], b[name])):
+                if isinstance(x, list):
+                    assert len(x) == len(y) and all(
+                        _eq(p, q) for p, q in zip(x, y)), (name, r)
+                else:
+                    assert _eq(x, y), (name, r, x, y)
