@@ -372,3 +372,74 @@ if _HAVE_HYP:
                         _eq(p, q) for p, q in zip(x, y)), (name, r)
                 else:
                     assert _eq(x, y), (name, r, x, y)
+
+
+if _HAVE_HYP:
+    _VLA_LETTERS = ["J", "K", "E", "D", "I", "B"]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        letters=st.lists(st.sampled_from(_VLA_LETTERS), min_size=1,
+                         max_size=4),
+        pq=st.sampled_from(["P", "Q"]),
+        n_rows=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        specials=st.booleans(),
+    )
+    def test_vla_roundtrip_property(letters, pq, n_rows, seed,
+                                    specials):
+        """Variable-length-array fuzz: random ragged shapes (zero-
+        length rows included) × P/Q descriptor widths × dtype-extreme
+        element values, written as heap VLA columns and read back
+        through the datasource scan path — per-row lists must match
+        exactly. Pins descriptor/heap offset arithmetic the fixed
+        deterministic cases can't exhaust."""
+        import math as _m
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        cols, expect = [], {}
+        for i, letter in enumerate(letters):
+            lengths = rng.randint(0, 10, n_rows)
+            if n_rows >= 3:
+                lengths[0] = 0          # leading empty row
+                lengths[n_rows // 2] = 0
+            total = int(lengths.sum())
+            if letter in ("J", "K", "I", "B"):
+                lim = {"B": 2**7, "I": 2**15, "J": 2**31, "K": 2**62}[letter]
+                flat = rng.randint(-lim, lim, total)
+                if specials and total >= 2:
+                    flat[0], flat[1] = lim - 1, -lim
+            else:
+                flat = rng.randn(total)
+                if specials and total >= 4:
+                    flat[0], flat[1], flat[2], flat[3] = (
+                        np.nan, np.inf, -np.inf, -0.0)
+                if letter == "E":
+                    flat = flat.astype(">f4").astype(float)
+            name = f"v{i}"
+            cols.append((name, f"{pq}{letter}", (lengths, np.asarray(flat))))
+            out, pos = [], 0
+            for ln in lengths:
+                out.append(list(np.asarray(flat)[pos:pos + ln]))
+                pos += ln
+            expect[name] = out
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "v.fits")
+            fw.write_fits(path, [fw.bintable_hdu(cols)])
+            got = _ds_rows(path)
+
+        def _eq(x, y):
+            if isinstance(x, float):
+                return (_m.isnan(x) and _m.isnan(float(y))) or x == y
+            return x == y
+
+        for name, rows in expect.items():
+            assert len(got[name]) == n_rows
+            for r, (g, e) in enumerate(zip(got[name], rows)):
+                assert len(g) == len(e), (name, r, len(g), len(e))
+                e = [x.item() if isinstance(x, np.generic) else x
+                     for x in e]
+                assert all(_eq(gv, ev) for gv, ev in zip(g, e)), (
+                    name, r, g, e)
