@@ -79,6 +79,21 @@ def _round_block(n: int) -> int:
     return ((n + FITS_BLOCK_SIZE - 1) // FITS_BLOCK_SIZE) * FITS_BLOCK_SIZE
 
 
+def _exact_int(raw) -> int:
+    """Integer header value parsed EXACTLY. ``int(float(v))`` loses
+    precision past 2^53 — a large int64 TNULL/BLANK sentinel rounded
+    to a nearby value silently stops matching, so undefined rows leak
+    through as plausible-looking garbage (found by the r6 scaling
+    hypothesis fuzz on the unsigned-K convention). The float fallback
+    only runs for decimal-formatted values from sloppy writers, which
+    are small in practice."""
+    s = str(raw).strip()
+    try:
+        return int(s)
+    except ValueError:
+        return int(float(s))
+
+
 def walk_hdus(fobj: BinaryIO) -> list[tuple[BlockBoundaries, list[str]]]:
     """Walk the whole file, returning (boundaries, header cards) per HDU."""
     fobj.seek(0, 2)
@@ -244,7 +259,7 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
             tscal.append(float(header_value(header, f"TSCAL{i}", "1") or "1"))
             tzero.append(float(header_value(header, f"TZERO{i}", "0") or "0"))
             nv = header_value(header, f"TNULL{i}", None)
-            tnull.append(int(float(nv)) if nv is not None else None)
+            tnull.append(_exact_int(nv) if nv is not None else None)
         info = HduInfo(
             path=path, hdu_index=hdu_index, hdu_type=hdu_type,
             boundaries=boundaries, header=header,
@@ -343,7 +358,7 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                                  or "1"),),
                 col_tzero=(float(header_value(header, "BZERO", "0")
                                  or "0"),),
-                col_tnull=(int(float(bnull)) if bnull is not None
+                col_tnull=(_exact_int(bnull) if bnull is not None
                            else None,),
                 # convention default when the BYTEPIX card is absent is
                 # 4 (the 32-bit RICE parameter table), NOT the image's
@@ -355,7 +370,7 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 # quantized-float undefined-pixel sentinel (header-card
                 # form; the per-tile ZBLANK column form is detected at
                 # decode time from col_names)
-                z_blank=(int(float(header_value(header, "ZBLANK", None)))
+                z_blank=(_exact_int(header_value(header, "ZBLANK", None))
                          if header_value(header, "ZBLANK", None) is not None
                          else None),
                 z_dither0=int(float(header_value(header, "ZDITHER0", "0")
@@ -384,7 +399,7 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
             # image scaling cards ride the per-column tuples (1 "column")
             col_tscal=(float(header_value(header, "BSCALE", "1") or "1"),),
             col_tzero=(float(header_value(header, "BZERO", "0") or "0"),),
-            col_tnull=(int(float(bnull)) if bnull is not None else None,),
+            col_tnull=(_exact_int(bnull) if bnull is not None else None,),
         )
 
     if hdu_type == HDU_TYPE_TABLE:

@@ -443,3 +443,110 @@ if _HAVE_HYP:
                      for x in e]
                 assert all(_eq(gv, ev) for gv, ev in zip(g, e)), (
                     name, r, g, e)
+
+
+if _HAVE_HYP:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        letter=st.sampled_from(["B", "I", "J", "K", "E", "D"]),
+        convention=st.sampled_from(["unsigned", "signed_byte",
+                                    "integer", "float", "identity"]),
+        n_rows=st.integers(min_value=1, max_value=200),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        with_tnull=st.booleans(),
+    )
+    def test_scaling_decode_property(letter, convention, n_rows, seed,
+                                     with_tnull):
+        """TSCAL/TZERO physical-value fuzz across every decode branch
+        — identity, the unsigned conventions (I+32768, J+2^31,
+        K+2^63 → exact decimal, B−128 signed byte), integer-exact
+        scaling, and the float64 fallback — with TNULL sentinels
+        planted when the column is integral. Expected values computed
+        independently with exact Python arithmetic."""
+        import tempfile
+
+        rng = np.random.RandomState(seed)
+        dt = {"B": "i1", "I": ">i2", "J": ">i4", "K": ">i8",
+              "E": ">f4", "D": ">f8"}[letter]
+        is_int = letter in ("B", "I", "J", "K")
+        lim = {"B": 2**7, "I": 2**15, "J": 2**31, "K": 2**62}.get(letter, 0)
+        if is_int:
+            raw = rng.randint(-lim, lim, n_rows).astype(dt)
+        else:
+            raw = rng.randn(n_rows).astype(dt)
+
+        if convention == "unsigned" and letter in ("I", "J", "K"):
+            tscal, tzero = 1.0, float(2 ** ({"I": 15, "J": 31, "K": 63}[letter]))
+        elif convention == "signed_byte" and letter == "B":
+            tscal, tzero = 1.0, -128.0
+        elif convention == "integer" and letter in ("B", "I", "J"):
+            tscal = float(rng.randint(1, 1000))
+            tzero = float(rng.randint(-10**6, 10**6))
+        elif convention == "float":
+            tscal = float(rng.uniform(0.001, 10.0))
+            tzero = float(rng.uniform(-100, 100))
+        else:
+            tscal, tzero = 1.0, 0.0
+
+        tnull = None
+        if with_tnull and is_int and n_rows >= 2:
+            # plant the sentinel in row 0 — in the space the decoder
+            # compares in (B is matched on the unsigned view)
+            tnull = int(raw[0]) & 0xFF if letter == "B" else int(raw[0])
+        cards = [fw._card(f"TSCAL1", tscal, "scale"),
+                 fw._card(f"TZERO1", tzero, "zero point")]
+        if tnull is not None:
+            cards.append(fw._card("TNULL1", tnull, "null sentinel"))
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "s.fits")
+            fw.write_fits(path, [fw.bintable_hdu(
+                [("x", letter, raw)], extra_cards=cards)])
+            from spark_fits_spark.sources.fits_datasource import (
+                FitsDataSource, FitsScanReader,
+            )
+
+            ds = FitsDataSource(options={"path": path, "hdu": "1",
+                                         "scaling": "true"})
+            reader = FitsScanReader(path, 1, ds.schema(), None, None,
+                                    "PERMISSIVE", 8 * 1024 * 1024,
+                                    False, scaling=True)
+            got = []
+            for part in reader.partitions():
+                for b in reader.read(part):
+                    got.extend(b.column(0).to_pylist())
+
+        # independent expected: exact Python arithmetic per branch
+        import decimal
+        import math as _m
+
+        expect = []
+        for v in raw:
+            v = int(v) if is_int else float(v)
+            if letter == "B":
+                # scaling mode ALWAYS reads B as the standard's
+                # unsigned byte, even under identity TSCAL/TZERO
+                v = v & 0xFF
+            if tnull is not None and v == tnull:
+                expect.append(None)
+            elif (tscal, tzero) == (1.0, 0.0):
+                expect.append(v)
+            elif letter == "K" and tscal == 1.0 and tzero == 2.0**63:
+                expect.append(v + 2**63)  # exact (decimal path)
+            elif is_int and letter != "K" and float(tscal).is_integer() \
+                    and float(tzero).is_integer():
+                expect.append(v * int(tscal) + int(tzero))
+            else:
+                expect.append(float(v) * tscal + tzero)
+
+        assert len(got) == n_rows
+        for r, (g, e) in enumerate(zip(got, expect)):
+            if e is None:
+                assert g is None, (r, g)
+            elif isinstance(e, float):
+                assert (isinstance(g, float)
+                        and ((_m.isnan(g) and _m.isnan(e)) or g == e)), (r, g, e)
+            elif isinstance(g, decimal.Decimal):
+                assert int(g) == e, (r, g, e)
+            else:
+                assert g == e, (r, g, e)
