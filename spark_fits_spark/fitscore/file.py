@@ -288,8 +288,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 (header_value(header, f"ZCTYP{i}", "GZIP_1") or "GZIP_1")
                 .strip()
                 for i in range(1, n_cols + 1))
-            tilelen = int(float(header_value(header, "ZTILELEN", "0")
-                                or "0"))
+            tilelen = _exact_int(header_value(header, "ZTILELEN", "0")
+                                 or "0")
             if tilelen <= 0:
                 raise ValueError(
                     f"ZTABLE in {path} has no positive ZTILELEN card")
@@ -299,10 +299,10 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 col_tforms=zforms,
                 zt_phys_tforms=tuple(tforms),
                 zt_tilelen=tilelen,
-                zt_rows=int(float(header_value(header, "ZNAXIS2", "0")
-                                  or "0")),
-                zt_row_bytes=int(float(header_value(header, "ZNAXIS1",
-                                                    "0") or "0")),
+                zt_rows=_exact_int(header_value(header, "ZNAXIS2", "0")
+                                   or "0"),
+                zt_row_bytes=_exact_int(header_value(header, "ZNAXIS1",
+                                                     "0") or "0"),
                 zt_ctyps=ctyps,
             )
         if (header_value(header, "ZIMAGE", "") or "").strip() == "T":
@@ -363,8 +363,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 # convention default when the BYTEPIX card is absent is
                 # 4 (the 32-bit RICE parameter table), NOT the image's
                 # pixel width — CFITSIO decodes such files with fsbits=5
-                z_bytepix=int(float(znames.get("BYTEPIX") or 4)),
-                z_blocksize=int(float(znames.get("BLOCKSIZE") or 32)),
+                z_bytepix=_exact_int(znames.get("BYTEPIX") or 4),
+                z_blocksize=_exact_int(znames.get("BLOCKSIZE") or 32),
                 z_quantiz=(header_value(header, "ZQUANTIZ", "")
                            or "").strip(),
                 # quantized-float undefined-pixel sentinel (header-card
@@ -373,8 +373,8 @@ def open_hdu(fobj: BinaryIO, path: str, hdu_index: int | str) -> HduInfo:
                 z_blank=(_exact_int(header_value(header, "ZBLANK", None))
                          if header_value(header, "ZBLANK", None) is not None
                          else None),
-                z_dither0=int(float(header_value(header, "ZDITHER0", "0")
-                                    or "0")),
+                z_dither0=_exact_int(header_value(header, "ZDITHER0", "0")
+                                     or "0"),
             )
         return info
 
