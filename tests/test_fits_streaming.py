@@ -150,3 +150,90 @@ def test_fits_stream_over_compressed_images(spark, tmp_path):
     assert back.count() == 3 * 2 * 4
     got = sum(int(sum(r["Image"])) for r in back.collect())
     assert got == int(sum(c.sum() for c in cubes))
+
+
+# ---------- exactly-once offset property (hypothesis) ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+class _StubScan:
+    """plan_for_files identity stub: lets the property observe exactly
+    which files each micro-batch plans."""
+
+    def plan_for_files(self, files):
+        return list(files)
+
+
+if _HAVE_HYP:
+    @settings(max_examples=80, deadline=None)
+    @given(data=st.data())
+    def test_stream_offsets_exactly_once_property(data):
+        """SOUNDNESS of the watermark+tail offset scheme: simulate a
+        random append-only arrival sequence — files become VISIBLE
+        some delay after their mtime, with equal mtimes, mtimes inside
+        the slack window, and out-of-order visibility all drawn — with
+        micro-batches cut at random points. Contract (the module
+        docstring's invariant): a file visible within SLACK of its
+        mtime is read in EXACTLY one batch; a file that materializes
+        later than that may be missed (documented) but must NEVER be
+        read twice."""
+        from spark_fits_spark.sources.fits_datasource import (
+            STREAM_MTIME_SLACK_S, FitsStreamReader,
+        )
+
+        n = data.draw(st.integers(1, 25))
+        # per file: mtime spacing and visibility delay (late > slack
+        # sometimes — the documented miss case)
+        mtimes, vis = [], []
+        t = 0.0
+        for i in range(n):
+            t += data.draw(st.sampled_from(
+                [0.0, 0.5, 1.0, STREAM_MTIME_SLACK_S,
+                 STREAM_MTIME_SLACK_S + 1]))
+            delay = data.draw(st.sampled_from(
+                [0.0, 1.0, STREAM_MTIME_SLACK_S - 0.5,
+                 STREAM_MTIME_SLACK_S + 3]))
+            mtimes.append(t)
+            vis.append(t + delay)
+
+        # batch trigger times: strictly increasing, random gaps, plus
+        # a final drain long after everything is visible
+        k = data.draw(st.integers(1, 8))
+        triggers = []
+        bt = 0.0
+        for _ in range(k):
+            bt += data.draw(st.sampled_from([0.5, 1.0, 4.0, 10.0]))
+            triggers.append(bt)
+        triggers.append(max(vis) + 2 * STREAM_MTIME_SLACK_S + 1)
+
+        r = FitsStreamReader(_StubScan())
+        now = {"t": 0.0}
+        files = list(zip([f"f{i:03d}" for i in range(n)], mtimes, vis))
+        r._listing = lambda: [(p, m) for p, m, v in files
+                              if v <= now["t"]]
+
+        read_count = {p: 0 for p, _, _ in files}
+        offset = r.initialOffset()
+        for bt in triggers:
+            now["t"] = bt
+            end = r.latestOffset()
+            for p in r.partitions(offset, end):
+                if isinstance(p, str):  # stub plan output
+                    read_count[p] += 1
+            offset = end
+
+        for p, m, v in files:
+            assert read_count[p] <= 1, (
+                f"{p} read {read_count[p]} times — duplicates break "
+                "exactly-once")
+            if v - m <= STREAM_MTIME_SLACK_S:
+                assert read_count[p] == 1, (
+                    f"{p} (visible {v - m:.1f}s after mtime, within "
+                    f"slack) was never read")
