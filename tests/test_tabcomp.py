@@ -550,3 +550,63 @@ if _HAVE_HYP:
                 assert int(g) == e, (r, g, e)
             else:
                 assert g == e, (r, g, e)
+
+
+if _HAVE_HYP:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n_rows=st.integers(min_value=1, max_value=500),
+        partition_rows=st.integers(min_value=1, max_value=97),
+        bounds=st.tuples(st.integers(0, 520), st.integers(0, 520)),
+        compressed_image=st.booleans(),
+        tile_rows=st.integers(min_value=1, max_value=37),
+    )
+    def test_rowrange_pushdown_property(n_rows, partition_rows, bounds,
+                                        compressed_image, tile_rows):
+        """rowrange [a,b) soundness over random table/partition/tile
+        geometry: the scan must return EXACTLY the rows in
+        [a, b) ∩ [0, n) — for plain bintables (byte-range partitions)
+        and tile-compressed images (logical rows map to overlapping
+        tiles, boundary tiles decode-then-slice). Neither a lost
+        boundary row nor a duplicated one survives this."""
+        import tempfile
+
+        a, b = min(bounds), max(bounds)
+        if a == b:
+            b = a + 1
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "rr.fits")
+            if compressed_image:
+                width = 8
+                img = np.arange(n_rows * width,
+                                dtype="i4").reshape(n_rows, width)
+                fw.write_fits(path, [fw.compressed_image_hdu(
+                    img, "GZIP_1", tile_rows=tile_rows)])
+                id_of = lambda row: row[0][0] // width  # first px / width
+            else:
+                fw.write_fits(path, [fw.bintable_hdu(
+                    [("rid", "K", np.arange(n_rows, dtype=">i8"))])])
+                id_of = lambda row: row[0]
+
+            from spark_fits_spark.sources.fits_datasource import (
+                FitsDataSource, FitsScanReader,
+            )
+
+            ds = FitsDataSource(options={"path": path, "hdu": "1"})
+            row_bytes = 8 * (width if compressed_image else 1)
+            reader = FitsScanReader(
+                path, 1, ds.schema(), None, None, "PERMISSIVE",
+                max(1, partition_rows * row_bytes), False,
+                rowrange=(a, b))
+            got = []
+            for part in reader.partitions():
+                for batch in reader.read(part):
+                    cols = [batch.column(i).to_pylist()
+                            for i in range(batch.num_columns)]
+                    got.extend(id_of(r) for r in zip(*cols))
+
+        expect = list(range(min(a, n_rows), min(b, n_rows)))
+        assert sorted(got) == expect, (
+            f"rowrange [{a},{b}) over n={n_rows} "
+            f"(comp={compressed_image}, tiles={tile_rows}): "
+            f"got {len(got)} rows, want {len(expect)}")
