@@ -545,3 +545,46 @@ if _HAVE_HYP:
             assert float(raw) == value  # shortest-repr round trip
         else:
             assert short_string_value(raw) == value
+
+
+if _HAVE_HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_rows=st.integers(min_value=0, max_value=300),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        flip_at=st.integers(min_value=0, max_value=10**9),
+        flip_bit=st.integers(min_value=0, max_value=7),
+    )
+    def test_checksum_detects_any_single_bit_flip(n_rows, seed,
+                                                  flip_at, flip_bit):
+        """Detection-power property for the CHECKSUM/DATASUM layer:
+        a freshly checksummed HDU verifies green, and flipping ANY
+        single bit anywhere in it (header or data, position drawn by
+        hypothesis) must turn at least one of (checksum_ok,
+        datasum_ok) false. The ones'-complement sum has a classic
+        blind spot class (0x00 <-> 0xFF swaps cancel in pairs), but a
+        SINGLE bit flip always changes the sum — this pins that no
+        encode/wraparound bug re-opens a hole."""
+        from spark_fits_spark.fitscore.checksum import (
+            apply_checksums, verify_hdu,
+        )
+        from spark_fits_spark.fitscore import writer as fw
+
+        rng = np.random.RandomState(seed)
+        cols = [("a", "K", rng.randint(-2**62, 2**62, n_rows)
+                 .astype(">i8")),
+                ("b", "E", rng.randn(n_rows).astype(">f4"))]
+        hdu = apply_checksums(fw.bintable_hdu(cols, checksum=True))
+        assert verify_hdu(hdu) == (True, True)
+
+        flipped = bytearray(hdu)
+        pos = flip_at % len(flipped)
+        flipped[pos] ^= 1 << flip_bit
+        ck, ds = verify_hdu(bytes(flipped))
+        # a flip inside the data unit must break datasum AND checksum;
+        # a flip inside the header must break checksum (datasum covers
+        # data only, so it may stay true there). In no case may both
+        # stay green.
+        assert not (ck and ds), (
+            f"single-bit flip at byte {pos} bit {flip_bit} of "
+            f"{len(flipped)} went UNDETECTED (ck={ck}, ds={ds})")
