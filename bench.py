@@ -206,7 +206,8 @@ def build_headline(total: float, core: float, sf: float, warmed: bool,
         if k.startswith("q") and k not in HEADLINE_QUERIES:
             continue
         key = k.split("_", 1)[0] if k.startswith("q") else k
-        assert key not in short, f"headline key collision: {k}"
+        if key in short:  # raise, not assert: must survive python -O
+            raise ValueError(f"headline key collision: {k}")
         short[key] = v
     n_benched = sum(1 for k in timings if k.startswith("q"))
     line = json.dumps({
@@ -224,10 +225,14 @@ def build_headline(total: float, core: float, sf: float, warmed: bool,
         "reps": REPS,
         **metrics,
     }, separators=(",", ":"))
-    assert len(line) <= HEADLINE_MAX_CHARS, (
-        f"headline line {len(line)} chars > {HEADLINE_MAX_CHARS}: "
-        "the final stdout line must stay count-invariant (see module "
-        "docstring); move whatever grew into BENCH_DETAIL.json")
+    if len(line) > HEADLINE_MAX_CHARS:
+        # raise, not assert: the length budget is the artifact contract
+        # (r4/r5 shipped truncated BENCH_rN.json) and must survive -O
+        raise ValueError(
+            f"headline line {len(line)} chars > {HEADLINE_MAX_CHARS}: "
+            "the final stdout line must stay count-invariant (see "
+            "module docstring); move whatever grew into "
+            "BENCH_DETAIL.json")
     return line
 
 

@@ -597,6 +597,13 @@ def resolve_fs(path: str) -> FitsFileSystem:
         return FsspecFileSystem(scheme)
     except ImportError:
         pass
+    except (ValueError, KeyError):
+        # fsspec is importable but has no implementation for this
+        # protocol (fsspec.filesystem raises ValueError/KeyError for
+        # unknown schemes — e.g. the legacy ``s3n``, which fsspec does
+        # NOT alias the way it aliases ``s3a``). Fall through to
+        # pyarrow, whose branch applies _SCHEME_ALIASES.
+        pass
     try:
         return ArrowFileSystem(scheme, path)
     except (ImportError, OSError, ValueError) as e:

@@ -1053,6 +1053,32 @@ def _imgindex_plane_bounds(filters: list[Filter]) -> tuple[int, int | None]:
     return lo, hi
 
 
+def _tform_maybe_float(tform: str) -> bool:
+    """True unless ``tform`` PROVABLY denotes a non-float column.
+
+    Parses the type letter the FITS way — optional repeat count, then
+    the code, with P/Q variable-length descriptors carrying the
+    element code next ('PE(5)' is float) — instead of peeking at the
+    last character ('E15.5', ASCII float, ends in '5'). Proven
+    non-float codes: L/X/B/I/J/K (logical, bit, bytes/ints) and A
+    (char); everything else, including unparseable forms, counts as
+    possibly-float so hi-side zone-map prunes stay gated on TNANFRn.
+    """
+    s = tform.strip().upper()
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    if i >= len(s) or not s[i].isalpha():
+        return True
+    t = s[i]
+    if t in ("P", "Q"):
+        nxt = s[i + 1:i + 2]
+        if not nxt.isalpha():
+            return True
+        t = nxt
+    return t not in ("L", "X", "B", "I", "J", "K", "A")
+
+
 def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
     """True iff the file's TDMINn/TDMAXn zone map PROVES no row can
     satisfy the conjunction of pushed filters. Conservative: any
@@ -1104,8 +1130,13 @@ def _stats_prune(hdu: HduInfo, filters: list[Filter]) -> bool:
             continue
         tform = (hdu.col_tforms[i - 1]
                  if i <= len(hdu.col_tforms) else "") or ""
-        is_float_col = tform.rstrip()[-1:] in ("E", "D", "C", "M")
-        hi_prune_ok = (not is_float_col
+        # Hi-side prunes are only sound when the column provably holds
+        # no NaN (Arrow min_max skips NaN, so a foreign TDMAX can
+        # understate the true max). Gate on the TYPE LETTER, not the
+        # TFORM's last character — 'E15.5' (ASCII float) ends in '5'
+        # and 'PE(5)' (VLA float) ends in ')'. Conservative: anything
+        # not provably integer/logical counts as float.
+        hi_prune_ok = (not _tform_maybe_float(tform)
                        or hdu.header.get(f"TNANFR{i}") in (True, "T"))
         if math.isfinite(lo) and math.isfinite(hi):
             stats[name] = (lo, hi, hi_prune_ok)
@@ -1258,9 +1289,13 @@ def _filter_mask(batch: pa.RecordBatch, f: Filter):
             # the comparison kernels promote instead of truncating,
             # so only this value-set construction needs the guard.
             # Dropped values are non-NULL, so had_null is computed
-            # above — they contribute FALSE, not NULL.
+            # above — they contribute FALSE, not NULL. is_integer()
+            # (not v == int(v)) so NaN/inf in the value list drop as
+            # non-matches instead of raising Value/OverflowError —
+            # unreachable from Spark (casts block pushdown) but live
+            # via the raw Filter API.
             vals = [int(v) for v in vals
-                    if not isinstance(v, float) or v == int(v)]
+                    if not isinstance(v, float) or v.is_integer()]
         if fp:
             # fold of Spark-semantics equality instead of pc.is_in:
             # Arrow's is_in hashes float BITS, so it misses

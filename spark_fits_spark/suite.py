@@ -6880,58 +6880,54 @@ def q156_coadd_variance_map(spark, sf):
 # tests/test_entry.py::test_driver_gate_invariants computes the cadence
 # from len(QUERIES) and pins that COVERAGE.md documents the same number.
 #
-# Round 6 (per r5 VERDICT #2) front-loads the 54 queries with no green
-# row in the r04/r05 window: the 3 documented r5 slips (q63_hybrid_rrf,
-# q81_ann_recall, q84_mrl_truncated_recall) and then the 51 never-
-# driver-checked r5-new queries q106-q156 in suite order. 54 candidates
-# for 50 slots, so 4 slip to r7 — chosen (as in r5) to be the PUREST
-# COMPOSITIONS, i.e. queries whose operator surface is a composition of
-# components that each hold a FRESH r6 driver row and whose oracle SQL
-# composes the components' oracles:
-#   - q106_survey_pipeline      = FITS sink+checksum audit (q101/q139)
-#                                 -> streaming source (q93) -> zone
-#                                 crossmatch (q102)
-#   - q119_mosaic_stack         = reproject_nearest (q118) x N unioned
-#                                 into the coadd stacking shuffle
-#                                 (q115/q153); oracle = 3-arm UNION ALL
-#                                 of the component chains
-#   - q145_transient_light_curve = coadd_planes (q115) -> difference_
-#                                 image (q126) -> aperture_photometry
-#                                 (q110), prepared=True
-#   - q150_image_pipeline_end_to_end = calibrate_frames (q148) ->
-#                                 convolve2d (q129) -> detect_sources
-#                                 (q111/q140)
+# Round 7 (per r6 VERDICT #1) front-loads the 4 never-driver-verified
+# composition queries that slipped the r6 gate — q106_survey_pipeline,
+# q119_mosaic_stack, q145_transient_light_curve,
+# q150_image_pipeline_end_to_end — then rotates back the stalest block:
+# the 50 queries whose last green driver row is r04 (q01-q53 families
+# plus q80/q86/q93-q97), in suite order. 54 candidates for 50 slots, so
+# 4 slip to r8 — chosen (as in r5/r6) to be the PUREST COMPOSITIONS,
+# i.e. queries whose operator surface is a composition of components
+# that each take a FRESH r7 driver row:
+#   - q21_dedup_normalized = exact dedup (q20, gated r7) over the
+#                            scrub/normalize functions (q53, gated r7)
+#   - q24_dedup_simhash    = simhash64 + Hamming-ball collapse; the
+#                            identical simhash/Hamming core is gated
+#                            r7 via q95_simhash_hamming_pairs
+#   - q29_text_quality     = weighted blend of the q27_text_stats and
+#                            q28_text_langid signal columns (both
+#                            gated r7)
+#   - q40_cube             = CUBE = the all-subsets GROUPING SETS
+#                            composition; the grouping-sets operator
+#                            is gated r7 via q33_grouping_sets
 # All four stay green in the local type-sensitive mirror
 # (tests/test_entry.py runs every query against DuckDB each round) and
-# lead the r7 gate.
+# lead the r8 gate. Queries last green in r05/r06 (q76 r05, the q107+
+# block r06) stay within the 5-round cadence without a r7 row.
 _DRIVER_PRIORITY = [
-    # the three r5 slips, first rows as promised in the r5 docs
-    "q63_hybrid_rrf", "q81_ann_recall", "q84_mrl_truncated_recall",
-    # never-driver-checked r5-new block, suite order, minus the 4
-    # documented r7 slips (q106, q119, q145, q150 — see above)
-    "q107_fits_table_compressed_roundtrip", "q108_fits_plane_slice",
-    "q109_fits_image_sink_roundtrip", "q110_aperture_photometry",
-    "q111_source_detection", "q112_healpix_skymap",
-    "q113_lomb_scargle", "q114_phase_fold", "q115_coadd_planes",
-    "q116_wcs_solve", "q117_variability_features",
-    "q118_reproject_mosaic", "q120_cone_search",
-    "q121_epoch_crossmatch", "q122_periodogram_peaks",
-    "q123_zone_partitioned_cone", "q124_galactic_skymap",
-    "q125_photometric_calibration", "q126_transient_detection",
-    "q127_astrometric_solve", "q128_best_match_crossmatch",
-    "q129_psf_convolution", "q130_two_point_correlation",
-    "q131_median_stack", "q132_clipped_stack",
-    "q133_structure_function", "q134_equivalent_width",
-    "q135_composite_spectrum", "q136_injection_recovery",
-    "q137_local_background", "q138_tracklet_linking",
-    "q139_header_table", "q140_matched_filter_detection",
-    "q141_xcorr_redshift", "q142_stream_cone_alerts",
-    "q143_source_shapes", "q144_defect_columns",
-    "q146_bls_transit_search", "q147_proper_motion_fit",
-    "q148_frame_calibration", "q149_gls_periodogram",
-    "q151_defect_repair", "q152_xi_jackknife",
-    "q153_weighted_coadd", "q154_distortion_solve",
-    "q155_relative_photometry", "q156_coadd_variance_map",
+    # the four r6 slips, first rows as promised in the r6 docs
+    "q106_survey_pipeline", "q119_mosaic_stack",
+    "q145_transient_light_curve", "q150_image_pipeline_end_to_end",
+    # stalest block: last green r04, suite order, minus the 4
+    # documented r8 slips (q21, q24, q29, q40 — see above)
+    "q01_pricing_summary", "q02_filter_project",
+    "q03_top_building_orders", "q05_supplier_nation_revenue",
+    "q07_region_rollup", "q08_window_running",
+    "q09_window_events_lag", "q10_distinct_agg", "q11_set_ops",
+    "q12_semi_anti", "q13_scalar_functions", "q14_date_functions",
+    "q15_topk_orders", "q16_global_stats", "q17_events_hourly",
+    "q18_events_json", "q19_sessionize", "q20_dedup_exact",
+    "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
+    "q26_ann_cosine_topk", "q27_text_stats", "q28_text_langid",
+    "q30_multimodal_meta", "q32_pivot_segments", "q33_grouping_sets",
+    "q34_outer_joins", "q37_percentiles", "q38_stats_moments",
+    "q39_explode_tokens", "q41_above_cust_avg", "q43_collect_sorted",
+    "q44_ranking_windows", "q46_approx_stats",
+    "q47_winnow_fingerprints", "q49_fits_scan_roundtrip",
+    "q50_ann_ivf_topk", "q52_text_repetition", "q53_text_scrub",
+    "q80_fits_pruned_scan", "q86_bpe_apply", "q93_stream_shard_sink",
+    "q94_quality_classifier", "q95_simhash_hamming_pairs",
+    "q96_weighted_sample", "q97_heavy_hitters",
 ]
 
 

@@ -88,10 +88,27 @@ def test_headline_queries_frozen():
 
 
 def test_headline_overflow_fails_loudly():
-    """A future edit that reattaches growing content must die in the
-    assert, not ship truncated."""
+    """A future edit that reattaches growing content must die loudly,
+    not ship truncated — and as ValueError, not assert, so the
+    contract survives `python -O` (r6 ADVICE: the r4/r5 truncated
+    artifacts are exactly what an optimized-out assert would re-allow)."""
     huge = _fake_metrics()
     huge["padding"] = "x" * 2000
-    with pytest.raises(AssertionError, match="count-invariant"):
+    with pytest.raises(ValueError, match="count-invariant"):
         bench.build_headline(1.0, 1.0, 0.1, True, _fake_timings(10),
                              huge)
+
+
+def test_headline_key_collision_fails_loudly(monkeypatch):
+    """Two HEADLINE entries sharing a short qNN prefix must raise
+    ValueError (assert-free for the same -O reason as the length
+    budget). Only a future edit to the frozen list can create this, so
+    the test plants one via monkeypatch."""
+    name = bench.HEADLINE_QUERIES[0]
+    twin = name.split("_", 1)[0] + "_shadow_copy"
+    monkeypatch.setattr(bench, "HEADLINE_QUERIES",
+                        list(bench.HEADLINE_QUERIES) + [twin])
+    t = _fake_timings(10)
+    t[twin] = 1.0
+    with pytest.raises(ValueError, match="collision"):
+        bench.build_headline(1.0, 1.0, 0.1, True, t, _fake_metrics())

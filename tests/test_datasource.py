@@ -347,6 +347,62 @@ def test_filter_mask_sql_null_semantics():
     assert keep([Not(EqualTo(("x",), 1))]) == [2, 4]
 
 
+def test_filter_mask_in_nonfinite_floats_on_int_column():
+    """r6 ADVICE: a NaN/±Inf float in an IN value list against an
+    integer column must contribute a clean non-match — the pre-fix
+    guard evaluated `v == int(v)` which raised ValueError (NaN) or
+    OverflowError (Inf) and crashed the scan. Unreachable from Spark
+    SQL (casts block pushdown) but live via the raw Filter API."""
+    import math
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import In, Not
+
+    from spark_fits_spark.sources.fits_datasource import _apply_filters
+
+    batch = pa.record_batch(
+        {"x": pa.array([1, 2, None, 4], type=pa.int64())})
+
+    def keep(filters):
+        return _apply_filters(batch, filters).column(0).to_pylist()
+
+    nan, inf = float("nan"), math.inf
+    assert keep([In(("x",), (nan,))]) == []
+    assert keep([In(("x",), (inf,), )]) == []
+    assert keep([In(("x",), (-inf, nan, 2.0))]) == [2]
+    assert keep([In(("x",), (nan, 1, None))]) == [1]
+    # NOT IN: dropped non-finite values are non-NULL non-matches, so
+    # they must NOT poison the rest of the rows into NULL
+    assert keep([Not(In(("x",), (nan, 1)))]) == [2, 4]
+
+
+def test_tform_float_detection_for_hi_side_prune_gate():
+    """r6 ADVICE: the TNANFR hi-side-prune gate must parse the TFORM
+    type LETTER — 'E15.5' (ASCII float) ends in '5', 'PE(5)' (VLA
+    float) ends in ')', both slipped past the last-character check and
+    could take an unsound hi-side prune on a foreign NaN-bearing file.
+    Unknown/garbage forms count as float (conservative: gate stays)."""
+    from spark_fits_spark.sources.fits_datasource import \
+        _tform_maybe_float
+
+    # binary-table floats and complex
+    for t in ("E", "D", "1E", "12D", "C", "M", "2C"):
+        assert _tform_maybe_float(t), t
+    # ASCII-table floats (the miss the ADVICE names)
+    for t in ("E15.5", "D25.17", "F8.3"):
+        assert _tform_maybe_float(t), t
+    # VLA float descriptors
+    for t in ("PE(5)", "QD(9)", "1PE(5)"):
+        assert _tform_maybe_float(t), t
+    # proven non-float: logical, bit, ints, chars (binary + ASCII)
+    for t in ("L", "16X", "B", "I", "J", "K", "1J", "A20", "I10",
+              "PJ(7)", "QK(3)"):
+        assert not _tform_maybe_float(t), t
+    # unparseable → conservative (treated as possibly-float)
+    for t in ("", "   ", "42", "P", "P(5)", "?3"):
+        assert _tform_maybe_float(t), t
+
+
 def test_ascii_table_optin(spark):
     # beyond-reference: .option("asciitable", True) parses TABLE HDUs
     # (tst0009 HDU1: IDENT A9, Mag F6.2, Channel I3, Dist E10.4,

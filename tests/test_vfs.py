@@ -530,6 +530,55 @@ def _set_aws_env(monkeypatch, endpoint):
         monkeypatch.delenv(k, raising=False)
 
 
+def test_s3n_falls_through_fsspec_to_arrow(monkeypatch):
+    """r6 ADVICE: with fsspec installed, the legacy ``s3n`` scheme
+    raised ValueError out of fsspec.filesystem (fsspec aliases s3a but
+    NOT s3n) and the documented pyarrow fallback never ran. resolve_fs
+    must treat fsspec's unknown-protocol ValueError/KeyError as "no
+    backend here" and fall through to ArrowFileSystem, which applies
+    _SCHEME_ALIASES. Real fsspec behavior is mimicked by a stub whose
+    filesystem() raises ValueError for anything it doesn't know —
+    exactly fsspec.registry's error shape."""
+    import sys
+    import time
+    import types
+
+    import numpy as np
+
+    from tests import minis3
+    from spark_fits_spark.fitscore import writer as fw
+    from spark_fits_spark.fitscore.file import open_hdu
+
+    pytest.importorskip("pyarrow.fs")
+
+    stub = types.ModuleType("fsspec")
+
+    def _filesystem(scheme):
+        raise ValueError(f"Protocol not known: {scheme}")
+
+    stub.filesystem = _filesystem
+    monkeypatch.setitem(sys.modules, "fsspec", stub)
+
+    srv = minis3.start()
+    try:
+        _set_aws_env(monkeypatch, srv.endpoint)
+        srv.buckets["legacy"] = {}
+        buf = io.BytesIO()
+        fw.write_fits(None, [fw.bintable_hdu(
+            [("id", "K", np.arange(9, dtype=">i8"))])], fobj=buf)
+        srv.buckets["legacy"]["t.fits"] = (buf.getvalue(), time.time())
+
+        fs = vfs.resolve_fs("s3n://legacy/t.fits")
+        assert isinstance(fs, vfs.ArrowFileSystem)
+        with fs.open_input("s3n://legacy/t.fits") as f:
+            hdu = open_hdu(f, "s3n://legacy/t.fits", 1)
+        assert hdu.n_rows == 9
+        # result URIs keep the user's scheme verbatim
+        assert fs.glob("s3n://legacy/*.fits") == ["s3n://legacy/t.fits"]
+    finally:
+        srv.shutdown()
+
+
 def test_arrow_s3_backend_real_wire_protocol(monkeypatch):
     """resolve_fs('s3://...') against a live S3 endpoint: multipart
     write through open_output, ranged positional reads through the scan
