@@ -48,6 +48,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+# r6 VERDICT #3 (the 42-query perf blind spot): every registered query
+# NOT in BENCH_QUERIES is also timed, at EXTRA_REPS reps, into the
+# detail artifact ONLY ("queries_extra" in BENCH_DETAIL.json / the
+# first stdout line) — never the frozen final line, whose
+# count-invariance contract stands, and never the suite totals, which
+# stay comparable round-over-round.
+EXTRA_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS",
+                                       "2")))
 
 # headline subset: every operator family, weighted toward the scan/join/
 # agg/window/dedup paths that dominate a 100 TB pipeline
@@ -191,6 +199,14 @@ HEADLINE_QUERIES = [
     "q111_source_detection", "q112_healpix_skymap", "q152_xi_jackknife",
 ]
 HEADLINE_MAX_CHARS = 1500  # hard self-check; capture cap is ~2000
+
+
+def extra_query_names(all_names) -> list:
+    """The full-coverage detail set: every registered query outside the
+    frozen BENCH_QUERIES subset, registry order. Computed, not listed,
+    so a query can never silently fall outside every timing artifact
+    (tests/test_bench_contract.py pins the partition is exact)."""
+    return [n for n in all_names if n not in BENCH_QUERIES]
 
 
 def build_headline(total: float, core: float, sf: float, warmed: bool,
@@ -550,6 +566,7 @@ def main() -> None:
 
     unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
     assert not unknown, f"BENCH_QUERIES names not in the suite: {unknown}"
+    extra_queries = extra_query_names(QUERIES)
 
     # The suite accumulates ~100 queries' worth of broadcast variables
     # (Bloom filters, PQ codebooks, LSH band tables) whose JVM blocks
@@ -592,7 +609,7 @@ def main() -> None:
     warmed = (os.path.isdir(warm_sf)
               and os.path.abspath(warm_sf) != os.path.abspath(SF_DIR))
     if warmed:
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + extra_queries:
             try:
                 _noop_consume(QUERIES[name](spark, warm_sf))
             except Exception:
@@ -632,6 +649,30 @@ def main() -> None:
         # explicit nudge a 100-query suite runs its tail under heap
         # pressure that belongs to queries long finished (outside
         # timing: this runs after the reps are recorded).
+        if (q_idx + 1) % 8 == 0:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
+    # full-coverage detail pass over the out-of-subset queries (r6
+    # VERDICT #3). Same discipline as the main loop — min of reps,
+    # clearCache between queries, periodic GC nudge — but the numbers
+    # land only in the detail artifact, never in totals/headline.
+    extra_timings: dict[str, float] = {}
+    extra_medians: dict[str, float] = {}
+    extra_rep_seconds: dict[str, list[float]] = {}
+    for q_idx, name in enumerate(extra_queries):
+        fn = QUERIES[name]
+        reps = []
+        for _ in range(EXTRA_REPS):
+            t0 = time.perf_counter()
+            _noop_consume(fn(spark, SF_DIR))
+            reps.append(round(time.perf_counter() - t0, 3))
+        extra_timings[name] = min(reps)
+        extra_medians[name] = sorted(reps)[len(reps) // 2]
+        extra_rep_seconds[name] = reps
+        spark.catalog.clearCache()
         if (q_idx + 1) % 8 == 0:
             import gc as _gc
 
@@ -754,6 +795,14 @@ def main() -> None:
         "reps": REPS,
         "queries_median": medians,
         "rep_seconds": rep_seconds,
+        # full coverage (r6 VERDICT #3): every registered query outside
+        # BENCH_QUERIES, timed at EXTRA_REPS reps — detail-only, not in
+        # "value"/"core" totals (round-over-round comparability) nor
+        # the frozen final line (count-invariance contract)
+        "extra_reps": EXTRA_REPS,
+        "queries_extra": extra_timings,
+        "queries_extra_median": extra_medians,
+        "rep_seconds_extra": extra_rep_seconds,
         **metrics,
     }
     detail_path = os.path.join(

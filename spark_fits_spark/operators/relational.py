@@ -180,6 +180,27 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _pair_spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a pair-stream side by its blocking keys with an
+    EXPLICIT partition count (r7, q152 root cause): the exploded side
+    of a zones join amplifies work ~9·density× past the scan, so scan
+    partitioning — sized for BYTES — under-parallelizes it (a
+    single-file sf0.1 catalog ran the whole DD/DR/RR pair volume on
+    ONE task under a broadcast join: no shuffle existed to re-spread
+    it). Keys match the equi-join, so a shuffle join reuses this
+    exchange; the explicit N keeps AQE's byte-based coalescing from
+    collapsing it (pair-stream bytes wildly understate downstream
+    work). Cost: one linear shuffle of the exploded rows — noise next
+    to pair volume at any scale. Cell-level skew stays bounded by the
+    radius-sized blocking cell, the documented zones granularity."""
+    spark = df.sparkSession
+    try:
+        n = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def zone_crossmatch(
     cat_a: DataFrame,
     cat_b: DataFrame,
@@ -228,6 +249,7 @@ def zone_crossmatch(
             "_cy",
             F.explode(F.array(*[cell("_ya") + d for d in (-1, 0, 1)])))
     )
+    a = _pair_spread(a, "_cx", "_cy")
     b = cat_b.select(
         F.col(id_col).alias("id_b"),
         F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
@@ -390,6 +412,10 @@ def tracklet_pairs(
         F.col(id_col).alias("id_b"), F.col(t_col).cast("long").alias("_tj"),
         F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
         cell(x_col).alias("_cx"), cell(y_col).alias("_cy"))
+    # no _pair_spread here: detections arrive many-partitioned (events
+    # scale with time), the _tj key bounds per-cell fan-out to one
+    # epoch, and measured sf0.1 cost of the extra exchange (0.69 →
+    # 1.8 s) outweighs any spread win for this shape
     dx = F.col("_xb") - F.col("_xa")
     dy = F.col("_yb") - F.col("_ya")
     return (
@@ -470,6 +496,7 @@ def two_point_correlation_jackknife(
                 *[cell("_xa") + d for d in (-1, 0, 1)])))
              .withColumn("_cy", F.explode(F.array(
                 *[cell("_ya") + d for d in (-1, 0, 1)]))))
+        a = _pair_spread(a, "_cx", "_cy")
         b = cb.select(
             F.col(id_col).alias("id_b"), F.col(x_col).alias("_xb"),
             F.col(y_col).alias("_yb"),

@@ -99,6 +99,20 @@ def test_headline_overflow_fails_loudly():
                              huge)
 
 
+def test_every_registered_query_is_timed_somewhere():
+    """r6 VERDICT #3 (the 42-query perf blind spot): BENCH_QUERIES plus
+    bench.extra_query_names() must partition the live registry exactly
+    — every query gets a timing in BENCH_DETAIL.json ("queries" at REPS
+    reps, or "queries_extra" at EXTRA_REPS), none twice, none dropped."""
+    from spark_fits_spark.suite import QUERIES
+
+    extra = bench.extra_query_names(QUERIES)
+    assert set(bench.BENCH_QUERIES) <= set(QUERIES)
+    assert set(bench.BENCH_QUERIES).isdisjoint(extra)
+    assert set(bench.BENCH_QUERIES) | set(extra) == set(QUERIES)
+    assert bench.EXTRA_REPS >= 1
+
+
 def test_headline_key_collision_fails_loudly(monkeypatch):
     """Two HEADLINE entries sharing a short qNN prefix must raise
     ValueError (assert-free for the same -O reason as the length
