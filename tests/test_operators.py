@@ -1547,6 +1547,14 @@ def test_zone_crossmatch_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "_cx" in plan  # the join really keys on the cell ids
+    # r7 (q152 root cause): the exploded side must re-spread by the
+    # cell keys at an EXPLICIT partition count, or a broadcast-join
+    # plan pipelines the whole pair volume into the upstream scan
+    # partitioning (one core did all of DD/DR/RR at sf0.1).
+    # REPARTITION_BY_NUM is the marker Spark prints for an explicit-N
+    # repartition — the shape AQE's byte-based coalescing cannot
+    # collapse.
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_bigram_logprob_penalizes_word_order_violations(spark):
