@@ -297,6 +297,18 @@ def _kgram_hash(tok_slice: Column) -> Column:
     ).cast("long")
 
 
+def _let(val: Column, fn) -> Column:
+    """Let-binding for an array-valued expression: evaluate ``val``
+    ONCE per row and hand it to ``fn`` as a bound lambda variable.
+    Spark expressions have no let — referencing an outer expression
+    inside a higher-order-function lambda SUBSTITUTES its whole tree,
+    re-evaluating it per element (the q47 winnow trap: the full k-gram
+    hash array recomputed per window position, O(n²·k); measured 11.3 s
+    → sub-second at sf0.1). Wrapping in a 1-element array and
+    transforming binds the value to a variable instead."""
+    return F.element_at(F.transform(F.array(val), fn), 1)
+
+
 def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03 — the MOSS rolling-hash scheme): hash every k-token gram,
@@ -306,24 +318,30 @@ def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     two documents produces at least one common fingerprint.
 
     Pure JVM-side array expressions (no UDF); short documents degrade to
-    a single whole-text fingerprint."""
-    toks = tokens(col)
-    n = F.size(toks)
-    kgrams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: _kgram_hash(F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array(_kgram_hash(toks)))
-    m = F.size(kgrams)
-    fps = F.when(
-        m >= w,
-        F.transform(
-            F.sequence(F.lit(1), m - (w - 1)),
-            lambda i: F.array_min(F.slice(kgrams, i, w)),
-        ),
-    ).otherwise(F.array(F.array_min(kgrams)))
+    a single whole-text fingerprint. Tokens and gram hashes are staged
+    through :func:`_let` so each array is computed once per row, not
+    once per window position."""
+    def grams_of(tk: Column) -> Column:
+        n = F.size(tk)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: _kgram_hash(F.slice(tk, i, k)),
+            ),
+        ).otherwise(F.array(_kgram_hash(tk)))
+
+    def fps_of(kg: Column) -> Column:
+        m = F.size(kg)
+        return F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(kg, i, w)),
+            ),
+        ).otherwise(F.array(F.array_min(kg)))
+
+    fps = _let(tokens(col), lambda tk: _let(grams_of(tk), fps_of))
     return F.array_sort(F.array_distinct(fps))
 
 
@@ -331,23 +349,28 @@ def winnow_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
 
 def word_ngrams(col: Column | str, n: int) -> Column:
     """ALL word n-grams (non-distinct, order kept) — the denominator for
-    repetition ratios. Docs shorter than n collapse to one gram."""
-    w = tokens(col)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    repetition ratios. Docs shorter than n collapse to one gram. Tokens
+    are :func:`_let`-bound: referencing the split inside the transform
+    lambda would re-tokenize the document per gram position."""
+    def grams_of(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return _let(tokens(col), grams_of)
 
 
 def dup_ngram_ratio(col: Column | str, n: int = 3) -> Column:
     """Fraction of repeated word n-grams: 1 − distinct/total (rounded 4).
     High values flag boilerplate/looped generations (Gopher repetition
     rule); pure array expressions in the scan stage."""
-    g = word_ngrams(col, n)
-    return F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 4)
+    return _let(
+        word_ngrams(col, n),
+        lambda g: F.round(1 - F.size(F.array_distinct(g)) / F.size(g), 4))
 
 
 # -- scrubbing (PII / link redaction) --------------------------------------
@@ -505,14 +528,13 @@ def pmi_collocations(df, text_col: str, *, min_count: int = 5, k: int = 20):
         base.select(F.explode(tokens(text_col)).alias("_tok"))
         .groupBy("_tok").agg(F.count("*").alias("_n"))
     )
-    w = tokens(text_col)
-    bigrams = F.when(
+    bigrams = _let(tokens(text_col), lambda w: F.when(
         F.size(w) >= 2,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - 1),
             lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<string>")))
     big = tracked_persist(
         base.select(F.explode(bigrams).alias("_bg"))
         .groupBy("_bg").agg(F.count("*").alias("_nbg"))
@@ -788,15 +810,14 @@ def bpe_segment(df, text_col: str, *, n_merges: int = 3, sep: str = "\x1f",
     top_k = max(4 * max_batch, 64)
     try:
         while len(merges) < n_merges:
-            arr = F.split(core, close + sep)
-            prs = F.when(
+            prs = _let(F.split(core, close + sep), lambda arr: F.when(
                 F.size(arr) >= 2,
                 F.transform(
                     F.sequence(F.lit(1), F.size(arr) - 1),
                     lambda i: F.concat(F.element_at(arr, i), F.lit(sep),
                                        F.element_at(arr, i + 1)),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>")))
             top = (
                 cur.select("n", F.explode(prs).alias("pr"))
                 .groupBy("pr").agg(F.sum("n").alias("cnt"))
@@ -1028,8 +1049,7 @@ def bigram_logprob(df, text_col: str, id_col: str, *, lam: float = 0.7):
     before the per-doc sum — order-independent, SQL-replayable.
     Returns ``(id, n_bigrams, blp6_sum, avg_logprob)``.
     """
-    w = tokens(text_col)
-    bigrams = F.when(
+    bigrams = _let(tokens(text_col), lambda w: F.when(
         F.size(w) >= 2,
         F.transform(
             F.sequence(F.lit(2), F.size(w)),
@@ -1037,7 +1057,7 @@ def bigram_logprob(df, text_col: str, id_col: str, *, lam: float = 0.7):
                 F.element_at(w, i - 1).alias("a"),
                 F.element_at(w, i).alias("b")),
         ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>")))
     pairs = tracked_persist(
         spread_for_cpu(df)
         .select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("_bg"))

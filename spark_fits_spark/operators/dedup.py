@@ -39,6 +39,7 @@ from spark_fits_spark.caching import (
     tracked_persist,
 )
 from spark_fits_spark.functions.text import (
+    _let,
     add_simhash,
     content_fingerprint,
     md5_fingerprint,
@@ -184,11 +185,14 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1,
     negligible, and the SQL oracle applies the identical hash so both
     engines agree exactly either way)."""
     df = spread_for_cpu(df)
-    w = tokens(text_col)
     if n == 1:
-        sh = F.array_distinct(w)
+        sh = F.array_distinct(tokens(text_col))
     else:
-        sh = F.when(
+        # _let-bound: referencing the token split inside the transform
+        # lambda would re-tokenize the document per shingle position
+        # (the q47 winnow trap — this site feeds every MinHash/LSH
+        # pipeline, q22/q23/q48/q51)
+        sh = _let(tokens(text_col), lambda w: F.when(
             F.size(w) >= n,
             F.array_distinct(
                 F.transform(
@@ -196,7 +200,7 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 1,
                     lambda i: F.concat_ws(" ", F.slice(w, i, n)),
                 )
             ),
-        ).otherwise(F.array(F.concat_ws(" ", w)))
+        ).otherwise(F.array(F.concat_ws(" ", w))))
     out = df.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
     if hashed:
         out = out.withColumn(
@@ -784,6 +788,53 @@ def keep_representatives(
         F.broadcast(drop), df[id_col] == drop["_dup_id"], "left_anti")
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction (Arrow-batched
+    ``mapInPandas``, never row-at-a-time BatchEvalPython): each
+    partition's edge list collapses to an equivalent star forest
+    ``(node, root)`` with root = the partition-local component minimum.
+    Connectivity is preserved EXACTLY — unioning a subset of edges can
+    only merge nodes that are connected, and every partition edge is
+    unioned — while output size is bounded by distinct nodes per
+    partition, not edges. Duplicate and reversed edges are absorbed
+    for free, so callers can skip the symmetrize+distinct shuffle of
+    the raw pair stream entirely. Scale: the union-find is
+    O(E_p · α(V_p)) in memory per partition — partitions are upstream
+    shuffle/scan sized (~128 MB), the same bound every mapInPandas in
+    this package designs to."""
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                s = int(s); d = int(d)
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({"node": nodes,
+                                "root": [find(x) for x in nodes]})
+
+    return edges.mapInPandas(uf, "node long, root long")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -796,36 +847,76 @@ def connected_components(
     The canonical last step of a dedup pipeline: pairs → clusters →
     keep one representative per cluster.
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels — one hash join +
-    one partial-aggregated groupBy per round, converging in
-    O(component diameter) rounds (near-dup clusters are near-cliques,
-    so 2-3 in practice; ``max_iter`` bounds pathological chains). The
-    driver-side loop only reads a scalar convergence count per round —
-    no data is collected."""
+    r7 shape — per-partition CONTRACTION, then jumped label
+    propagation. The raw pair stream goes through an Arrow-batched
+    union-find per partition (:func:`_contract_partitions`): each
+    partition's edges collapse to an equivalent star forest
+    ``node → partition-local root``, which preserves connectivity
+    exactly while (a) skipping the symmetrize+distinct shuffle of the
+    FULL edge set the old shape paid up front (measured sf0.1
+    documents: 872k pairs → a 1.7M-row distinct) and (b) bounding the
+    loop's edge table by distinct-nodes-per-partition, not edges.
+    The loop itself is min-label propagation with POINTER JUMPING:
+    each round every node takes the min of its own and its neighbors'
+    labels (one hash join + one partial-agg groupBy), then twice
+    replaces its label with its label's label (valid because every
+    label value IS a node: init lbl=node; min/jump only move to other
+    nodes' values). Neighbor-min alone needs O(diameter) rounds and
+    real LSH dup graphs are CHAINS, not cliques (measured: 9 rounds,
+    a 5-round one-label-at-a-time tail); contraction plus jumping
+    collapses that to O(log cross-partition diameter) — measured 3.
+    The driver-side loop only reads a scalar convergence count per
+    round — no data is collected."""
 
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # ONE pass over the (possibly expensive) upstream pair stream: the
+    # contracted star forest is what both the edge table and the label
+    # init derive from
+    stars = tracked_persist(_contract_partitions(raw))
+    sym = stars.select(F.col("node").alias("src"),
+                       F.col("root").alias("dst")) \
+               .where(F.col("src") != F.col("dst"))
+    # symmetrize the (small) star forest: propagation must flow both
+    # member→root and root→member
     edges = tracked_persist(
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        sym.union(sym.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
     )
     # localCheckpoint (not just persist) each round: the new plan
     # references the old labels twice (join + union), so without lineage
     # truncation the logical plan doubles per iteration — 2^rounds nodes
     # (the classic iterative-algorithm pitfall; GraphX checkpoints for
-    # the same reason).
+    # the same reason). Init label = min local root per node (every
+    # node appears in stars keyed by node) — a valid head start, since
+    # roots are themselves nodes.
     labels = tracked_local_checkpoint(
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
+        stars.groupBy("node").agg(F.min("root").alias("lbl"))
     )
+    # stars stays persisted until the loop ends: `edges` materializes
+    # lazily on round 0 and must read the cached contraction, not
+    # recompute the upstream pair stream
+
+    def _jump(lab: DataFrame) -> DataFrame:
+        # lbl ← lbl[lbl]: left join (not inner) so a violated invariant
+        # could only cost speed, never drop a node; least() keeps the
+        # label monotone non-increasing either way
+        lut = lab.select(F.col("node").alias("_jn"),
+                         F.col("lbl").alias("_jl"))
+        return (lab.join(lut, lab.lbl == lut._jn, "left")
+                .select("node",
+                        F.least("lbl", F.coalesce("_jl", "lbl"))
+                        .alias("lbl")))
+
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("lbl"))
         )
         new_labels = tracked_local_checkpoint(
-            labels.select("node", "lbl").union(nbr)
-            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            _jump(_jump(
+                labels.select("node", "lbl").union(nbr)
+                .groupBy("node").agg(F.min("lbl").alias("lbl"))
+            ))
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "_old"), "node")
@@ -840,6 +931,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    stars.unpersist()
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
