@@ -290,6 +290,60 @@ def test_connected_components_chain_and_clusters(spark):
                    10:10, 11:10, 12:10, 20:20, 21:20}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """r7 property (contraction + pointer-jumping rewrite): on random
+    graphs spanning the shapes that differ under the new machinery —
+    long chains (multi-round), dense blobs (partition-local collapse),
+    duplicate/reversed edges (absorbed by contraction), many
+    singletons-via-self-loops — cluster assignments must equal a
+    driver-side union-find EXACTLY (same min-id representative per
+    component), and must be invariant to the input's partitioning."""
+    import random
+
+    rng = random.Random(4207)
+    for trial in range(4):
+        n = rng.randint(20, 120)
+        edges = []
+        # chains
+        base = 0
+        for _ in range(rng.randint(1, 3)):
+            ln = rng.randint(2, 15)
+            edges += [(base + i, base + i + 1) for i in range(ln)]
+            base += ln + rng.randint(1, 3)
+        # dense blob
+        blob = list(range(base, base + rng.randint(3, 10)))
+        edges += [(a, b) for a in blob for b in blob if a < b]
+        # random extra edges + duplicates + reversals
+        hi = base + 40
+        edges += [(rng.randint(0, hi), rng.randint(0, hi))
+                  for _ in range(n)]
+        edges += [(b, a) for a, b in rng.sample(edges,
+                                                min(10, len(edges)))]
+
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        for parts in (1, 7):
+            df = spark.createDataFrame(edges, ["doc_a", "doc_b"]) \
+                      .repartition(parts)
+            got = {r["doc_id"]: r["cluster_id"]
+                   for r in dedup.connected_components(df).collect()}
+            assert got == want, (trial, parts)
+
+
 def test_stratified_sample_rates_and_determinism(spark, docs):
     from spark_fits_spark.operators import sample
 
