@@ -835,12 +835,24 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
     return edges.mapInPandas(uf, "node long, root long")
 
 
+# Star-forest row budget for finishing connected components in ONE
+# union-find task instead of the label-propagation loop. 1M rows of
+# (node, root) int64 pairs is 16 MB on the wire and ~200 MB as the
+# task's Python dict — comfortably inside one executor core's share,
+# the same order as the 64 MB broadcast-join threshold this package
+# runs with. Graphs whose CONTRACTED form exceeds the budget (the
+# 100 TB regime) take the distributed loop below instead; the budget
+# gates the post-contraction star forest, never the raw pair stream.
+_CC_SINGLE_TASK_ROWS = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    single_task_rows: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     (doc_id, cluster_id) with cluster_id = min doc id in the component.
@@ -865,14 +877,46 @@ def connected_components(
     real LSH dup graphs are CHAINS, not cliques (measured: 9 rounds,
     a 5-round one-label-at-a-time tail); contraction plus jumping
     collapses that to O(log cross-partition diameter) — measured 3.
-    The driver-side loop only reads a scalar convergence count per
-    round — no data is collected."""
+    The driver-side loop only reads a scalar convergence signal per
+    round — no data is collected.
+
+    Small-graph fast path: the contraction's star forest has one row
+    per (partition, distinct node) — for realistic dup rates it is
+    orders of magnitude smaller than the pair stream (sf0.1 documents:
+    872k pairs → 3.3k star rows). When it fits the explicit
+    ``single_task_rows`` budget (default :data:`_CC_SINGLE_TASK_ROWS`),
+    a second union-find pass over the whole forest in ONE task
+    (``coalesce(1)`` over the cached partitions — no shuffle) finishes
+    the components outright, skipping the loop's per-round job
+    overhead. The budget is checked with a ``count()`` on the cached
+    forest (the same materialization the loop would pay), so the fast
+    path is size-gated exactly like a broadcast join: past the budget
+    the distributed loop runs unchanged."""
 
     raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # ONE pass over the (possibly expensive) upstream pair stream: the
     # contracted star forest is what both the edge table and the label
     # init derive from
     stars = tracked_persist(_contract_partitions(raw))
+    budget = _CC_SINGLE_TASK_ROWS if single_task_rows is None else single_task_rows
+    # materializes the contraction into the cache either way; the loop
+    # path would pay the same job on round 0
+    n_star = stars.count()
+    if n_star <= budget:
+        # one task unions the full forest: output = (node, global min
+        # label) for every distinct node — exactly the loop's fixpoint.
+        # Self-rows (node == root) keep singleton nodes present; the
+        # min-root union order in `uf` makes root = component minimum.
+        solved = _contract_partitions(
+            stars.coalesce(1).select(F.col("node").alias("src"),
+                                     F.col("root").alias("dst")))
+        out = solved.select(F.col("node").alias("doc_id"),
+                            F.col("root").alias("cluster_id"))
+        # the single-task result is the only remaining consumer of the
+        # cached forest: localCheckpoint it so `stars` can be freed now
+        out = tracked_local_checkpoint(out)
+        stars.unpersist()
+        return out
     sym = stars.select(F.col("node").alias("src"),
                        F.col("root").alias("dst")) \
                .where(F.col("src") != F.col("dst"))
@@ -907,6 +951,18 @@ def connected_components(
                         F.least("lbl", F.coalesce("_jl", "lbl"))
                         .alias("lbl")))
 
+    # Convergence signal: labels are monotone NON-INCREASING (min-agg
+    # and least() only), so the label sum strictly decreases on any
+    # change and is constant exactly at the fixpoint. Summing in
+    # decimal(38,0) keeps it exact (no int64 wraparound, no float
+    # rounding) up to ~1e19 nodes × 2^63 ids — one cached-scan
+    # aggregate per round instead of the old new⊳⊲old shuffle join.
+    def _lbl_sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]  # bounded-collect: 1 aggregate row
+
+    prev_sum = _lbl_sum(labels)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -918,11 +974,9 @@ def connected_components(
                 .groupBy("node").agg(F.min("lbl").alias("lbl"))
             ))
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "_old"), "node")
-            .where(F.col("lbl") != F.col("_old"))
-            .count()
-        )
+        new_sum = _lbl_sum(new_labels)
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         # the superseded round's checkpoint blocks are dead once
         # `changed` is computed — free them now instead of waiting for
         # Python+JVM GC and the ContextCleaner (each round's label

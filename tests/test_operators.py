@@ -336,12 +336,17 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in parent}
 
+        # single_task_rows=0 forces the distributed pointer-jumping
+        # loop; the default takes the one-task fast path on graphs this
+        # small — both must match the driver oracle on every shape
         for parts in (1, 7):
-            df = spark.createDataFrame(edges, ["doc_a", "doc_b"]) \
-                      .repartition(parts)
-            got = {r["doc_id"]: r["cluster_id"]
-                   for r in dedup.connected_components(df).collect()}
-            assert got == want, (trial, parts)
+            for budget in (None, 0):
+                df = spark.createDataFrame(edges, ["doc_a", "doc_b"]) \
+                          .repartition(parts)
+                got = {r["doc_id"]: r["cluster_id"]
+                       for r in dedup.connected_components(
+                           df, single_task_rows=budget).collect()}
+                assert got == want, (trial, parts, budget)
 
 
 def test_stratified_sample_rates_and_determinism(spark, docs):
