@@ -157,22 +157,31 @@ def sigma_clipped_plane_stats(df: DataFrame, sigma: float = 3.0,
         "_px", F.col("_px").cast("double"))
     bounds = None
     stats = None
-    for _ in range(max(iters, 1)):
+    rounds = max(iters, 1)
+    for i in range(rounds):
         cur = flat
         if bounds is not None:
             cur = (flat.join(F.broadcast(bounds), "ImgIndex")
                    .where(F.col("_px").between(F.col("_lo"), F.col("_hi")))
                    .drop("_lo", "_hi"))
-        stats = cur.groupBy("ImgIndex").agg(
-            F.avg("_px").alias("bg_mean"),
-            F.percentile_approx("_px", 0.5, 10000).alias("bg_median"),
-            F.stddev_pop("_px").alias("bg_std"),
-            F.count("*").alias("n_used"))
+        # the median only surfaces in the RETURNED stats; intermediate
+        # rounds feed nothing but the mean±sigma·std bounds. Skipping
+        # percentile_approx there is output-identical and drops its
+        # mergeable sketch state (accuracy 10000 → ~10k tuples per
+        # (plane, partial)) from every shuffle but the last.
+        aggs = [F.avg("_px").alias("bg_mean"),
+                F.stddev_pop("_px").alias("bg_std"),
+                F.count("*").alias("n_used")]
+        if i == rounds - 1:
+            aggs.insert(1, F.percentile_approx("_px", 0.5, 10000)
+                        .alias("bg_median"))
+        stats = cur.groupBy("ImgIndex").agg(*aggs)
         bounds = stats.select(
             "ImgIndex",
             (F.col("bg_mean") - sigma * F.col("bg_std")).alias("_lo"),
             (F.col("bg_mean") + sigma * F.col("bg_std")).alias("_hi"))
-    return stats
+    return stats.select("ImgIndex", "bg_mean", "bg_median", "bg_std",
+                        "n_used")
 
 
 # packed pixel-node id strides for the source-detection component graph
