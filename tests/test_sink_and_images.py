@@ -320,6 +320,52 @@ def test_detect_sources(spark, tmp_path):
     assert sorted((r["plane"], r["n_px"]) for r in gated) == [(0, 3), (0, 6)]
 
 
+def test_sigma_clipped_stats_match_numpy_reference(spark):
+    """Property (r7 median-on-final-round rewrite): on planes where the
+    clipped set SHRINKS across rounds, every returned stat must equal a
+    NumPy re-implementation of the same iteration — 3 rounds of
+    keep-within mean±3·std_pop, stats on the final kept set. The ramp
+    plane is discriminating for the median: its final-round median
+    bracket ([44, 45]) excludes the median of any earlier round's set
+    (spikes shift it to ≥ 46), so a median computed before the last
+    clip fails here."""
+    from spark_fits_spark.operators.images import sigma_clipped_plane_stats
+
+    rng = np.random.default_rng(42)
+    planes = {
+        0: np.concatenate([np.full(95, 5.0), np.full(5, 1000.0)]),
+        1: np.concatenate([np.arange(90, dtype="f8"),
+                           np.full(5, 100000.0)]),
+        2: rng.integers(0, 50, 97).astype("f8"),  # nothing clipped
+    }
+    rows = [(int(p), i, [float(v) for v in vals[i * 10:(i + 1) * 10]])
+            for p, vals in planes.items()
+            for i in range((len(vals) + 9) // 10)]
+    df = spark.createDataFrame(
+        [(p, y, v) for p, y, v in rows if v],
+        "ImgIndex long, y long, Image array<double>")
+
+    got = {r["ImgIndex"]: r
+           for r in sigma_clipped_plane_stats(df, sigma=3.0,
+                                              iters=3).collect()}
+    for p, vals in planes.items():
+        kept = vals
+        for _ in range(3):
+            lo = kept.mean() - 3.0 * kept.std()
+            hi = kept.mean() + 3.0 * kept.std()
+            nxt = kept[(kept >= lo) & (kept <= hi)]
+            kept = nxt
+        r = got[p]
+        assert r["n_used"] == len(kept), p
+        assert abs(r["bg_mean"] - kept.mean()) < 1e-9, p
+        assert abs(r["bg_std"] - kept.std()) < 1e-9, p
+        s = np.sort(kept)
+        assert s[(len(s) - 1) // 2] <= r["bg_median"] <= s[len(s) // 2], p
+    # the ramp plane's clipping is real: spikes gone, ramp intact
+    assert got[1]["n_used"] == 90
+    assert 44.0 <= got[1]["bg_median"] <= 45.0
+
+
 def test_with_plane_rows_multi_partition(spark, tmp_path):
     """y derivation must hold when a plane's rows span SCAN PARTITIONS
     (the distributed prefix-sum path): tiny partitionbytes forces many
