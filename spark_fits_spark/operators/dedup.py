@@ -907,9 +907,17 @@ def connected_components(
         # label) for every distinct node — exactly the loop's fixpoint.
         # Self-rows (node == root) keep singleton nodes present; the
         # min-root union order in `uf` makes root = component minimum.
+        # repartition(1), NOT coalesce(1): coalesce collapses the
+        # PARENT stage, so a cache miss on `stars` (eviction under
+        # suite-tail memory pressure) would recompute the whole
+        # upstream pair pipeline inside one task — the same 30x
+        # pathology the bucket-join comment above documents. With a
+        # shuffle boundary the map side reads (or worst-case
+        # recomputes) at full parallelism and only the forest's
+        # (node, root) longs cross to the single reducer.
         solved = _contract_partitions(
-            stars.coalesce(1).select(F.col("node").alias("src"),
-                                     F.col("root").alias("dst")))
+            stars.select(F.col("node").alias("src"),
+                         F.col("root").alias("dst")).repartition(1))
         out = solved.select(F.col("node").alias("doc_id"),
                             F.col("root").alias("cluster_id"))
         # the single-task result is the only remaining consumer of the
