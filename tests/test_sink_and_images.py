@@ -739,6 +739,100 @@ def test_background_mesh_and_subtract(spark):
         background_mesh(df, 0)
 
 
+def test_detect_sources_random_planes_match_numpy_flood_fill(spark):
+    """Property (r7): on random sparse planes, detect_sources must
+    reproduce a pure-NumPy reference end to end — sigma-clipped
+    threshold, 4/8-connected labeling (flood fill), per-source n_px /
+    flux / peak / flux-weighted centroids, and source_id = packed id
+    of the component's min-(y, x) pixel. Random shapes exercise the
+    packed-id neighbor join and the CC fast path on geometry the fixed
+    fixtures never draw (touching blobs, border pixels, multi-plane)."""
+    from spark_fits_spark.operators.images import (
+        _YX_BITS,
+        detect_sources,
+        sigma_clipped_plane_stats,
+    )
+
+    rng = np.random.default_rng(707)
+    ny, nx = 14, 18
+    planes = {}
+    for p in range(3):
+        img = np.zeros((ny, nx))
+        # random bright blobs: a few seed pixels grown by random walks,
+        # values well above the (all-zero) background
+        for _ in range(rng.integers(2, 5)):
+            y, x = int(rng.integers(0, ny)), int(rng.integers(0, nx))
+            for _ in range(int(rng.integers(1, 7))):
+                img[y, x] = float(rng.integers(50, 200))
+                y = min(ny - 1, max(0, y + int(rng.integers(-1, 2))))
+                x = min(nx - 1, max(0, x + int(rng.integers(-1, 2))))
+        planes[p] = img
+
+    rows = [(p, y, [float(v) for v in planes[p][y]])
+            for p in planes for y in range(ny)]
+    df = spark.createDataFrame(
+        rows, "ImgIndex long, y long, Image array<double>")
+
+    def np_reference(connectivity):
+        # threshold identical to detect_sources: bg_median + 5·bg_std
+        # from the 3-round clipped stats (replayed in NumPy)
+        out = {}
+        for p, img in planes.items():
+            kept = img.ravel()
+            for _ in range(3):
+                lo = kept.mean() - 3 * kept.std()
+                hi = kept.mean() + 3 * kept.std()
+                kept = kept[(kept >= lo) & (kept <= hi)]
+            thr = np.median(kept) + 5.0 * kept.std()
+            mask = img > thr
+            offs = [(0, 1), (1, 0), (0, -1), (-1, 0)]
+            if connectivity == 8:
+                offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+            seen = np.zeros_like(mask, dtype=bool)
+            for sy in range(ny):
+                for sx in range(nx):
+                    if not mask[sy, sx] or seen[sy, sx]:
+                        continue
+                    comp, stack = [], [(sy, sx)]
+                    seen[sy, sx] = True
+                    while stack:
+                        cy, cx = stack.pop()
+                        comp.append((cy, cx))
+                        for dy, dx in offs:
+                            yy, xx = cy + dy, cx + dx
+                            if (0 <= yy < ny and 0 <= xx < nx
+                                    and mask[yy, xx] and not seen[yy, xx]):
+                                seen[yy, xx] = True
+                                stack.append((yy, xx))
+                    vals = np.array([img[c] for c in comp])
+                    my, mx_ = min(comp)  # min (y, x) lexicographic
+                    sid = ((p << _YX_BITS) + my << _YX_BITS) + mx_
+                    out[(p, sid)] = (
+                        len(comp), vals.sum(), vals.max(),
+                        sum(img[c] * c[1] for c in comp) / vals.sum(),
+                        sum(img[c] * c[0] for c in comp) / vals.sum())
+        return out
+
+    for conn in (4, 8):
+        got = {(r["plane"], r["source_id"]):
+               (r["n_px"], r["flux"], r["peak"],
+                r["x_centroid"], r["y_centroid"])
+               for r in detect_sources(df, threshold_sigma=5.0,
+                                       connectivity=conn,
+                                       prepared=True).collect()}
+        want = np_reference(conn)
+        assert set(got) == set(want), conn
+        for key, w in want.items():
+            g = got[key]
+            assert g[0] == w[0], (conn, key)
+            for gi, wi in zip(g[1:], w[1:]):
+                assert abs(gi - wi) < 1e-9, (conn, key)
+    # the fixture is non-trivial: some plane has ≥2 sources and the
+    # two connectivities disagree somewhere across the random draws
+    assert len(np_reference(8)) >= 4
+    assert np_reference(4) != np_reference(8)
+
+
 def test_detect_sources_local_background(spark):
     """A strong sky gradient: global thresholding either floods the
     bright corner or misses the faint source in it; local-background
