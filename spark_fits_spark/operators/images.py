@@ -241,31 +241,36 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
          + threshold_sigma * F.col("bg_std")).alias("_thr"))
     flat = rows.select(
         "ImgIndex", "y", F.posexplode("Image").alias("x", "_px"))
+    # packed-id precondition: y, x < 2^20 − 1 (the stride comment above
+    # is a contract, not a hope — an oversized axis would alias
+    # unrelated pixels into one component). Guarded IN the projection
+    # (raise_error fires while a bright row is built, before any
+    # aliased id can reach the component graph) over the BRIGHT set
+    # only — a per-row branch in codegen instead of the r5–r7 extra
+    # max-aggregation pass over the persisted frame.
+    lim = (1 << _YX_BITS) - 1
+    packed = ((F.col("ImgIndex").cast("long") * (1 << _YX_BITS)
+               + F.col("y")) * (1 << _YX_BITS) + F.col("x"))
+    guarded_id = F.when(
+        (F.col("y") >= lim) | (F.col("x") >= lim),
+        F.raise_error(F.concat(
+            F.lit(f"detect_sources supports images with y, x < {lim} "
+                  "(got y="),
+            F.col("y").cast("string"), F.lit(", x="),
+            F.col("x").cast("string"),
+            F.lit("); re-tile or split the axis"))).cast("long")
+    ).otherwise(packed)
     bright = (
         flat.join(F.broadcast(thr), "ImgIndex")
         .where(F.col("_px").cast("double") > F.col("_thr"))
         .select(
             "ImgIndex", "y", "x", F.col("_px").cast("double").alias("px"),
-            ((F.col("ImgIndex").cast("long") * (1 << _YX_BITS)
-              + F.col("y")) * (1 << _YX_BITS) + F.col("x")).alias("_id"))
+            guarded_id.alias("_id"))
     )
     from spark_fits_spark.caching import release_after, tracked_persist
 
     with release_after():
         bright = tracked_persist(bright)
-        # packed-id precondition: y, x < 2^20 − 1 (the stride comment
-        # above is a contract, not a hope — an oversized axis would
-        # alias unrelated pixels into one component). Checked over the
-        # BRIGHT set only (the only ids that enter the graph; one cheap
-        # pass over the persisted frame).
-        mx = bright.agg(F.max("y").alias("my"),
-                        F.max("x").alias("mx")).first()
-        lim = (1 << _YX_BITS) - 1
-        if mx["my"] is not None and (mx["my"] >= lim or mx["mx"] >= lim):
-            raise ValueError(
-                f"detect_sources supports images with y, x < {lim} "
-                f"(got max y={mx['my']}, x={mx['mx']}); re-tile or "
-                "split the axis")
         offsets = [(0, 1), (1, 0)]
         if connectivity == 8:
             offsets += [(1, 1), (1, -1)]

@@ -833,6 +833,23 @@ def test_detect_sources_random_planes_match_numpy_flood_fill(spark):
     assert np_reference(4) != np_reference(8)
 
 
+def test_detect_sources_rejects_oversized_axis(spark):
+    """The packed-id y/x < 2^20−1 contract fails LOUD, not by aliasing:
+    a bright pixel at an oversized row index raises (in-projection
+    raise_error guard, r7 — replaces the extra max-aggregation pass)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spark_fits_spark.operators.images import detect_sources
+
+    df = spark.createDataFrame(
+        [(0, (1 << 20) - 1, [1000.0]), (0, 0, [0.0] * 8), (0, 1, [0.0] * 8)],
+        "ImgIndex long, y long, Image array<double>")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="re-tile or split"):
+        detect_sources(df, prepared=True).collect()
+
+
 def test_detect_sources_local_background(spark):
     """A strong sky gradient: global thresholding either floods the
     bright corner or misses the faint source in it; local-background
