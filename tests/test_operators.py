@@ -1673,6 +1673,51 @@ def test_best_match_crossmatch(spark):
     assert "Window" not in plan
 
 
+def test_zone_crossmatch_random_catalogs_property(spark):
+    """r7 property wave: zones blocking == brute force on seeded RANDOM
+    catalogs — the fixed-point tests above never exercise NEGATIVE
+    coordinates (where `div`/`pmod` floor math can silently differ from
+    truncating division and misplace a row by one cell), nor dense
+    multi-point cells, nor empty catalogs. Covers zone_crossmatch and
+    best_match_crossmatch on the same draws."""
+    import random
+
+    from spark_fits_spark.operators import relational
+
+    rng = random.Random(20260816)
+    schema = "id long, x long, y long"
+    for trial in range(6):
+        radius = rng.choice([1, 2, 3, 7, 13])
+        na, nb = rng.choice([(0, 8), (40, 40), (60, 25), (1, 1), (30, 60)])
+        # span ~ a few cells wide, centered to straddle zero so negative
+        # coords and the (-1, 0) cell boundary are always in play
+        span = radius * rng.randint(2, 6)
+        rows_a = [(i, rng.randint(-span, span), rng.randint(-span, span))
+                  for i in range(na)]
+        rows_b = [(1000 + i, rng.randint(-span, span),
+                   rng.randint(-span, span)) for i in range(nb)]
+        a = spark.createDataFrame(rows_a, schema)
+        b = spark.createDataFrame(rows_b, schema)
+
+        want = sorted(
+            (ia, ib, (xa - xb) ** 2 + (ya - yb) ** 2)
+            for ia, xa, ya in rows_a for ib, xb, yb in rows_b
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius)
+        got = sorted(tuple(r) for r in relational.zone_crossmatch(
+            a, b, radius=radius).collect())
+        assert got == want, (trial, radius, got[:5], want[:5])
+
+        best_want = {}
+        for ia, ib, d2 in want:
+            if ia not in best_want or (d2, ib) < best_want[ia]:
+                best_want[ia] = (d2, ib)
+        best_got = sorted(tuple(r) for r in relational.best_match_crossmatch(
+            a, b, radius=radius).collect())
+        assert best_got == sorted(
+            (ia, ib, d2) for ia, (d2, ib) in best_want.items()), (
+            trial, radius)
+
+
 def test_two_point_correlation(spark):
     """Landy-Szalay pair counts == brute force (ordered pairs,
     self-excluded, strict outer edge, integer dist_sq binning), empty
