@@ -640,8 +640,10 @@ def chunk_windows(df, text_col: str, id_col: str, *,
     Pure map-side: token array → per-start struct → posexplode, all in
     the scan stage — zero shuffle, trivially parallel at any corpus
     size (the one operation a 100 TB pipeline runs over every byte)."""
-    w = tokens(text_col)
-    chunks = F.when(
+    # _let-bound: F.slice(w, ...) inside the transform lambda would
+    # re-split the WHOLE document per chunk start (the q47 winnow trap
+    # — O(doc_len²/stride) character work per doc)
+    chunks = _let(tokens(text_col), lambda w: F.when(
         F.size(w) > 0,
         F.transform(
             F.sequence(F.lit(1), F.size(w), F.lit(stride)),
@@ -649,7 +651,7 @@ def chunk_windows(df, text_col: str, id_col: str, *,
                 st.alias("start"),
                 F.slice(w, st, window).alias("toks")),
         ),
-    ).otherwise(F.array().cast("array<struct<start:int,toks:array<string>>>"))
+    ).otherwise(F.array().cast("array<struct<start:int,toks:array<string>>>")))
     ex = df.select(F.col(id_col), F.posexplode(chunks).alias("_k", "_c"))
     return ex.select(
         F.col(id_col),
