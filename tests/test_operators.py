@@ -772,6 +772,34 @@ def test_chunk_windows_cover_and_overlap(spark):
         rows[1]["chunk_text"].split(" ")[:16]
 
 
+def test_chunk_windows_random_docs_match_bruteforce(spark):
+    """r7 property (after the _let fix — the chunker re-split the doc
+    per chunk start): chunk_windows == a Python brute-force over random
+    docs and random (window, stride), including single-token and
+    empty-string docs (split(' ') of '' is [''], one 1-token chunk)."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(5):
+        window = rng.randint(1, 9)
+        stride = rng.randint(1, window)
+        docs = [(i, " ".join(f"w{rng.randint(0, 30)}"
+                             for _ in range(rng.randint(1, 40))))
+                for i in range(12)] + [(100, ""), (101, "solo")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = sorted(
+            tuple(r) for r in T.chunk_windows(
+                df, "text", "doc_id",
+                window=window, stride=stride).collect())
+        want = []
+        for did, text in docs:
+            toks = text.split(" ")
+            for k, st in enumerate(range(0, len(toks), stride)):
+                c = toks[st:st + window]
+                want.append((did, k, st + 1, len(c), " ".join(c)))
+        assert got == sorted(want), (trial, window, stride)
+
+
 def test_take_n_per_stratum_exact_counts(spark, docs):
     from collections import Counter
 
