@@ -886,7 +886,9 @@ def connected_components(
     872k pairs → 3.3k star rows). When it fits the explicit
     ``single_task_rows`` budget (default :data:`_CC_SINGLE_TASK_ROWS`),
     a second union-find pass over the whole forest in ONE task
-    (``coalesce(1)`` over the cached partitions — no shuffle) finishes
+    (``repartition(1)`` — a tiny shuffle of the (node, root) longs,
+    chosen over ``coalesce(1)`` so a star-forest cache miss recomputes
+    upstream at full parallelism, not inside the single task) finishes
     the components outright, skipping the loop's per-round job
     overhead. The budget is checked with a ``count()`` on the cached
     forest (the same materialization the loop would pay), so the fast
