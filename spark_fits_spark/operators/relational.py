@@ -299,6 +299,72 @@ def best_match_crossmatch(
         F.col("_m.dist_sq").alias("dist_sq"))
 
 
+#: canonical half-plane of cell offsets for SELF-join pair streams:
+#: for any two points p ≠ q within one cell of each other, the cell
+#: delta d = cell(q) − cell(p) satisfies EXACTLY one of d = (0,0)
+#: (same cell — deduped by id_a < id_b), d ∈ this set (met when p
+#: probes offset d), or −d ∈ this set (met when q probes −d). The set
+#: and its negation are disjoint, so each unordered pair meets the
+#: cell equi-join exactly once — 5 probe cells instead of the full
+#: 3×3 = 9, and half the join output of the ordered-pair stream.
+_SELF_HALF_PLANE = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _self_pairs_once(
+    cat: DataFrame,
+    *,
+    radius: int,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """UNORDERED same-catalog pair stream under the Zones blocking:
+    every pair ``p ≠ q`` with ``dist² < radius²`` appears EXACTLY once
+    (see :data:`_SELF_HALF_PLANE`). Returns ``_d2`` (+ ``ra``/``rb``
+    labels when ``label_col`` is given); callers weight aggregates ×2
+    to recover the ordered-pair convention. Same scale shape as
+    :func:`zone_crossmatch` — cell equi-join, explicit
+    :func:`_pair_spread` on the exploded side — at 5/9 the exploded
+    volume and half the join output."""
+    r2 = radius * radius
+
+    def cell(name):
+        return F.expr(
+            f"(({name}) - pmod(({name}), {radius})) div {radius}"
+        ).cast("long")
+
+    a_cols = [F.col(id_col).alias("id_a"),
+              F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya")]
+    b_cols = [F.col(id_col).alias("id_b"),
+              F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
+              cell(x_col).alias("_cx"), cell(y_col).alias("_cy")]
+    if label_col is not None:
+        a_cols.append(F.col(label_col).cast("long").alias("ra"))
+        b_cols.append(F.col(label_col).cast("long").alias("rb"))
+    a = (cat.select(*a_cols)
+         .withColumn("_o", F.explode(F.array(*[
+             F.struct(F.lit(ox).alias("x"), F.lit(oy).alias("y"))
+             for ox, oy in _SELF_HALF_PLANE])))
+         .withColumn("_cx", cell("_xa") + F.col("_o.x"))
+         .withColumn("_cy", cell("_ya") + F.col("_o.y"))
+         .withColumn("_z", (F.col("_o.x") == 0) & (F.col("_o.y") == 0))
+         .drop("_o"))
+    a = _pair_spread(a, "_cx", "_cy")
+    b = cat.select(*b_cols)
+    d2 = ((F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
+          + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb")))
+    # zero-offset (same cell) pairs would meet from both sides: keep
+    # id_a < id_b, which also removes self-pairs. Non-zero offsets meet
+    # once by construction (and p ≠ q since cells differ).
+    keep = F.when(F.col("_z"), F.col("id_a") < F.col("id_b")) \
+            .otherwise(F.lit(True))
+    labels = ["ra", "rb"] if label_col is not None else []
+    return (a.join(b, ["_cx", "_cy"])
+            .where(keep & (d2 < F.lit(r2)))
+            .select(d2.alias("_d2"), *labels))
+
+
 def two_point_correlation(
     data: DataFrame,
     randoms: DataFrame,
@@ -315,11 +381,12 @@ def two_point_correlation(
     measurement survey pipelines run over the whole sky. Returns one
     row per separation bin: ``(bin, dd, dr, rr, xi6)``.
 
-    Pair counting never goes all-pairs: each of DD/DR/RR is a
-    :func:`zone_crossmatch` (cell equi-join, O(n·density)) with
-    self-pairs removed by an id filter; DD/RR count ORDERED pairs
-    (each unordered pair twice) and the normalizations ``n(n−1)`` /
-    ``nd·nr`` match that convention, so the estimator is exact. Bins
+    Pair counting never goes all-pairs: DR is a
+    :func:`zone_crossmatch` (cell equi-join, O(n·density)); DD/RR use
+    the half-plane self-pair stream (:func:`_self_pairs_once` — each
+    unordered pair met exactly once, 5/9 the exploded volume) with the
+    per-bin count weighted ×2, which is value-identical to the ordered
+    convention the ``n(n−1)`` / ``nd·nr`` normalizations expect. Bins
     are equal-width annuli in SQUARED separation (``bin = dist_sq ·
     nbins div radius²``, integer-exact in any engine); pairs at
     exactly ``radius`` are excluded so every bin is well-defined.
@@ -331,11 +398,18 @@ def two_point_correlation(
         raise ValueError(f"nbins must be >= 1, got {nbins}")
     r2 = radius * radius
 
-    def counts(a, b, name, self_pairs):
+    def self_counts(cat, name):
+        p = _self_pairs_once(cat, radius=radius, x_col=x_col,
+                             y_col=y_col, id_col=id_col)
+        return (
+            p.groupBy(F.expr(
+                f"(_d2 * {nbins}) div {r2}").cast("long").alias("bin"))
+            .agg((F.count("*") * 2).alias(name))
+        )
+
+    def cross_counts(a, b, name):
         pairs = zone_crossmatch(
             a, b, radius=radius, x_col=x_col, y_col=y_col, id_col=id_col)
-        if self_pairs:
-            pairs = pairs.where(F.col("id_a") != F.col("id_b"))
         return (
             pairs.where(F.col("dist_sq") < r2)
             .groupBy(F.expr(
@@ -343,9 +417,9 @@ def two_point_correlation(
             .agg(F.count("*").alias(name))
         )
 
-    dd = counts(data, data, "dd", True)
-    dr = counts(data, randoms, "dr", False)
-    rr = counts(randoms, randoms, "rr", True)
+    dd = self_counts(data, "dd")
+    dr = cross_counts(data, randoms, "dr")
+    rr = self_counts(randoms, "rr")
     nd = data.count()
     nr = randoms.count()
     bins = data.sparkSession.range(nbins).select(
@@ -471,11 +545,14 @@ def two_point_correlation_jackknife(
     sigma (NULL where any leave-out RR empties).
 
     Scale shape: the SAME zones-blocked pair streams as the plain
-    estimator, but the per-bin close keeps the (region_a, region_b)
-    pair label — a ≤ nbins·K² table, NOT pair volume. Leave-one-out
-    counts come from exploding k over that tiny table (map-side), and
-    the K normalizations from one |K|-row per-region count broadcast.
-    Pair volume is touched exactly once per DD/DR/RR."""
+    estimator (DD/RR through the half-plane :func:`_self_pairs_once`,
+    ×2-weighted — the leave-out keep condition is symmetric in
+    (ra, rb), so unordered labels sum identically), but the per-bin
+    close keeps the (region_a, region_b) pair label — a ≤ nbins·K²
+    table, NOT pair volume. Leave-one-out counts come from exploding
+    k over that tiny table (map-side), and the K normalizations from
+    one |K|-row per-region count broadcast. Pair volume is touched
+    exactly once per DD/DR/RR."""
     if nbins < 1 or n_regions < 2:
         raise ValueError(
             f"nbins >= 1 and n_regions >= 2 required, got nbins="
@@ -487,7 +564,7 @@ def two_point_correlation_jackknife(
             f"(({name}) - pmod(({name}), {radius})) div {radius}"
         ).cast("long")
 
-    def pairs(ca, cb, self_pairs):
+    def cross_pairs(ca, cb):
         a = ca.select(
             F.col(id_col).alias("id_a"), F.col(x_col).alias("_xa"),
             F.col(y_col).alias("_ya"),
@@ -507,19 +584,27 @@ def two_point_correlation_jackknife(
               + (F.col("_ya") - F.col("_yb"))
               * (F.col("_ya") - F.col("_yb")))
         p = a.join(b, ["_cx", "_cy"]).where(d2 < F.lit(r2))
-        if self_pairs:
-            p = p.where(F.col("id_a") != F.col("id_b"))
         return p.select((d2 * nbins).alias("_dn"), "ra", "rb")
 
-    def binned(p, name):
+    def binned(p, name, weight):
+        # weight 2 recovers the ordered-pair convention from the
+        # unordered half-plane stream; the downstream leave-out keep
+        # ((ra != k) & (rb != k)) is label-symmetric, so unordered
+        # (ra, rb) rows sum to the same leave-out totals
         return (p.groupBy(
                     F.expr(f"_dn div {r2}").cast("long").alias("bin"),
                     "ra", "rb")
-                .agg(F.count("*").alias(name)))
+                .agg((F.count("*") * weight).alias(name)))
 
-    dd = binned(pairs(data, data, True), "c")
-    dr = binned(pairs(data, randoms, False), "c")
-    rr = binned(pairs(randoms, randoms, True), "c")
+    def self_pairs(cat):
+        return _self_pairs_once(
+            cat, radius=radius, x_col=x_col, y_col=y_col,
+            id_col=id_col, label_col=region_col,
+        ).select((F.col("_d2") * nbins).alias("_dn"), "ra", "rb")
+
+    dd = binned(self_pairs(data), "c", 2)
+    dr = binned(cross_pairs(data, randoms), "c", 1)
+    rr = binned(self_pairs(randoms), "c", 2)
 
     # per-region object counts (K rows each)
     def rc(df_):
