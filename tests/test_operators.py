@@ -1746,6 +1746,52 @@ def test_zone_crossmatch_random_catalogs_property(spark):
             trial, radius)
 
 
+def test_two_point_correlation_random_catalogs_property(spark):
+    """r7 property (half-plane self-pair rewrite): per-bin dd/dr/rr ==
+    brute force on seeded random catalogs — duplicate coordinates
+    (dist-0 pairs, where the same-cell id-dedup does the work),
+    negative coords, and dense cells stress the exactly-once claim of
+    the 5-offset half-plane in ways the fixed-grid test cannot."""
+    import random
+
+    from spark_fits_spark.operators import relational
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        radius = rng.choice([2, 5, 9])
+        nbins = rng.choice([1, 3, 5])
+        span = radius * rng.randint(2, 5)
+        # coarse coordinate grid => plenty of exact-duplicate points
+        grid = max(1, radius // 2)
+        mk = lambda n, base: [
+            (base + i, rng.randrange(-span, span + 1, grid),
+             rng.randrange(-span, span + 1, grid)) for i in range(n)]
+        d_rows, r_rows = mk(30, 0), mk(45, 1000)
+        d = spark.createDataFrame(d_rows, "id long, x long, y long")
+        r = spark.createDataFrame(r_rows, "id long, x long, y long")
+        got = {row["bin"]: row for row in relational.two_point_correlation(
+            d, r, radius=radius, nbins=nbins).collect()}
+
+        def brute(pa, pb, self_pairs):
+            c = {b: 0 for b in range(nbins)}
+            for ia, xa, ya in pa:
+                for ib, xb, yb in pb:
+                    if self_pairs and ia == ib:
+                        continue
+                    d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                    if d2 < radius * radius:
+                        c[d2 * nbins // (radius * radius)] += 1
+            return c
+
+        dd, dr, rr = (brute(d_rows, d_rows, True),
+                      brute(d_rows, r_rows, False),
+                      brute(r_rows, r_rows, True))
+        assert sorted(got) == list(range(nbins))
+        for b in range(nbins):
+            assert (got[b]["dd"], got[b]["dr"], got[b]["rr"]) == \
+                (dd[b], dr[b], rr[b]), (trial, radius, nbins, b)
+
+
 def test_two_point_correlation(spark):
     """Landy-Szalay pair counts == brute force (ordered pairs,
     self-excluded, strict outer edge, integer dist_sq binning), empty
