@@ -1902,6 +1902,44 @@ def test_tracklet_linking(spark):
         relational.tracklet_pairs(df, dt=1, radius=0)
 
 
+def test_tracklet_pairs_random_detections_property(spark):
+    """r7 property: epoch-keyed zones pairing == brute force on seeded
+    random detections with NEGATIVE coordinates (cell-floor path),
+    random dt/radius, dense clutter, and multi-epoch coverage; chains
+    checked against a brute-force middle-join on the same draws."""
+    import random
+
+    from spark_fits_spark.operators import relational
+
+    rng = random.Random(20260819)
+    for trial in range(4):
+        radius = rng.choice([2, 5, 11])
+        dt = rng.choice([1, 3])
+        span = radius * 4
+        dets = [(i, rng.randint(0, 6),
+                 rng.randint(-span, span), rng.randint(-span, span))
+                for i in range(70)]
+        df = spark.createDataFrame(dets, "det_id long, t long, x long, y long")
+        pairs = relational.tracklet_pairs(df, dt=dt, radius=radius)
+        got = sorted(tuple(r) for r in pairs.collect())
+        want = sorted(
+            (ia, ib, ta, xb - xa, yb - ya)
+            for ia, ta, xa, ya in dets for ib, tb, xb, yb in dets
+            if tb == ta + dt
+            and (xb - xa) ** 2 + (yb - ya) ** 2 <= radius * radius)
+        assert got == want, (trial, radius, dt)
+
+        chains = sorted(tuple(r) for r in
+                        relational.link_chains(pairs, dt=dt).collect())
+        want_chains = sorted(
+            (i0, i1, i2, t0, dx, dy)
+            for i0, i1, t0, dx, dy in want
+            for j1, i2, t1, dx2, dy2 in want
+            if j1 == i1 and t1 == t0 + dt and (dx, dy) == (dx2, dy2)
+            and (dx, dy) != (0, 0))
+        assert chains == want_chains, (trial, radius, dt)
+
+
 def test_two_point_correlation_jackknife(spark):
     """Full-sample xi and per-bin jackknife sigma == brute-force
     delete-one-region replay; leave-out with an empty RR yields NULL
