@@ -310,59 +310,92 @@ def best_match_crossmatch(
 _SELF_HALF_PLANE = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
 
 
-def _self_pairs_once(
-    cat: DataFrame,
+def _ls_pair_bins(
+    data: DataFrame,
+    randoms: DataFrame,
     *,
     radius: int,
+    nbins: int,
     x_col: str,
     y_col: str,
     id_col: str,
-    label_col: str | None = None,
+    region_col: str | None = None,
 ) -> DataFrame:
-    """UNORDERED same-catalog pair stream under the Zones blocking:
-    every pair ``p ≠ q`` with ``dist² < radius²`` appears EXACTLY once
-    (see :data:`_SELF_HALF_PLANE`). Returns ``_d2`` (+ ``ra``/``rb``
-    labels when ``label_col`` is given); callers weight aggregates ×2
-    to recover the ordered-pair convention. Same scale shape as
-    :func:`zone_crossmatch` — cell equi-join, explicit
-    :func:`_pair_spread` on the exploded side — at 5/9 the exploded
-    volume and half the join output."""
+    """Fused Landy–Szalay pair-count kernel: the DD, DR and RR pair
+    streams run as ONE stream-tagged plan — one explicit-N spread
+    exchange, one cell equi-join on ``(stream, cell)``, one
+    map-combined aggregation — instead of three stage-parallel
+    spread/join/agg pipelines. Shuffle VOLUME equals the three
+    separate streams; the fusion removes 2/3 of the exchanges and
+    stage barriers (the dominant cost of the estimator's many short
+    stages at bench scale, and strictly better slot utilization at
+    any scale).
+
+    DD/RR probe the canonical half-plane (:data:`_SELF_HALF_PLANE`:
+    each unordered pair meets the join exactly once — same-cell pairs
+    dedup by ``id_a < id_b``, opposite-sign offsets are disjoint) and
+    count ×2 to the ordered-pair convention the ``n(n−1)``
+    normalizations expect; DR probes the full 3×3 (each
+    (data, random) pair once). Pairs at exactly ``radius`` are
+    excluded (strict ``d² < r²``). Returns one row per non-empty
+    ``(bin[, ra, rb])``: ``(bin[, ra, rb], dd, dr, rr)`` — with
+    ``region_col``, the (ra, rb) labels are UNORDERED for DD/RR,
+    which sums identically under any label-symmetric downstream use
+    (the jackknife's leave-out keep)."""
     r2 = radius * radius
+    full_3x3 = [(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)]
 
     def cell(name):
         return F.expr(
             f"(({name}) - pmod(({name}), {radius})) div {radius}"
         ).cast("long")
 
-    a_cols = [F.col(id_col).alias("id_a"),
-              F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya")]
-    b_cols = [F.col(id_col).alias("id_b"),
-              F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
-              cell(x_col).alias("_cx"), cell(y_col).alias("_cy")]
-    if label_col is not None:
-        a_cols.append(F.col(label_col).cast("long").alias("ra"))
-        b_cols.append(F.col(label_col).cast("long").alias("rb"))
-    a = (cat.select(*a_cols)
-         .withColumn("_o", F.explode(F.array(*[
-             F.struct(F.lit(ox).alias("x"), F.lit(oy).alias("y"))
-             for ox, oy in _SELF_HALF_PLANE])))
-         .withColumn("_cx", cell("_xa") + F.col("_o.x"))
-         .withColumn("_cy", cell("_ya") + F.col("_o.y"))
-         .withColumn("_z", (F.col("_o.x") == 0) & (F.col("_o.y") == 0))
-         .drop("_o"))
-    a = _pair_spread(a, "_cx", "_cy")
-    b = cat.select(*b_cols)
+    def a_side(cat, tag, offsets):
+        cols = [F.lit(tag).alias("_s"), F.col(id_col).alias("id_a"),
+                F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya")]
+        if region_col is not None:
+            cols.append(F.col(region_col).cast("long").alias("ra"))
+        df = (cat.select(*cols)
+              .withColumn("_o", F.explode(F.array(*[
+                  F.struct(F.lit(ox).alias("x"), F.lit(oy).alias("y"))
+                  for ox, oy in offsets]))))
+        # _z marks same-cell probes of a SELF stream (the only rows
+        # that could meet from both sides — deduped by id_a < id_b in
+        # the residual); DR rows are never deduped
+        return (df.withColumn("_cx", cell("_xa") + F.col("_o.x"))
+                .withColumn("_cy", cell("_ya") + F.col("_o.y"))
+                .withColumn("_z", F.lit(tag != 1)
+                            & (F.col("_o.x") == 0) & (F.col("_o.y") == 0))
+                .drop("_o"))
+
+    def b_side(cat, tag):
+        cols = [F.lit(tag).alias("_s"), F.col(id_col).alias("id_b"),
+                F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"),
+                cell(x_col).alias("_cx"), cell(y_col).alias("_cy")]
+        if region_col is not None:
+            cols.append(F.col(region_col).cast("long").alias("rb"))
+        return cat.select(*cols)
+
+    a = (a_side(data, 0, _SELF_HALF_PLANE)
+         .unionByName(a_side(data, 1, full_3x3))
+         .unionByName(a_side(randoms, 2, _SELF_HALF_PLANE)))
+    a = _pair_spread(a, "_s", "_cx", "_cy")
+    b = (b_side(data, 0)
+         .unionByName(b_side(randoms, 1))
+         .unionByName(b_side(randoms, 2)))
     d2 = ((F.col("_xa") - F.col("_xb")) * (F.col("_xa") - F.col("_xb"))
           + (F.col("_ya") - F.col("_yb")) * (F.col("_ya") - F.col("_yb")))
-    # zero-offset (same cell) pairs would meet from both sides: keep
-    # id_a < id_b, which also removes self-pairs. Non-zero offsets meet
-    # once by construction (and p ≠ q since cells differ).
     keep = F.when(F.col("_z"), F.col("id_a") < F.col("id_b")) \
             .otherwise(F.lit(True))
-    labels = ["ra", "rb"] if label_col is not None else []
-    return (a.join(b, ["_cx", "_cy"])
-            .where(keep & (d2 < F.lit(r2)))
-            .select(d2.alias("_d2"), *labels))
+    labels = ["ra", "rb"] if region_col is not None else []
+    tagged = (a.join(b, ["_s", "_cx", "_cy"])
+              .where(keep & (d2 < F.lit(r2)))
+              .select("_s", d2.alias("_d2"), *labels))
+    bin_col = F.expr(f"(_d2 * {nbins}) div {r2}").cast("long").alias("bin")
+    return tagged.groupBy(bin_col, *labels).agg(
+        (F.count(F.when(F.col("_s") == 0, 1)) * 2).alias("dd"),
+        F.count(F.when(F.col("_s") == 1, 1)).alias("dr"),
+        (F.count(F.when(F.col("_s") == 2, 1)) * 2).alias("rr"))
 
 
 def two_point_correlation(
@@ -381,53 +414,31 @@ def two_point_correlation(
     measurement survey pipelines run over the whole sky. Returns one
     row per separation bin: ``(bin, dd, dr, rr, xi6)``.
 
-    Pair counting never goes all-pairs: DR is a
-    :func:`zone_crossmatch` (cell equi-join, O(n·density)); DD/RR use
-    the half-plane self-pair stream (:func:`_self_pairs_once` — each
-    unordered pair met exactly once, 5/9 the exploded volume) with the
-    per-bin count weighted ×2, which is value-identical to the ordered
-    convention the ``n(n−1)`` / ``nd·nr`` normalizations expect. Bins
-    are equal-width annuli in SQUARED separation (``bin = dist_sq ·
+    Pair counting never goes all-pairs — and never goes stage-parallel
+    ×3 either: DD/DR/RR run through the fused stream-tagged kernel
+    (:func:`_ls_pair_bins` — one spread exchange, one cell equi-join,
+    one aggregation; DD/RR via the half-plane, counted ×2, DR via the
+    full 3×3), which is value-identical to three ordered-pair streams
+    under the ``n(n−1)`` / ``nd·nr`` normalizations. Bins are
+    equal-width annuli in SQUARED separation (``bin = dist_sq ·
     nbins div radius²``, integer-exact in any engine); pairs at
     exactly ``radius`` are excluded so every bin is well-defined.
-    Per-bin counts are map-side-combined aggs of the blocked pair
-    streams; empty bins appear with zero counts (one generated
-    |nbins|-row frame, broadcast-joined); ``xi6`` is NULL where
-    ``rr = 0``."""
+    Per-bin counts are map-side-combined; empty bins appear with zero
+    counts (one generated |nbins|-row frame, broadcast-joined);
+    ``xi6`` is NULL where ``rr = 0``."""
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
-    r2 = radius * radius
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
 
-    def self_counts(cat, name):
-        p = _self_pairs_once(cat, radius=radius, x_col=x_col,
-                             y_col=y_col, id_col=id_col)
-        return (
-            p.groupBy(F.expr(
-                f"(_d2 * {nbins}) div {r2}").cast("long").alias("bin"))
-            .agg((F.count("*") * 2).alias(name))
-        )
-
-    def cross_counts(a, b, name):
-        pairs = zone_crossmatch(
-            a, b, radius=radius, x_col=x_col, y_col=y_col, id_col=id_col)
-        return (
-            pairs.where(F.col("dist_sq") < r2)
-            .groupBy(F.expr(
-                f"(dist_sq * {nbins}) div {r2}").cast("long").alias("bin"))
-            .agg(F.count("*").alias(name))
-        )
-
-    dd = self_counts(data, "dd")
-    dr = cross_counts(data, randoms, "dr")
-    rr = self_counts(randoms, "rr")
+    t = _ls_pair_bins(data, randoms, radius=radius, nbins=nbins,
+                      x_col=x_col, y_col=y_col, id_col=id_col)
     nd = data.count()
     nr = randoms.count()
     bins = data.sparkSession.range(nbins).select(
         F.col("id").alias("bin"))
     out = (
-        bins.join(dd, "bin", "left")
-        .join(dr, "bin", "left")
-        .join(rr, "bin", "left")
+        bins.join(t, "bin", "left")
         .select(
             "bin",
             F.coalesce("dd", F.lit(0)).alias("dd"),
@@ -544,67 +555,26 @@ def two_point_correlation_jackknife(
     xi6, xi_jk_sigma6)`` — ξ of the full sample plus its jackknife
     sigma (NULL where any leave-out RR empties).
 
-    Scale shape: the SAME zones-blocked pair streams as the plain
-    estimator (DD/RR through the half-plane :func:`_self_pairs_once`,
-    ×2-weighted — the leave-out keep condition is symmetric in
-    (ra, rb), so unordered labels sum identically), but the per-bin
-    close keeps the (region_a, region_b) pair label — a ≤ nbins·K²
-    table, NOT pair volume. Leave-one-out counts come from exploding
-    k over that tiny table (map-side), and the K normalizations from
-    one |K|-row per-region count broadcast. Pair volume is touched
-    exactly once per DD/DR/RR."""
+    Scale shape: ONE fused stream-tagged pair plan
+    (:func:`_ls_pair_bins` — one spread exchange, one cell equi-join,
+    one aggregation; DD/RR half-plane ×2-weighted, the leave-out keep
+    is (ra, rb)-symmetric so unordered labels sum identically) whose
+    per-bin close keeps the (region_a, region_b) pair label — a
+    ≤ nbins·K² table, NOT pair volume. Leave-one-out counts come from
+    exploding k over that tiny table (map-side, one aggregation for
+    all three streams), and the K normalizations from one |K|-row
+    per-region count broadcast. Pair volume is touched exactly once
+    per DD/DR/RR."""
     if nbins < 1 or n_regions < 2:
         raise ValueError(
             f"nbins >= 1 and n_regions >= 2 required, got nbins="
             f"{nbins}, n_regions={n_regions}")
-    r2 = radius * radius
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
 
-    def cell(name):
-        return F.expr(
-            f"(({name}) - pmod(({name}), {radius})) div {radius}"
-        ).cast("long")
-
-    def cross_pairs(ca, cb):
-        a = ca.select(
-            F.col(id_col).alias("id_a"), F.col(x_col).alias("_xa"),
-            F.col(y_col).alias("_ya"),
-            F.col(region_col).cast("long").alias("ra"))
-        a = (a.withColumn("_cx", F.explode(F.array(
-                *[cell("_xa") + d for d in (-1, 0, 1)])))
-             .withColumn("_cy", F.explode(F.array(
-                *[cell("_ya") + d for d in (-1, 0, 1)]))))
-        a = _pair_spread(a, "_cx", "_cy")
-        b = cb.select(
-            F.col(id_col).alias("id_b"), F.col(x_col).alias("_xb"),
-            F.col(y_col).alias("_yb"),
-            F.col(region_col).cast("long").alias("rb"),
-            cell(x_col).alias("_cx"), cell(y_col).alias("_cy"))
-        d2 = ((F.col("_xa") - F.col("_xb"))
-              * (F.col("_xa") - F.col("_xb"))
-              + (F.col("_ya") - F.col("_yb"))
-              * (F.col("_ya") - F.col("_yb")))
-        p = a.join(b, ["_cx", "_cy"]).where(d2 < F.lit(r2))
-        return p.select((d2 * nbins).alias("_dn"), "ra", "rb")
-
-    def binned(p, name, weight):
-        # weight 2 recovers the ordered-pair convention from the
-        # unordered half-plane stream; the downstream leave-out keep
-        # ((ra != k) & (rb != k)) is label-symmetric, so unordered
-        # (ra, rb) rows sum to the same leave-out totals
-        return (p.groupBy(
-                    F.expr(f"_dn div {r2}").cast("long").alias("bin"),
-                    "ra", "rb")
-                .agg((F.count("*") * weight).alias(name)))
-
-    def self_pairs(cat):
-        return _self_pairs_once(
-            cat, radius=radius, x_col=x_col, y_col=y_col,
-            id_col=id_col, label_col=region_col,
-        ).select((F.col("_d2") * nbins).alias("_dn"), "ra", "rb")
-
-    dd = binned(self_pairs(data), "c", 2)
-    dr = binned(cross_pairs(data, randoms), "c", 1)
-    rr = binned(self_pairs(randoms), "c", 2)
+    t = _ls_pair_bins(data, randoms, radius=radius, nbins=nbins,
+                      x_col=x_col, y_col=y_col, id_col=id_col,
+                      region_col=region_col)
 
     # per-region object counts (K rows each)
     def rc(df_):
@@ -625,19 +595,20 @@ def two_point_correlation_jackknife(
     kcol = F.explode(F.array(
         *[F.lit(k) for k in [-1] + ks])).alias("k")
 
-    def leaveout(tbl, name):
-        t = tbl.select("bin", "ra", "rb", "c", kcol)
-        keep = (F.col("k") == -1) | (
-            (F.col("ra") != F.col("k")) & (F.col("rb") != F.col("k")))
-        return (t.where(keep).groupBy("bin", "k")
-                .agg(F.sum("c").alias(name)))
+    # ONE leave-out aggregation for all three streams: explode k over
+    # the tiny (bin, ra, rb, dd, dr, rr) table, keep label-disjoint
+    # rows, sum the three counts together
+    lo = t.select("bin", "ra", "rb", "dd", "dr", "rr", kcol)
+    keep = (F.col("k") == -1) | (
+        (F.col("ra") != F.col("k")) & (F.col("rb") != F.col("k")))
+    lo = (lo.where(keep).groupBy("bin", "k")
+          .agg(F.sum("dd").alias("dd"), F.sum("dr").alias("dr"),
+               F.sum("rr").alias("rr")))
 
     bins = data.sparkSession.range(nbins).select(
         F.col("id").alias("bin"))
     kframe = bins.select("bin", kcol)
-    j = (kframe.join(leaveout(dd, "dd"), ["bin", "k"], "left")
-         .join(leaveout(dr, "dr"), ["bin", "k"], "left")
-         .join(leaveout(rr, "rr"), ["bin", "k"], "left")
+    j = (kframe.join(lo, ["bin", "k"], "left")
          .select("bin", "k",
                  F.coalesce("dd", F.lit(0)).alias("dd"),
                  F.coalesce("dr", F.lit(0)).alias("dr"),

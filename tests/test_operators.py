@@ -1746,25 +1746,33 @@ def test_zone_crossmatch_random_catalogs_property(spark):
             trial, radius)
 
 
-def test_self_pair_stream_plan_is_spread_equi_join(spark):
-    """The half-plane self-pair stream keeps the two zone_crossmatch
-    plan properties: cell EQUI-join (no cartesian/nested-loop) and an
-    explicit-N repartition of the exploded side that AQE cannot
-    coalesce away (the q152 single-task root cause)."""
+def test_ls_pair_kernel_plan_is_spread_equi_join(spark):
+    """The fused Landy-Szalay pair kernel keeps the zone_crossmatch
+    plan properties: ONE (stream, cell) EQUI-join (no cartesian/
+    nested-loop) and an explicit-N repartition of the exploded side
+    that AQE cannot coalesce away (the q152 single-task root cause)."""
     from spark_fits_spark.operators import relational
 
     cat = spark.range(3000).selectExpr(
         "id", "CAST(pmod(id * 37, 4096) AS LONG) AS x",
         "CAST(pmod(id * 91, 4096) AS LONG) AS y",
         "CAST(pmod(id, 4) AS LONG) AS region")
-    for kw in ({}, {"label_col": "region"}):
-        plan = relational._self_pairs_once(
-            cat, radius=64, x_col="x", y_col="y", id_col="id", **kw
+    rnd = spark.range(2000).selectExpr(
+        "id + 100000 AS id", "CAST(pmod(id * 53, 4096) AS LONG) AS x",
+        "CAST(pmod(id * 17, 4096) AS LONG) AS y",
+        "CAST(pmod(id, 4) AS LONG) AS region")
+    for kw in ({}, {"region_col": "region"}):
+        plan = relational._ls_pair_bins(
+            cat, rnd, radius=64, nbins=4,
+            x_col="x", y_col="y", id_col="id", **kw
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "_cx" in plan
         assert "REPARTITION_BY_NUM" in plan, plan
+        # ONE pair join and ONE spread exchange: the fusion's point is
+        # collapsing the 3 stage-parallel DD/DR/RR pipelines
+        assert plan.count("REPARTITION_BY_NUM") == 1, plan
 
 
 def test_two_point_correlation_random_catalogs_property(spark):
