@@ -220,6 +220,7 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
     (e.g. a :func:`difference_image` output) instead of the raw scan —
     the only raw-scan dependency is :func:`with_plane_rows`' ordering
     contract; the background stats are ordering-free."""
+    from spark_fits_spark.caching import release_after, tracked_persist
     from spark_fits_spark.operators.dedup import connected_components
 
     rows = df if prepared else with_plane_rows(df)
@@ -231,45 +232,55 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
         # corner of the field or bury sources in the other.
         mesh = background_mesh(rows, local_background_cell)
         rows = subtract_background(rows, mesh, local_background_cell)
-        stats_src = rows
-    else:
-        stats_src = df
-    stats = sigma_clipped_plane_stats(stats_src, sigma=sigma, iters=iters)
-    thr = stats.select(
-        "ImgIndex",
-        (F.col("bg_median")
-         + threshold_sigma * F.col("bg_std")).alias("_thr"))
-    flat = rows.select(
-        "ImgIndex", "y", F.posexplode("Image").alias("x", "_px"))
-    # packed-id precondition: y, x < 2^20 − 1 (the stride comment above
-    # is a contract, not a hope — an oversized axis would alias
-    # unrelated pixels into one component). Guarded IN the projection
-    # (raise_error fires while a bright row is built, before any
-    # aliased id can reach the component graph) over the BRIGHT set
-    # only — a per-row branch in codegen instead of the r5–r7 extra
-    # max-aggregation pass over the persisted frame.
-    lim = (1 << _YX_BITS) - 1
-    packed = ((F.col("ImgIndex").cast("long") * (1 << _YX_BITS)
-               + F.col("y")) * (1 << _YX_BITS) + F.col("x"))
-    guarded_id = F.when(
-        (F.col("y") >= lim) | (F.col("x") >= lim),
-        F.raise_error(F.concat(
-            F.lit(f"detect_sources supports images with y, x < {lim} "
-                  "(got y="),
-            F.col("y").cast("string"), F.lit(", x="),
-            F.col("x").cast("string"),
-            F.lit("); re-tile or split the axis"))).cast("long")
-    ).otherwise(packed)
-    bright = (
-        flat.join(F.broadcast(thr), "ImgIndex")
-        .where(F.col("_px").cast("double") > F.col("_thr"))
-        .select(
-            "ImgIndex", "y", "x", F.col("_px").cast("double").alias("px"),
-            guarded_id.alias("_id"))
-    )
-    from spark_fits_spark.caching import release_after, tracked_persist
-
     with release_after():
+        if prepared or local_background_cell is not None:
+            # prepared / local-background inputs are typically COMPOSED
+            # pipelines (difference imaging, mesh subtraction): the
+            # stats rounds (iters of them) and the bright build would
+            # each re-evaluate the whole upstream — cache it for the
+            # duration of the detection (released with the scope;
+            # MEMORY_AND_DISK spills past memory at cube scale, vs
+            # 1+iters upstream recomputes). The raw-scan path keeps
+            # recompute: its upstream is a plain source scan.
+            rows = tracked_persist(rows)
+            stats_src = rows
+        else:
+            stats_src = df
+        stats = sigma_clipped_plane_stats(stats_src, sigma=sigma,
+                                          iters=iters)
+        thr = stats.select(
+            "ImgIndex",
+            (F.col("bg_median")
+             + threshold_sigma * F.col("bg_std")).alias("_thr"))
+        flat = rows.select(
+            "ImgIndex", "y", F.posexplode("Image").alias("x", "_px"))
+        # packed-id precondition: y, x < 2^20 − 1 (the stride comment
+        # above is a contract, not a hope — an oversized axis would
+        # alias unrelated pixels into one component). Guarded IN the
+        # projection (raise_error fires while a bright row is built,
+        # before any aliased id can reach the component graph) over the
+        # BRIGHT set only — a per-row branch in codegen instead of the
+        # r5–r7 extra max-aggregation pass over the persisted frame.
+        lim = (1 << _YX_BITS) - 1
+        packed = ((F.col("ImgIndex").cast("long") * (1 << _YX_BITS)
+                   + F.col("y")) * (1 << _YX_BITS) + F.col("x"))
+        guarded_id = F.when(
+            (F.col("y") >= lim) | (F.col("x") >= lim),
+            F.raise_error(F.concat(
+                F.lit(f"detect_sources supports images with y, x < {lim} "
+                      "(got y="),
+                F.col("y").cast("string"), F.lit(", x="),
+                F.col("x").cast("string"),
+                F.lit("); re-tile or split the axis"))).cast("long")
+        ).otherwise(packed)
+        bright = (
+            flat.join(F.broadcast(thr), "ImgIndex")
+            .where(F.col("_px").cast("double") > F.col("_thr"))
+            .select(
+                "ImgIndex", "y", "x",
+                F.col("_px").cast("double").alias("px"),
+                guarded_id.alias("_id"))
+        )
         bright = tracked_persist(bright)
         offsets = [(0, 1), (1, 0)]
         if connectivity == 8:
@@ -325,7 +336,7 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
             .agg(*aggs)
             .where(F.col("n_px") >= min_npix)
         )
-        # materialize before the scope releases the bright-pixel cache
+        # materialize before the scope releases the caches
         out = out.localCheckpoint(eager=True)
     return out
 
