@@ -6888,54 +6888,57 @@ def q156_coadd_variance_map(spark, sf):
 # tests/test_entry.py::test_driver_gate_invariants computes the cadence
 # from len(QUERIES) and pins that COVERAGE.md documents the same number.
 #
-# Round 7 (per r6 VERDICT #1) front-loads the 4 never-driver-verified
-# composition queries that slipped the r6 gate — q106_survey_pipeline,
-# q119_mosaic_stack, q145_transient_light_curve,
-# q150_image_pipeline_end_to_end — then rotates back the stalest block:
-# the 50 queries whose last green driver row is r04 (q01-q53 families
-# plus q80/q86/q93-q97), in suite order. 54 candidates for 50 slots, so
-# 4 slip to r8 — chosen (as in r5/r6) to be the PUREST COMPOSITIONS,
-# i.e. queries whose operator surface is a composition of components
-# that each take a FRESH r7 driver row:
-#   - q21_dedup_normalized = exact dedup (q20, gated r7) over the
-#                            scrub/normalize functions (q53, gated r7)
-#   - q24_dedup_simhash    = simhash64 + Hamming-ball collapse; the
-#                            identical simhash/Hamming core is gated
-#                            r7 via q95_simhash_hamming_pairs
-#   - q29_text_quality     = weighted blend of the q27_text_stats and
-#                            q28_text_langid signal columns (both
-#                            gated r7)
-#   - q40_cube             = CUBE = the all-subsets GROUPING SETS
-#                            composition; the grouping-sets operator
-#                            is gated r7 via q33_grouping_sets
+# Round 8 (per r7 VERDICT #1) front-loads the 4 documented r7 slips —
+# q21_dedup_normalized, q24_dedup_simhash, q29_text_quality, q40_cube
+# (last green r04, components each gated fresh in r7) — then rotates
+# back the stalest block: the 50 queries whose last green driver row is
+# r05 (q25–q105 LLM-pipeline families), in suite order. 54 candidates
+# for 50 slots, so 4 slip to r9 — chosen (as in r5/r6/r7) to be the
+# PUREST COMPOSITIONS, i.e. queries whose operator surface is a
+# composition of components that each take a FRESH r7/r8 driver row:
+#   - q51_dedup_corpus     = q22's minhash_lsh_pairs (gated r7) →
+#                            connected_components (q48, gated r8) →
+#                            representatives anti-join
+#   - q71_corpus_report    = one hash-agg over the q27_text_stats /
+#                            q29_text_quality signal columns (q27
+#                            gated r7, q29 gated r8)
+#   - q78_incremental_dedup= hash_bucket split (q55, gated r8) +
+#                            normalized-fingerprint anti-join — the
+#                            same dedup_against core as
+#                            q21_dedup_normalized (gated r8)
+#   - q88_ivfpq_recall     = pq_fit/encode (q85, gated r8) + IVF probe
+#                            (q50, gated r7) + exact-cosine recall
+#                            harness (q26 gated r7, q81 gated r6)
 # All four stay green in the local type-sensitive mirror
 # (tests/test_entry.py runs every query against DuckDB each round) and
-# lead the r8 gate. Queries last green in r05/r06 (q76 r05, the q107+
-# block r06) stay within the 5-round cadence without a r7 row.
+# lead the r9 gate. Queries last green in r06/r07 stay within the
+# 5-round cadence without a r8 row.
 _DRIVER_PRIORITY = [
-    # the four r6 slips, first rows as promised in the r6 docs
-    "q106_survey_pipeline", "q119_mosaic_stack",
-    "q145_transient_light_curve", "q150_image_pipeline_end_to_end",
-    # stalest block: last green r04, suite order, minus the 4
-    # documented r8 slips (q21, q24, q29, q40 — see above)
-    "q01_pricing_summary", "q02_filter_project",
-    "q03_top_building_orders", "q05_supplier_nation_revenue",
-    "q07_region_rollup", "q08_window_running",
-    "q09_window_events_lag", "q10_distinct_agg", "q11_set_ops",
-    "q12_semi_anti", "q13_scalar_functions", "q14_date_functions",
-    "q15_topk_orders", "q16_global_stats", "q17_events_hourly",
-    "q18_events_json", "q19_sessionize", "q20_dedup_exact",
-    "q22_dedup_minhash_lsh", "q23_dedup_ngram_jaccard",
-    "q26_ann_cosine_topk", "q27_text_stats", "q28_text_langid",
-    "q30_multimodal_meta", "q32_pivot_segments", "q33_grouping_sets",
-    "q34_outer_joins", "q37_percentiles", "q38_stats_moments",
-    "q39_explode_tokens", "q41_above_cust_avg", "q43_collect_sorted",
-    "q44_ranking_windows", "q46_approx_stats",
-    "q47_winnow_fingerprints", "q49_fits_scan_roundtrip",
-    "q50_ann_ivf_topk", "q52_text_repetition", "q53_text_scrub",
-    "q80_fits_pruned_scan", "q86_bpe_apply", "q93_stream_shard_sink",
-    "q94_quality_classifier", "q95_simhash_hamming_pairs",
-    "q96_weighted_sample", "q97_heavy_hitters",
+    # the four r7 slips, first rows as promised in the r7 docs
+    "q21_dedup_normalized", "q24_dedup_simhash",
+    "q29_text_quality", "q40_cube",
+    # stalest block: last green r05, suite order, minus the 4
+    # documented r9 slips (q51, q71, q78, q88 — see above)
+    "q25_embedding_near_dup", "q31_ann_lsh_topk", "q35_asof_join",
+    "q36_range_join_pairs", "q42_grouped_zscore",
+    "q45_salted_join_agg", "q48_dedup_clusters",
+    "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
+    "q57_line_dedup", "q58_kmeans_assign", "q59_quantize_error",
+    "q60_unigram_logprob", "q61_bm25_topk", "q62_token_budget_mix",
+    "q64_decontaminate", "q65_semdedup", "q66_shuffle_shards",
+    "q67_boilerplate_ngrams", "q68_multimodal_features",
+    "q69_bpe_segment", "q70_chunk_windows", "q72_fixed_n_sample",
+    "q73_temperature_mix", "q74_fits_image_roundtrip",
+    "q75_dsir_weights", "q76_shard_manifest", "q77_gopher_filter",
+    "q79_exact_substring_dedup", "q82_pmi_collocations",
+    "q83_kmv_source_overlap", "q85_pq_encode",
+    "q87_minhash_estimator_error", "q89_quality_top_fraction",
+    "q90_hard_negatives", "q91_lm_fluency_gate",
+    "q92_source_kl_drift", "q98_rag_chunk_retrieval",
+    "q99_cluster_balanced_sample", "q100_bloom_decontaminate",
+    "q101_fits_compressed_roundtrip", "q102_zone_crossmatch",
+    "q103_bigram_logprob", "q104_fits_zonemap_scan",
+    "q105_late_supplier_blame",
 ]
 
 
