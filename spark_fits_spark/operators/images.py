@@ -241,8 +241,13 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
             # duration of the detection (released with the scope;
             # MEMORY_AND_DISK spills past memory at cube scale, vs
             # 1+iters upstream recomputes). The raw-scan path keeps
-            # recompute: its upstream is a plain source scan.
-            rows = tracked_persist(rows)
+            # recompute: its upstream is a plain source scan. A frame
+            # the CALLER already persisted is left alone — persisting
+            # it again would hand its cache block to this scope, whose
+            # exit would silently evict the caller's cache.
+            lvl = rows.storageLevel
+            if not (lvl.useMemory or lvl.useDisk):
+                rows = tracked_persist(rows)
             stats_src = rows
         else:
             stats_src = df

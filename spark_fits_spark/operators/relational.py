@@ -336,8 +336,13 @@ def _ls_pair_bins(
     dedup by ``id_a < id_b``, opposite-sign offsets are disjoint) and
     count ×2 to the ordered-pair convention the ``n(n−1)``
     normalizations expect; DR probes the full 3×3 (each
-    (data, random) pair once). Pairs at exactly ``radius`` are
-    excluded (strict ``d² < r²``). Returns one row per non-empty
+    (data, random) pair once). PRECONDITION: ``id_col`` is unique
+    within each catalog (as :func:`zone_crossmatch` assumes) — the
+    same-cell ``id_a < id_b`` dedup counts duplicate-id coincident
+    points as one point and keeps exactly one of each equal-id
+    cross-cell pair, so duplicate ids silently under-count. Pairs at
+    exactly ``radius`` are excluded (strict ``d² < r²``). Returns one
+    row per non-empty
     ``(bin[, ra, rb])``: ``(bin[, ra, rb], dd, dr, rr)`` — with
     ``region_col``, the (ra, rb) labels are UNORDERED for DD/RR,
     which sums identically under any label-symmetric downstream use
@@ -425,7 +430,8 @@ def two_point_correlation(
     exactly ``radius`` are excluded so every bin is well-defined.
     Per-bin counts are map-side-combined; empty bins appear with zero
     counts (one generated |nbins|-row frame, broadcast-joined);
-    ``xi6`` is NULL where ``rr = 0``."""
+    ``xi6`` is NULL where ``rr = 0``. ``id_col`` must be unique within
+    each catalog (see :func:`_ls_pair_bins`'s same-cell dedup)."""
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
     if radius < 1:
@@ -564,7 +570,8 @@ def two_point_correlation_jackknife(
     exploding k over that tiny table (map-side, one aggregation for
     all three streams), and the K normalizations from one |K|-row
     per-region count broadcast. Pair volume is touched exactly once
-    per DD/DR/RR."""
+    per DD/DR/RR. ``id_col`` must be unique within each catalog (see
+    :func:`_ls_pair_bins`'s same-cell dedup)."""
     if nbins < 1 or n_regions < 2:
         raise ValueError(
             f"nbins >= 1 and n_regions >= 2 required, got nbins="

@@ -1761,18 +1761,29 @@ def test_ls_pair_kernel_plan_is_spread_equi_join(spark):
         "id + 100000 AS id", "CAST(pmod(id * 53, 4096) AS LONG) AS x",
         "CAST(pmod(id * 17, 4096) AS LONG) AS y",
         "CAST(pmod(id, 4) AS LONG) AS region")
+    import re
+
     for kw in ({}, {"region_col": "region"}):
-        plan = relational._ls_pair_bins(
+        qe = relational._ls_pair_bins(
             cat, rnd, radius=64, nbins=4,
             x_col="x", y_col="y", id_col="id", **kw
-        )._jdf.queryExecution().executedPlan().toString()
+        )._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "_cx" in plan
-        assert "REPARTITION_BY_NUM" in plan, plan
         # ONE pair join and ONE spread exchange: the fusion's point is
-        # collapsing the 3 stage-parallel DD/DR/RR pipelines
-        assert plan.count("REPARTITION_BY_NUM") == 1, plan
+        # collapsing the 3 stage-parallel DD/DR/RR pipelines. Counted
+        # on the OPTIMIZED LOGICAL plan's explicit-N repartition node
+        # (`RepartitionByExpression [...], <N>` — the trailing numeric
+        # literal is what AQE cannot coalesce) — stable across Spark
+        # versions, unlike the executed plan's shuffle-origin token
+        # names (r7 ADVICE: REPARTITION_BY_NUM is an AQE-internal
+        # spelling).
+        logical = qe.optimizedPlan().toString()
+        spreads = re.findall(
+            r"RepartitionByExpression \[[^\]]*\], \d+", logical)
+        assert len(spreads) == 1, logical
 
 
 def test_two_point_correlation_random_catalogs_property(spark):

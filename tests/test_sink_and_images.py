@@ -850,6 +850,32 @@ def test_detect_sources_rejects_oversized_axis(spark):
         detect_sources(df, prepared=True).collect()
 
 
+def test_detect_sources_keeps_caller_cache(spark):
+    """r7 ADVICE: detect_sources' scoped persist of a prepared input
+    must not adopt (and then evict, at scope exit) a cache block the
+    CALLER already owns — e.g. a difference_image output persisted for
+    reuse across several detect calls."""
+    from spark_fits_spark.operators.images import detect_sources
+
+    img = [[0.0] * 8 for _ in range(8)]
+    img[3][4] = 500.0
+    df = spark.createDataFrame(
+        [(0, y, img[y]) for y in range(8)],
+        "ImgIndex long, y long, Image array<double>").persist()
+    try:
+        df.count()
+        assert df.storageLevel.useMemory
+        got = detect_sources(df, prepared=True).collect()
+        assert len(got) == 1 and got[0]["peak"] == 500.0
+        # the caller's cache survives the operator's release_after scope
+        assert df.storageLevel.useMemory, df.storageLevel
+        jspark = spark._jsparkSession
+        assert jspark.sharedState().cacheManager().lookupCachedData(
+            df._jdf).isDefined()
+    finally:
+        df.unpersist()
+
+
 def test_detect_sources_local_background(spark):
     """A strong sky gradient: global thresholding either floods the
     bright corner or misses the faint source in it; local-background
