@@ -260,9 +260,23 @@ def minhash_lsh_pairs(
     bands: int = 2,
     threshold: float = 0.9,
     broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with
     exact Jaccard ≥ ``threshold``.
+
+    ``connectivity_only=True`` returns a CONNECTIVITY-EQUIVALENT edge
+    set instead of every doc pair: the verified representative pairs
+    plus one ``(rep, member, 1.0)`` star edge per non-representative
+    member of a non-empty identical-set group. Same schema, same node
+    set, and exactly the same connected components as the full pair
+    set (member—member and member—other-group edges route through the
+    two reps), but sized Σ|group| + |rep pairs| instead of the clique
+    expansion's Σ|group|² — the difference between O(docs) and
+    O(dup²) edges on dup-heavy corpora (sf0.1 documents: 871,888
+    pairs vs ~6k edges). Use it to feed
+    :func:`connected_components` (q48/q51); keep the default when the
+    pair LIST itself is the deliverable (q22).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Candidate
     generation is a self-join on (band index, band key) — the classic
@@ -434,6 +448,28 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+    if connectivity_only:
+        # star edges: one (rep, member) edge per non-rep member of a
+        # NON-EMPTY group (empty shingle sets never pair in the naive
+        # pipeline — same size guard as the intra branch below). Reps
+        # carry real doc ids, so the union with rep_pairs is a
+        # subgraph of the full pair set with identical components.
+        nonempty = sets_df.where(F.size("_hashes") > 0).select(
+            F.col("_id").alias("_rep"))
+        if n_docs * 48 <= broadcast_max_bytes:
+            nonempty = F.broadcast(nonempty)
+        star = (
+            membership.where(F.col("_id") != F.col("_rep"))
+            .join(nonempty, "_rep")
+            .select(F.col("_rep").alias("doc_a"),
+                    F.col("_id").alias("doc_b"),
+                    F.lit(1.0).alias("jaccard"))
+            .where(F.lit(1.0) >= threshold)
+        )
+        return rep_pairs.select(
+            F.col("_ra").alias("doc_a"), F.col("_rb").alias("doc_b"),
+            "jaccard").unionAll(star)
 
     # expand representative pairs back to doc pairs. membership is two
     # longs per doc — broadcast within the gate, shuffle join past it.

@@ -92,11 +92,14 @@ def curate_corpus(
         gated.drop(text_col).join(kept_text, id_col))
     stages.append(("line_dedup", line_ded))
 
-    # 4. near-dup dedup: LSH pairs → components → keep min-id reps
+    # 4. near-dup dedup: LSH pairs → components → keep min-id reps.
+    # connectivity_only: components only need the rep-pair + star
+    # subgraph (identical clusters, Σ|group| instead of Σ|group|²
+    # edges on dup-heavy corpora)
     pairs = dedup.minhash_lsh_pairs(
         line_ded, text_col, id_col,
         shingle_n=1, n_hashes=n_hashes, bands=bands,
-        threshold=minhash_threshold)
+        threshold=minhash_threshold, connectivity_only=True)
     clusters = dedup.connected_components(pairs)
     near_ded = _p(dedup.keep_representatives(line_ded, clusters, id_col))
     stages.append(("near_dedup", near_ded))

@@ -1209,10 +1209,14 @@ def q48_dedup_clusters(spark, sf):
     """Connected components over the verified near-dup pairs — the final
     dedup step (cluster_id = min doc id per component → its keeper).
     Iterative min-label propagation, one join+agg per round; the oracle
-    is the equivalent recursive-CTE fixpoint."""
+    is the equivalent recursive-CTE fixpoint. connectivity_only feeds
+    the components the rep-pair + star subgraph — identical clusters
+    (the oracle's fixpoint certifies it), Σ|group| instead of
+    Σ|group|² edges."""
     pairs = dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), "text", "doc_id",
-        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9)
+        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9,
+        connectivity_only=True)
     return dedup.connected_components(pairs)
 
 
@@ -1335,7 +1339,8 @@ def q51_dedup_corpus(spark, sf):
     docs = _t(spark, sf, "documents")
     pairs = dedup.minhash_lsh_pairs(
         docs, "text", "doc_id",
-        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9)
+        shingle_n=1, n_hashes=_MH_N, bands=_MH_B, threshold=0.9,
+        connectivity_only=True)
     clusters = dedup.connected_components(pairs)
     return dedup.keep_representatives(docs, clusters, "doc_id").select(
         "doc_id", "source", "lang", "n_chars")

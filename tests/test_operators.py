@@ -927,6 +927,43 @@ def test_minhash_optimizations_equal_naive_pipeline(spark):
     assert len(actual) >= 6 * 5 // 2 + 1  # dup group pairs + permutation pair
 
 
+def test_minhash_connectivity_only_same_components(spark):
+    """connectivity_only's rep-pair + star subgraph must yield EXACTLY
+    the connected_components of the full pair set (same node set, same
+    min-id cluster labels) while shedding the clique expansion — on a
+    corpus with a large exact-dup group, near-dup chains, permutation
+    dups, uniques, and empty docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(8)]                       # dup clique
+    rows += [(10 + i, base + f" extra{i}") for i in range(4)]  # near-dups
+    rows += [(20 + i, f"unique text number {i} with words w{i} x{i} y{i}")
+             for i in range(5)]
+    rows += [(30, "alpha beta"), (31, "beta alpha")]  # permutation dups
+    rows += [(40, ""), (41, "")]      # empty-text dup pair
+    rows += [(50, None), (51, None)]  # NULL text: NULL shingle set —
+    # dropped by the full pipeline's size guard; star edges must not
+    # resurrect them as a cluster
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(shingle_n=1, n_hashes=8, bands=2, threshold=0.5)
+    full = dedup.minhash_lsh_pairs(df, "text", "doc_id", **kw)
+    conn = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", connectivity_only=True, **kw)
+    full_rows = full.collect()
+    conn_rows = conn.collect()
+    # the subgraph sheds the clique expansion but keeps ordering + score
+    assert len(conn_rows) < len(full_rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in conn_rows)
+    full_set = {(r["doc_a"], r["doc_b"]) for r in full_rows}
+    assert {(r["doc_a"], r["doc_b"]) for r in conn_rows} <= full_set
+
+    want = sorted(tuple(r) for r in
+                  dedup.connected_components(full).collect())
+    got = sorted(tuple(r) for r in
+                 dedup.connected_components(conn).collect())
+    assert got == want
+
+
 def test_assign_nearest_large_k_matches_literal_path(spark, emb):
     """Past ARGMIN_LITERAL_MAX_K the argmin switches to the broadcast
     mapInPandas GEMM; at k=1000/dim=64 the plan must stay bounded (no
