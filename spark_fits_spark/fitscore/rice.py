@@ -499,6 +499,338 @@ def rice_decode(payload: bytes, n_pix: int, bytepix: int = 4,
     return out
 
 
+def rice_decode_batch(payloads: list, n_pixs, bytepix: int = 4,
+                      blocksize: int = 32) -> list[np.ndarray]:
+    """Decode many independent RICE_1 streams with RUN-JUMPING and
+    windowed block vectorization over shared infra. Bit-identical to
+    per-stream :func:`rice_decode` (differential-tested).
+
+    Three structural observations make the walk sub-per-value:
+
+    - An ``fs = 0`` block's header is the code ``00001`` — its 1-bit
+      is indistinguishable from a value terminator — so a run of R
+      consecutive full ``fs = 0`` blocks is a strict
+      ``blocksize + 1``-stride pattern in the sorted 1-bit position
+      table. One strided gather + one equality scan finds the whole
+      run and the values are first differences of the ``ones`` slice:
+      O(numpy ops) per RUN, not per block. Sky-background tiles are
+      almost entirely such runs.
+    - All-zero blocks (code ``00000``, no payload) are a gap of zero
+      bits; one byte scan to the next set bit jumps every header in
+      the gap at once.
+    - A coded ``0 < fs < fsmax`` block's terminator chain
+      ``t[k+1] = first 1-bit ≥ t[k] + 1 + fs`` is pointer-chasing in a
+      bounded window of ``ones`` (a valid block consumes at most
+      ``blocksize·(1 + fs)`` set bits), so one ``searchsorted`` builds
+      the block's next-terminator map and scan-doubling extracts all
+      ``blocksize`` terminators in ``log2`` vector steps.
+
+    The ``ones`` + byte-granular-popcount infra is built LAZILY and
+    ONCE over the concatenation of all payloads — noise-like streams
+    (nearly all blocks coded at high ``fs``) never pay for it and keep
+    the byte-scan walk, the per-stream decoder's shape. Positions are
+    bounds-checked against each stream's own end, so a truncated
+    stream raises exactly like the per-stream path instead of silently
+    reading its neighbor's bytes."""
+    fsbits, fsmax = _check_bytepix(bytepix)
+    bbits = bytepix * 8
+    wrap = 1 << bbits
+    half = wrap >> 1
+    bs1 = blocksize + 1
+    T = len(payloads)
+    if T == 0:
+        return []
+    n_pixs = np.asarray(n_pixs, dtype=np.int64)
+    if n_pixs.shape != (T,):
+        raise ValueError("n_pixs must have one entry per payload")
+    lens = np.fromiter((len(p) for p in payloads), np.int64, T)
+    if bool(np.any((n_pixs > 0) & (lens < bytepix))):
+        raise ValueError("RICE_1 bitstream truncated")
+    off = np.zeros(T, dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    data = b"".join(bytes(p) for p in payloads)
+    dpad = data + b"\0\0"
+    nbits_g = len(data) * 8
+    # uint8 byte view (NOT pre-widened to int64): gathers pull from a
+    # len(data)-byte array and only the gathered values upcast, so the
+    # working set stays cache-sized for large concatenations
+    pb = np.frombuffer(data + b"\0" * 8, dtype=np.uint8)
+    end_bits = (off + lens) * 8
+
+    def _read_batch(pos: np.ndarray, width: int) -> np.ndarray:
+        byte = pos >> 3
+        sh = pos & 7
+        w = ((pb[byte].astype(np.int64) << 32)
+             | (pb[byte + 1].astype(np.int64) << 24)
+             | (pb[byte + 2].astype(np.int64) << 16)
+             | (pb[byte + 3].astype(np.int64) << 8)
+             | pb[byte + 4])
+        return (w >> (40 - sh - width)) & ((1 << width) - 1)
+
+    # lazy rank infra over the concatenation: [o_pad, cb, pbx8, n_ones]
+    infra: list = []
+
+    def _infra() -> list:
+        if not infra:
+            ones = np.flatnonzero(np.unpackbits(
+                np.frombuffer(data, dtype=np.uint8))).astype(np.int64)
+            infra.append(np.concatenate(
+                [ones, np.full(1, nbits_g, dtype=np.int64)]))
+            infra.append(np.concatenate(
+                [np.zeros(1, dtype=np.int64),
+                 np.cumsum(_POPCNT[pb], dtype=np.int64)]))
+            infra.append(pb.astype(np.int64) * 8)
+            infra.append(len(ones))
+        return infra
+
+    base = np.zeros(T, dtype=np.int64)
+    np.cumsum(n_pixs[:-1], out=base[1:])
+    mapped = np.zeros(int(n_pixs.sum()), dtype=np.int64)
+    firsts_v = _read_batch(off * 8, bbits)       # bbits <= 32: in-window
+
+    # coded (0 < fs < fsmax) collectors, shared across streams; one
+    # batched remainder read + scatter per fs value at the end.
+    # fs = 0 blocks seen before the infra exists are byte-scanned into
+    # the same collector (their remainder read is zero-width) — the
+    # infra only builds once fs = 0 blocks prove COMMON (sky-like), so
+    # noise-like streams never pay the O(total bits) ones/rank build.
+    scanned: dict[int, list] = {}   # fs -> [i0s, cnts, q0s, term_arrays]
+    lut = _RANK_LUT
+    f0_seen = 0
+
+    def _next_set_bit(p: int) -> int:
+        # first 1-bit at position >= p, nbits_g if none (byte scan:
+        # zero-gap jumps skip whole bytes; no infra required)
+        y = p >> 3
+        if y >= len(data):
+            return nbits_g
+        b = data[y] & (255 >> (p & 7))
+        while not b:
+            y += 1
+            if y >= len(data):
+                return nbits_g
+            b = data[y]
+        return (y << 3) + 8 - b.bit_length()
+
+    # adaptive routing: the first sizable stream samples the block
+    # mix; when runs/zero-jumps cover too few of its pixels (noise-like
+    # data — every block coded), the remaining streams take the plain
+    # per-stream decoder, whose byte-scan shape is optimal there
+    scalar_rest = False
+    fast_pix = 0
+    outs_scalar: dict[int, np.ndarray] = {}
+    for t in range(T):
+        n_pix = int(n_pixs[t])
+        if n_pix == 0:
+            continue
+        if scalar_rest:
+            outs_scalar[t] = rice_decode(payloads[t], n_pix,
+                                         bytepix=bytepix,
+                                         blocksize=blocksize)
+            continue
+        end = int(end_bits[t])
+        gbase = int(base[t])
+        p = int(off[t]) * 8 + bbits
+        i = 0
+        prev_run = 8
+        o_pad, cb, pbx8, n_ones = infra if infra else (None,) * 4
+        while i < n_pix:
+            if p + fsbits > end:
+                raise ValueError("RICE_1 bitstream truncated")
+            b0 = p >> 3
+            code = ((dpad[b0] << 8 | dpad[b0 + 1])
+                    >> (16 - (p & 7) - fsbits)) & ((1 << fsbits) - 1)
+            this = min(blocksize, n_pix - i)
+            if code == 0:
+                # zero-block run: consecutive code-0 headers are one
+                # gap of zero bits; jump every header inside it
+                t1 = _next_set_bit(p)
+                z = (min(t1, end) - p) // fsbits
+                z = min(z, -(-(n_pix - i) // blocksize))
+                if z <= 0:
+                    raise ValueError("RICE_1 bitstream truncated")
+                di = min(i + z * blocksize, n_pix) - i
+                fast_pix += di
+                i += di
+                p += z * fsbits
+                continue
+            q = p + fsbits
+            fs = code - 1
+            if fs == fsmax:      # raw block: bbits-wide mapped diffs
+                if q + this * bbits > end:
+                    raise ValueError("RICE_1 bitstream truncated")
+                mapped[gbase + i:gbase + i + this] = _read_batch(
+                    q + np.arange(this, dtype=np.int64) * bbits, bbits)
+                p = q + this * bbits
+                i += this
+                continue
+            if fs == 0:
+                if o_pad is None:
+                    if f0_seen < 8:
+                        f0_seen += 1
+                        fs = -2          # sentinel: collector path below
+                    else:
+                        o_pad, cb, pbx8, n_ones = _infra()
+            if fs == 0:
+                # h = index of the header's own 1-bit (at q - 1)
+                y = (q - 1) >> 3
+                h = int(cb[y]) + int(lut[int(pbx8[y]) + ((q - 1) & 7)]) - 1
+                remaining_full = (n_pix - i) // blocksize
+                if remaining_full:
+                    # probe a run of full fs = 0 blocks: strided
+                    # header/last-terminator gathers over `ones`
+                    cap = min(remaining_full, max(8, prev_run * 2))
+                    while True:
+                        if h + cap * bs1 + blocksize <= n_ones:
+                            # strided VIEWS into ones: O(1) setup
+                            hv = o_pad[h:h + cap * bs1 + 1:bs1]
+                            ev = o_pad[h + blocksize:
+                                       h + blocksize + cap * bs1:bs1]
+                        else:   # stream tail: clip against the sentinel
+                            hidx = np.minimum(
+                                h + np.arange(cap + 1,
+                                              dtype=np.int64) * bs1,
+                                n_ones)
+                            hv = o_pad[hidx]
+                            ev = o_pad[np.minimum(hidx[:-1] + blocksize,
+                                                  n_ones)]
+                        good = ev < end          # last term inside lane
+                        good[1:] &= hv[1:cap] == ev[:-1] + fsbits
+                        r = int(np.argmin(good)) if not good.all() else cap
+                        if r < cap or cap == remaining_full:
+                            break
+                        cap = min(remaining_full, cap * 4)
+                    prev_run = max(r, 1)
+                    if r:
+                        terms = o_pad[h:h + r * bs1].reshape(r, bs1)
+                        # terms[:, 0] IS each block's header bit, so
+                        # row diffs - 1 are exactly the unary values
+                        mapped[gbase + i:gbase + i + r * blocksize] = (
+                            terms[:, 1:] - terms[:, :-1] - 1).ravel()
+                        p = int(ev[r - 1]) + 1
+                        i += r * blocksize
+                        fast_pix += r * blocksize
+                        continue
+                # single (possibly partial) fs = 0 block
+                tt = o_pad[np.minimum(
+                    h + np.arange(this + 1, dtype=np.int64), n_ones)]
+                if int(tt[this]) >= end:
+                    raise ValueError("RICE_1 bitstream truncated")
+                mapped[gbase + i:gbase + i + this] = tt[1:] - tt[:-1] - 1
+                p = int(tt[this]) + 1
+                i += this
+                continue
+            # coded block (fs == -2: an fs = 0 block before the infra
+            # gate tripped — identical walk with step 1, zero-width
+            # remainders)
+            if fs == -2:
+                fs = 0
+            grp = scanned.get(fs)
+            if grp is None:
+                grp = scanned[fs] = [[], [], [], []]
+            grp[0].append(gbase + i)
+            grp[1].append(this)
+            grp[2].append(q)
+            if infra:
+                # windowed vectorized walk: the terminator chain
+                # t[k+1] = first 1-bit >= t[k] + 1 + fs consumes at
+                # most 1 + fs set bits per value, so a window of
+                # this*(1+fs)+1 `ones` entries bounds the whole block;
+                # searchsorted builds its next-map, scan-doubling
+                # extracts all `this` chain indices in log2 steps
+                o_pad, cb, pbx8, n_ones = infra
+                y = (q - 1) >> 3
+                j0 = int(cb[y]) + int(lut[int(pbx8[y]) + ((q - 1) & 7)])
+                W = this * (1 + fs) + 1
+                Lk = o_pad[j0:j0 + W]
+                if len(Lk) < W:
+                    Lk = np.concatenate(
+                        [Lk, np.full(W - len(Lk), nbits_g,
+                                     dtype=np.int64)])
+                c = np.empty(this, dtype=np.int64)
+                c[0] = 0
+                if this > 1:
+                    g = np.minimum(
+                        np.searchsorted(Lk, Lk + (1 + fs)), W - 1)
+                    filled = 1
+                    while filled < this:
+                        m = min(filled, this - filled)
+                        c[filled:filled + m] = g[c[:m]]
+                        filled += m
+                        if filled < this:
+                            g = g[g]
+                ta = Lk[c]
+                t_last = int(ta[this - 1])
+                grp[3].append(ta)
+            else:
+                # byte-scan walk (no infra yet: noise-like stream);
+                # list append, not ndarray item writes — the per-value
+                # cost is what bounds noise-like streams
+                term: list = []
+                app = term.append
+                step = 1 + fs
+                s2 = q
+                t_last = q
+                try:
+                    for _ in range(this):
+                        y = s2 >> 3
+                        b = data[y] & (255 >> (s2 & 7))
+                        while not b:
+                            y += 1
+                            b = data[y]
+                        t_last = (y << 3) + 8 - b.bit_length()
+                        app(t_last)
+                        s2 = t_last + step
+                except IndexError:
+                    raise ValueError(
+                        "RICE_1 bitstream truncated") from None
+                grp[3].append(term)
+            if t_last >= end:
+                raise ValueError("RICE_1 bitstream truncated")
+            p = t_last + 1 + fs
+            i += this
+        if p > end:
+            raise ValueError("RICE_1 bitstream truncated")
+        if not scalar_rest and i >= 1024 and fast_pix * 4 < i:
+            scalar_rest = True
+
+    for fs, (i0s, cnts, q0s, term_arrays) in scanned.items():
+        i0 = np.array(i0s, dtype=np.int64)
+        cnt = np.array(cnts, dtype=np.int64)
+        q0 = np.array(q0s, dtype=np.int64)
+        ta_v = (np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in term_arrays])
+                if len(term_arrays) > 1
+                else np.asarray(term_arrays[0], dtype=np.int64))
+        total = int(cnt.sum())
+        firsts = np.cumsum(cnt) - cnt
+        starts = np.empty(total, dtype=np.int64)
+        starts[0] = q0[0]
+        starts[1:] = ta_v[:-1] + (1 + fs)
+        starts[firsts] = q0                      # block firsts restart
+        u = ((ta_v - starts) << fs) | _read_batch(ta_v + 1, fs)
+        within = np.arange(total, dtype=np.int64) - np.repeat(firsts, cnt)
+        mapped[np.repeat(i0, cnt) + within] = u
+
+    d = np.where(mapped & 1 == 0, mapped >> 1, -((mapped >> 1) + 1))
+    cums = np.cumsum(d)
+    outs: list[np.ndarray] = []
+    for t in range(T):
+        if n_pixs[t] == 0:
+            outs.append(np.empty(0, dtype=np.int64))
+            continue
+        got = outs_scalar.get(t)
+        if got is not None:
+            outs.append(got)
+            continue
+        a, b = int(base[t]), int(base[t] + n_pixs[t])
+        prev = int(cums[a - 1]) if a > 0 else 0
+        o = (int(firsts_v[t]) + cums[a:b] - prev) % wrap
+        o[o >= half] -= wrap
+        outs.append(o)
+    return outs
+
+
 def rice_encode_scalar(values: np.ndarray, bytepix: int = 4,
                        blocksize: int = 32) -> bytes:
     """Bit-at-a-time reference encoder (the pre-r5 implementation);

@@ -333,8 +333,11 @@ def decode_compressed_image(
     else:
         lo, window = 0, b""
 
-    rows_vals: list[np.ndarray] = []
-    idx: list[int] = []
+    # phase A: per-tile geometry + payload slices (trim skips resolved
+    # BEFORE any decode is paid); phase B below decodes — all RICE
+    # tiles of the batch in ONE rice_decode_batch call (run-jumping +
+    # shared bit infra amortized across the partition's tiles)
+    jobs: list[tuple] = []
     for i in range(n_tiles):
         t = tile_offset + i
         nbytes, off = int(desc[i, 0]), int(desc[i, 1])
@@ -352,10 +355,29 @@ def decode_compressed_image(
             k1 = min(n_rows, trim[1] - g0)
             if k1 <= k0:
                 continue
+        jobs.append((t, i, payload, n_rows, k0, k1, plane))
+
+    rice_vals: list[np.ndarray] | None = None
+    if hdu.z_cmptype == "RICE_1" and len(jobs) > 1:
+        from spark_fits_spark.fitscore.rice import rice_decode_batch
+
+        tile_dtype = np.dtype(">i4") if quantized else dtype
+        rice_vals = rice_decode_batch(
+            [j[2] for j in jobs], [j[3] * width for j in jobs],
+            bytepix=hdu.z_bytepix or tile_dtype.itemsize,
+            blocksize=hdu.z_blocksize)
+
+    rows_vals: list[np.ndarray] = []
+    idx: list[int] = []
+    for jn, (t, i, payload, n_rows, k0, k1, plane) in enumerate(jobs):
         if quantized:
-            q = decompress_tile(
-                payload, hdu.z_cmptype, np.dtype(">i4"), n_rows * width,
-                bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
+            if rice_vals is not None:
+                q = rice_vals[jn].astype(np.dtype("=i4"))
+            else:
+                q = decompress_tile(
+                    payload, hdu.z_cmptype, np.dtype(">i4"),
+                    n_rows * width,
+                    bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
             if dithered:
                 # v = (q − r + ½)·zscale + zzero, r regenerated from the
                 # same RNG walk the writer used (tile numbers are GLOBAL,
@@ -376,9 +398,12 @@ def decode_compressed_image(
             if sentinel is not None:
                 pix[q == sentinel] = np.nan
         else:
-            pix = decompress_tile(
-                payload, hdu.z_cmptype, dtype, n_rows * width,
-                bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
+            if rice_vals is not None:
+                pix = rice_vals[jn].astype(dtype.newbyteorder("="))
+            else:
+                pix = decompress_tile(
+                    payload, hdu.z_cmptype, dtype, n_rows * width,
+                    bytepix=hdu.z_bytepix, blocksize=hdu.z_blocksize)
         if (k0, k1) != (0, n_rows):
             pix = pix.reshape(n_rows, width)[k0:k1].reshape(-1)
         rows_vals.append(pix)

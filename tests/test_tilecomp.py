@@ -386,6 +386,69 @@ def test_rice_vectorized_matches_scalar():
                 assert np.array_equal(dec, a), (bp, kind, bs)
 
 
+def test_rice_batch_matches_per_stream():
+    """r8: rice_decode_batch (run-jumping + shared infra + adaptive
+    scalar fallback) must be value-identical to per-stream rice_decode
+    on mixed batches — streams of different lengths and block mixes in
+    one call, so the concatenated infra, per-stream bounds, lane
+    bookkeeping, and the noise-routing sampler are all exercised. Also
+    pins the truncation contract: a cut stream raises instead of
+    silently reading its batch neighbor's bytes."""
+    from spark_fits_spark.fitscore import rice
+
+    rng = np.random.default_rng(23)
+    for bp in (1, 2, 4):
+        info = np.iinfo(f"i{bp}")
+        for bs in (32, 16, 7):
+            arrs = []
+            for kind in range(6):
+                for n in (0, 1, 31, 32, 33, int(rng.integers(0, 2000))):
+                    if kind == 0:    # raw-heavy noise
+                        a = rng.integers(info.min, info.max + 1, n)
+                    elif kind == 1:  # constant (zero-run jumps)
+                        a = np.full(n, int(rng.integers(
+                            info.min, info.max + 1)))
+                    elif kind == 2:  # smooth (fs = 0 run probes)
+                        a = np.arange(n) // 9 + rng.integers(-1, 2, n)
+                    elif kind == 3:  # random walk (coded windows)
+                        a = (rng.integers(-5, 6, n).cumsum() if n
+                             else np.zeros(0, np.int64))
+                    elif kind == 4:  # zero runs broken by noise bursts
+                        a = np.zeros(n, dtype=np.int64)
+                        if n > 8:
+                            a[n // 2:n // 2 + 4] = rng.integers(
+                                info.min, info.max + 1, 4)
+                    else:            # sparse spikes (long unary runs)
+                        a = np.zeros(n, dtype=np.int64)
+                        if n:
+                            a[rng.integers(0, n, max(1, n // 40))] = \
+                                rng.integers(1, info.max + 1,
+                                             max(1, n // 40))
+                    a = ((a.astype(np.int64) - info.min)
+                         % (1 << (bp * 8)) + info.min)
+                    arrs.append(a)
+            rng.shuffle(arrs)
+            pls = [rice.rice_encode(a, bytepix=bp, blocksize=bs)
+                   for a in arrs]
+            outs = rice.rice_decode_batch(
+                pls, [len(a) for a in arrs], bytepix=bp, blocksize=bs)
+            assert len(outs) == len(arrs)
+            for a, pl, o in zip(arrs, pls, outs):
+                ref = rice.rice_decode(pl, len(a), bytepix=bp,
+                                       blocksize=bs)
+                assert np.array_equal(o, ref), (bp, bs, len(a))
+                assert np.array_equal(o, a), (bp, bs, len(a))
+    # truncation: cutting any stream of a batch raises, never reads on
+    a = (np.arange(500) // 9).astype(np.int64)
+    b = np.cumsum(np.arange(300) % 5).astype(np.int64)
+    pa_, pb_ = rice.rice_encode(a), rice.rice_encode(b)
+    for cut in (pa_[: len(pa_) // 2], pa_[:3]):
+        with pytest.raises(ValueError, match="truncated"):
+            rice.rice_decode_batch([cut, pb_], [500, 300])
+    with pytest.raises(ValueError, match="truncated"):
+        rice.rice_decode_batch([pa_, pb_[:4]], [500, 300])
+
+
 def test_rice_golden_bitstreams():
     """Hand-assembled golden bitstreams (r4 VERDICT #4: pin the
     BITSTREAM conventions, not just the self round-trip). Each payload
