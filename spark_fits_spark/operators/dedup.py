@@ -83,10 +83,16 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
     scan stage; ONE map-combined groupBy builds global gram counts; only
     grams with count > 1 join back (at web scale the duplicated-gram key
     table is far smaller than the gram stream, and the join is an
-    AQE-planned int64 equi-join). Covered positions come from an
-    ``n``-fold explode of *duplicated* positions only, and the kept-text
-    fingerprint is an anti-join of the token stream against covered
-    positions — no step is quadratic and nothing leaves the executors.
+    AQE-planned int64 equi-join). Covered-token COUNTS are the union
+    length of the per-doc window intervals ``[gi, gi+n-1]`` — computed
+    by one window over the duplicated positions (sorted by start, each
+    interval contributes what it extends past the running max end), so
+    the ``n``-fold position explode and its ``distinct()`` exchange
+    never materialize for the stats (r8; the explode survives only as
+    the anti-join's right side, where duplicates are harmless and the
+    dedup exchange was pure waste). The kept-text fingerprint is that
+    anti-join of the token stream against covered positions — no step
+    is quadratic and nothing leaves the executors.
     """
 
     # persisted: tk, the position-gram stream, and the final n_toks
@@ -113,17 +119,27 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
     ))
     dup_keys = g.groupBy("_gh").count().where(F.col("count") > 1).select("_gh")
     dup_pos = g.join(dup_keys, "_gh").select("_id", "_gi")
-    per_doc_dups = dup_pos.groupBy("_id").agg(
-        F.count("*").alias("_n_dup_grams"))
-    covered = (
-        dup_pos.select(
-            "_id",
-            F.explode(F.sequence(F.col("_gi"), F.col("_gi") + (n - 1)))
-            .alias("_ci"))
-        .distinct()
-    )
-    per_doc_cov = covered.groupBy("_id").agg(
-        F.count("*").alias("_covered"))
+    # dup-gram count and covered-token count in ONE exchange: intervals
+    # [gi, gi+n-1] sorted by start (gi is unique per doc — posexplode),
+    # each contributing what it extends past the running max end (equal
+    # lengths make that max the PREVIOUS interval's end). Exactly the
+    # union length the old explode+distinct+count computed.
+    wprev = (Window.partitionBy("_id").orderBy("_gi")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("_gi") + (n - 1)).over(wprev)
+    inc = F.when(
+        prev_end.isNull() | (prev_end < F.col("_gi")), F.lit(n)
+    ).otherwise(F.greatest(F.col("_gi") + (n - 1) - prev_end, F.lit(0)))
+    per_doc = (
+        dup_pos.select("_id", inc.alias("_inc"))
+        .groupBy("_id").agg(F.count("*").alias("_n_dup_grams"),
+                            F.sum("_inc").alias("_covered")))
+    # anti-join right side: duplicates are harmless to left_anti, so
+    # the covered positions ship un-deduped (one exchange, not two)
+    covered = dup_pos.select(
+        "_id",
+        F.explode(F.sequence(F.col("_gi"), F.col("_gi") + (n - 1)))
+        .alias("_ci"))
     tk = toks.select("_id", F.posexplode("_w").alias("_pi", "_tok"))
     kept = tk.join(
         covered.withColumnRenamed("_ci", "_pi"), ["_id", "_pi"], "left_anti")
@@ -133,8 +149,7 @@ def duplicated_span_stats(df: DataFrame, text_col: str, id_col: str,
             lambda x: x["_tok"]))).alias("_kept_fp"))
     return (
         toks.select("_id", F.size("_w").alias("n_toks"))
-        .join(per_doc_dups, "_id", "left")
-        .join(per_doc_cov, "_id", "left")
+        .join(per_doc, "_id", "left")
         .join(kept_fp, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
