@@ -1057,10 +1057,19 @@ def q42_grouped_zscore(spark, sf):
         F.round(F.col("value") * 10000, 0).cast("long").alias("v4"))
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["v4"].to_numpy()
         n = len(v)
         sv = int(v.sum())
-        svv = int((v.astype(object) * v.astype(object)).sum())
+        # exact moment sum: int64 dot when it provably cannot wrap
+        # (the hot path at scale), arbitrary-precision object math
+        # past the bound — identical value either way
+        am = int(np.abs(v).max()) if n else 0
+        if am < 3_037_000_499 and am * am * n < 2 ** 63:
+            svv = int(np.dot(v, v))
+        else:
+            svv = int((v.astype(object) * v.astype(object)).sum())
         out = pd.DataFrame({
             "event_id": pdf["event_id"], "user_id": pdf["user_id"]})
         var_num = float(svv) - float(sv) * float(sv) / n
