@@ -344,6 +344,56 @@ def test_rice_roundtrip_hypothesis():
     prop()
 
 
+def test_rice_batch_hypothesis():
+    """Property: rice_decode_batch == per-stream rice_decode for
+    arbitrary BATCHES — stream count, per-stream lengths, values, and
+    blocksize all drawn, so shrinking can isolate minimal failing
+    batch shapes (lane retirement order, run probes at stream tails,
+    the infra gate flipping mid-batch)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_fits_spark.fitscore import rice
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.data(),
+        st.sampled_from([(1, "i1"), (2, "i2"), (4, "i4")]),
+        st.sampled_from([32, 16, 5]),
+        st.integers(min_value=1, max_value=6),
+    )
+    def prop(data, bp_dt, bs, n_streams):
+        bp, dt = bp_dt
+        info = np.iinfo(dt)
+        arrs = []
+        for _ in range(n_streams):
+            n = data.draw(st.integers(min_value=0, max_value=90))
+            style = data.draw(st.integers(min_value=0, max_value=2))
+            if style == 0:       # arbitrary values
+                vals = data.draw(st.lists(
+                    st.integers(min_value=int(info.min),
+                                max_value=int(info.max)),
+                    min_size=n, max_size=n))
+            elif style == 1:     # constant (zero-block runs)
+                c = data.draw(st.integers(min_value=int(info.min),
+                                          max_value=int(info.max)))
+                vals = [c] * n
+            else:                # small steps (fs = 0 runs)
+                step = data.draw(st.integers(min_value=-1, max_value=1))
+                vals = [(i * step) % 100 for i in range(n)]
+            arrs.append(np.asarray(vals, dtype=dt))
+        pls = [rice.rice_encode(a, bytepix=bp, blocksize=bs)
+               for a in arrs]
+        outs = rice.rice_decode_batch(
+            pls, [len(a) for a in arrs], bytepix=bp, blocksize=bs)
+        for a, pl, o in zip(arrs, pls, outs):
+            ref = rice.rice_decode(pl, len(a), bytepix=bp, blocksize=bs)
+            assert np.array_equal(o, ref)
+            assert np.array_equal(o, a.astype(np.int64))
+
+    prop()
+
+
 def test_rice_vectorized_matches_scalar():
     """r5: the vectorized codec (numpy batch passes + byte-level unary
     walk) against the original bit-at-a-time scalar implementation —
