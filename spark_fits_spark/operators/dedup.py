@@ -181,6 +181,11 @@ def dedup_against(batch: DataFrame, corpus: DataFrame, text_col: str,
     fingerprints only (never text), and AQE handles the size asymmetry.
     """
     fp = content_fingerprint(text_col) if normalized else md5_fingerprint(text_col)
+    # distinct() is LOAD-BEARING here, unlike q79's anti-join (r8
+    # audit): it partial-aggregates map-side, so on the dup-heavy
+    # corpora this operator exists for the anti-join's exchange
+    # carries ~unique fingerprints instead of every corpus row — the
+    # extra barrier buys an N/U volume cut
     seen = corpus.select(fp.alias("_fp")).distinct()
     return (
         batch.withColumn("_fp", fp)
@@ -1229,9 +1234,13 @@ def bloom_decontaminate(
 
     # exact side: VERIFICATION harness for the gate (production runs
     # bloom only). No broadcast hint — in the regime this operator
-    # exists for, the distinct gram table is exactly what cannot be
-    # broadcast; AQE picks the strategy from actual sizes.
-    test_set = test_g.select("_g").distinct()
+    # exists for, the test gram table is exactly what cannot be
+    # broadcast; AQE picks the strategy from actual sizes. No
+    # distinct() on the semi-join's right side either (duplicates are
+    # harmless to left_semi; pre-dedup would cost one extra full
+    # exchange of the test grams). The _id distinct IS load-bearing:
+    # exact_doc right-joins back per doc.
+    test_set = test_g.select("_g")
     exact_doc = (
         train_g.join(test_set, "_g", "left_semi")
         .select("_id").distinct().withColumn("_eh", F.lit(1))
