@@ -617,7 +617,6 @@ def rice_decode_batch(payloads: list, n_pixs, bytepix: int = 4,
     # data — every block coded), the remaining streams take the plain
     # per-stream decoder, whose byte-scan shape is optimal there
     scalar_rest = False
-    fast_pix = 0
     outs_scalar: dict[int, np.ndarray] = {}
     for t in range(T):
         n_pix = int(n_pixs[t])
@@ -632,6 +631,9 @@ def rice_decode_batch(payloads: list, n_pixs, bytepix: int = 4,
         gbase = int(base[t])
         p = int(off[t]) * 8 + bbits
         i = 0
+        fast_pix = 0     # per-stream: the noise-routing check below
+        # compares against THIS stream's pixel count, so a large
+        # sky-like stream must not mask later noise-like ones
         prev_run = 8
         o_pad, cb, pbx8, n_ones = infra if infra else (None,) * 4
         while i < n_pix:

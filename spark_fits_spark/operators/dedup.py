@@ -477,7 +477,10 @@ def minhash_lsh_pairs(
         # subgraph of the full pair set with identical components.
         nonempty = sets_df.where(F.size("_hashes") > 0).select(
             F.col("_id").alias("_rep"))
-        if n_docs * 48 <= broadcast_max_bytes:
+        # gate on the table actually broadcast: sets_df has n_sets rows
+        # (distinct shingle sets — far fewer than n_docs on the
+        # dup-heavy corpora this mode targets)
+        if n_sets * 48 <= broadcast_max_bytes:
             nonempty = F.broadcast(nonempty)
         star = (
             membership.where(F.col("_id") != F.col("_rep"))

@@ -6902,57 +6902,59 @@ def q156_coadd_variance_map(spark, sf):
 # tests/test_entry.py::test_driver_gate_invariants computes the cadence
 # from len(QUERIES) and pins that COVERAGE.md documents the same number.
 #
-# Round 8 (per r7 VERDICT #1) front-loads the 4 documented r7 slips —
-# q21_dedup_normalized, q24_dedup_simhash, q29_text_quality, q40_cube
-# (last green r04, components each gated fresh in r7) — then rotates
-# back the stalest block: the 50 queries whose last green driver row is
-# r05 (q25–q105 LLM-pipeline families), in suite order. 54 candidates
-# for 50 slots, so 4 slip to r9 — chosen (as in r5/r6/r7) to be the
-# PUREST COMPOSITIONS, i.e. queries whose operator surface is a
-# composition of components that each take a FRESH r7/r8 driver row:
-#   - q51_dedup_corpus     = q22's minhash_lsh_pairs (gated r7) →
-#                            connected_components (q48, gated r8) →
-#                            representatives anti-join
-#   - q71_corpus_report    = one hash-agg over the q27_text_stats /
-#                            q29_text_quality signal columns (q27
-#                            gated r7, q29 gated r8)
-#   - q78_incremental_dedup= hash_bucket split (q55, gated r8) +
-#                            normalized-fingerprint anti-join — the
-#                            same dedup_against core as
-#                            q21_dedup_normalized (gated r8)
-#   - q88_ivfpq_recall     = pq_fit/encode (q85, gated r8) + IVF probe
-#                            (q50, gated r7) + exact-cosine recall
-#                            harness (q26 gated r7, q81 gated r6)
+# Round 9 (per r8 VERDICT #1) front-loads the 4 documented r8 slips —
+# q51_dedup_corpus, q71_corpus_report, q78_incremental_dedup,
+# q88_ivfpq_recall (last green r05; each a pure composition of
+# components holding fresh r07/r08 rows, all four mirror-green in the
+# all-154 pytest run) — then rotates back the stalest block: the 50
+# queries whose last green driver row is r06 (the q107–q156 astronomy
+# pipeline plus q63/q81/q84), in suite order. 54 candidates for 50
+# slots, so 4 slip to r10 — chosen (as in r5–r8) to be the PUREST
+# COMPOSITIONS, i.e. queries whose operator surface is a composition
+# of components that each take a fresh r9 driver row this round:
+#   - q153_weighted_coadd    = the q115_coadd_planes stack with
+#                              inverse-variance weights (q115 and the
+#                              variance map q156's shared kernel both
+#                              gated r9; q131/q132 siblings r9)
+#   - q154_distortion_solve  = the q127_astrometric_solve LSQ core
+#                              (gated r9) plus polynomial terms
+#   - q155_relative_photometry = q125_photometric_calibration's
+#                              row-index equi-join calibrate (gated
+#                              r9) re-aggregated per-source
+#   - q156_coadd_variance_map = q115/q153's coadd kernel with a
+#                              variance accumulator (q115 gated r9)
 # All four stay green in the local type-sensitive mirror
 # (tests/test_entry.py runs every query against DuckDB each round) and
-# lead the r9 gate. Queries last green in r06/r07 stay within the
-# 5-round cadence without a r8 row.
+# lead the r10 gate. Queries last green in r07/r08 stay within the
+# 5-round cadence without an r9 row.
 _DRIVER_PRIORITY = [
-    # the four r7 slips, first rows as promised in the r7 docs
-    "q21_dedup_normalized", "q24_dedup_simhash",
-    "q29_text_quality", "q40_cube",
-    # stalest block: last green r05, suite order, minus the 4
-    # documented r9 slips (q51, q71, q78, q88 — see above)
-    "q25_embedding_near_dup", "q31_ann_lsh_topk", "q35_asof_join",
-    "q36_range_join_pairs", "q42_grouped_zscore",
-    "q45_salted_join_agg", "q48_dedup_clusters",
-    "q54_stratified_sample", "q55_hash_split", "q56_pack_sequences",
-    "q57_line_dedup", "q58_kmeans_assign", "q59_quantize_error",
-    "q60_unigram_logprob", "q61_bm25_topk", "q62_token_budget_mix",
-    "q64_decontaminate", "q65_semdedup", "q66_shuffle_shards",
-    "q67_boilerplate_ngrams", "q68_multimodal_features",
-    "q69_bpe_segment", "q70_chunk_windows", "q72_fixed_n_sample",
-    "q73_temperature_mix", "q74_fits_image_roundtrip",
-    "q75_dsir_weights", "q76_shard_manifest", "q77_gopher_filter",
-    "q79_exact_substring_dedup", "q82_pmi_collocations",
-    "q83_kmv_source_overlap", "q85_pq_encode",
-    "q87_minhash_estimator_error", "q89_quality_top_fraction",
-    "q90_hard_negatives", "q91_lm_fluency_gate",
-    "q92_source_kl_drift", "q98_rag_chunk_retrieval",
-    "q99_cluster_balanced_sample", "q100_bloom_decontaminate",
-    "q101_fits_compressed_roundtrip", "q102_zone_crossmatch",
-    "q103_bigram_logprob", "q104_fits_zonemap_scan",
-    "q105_late_supplier_blame",
+    # the four r8 slips, first rows as promised in the r8 docs
+    "q51_dedup_corpus", "q71_corpus_report",
+    "q78_incremental_dedup", "q88_ivfpq_recall",
+    # stalest block: last green r06, suite order, minus the 4
+    # documented r10 slips (q153, q154, q155, q156 — see above)
+    "q63_hybrid_rrf", "q81_ann_recall", "q84_mrl_truncated_recall",
+    "q107_fits_table_compressed_roundtrip", "q108_fits_plane_slice",
+    "q109_fits_image_sink_roundtrip", "q110_aperture_photometry",
+    "q111_source_detection", "q112_healpix_skymap",
+    "q113_lomb_scargle", "q114_phase_fold", "q115_coadd_planes",
+    "q116_wcs_solve", "q117_variability_features",
+    "q118_reproject_mosaic", "q120_cone_search",
+    "q121_epoch_crossmatch", "q122_periodogram_peaks",
+    "q123_zone_partitioned_cone", "q124_galactic_skymap",
+    "q125_photometric_calibration", "q126_transient_detection",
+    "q127_astrometric_solve", "q128_best_match_crossmatch",
+    "q129_psf_convolution", "q130_two_point_correlation",
+    "q131_median_stack", "q132_clipped_stack",
+    "q133_structure_function", "q134_equivalent_width",
+    "q135_composite_spectrum", "q136_injection_recovery",
+    "q137_local_background", "q138_tracklet_linking",
+    "q139_header_table", "q140_matched_filter_detection",
+    "q141_xcorr_redshift", "q142_stream_cone_alerts",
+    "q143_source_shapes", "q144_defect_columns",
+    "q146_bls_transit_search", "q147_proper_motion_fit",
+    "q148_frame_calibration", "q149_gls_periodogram",
+    "q151_defect_repair", "q152_xi_jackknife",
 ]
 
 

@@ -876,6 +876,37 @@ def test_duplicated_span_stats_planted(spark):
     assert out[3]["covered_ratio"] == 0.0
 
 
+def test_duplicated_span_stats_overlapping_intervals(spark):
+    """Overlapping and disjoint interval merges (the r8 running-max
+    rewrite): a 10-token duplicated span with n=8 yields grams at 3
+    positions whose intervals [gi, gi+7] overlap — covered_tokens must
+    be the 10-token union, not 3x8; two separated duplicated spans in
+    one doc must cover exactly their own 8+8 tokens."""
+    import hashlib
+    span10 = "a b c d e f g h i j"        # 10-token duplicated run
+    span_p = "p1 p2 p3 p4 p5 p6 p7 p8"    # disjoint span 1
+    span_q = "q1 q2 q3 q4 q5 q6 q7 q8"    # disjoint span 2
+    rows = [
+        (1, span10 + " tailA tailB"),
+        (2, "leadX " + span10),
+        (4, span_p + " gapword " + span_q),
+        (5, "zz " + span_p + " ww"),
+        (6, "qq " + span_q + " rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.duplicated_span_stats(df, "text", "doc_id", n=8).collect()}
+    # overlapping: grams at 3 start positions, union length 10
+    assert out[1]["n_dup_grams"] == 3 and out[1]["covered_tokens"] == 10
+    assert out[2]["n_dup_grams"] == 3 and out[2]["covered_tokens"] == 10
+    assert out[1]["kept_fp"] == hashlib.md5(b"tailA tailB").hexdigest()
+    # disjoint: two separated intervals, 8 + 8 (prev_end < gi branch
+    # after a first interval exists)
+    assert out[4]["n_dup_grams"] == 2 and out[4]["covered_tokens"] == 16
+    assert out[4]["kept_fp"] == hashlib.md5(b"gapword").hexdigest()
+    assert out[5]["covered_tokens"] == 8 and out[6]["covered_tokens"] == 8
+
+
 def test_minhash_optimizations_equal_naive_pipeline(spark):
     """The identical-set collapse + first-matching-band rule must be
     output-invariant: compare against a naive in-test pipeline (plain

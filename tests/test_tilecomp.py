@@ -499,6 +499,40 @@ def test_rice_batch_matches_per_stream():
         rice.rice_decode_batch([pa_, pb_[:4]], [500, 300])
 
 
+def test_rice_batch_noise_routing_resets_per_stream(monkeypatch):
+    """r9 (ADVICE): the noise-routing sampler compares fast pixels
+    against the CURRENT stream's pixel count, reset per stream — a
+    large sky-like first stream must not mask a later noise-like
+    stream from the scalar fallback. Pinned by counting fallback
+    calls; the values are bit-identical on either path (covered by
+    the differential above)."""
+    from spark_fits_spark.fitscore import rice
+
+    rng = np.random.default_rng(7)
+    sky = np.zeros(4096, dtype=np.int64)          # zero runs: all fast
+    noise1 = rng.integers(-2**31, 2**31, 2048).astype(np.int64)
+    noise2 = rng.integers(-2**31, 2**31, 2048).astype(np.int64)
+    arrs = [sky, noise1, noise2]
+    pls = [rice.rice_encode(a) for a in arrs]
+
+    calls = []
+    real = rice.rice_decode
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(rice, "rice_decode", spy)
+    outs = rice.rice_decode_batch(pls, [len(a) for a in arrs])
+    for a, o in zip(arrs, outs):
+        assert np.array_equal(o, a)
+    # noise1 proves noise-like on its OWN pixel count (fast_pix = 0
+    # for it), so noise2 — and only noise2 — routes to the scalar
+    # per-stream decoder. Pre-fix, sky's cumulative fast_pix masked
+    # the check and calls would be 0.
+    assert len(calls) == 1
+
+
 def test_rice_golden_bitstreams():
     """Hand-assembled golden bitstreams (r4 VERDICT #4: pin the
     BITSTREAM conventions, not just the self round-trip). Each payload
