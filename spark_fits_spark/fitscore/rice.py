@@ -612,10 +612,12 @@ def rice_decode_batch(payloads: list, n_pixs, bytepix: int = 4,
             b = data[y]
         return (y << 3) + 8 - b.bit_length()
 
-    # adaptive routing: the first sizable stream samples the block
-    # mix; when runs/zero-jumps cover too few of its pixels (noise-like
-    # data — every block coded), the remaining streams take the plain
-    # per-stream decoder, whose byte-scan shape is optimal there
+    # adaptive routing: each sizable stream samples its own block mix
+    # (fast_pix resets per stream — r9 ADVICE: a sky-like stream must
+    # not mask later noise-like ones); when runs/zero-jumps cover too
+    # few of a stream's pixels (noise-like data — every block coded),
+    # the REMAINING streams take the plain per-stream decoder, whose
+    # byte-scan shape is optimal there
     scalar_rest = False
     outs_scalar: dict[int, np.ndarray] = {}
     for t in range(T):
