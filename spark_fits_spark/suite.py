@@ -6916,11 +6916,17 @@ def q156_coadd_variance_map(spark, sf):
 #                              inverse-variance weights (q115 and the
 #                              variance map q156's shared kernel both
 #                              gated r9; q131/q132 siblings r9)
-#   - q154_distortion_solve  = the q127_astrometric_solve LSQ core
-#                              (gated r9) plus polynomial terms
-#   - q155_relative_photometry = q125_photometric_calibration's
-#                              row-index equi-join calibrate (gated
-#                              r9) re-aggregated per-source
+#   - q154_distortion_solve  = fit_tangent_quadratic: the same
+#                              one-groupBy normal-equation-moments +
+#                              driver solve pattern as q127's
+#                              fit_tangent_affine (gated r9; sibling
+#                              function in functions/wcs), extended
+#                              to the 27-moment quadratic system
+#   - q155_relative_photometry = ALS übercal whose half-steps are
+#                              the same map-side-combined agg +
+#                              broadcast-zero-points shape q125's
+#                              closed-form fit and q148's calibrate
+#                              exercise (both gated r9)
 #   - q156_coadd_variance_map = q115/q153's coadd kernel with a
 #                              variance accumulator (q115 gated r9)
 # All four stay green in the local type-sensitive mirror
