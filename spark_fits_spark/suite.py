@@ -6902,65 +6902,60 @@ def q156_coadd_variance_map(spark, sf):
 # tests/test_entry.py::test_driver_gate_invariants computes the cadence
 # from len(QUERIES) and pins that COVERAGE.md documents the same number.
 #
-# Round 9 (per r8 VERDICT #1) front-loads the 4 documented r8 slips —
-# q51_dedup_corpus, q71_corpus_report, q78_incremental_dedup,
-# q88_ivfpq_recall (last green r05; each a pure composition of
-# components holding fresh r07/r08 rows, all four mirror-green in the
+# Round 10 (per r9 VERDICT #1) front-loads the 4 documented r9 slips —
+# q153_weighted_coadd, q154_distortion_solve, q155_relative_photometry,
+# q156_coadd_variance_map (last green r06, the oldest rows in the
+# union; each a pure composition of components that took fresh r09
+# driver rows — q115/q131/q132 stacks, q127's tangent-solve sibling,
+# q125/q148's calibrate shapes — and all four mirror-green in the
 # all-154 pytest run) — then rotates back the stalest block: the 50
-# queries whose last green driver row is r06 (the q107–q156 astronomy
-# pipeline plus q63/q81/q84), in suite order. 54 candidates for 50
-# slots, so 4 slip to r10 — chosen (as in r5–r8) to be the PUREST
+# queries whose last green driver row is r07 (the q01–q20 relational
+# core plus the q22–q97 LLM families and the r7 FITS scan trio
+# q49/q80/q93), in suite order. 54 candidates for 50 slots, so 4 slip
+# to r11 — chosen (same policy as the r5–r9 slips) to be the PUREST
 # COMPOSITIONS, i.e. queries whose operator surface is a composition
-# of components that each take a fresh r9 driver row this round:
-#   - q153_weighted_coadd    = the q115_coadd_planes stack with
-#                              inverse-variance weights (q115 and the
-#                              variance map q156's shared kernel both
-#                              gated r9; q131/q132 siblings r9)
-#   - q154_distortion_solve  = fit_tangent_quadratic: the same
-#                              one-groupBy normal-equation-moments +
-#                              driver solve pattern as q127's
-#                              fit_tangent_affine (gated r9; sibling
-#                              function in functions/wcs), extended
-#                              to the 27-moment quadratic system
-#   - q155_relative_photometry = ALS übercal whose half-steps are
-#                              the same map-side-combined agg +
-#                              broadcast-zero-points shape q125's
-#                              closed-form fit and q148's calibrate
-#                              exercise (both gated r9)
-#   - q156_coadd_variance_map = q115/q153's coadd kernel with a
-#                              variance accumulator (q115 gated r9)
+# of components that each hold a fresh r9 row or take an r10 row:
+#   - q106_survey_pipeline   = zone-blocked crossmatch + cone search
+#                              composition (q120/q121/q123/q128 all
+#                              gated r9); its own md5 grid is shared
+#                              with q121's fixture
+#   - q119_mosaic_stack      = N reproject_nearest branches (q118
+#                              gated r9) + the coadd stacking kernel
+#                              (q115 r9; q153/q156 lead the r10 gate)
+#   - q145_transient_light_curve = mean-coadd template (q115 r9 /
+#                              q153 r10) + difference_image +
+#                              aperture_photometry (q110 gated r9)
+#   - q150_image_pipeline_end_to_end = calibrate_frames (q148 r9) →
+#                              convolve2d (q129 r9) → detect_sources
+#                              (q111 r9), one composed plan
 # All four stay green in the local type-sensitive mirror
 # (tests/test_entry.py runs every query against DuckDB each round) and
-# lead the r10 gate. Queries last green in r07/r08 stay within the
-# 5-round cadence without an r9 row.
+# lead the r11 gate. Queries last green in r08/r09 stay within the
+# 5-round cadence without an r10 row.
 _DRIVER_PRIORITY = [
-    # the four r8 slips, first rows as promised in the r8 docs
-    "q51_dedup_corpus", "q71_corpus_report",
-    "q78_incremental_dedup", "q88_ivfpq_recall",
-    # stalest block: last green r06, suite order, minus the 4
-    # documented r10 slips (q153, q154, q155, q156 — see above)
-    "q63_hybrid_rrf", "q81_ann_recall", "q84_mrl_truncated_recall",
-    "q107_fits_table_compressed_roundtrip", "q108_fits_plane_slice",
-    "q109_fits_image_sink_roundtrip", "q110_aperture_photometry",
-    "q111_source_detection", "q112_healpix_skymap",
-    "q113_lomb_scargle", "q114_phase_fold", "q115_coadd_planes",
-    "q116_wcs_solve", "q117_variability_features",
-    "q118_reproject_mosaic", "q120_cone_search",
-    "q121_epoch_crossmatch", "q122_periodogram_peaks",
-    "q123_zone_partitioned_cone", "q124_galactic_skymap",
-    "q125_photometric_calibration", "q126_transient_detection",
-    "q127_astrometric_solve", "q128_best_match_crossmatch",
-    "q129_psf_convolution", "q130_two_point_correlation",
-    "q131_median_stack", "q132_clipped_stack",
-    "q133_structure_function", "q134_equivalent_width",
-    "q135_composite_spectrum", "q136_injection_recovery",
-    "q137_local_background", "q138_tracklet_linking",
-    "q139_header_table", "q140_matched_filter_detection",
-    "q141_xcorr_redshift", "q142_stream_cone_alerts",
-    "q143_source_shapes", "q144_defect_columns",
-    "q146_bls_transit_search", "q147_proper_motion_fit",
-    "q148_frame_calibration", "q149_gls_periodogram",
-    "q151_defect_repair", "q152_xi_jackknife",
+    # the four r9 slips, first rows as promised in the r9 docs
+    "q153_weighted_coadd", "q154_distortion_solve",
+    "q155_relative_photometry", "q156_coadd_variance_map",
+    # stalest block: last green r07, suite order, minus the 4
+    # documented r11 slips (q106, q119, q145, q150 — see above)
+    "q01_pricing_summary", "q02_filter_project",
+    "q03_top_building_orders", "q05_supplier_nation_revenue",
+    "q07_region_rollup", "q08_window_running", "q09_window_events_lag",
+    "q10_distinct_agg", "q11_set_ops", "q12_semi_anti",
+    "q13_scalar_functions", "q14_date_functions", "q15_topk_orders",
+    "q16_global_stats", "q17_events_hourly", "q18_events_json",
+    "q19_sessionize", "q20_dedup_exact", "q22_dedup_minhash_lsh",
+    "q23_dedup_ngram_jaccard", "q26_ann_cosine_topk", "q27_text_stats",
+    "q28_text_langid", "q30_multimodal_meta", "q32_pivot_segments",
+    "q33_grouping_sets", "q34_outer_joins", "q37_percentiles",
+    "q38_stats_moments", "q39_explode_tokens", "q41_above_cust_avg",
+    "q43_collect_sorted", "q44_ranking_windows",
+    "q47_winnow_fingerprints", "q52_text_repetition", "q53_text_scrub",
+    "q50_ann_ivf_topk", "q49_fits_scan_roundtrip",
+    "q80_fits_pruned_scan", "q46_approx_stats", "q86_bpe_apply",
+    "q93_stream_shard_sink", "q94_quality_classifier",
+    "q95_simhash_hamming_pairs", "q96_weighted_sample",
+    "q97_heavy_hitters",
 ]
 
 
