@@ -27,6 +27,14 @@ def _fake_metrics():
         "fits_plan_cached_files_per_s": 8540.3,
         "fits_plan_manifest_files_per_s": 8540.3,
         "parallel_efficiency": 0.217,
+        # frozen ratio set (r9 VERDICT #3) — merged into metrics by
+        # main() before build_headline, worst-case-ish widths
+        "ratio_rice_plain": 0.545,
+        "ratio_compressed_plain": 0.707,
+        "ratio_comptable_plain": 0.88,
+        "ratio_q22_core": 0.3,
+        "delta_q51_q48_sec": -12.345,
+        "host_gate_ok": False,
     }
 
 
@@ -126,3 +134,59 @@ def test_headline_key_collision_fails_loudly(monkeypatch):
     t[twin] = 1.0
     with pytest.raises(ValueError, match="collision"):
         bench.build_headline(1.0, 1.0, 0.1, True, t, _fake_metrics())
+
+
+def test_ratio_set_is_frozen_and_schema_stable():
+    """r9 VERDICT #3: the throttle-robust ratio set is a contract —
+    fixed keys in every artifact, None (never a dropped key) when an
+    input is missing, and a self-reported host-gate verdict computed
+    from the documented thresholds."""
+    timings = {"q22_dedup_minhash_lsh": 4.4, "fits_scan_64mb": 0.4}
+    extras = {"q48_dedup_clusters": 5.3, "q51_dedup_corpus": 5.8}
+    metrics = {
+        "fits_scan_mb_per_s": 176.3,
+        "fits_scan_rice_mb_per_s": 96.1,
+        "fits_scan_compressed_mb_per_s": 124.7,
+        "fits_scan_comptable_mb_per_s": 155.2,
+        "decode_mb_per_s_per_task": 1137.4,
+        "parallel_efficiency": 0.41,
+    }
+    r = bench.compute_ratios(timings, extras, metrics, core=14.6)
+    assert set(r) == {
+        "ratio_rice_plain", "ratio_compressed_plain",
+        "ratio_comptable_plain", "ratio_q22_core",
+        "delta_q51_q48_sec", "host_gate_ok",
+    }
+    assert r["ratio_rice_plain"] == round(96.1 / 176.3, 3)
+    assert r["ratio_q22_core"] == round(4.4 / 14.6, 3)
+    assert r["delta_q51_q48_sec"] == 0.5
+    assert r["host_gate_ok"] is True
+
+    # gate fails on either threshold alone
+    lo = dict(metrics, parallel_efficiency=0.299)
+    assert bench.compute_ratios(timings, extras, lo, 14.6)[
+        "host_gate_ok"] is False
+    lo = dict(metrics, decode_mb_per_s_per_task=900.0)
+    assert bench.compute_ratios(timings, extras, lo, 14.6)[
+        "host_gate_ok"] is False
+
+    # missing inputs -> None, keys never dropped
+    r = bench.compute_ratios({}, {}, {}, core=0.0)
+    assert r["ratio_rice_plain"] is None
+    assert r["ratio_q22_core"] is None
+    assert r["delta_q51_q48_sec"] is None
+    assert r["host_gate_ok"] is False
+
+
+def test_ratios_reach_the_headline_line():
+    """The ratio set must survive onto the count-invariant final line
+    (it is the only round-over-round comparable signal on a throttled
+    run), within the length budget."""
+    line = bench.build_headline(1.0, 1.0, 0.1, True,
+                                _fake_timings(1000), _fake_metrics())
+    d = json.loads(line)
+    for k in ("ratio_rice_plain", "ratio_compressed_plain",
+              "ratio_comptable_plain", "ratio_q22_core",
+              "delta_q51_q48_sec", "host_gate_ok"):
+        assert k in d
+    assert len(line) <= bench.HEADLINE_MAX_CHARS
