@@ -944,15 +944,19 @@ def connected_components(
     orders of magnitude smaller than the pair stream (sf0.1 documents:
     872k pairs → 3.3k star rows). When it fits the explicit
     ``single_task_rows`` budget (default :data:`_CC_SINGLE_TASK_ROWS`),
-    a second union-find pass over the whole forest in ONE task
-    (``repartition(1)`` — a tiny shuffle of the (node, root) longs,
-    chosen over ``coalesce(1)`` so a star-forest cache miss recomputes
-    upstream at full parallelism, not inside the single task) finishes
-    the components outright, skipping the loop's per-round job
-    overhead. The budget is checked with a ``count()`` on the cached
-    forest (the same materialization the loop would pay), so the fast
-    path is size-gated exactly like a broadcast join: past the budget
-    the distributed loop runs unchanged."""
+    a second union-find pass over the whole forest ON THE DRIVER (one
+    Arrow fetch of the cached forest — bounded by the budget to
+    broadcast scale, 16 MB of int64 pairs at the 1M default) finishes
+    the components outright and returns a local relation, skipping the
+    loop's per-round job overhead. r10 shape (r9 VERDICT #7): the r7–r9
+    version ran the same union-find in one ``repartition(1)`` task plus
+    an eager localCheckpoint — five job launches and ~1.5 s of fixed
+    latency per CC query at local scale; the driver finish is two jobs
+    (gate count + fetch) with identical output. The budget is checked
+    with a ``count()`` on the cached forest (the same materialization
+    the loop would pay), so the fast path is size-gated exactly like a
+    broadcast join: past the budget the distributed loop runs
+    unchanged and nothing corpus-sized ever reaches the driver."""
 
     raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # ONE pass over the (possibly expensive) upstream pair stream: the
@@ -964,28 +968,54 @@ def connected_components(
     # path would pay the same job on round 0
     n_star = stars.count()
     if n_star <= budget:
-        # one task unions the full forest: output = (node, global min
-        # label) for every distinct node — exactly the loop's fixpoint.
-        # Self-rows (node == root) keep singleton nodes present; the
-        # min-root union order in `uf` makes root = component minimum.
-        # repartition(1), NOT coalesce(1): coalesce collapses the
-        # PARENT stage, so a cache miss on `stars` (eviction under
-        # suite-tail memory pressure) would recompute the whole
-        # upstream pair pipeline inside one task — the same 30x
-        # pathology the bucket-join comment above documents. With a
-        # shuffle boundary the map side reads (or worst-case
-        # recomputes) at full parallelism and only the forest's
-        # (node, root) longs cross to the single reducer.
-        solved = _contract_partitions(
-            stars.select(F.col("node").alias("src"),
-                         F.col("root").alias("dst")).repartition(1))
-        out = solved.select(F.col("node").alias("doc_id"),
-                            F.col("root").alias("cluster_id"))
-        # the single-task result is the only remaining consumer of the
-        # cached forest: localCheckpoint it so `stars` can be freed now
-        out = tracked_local_checkpoint(out)
+        # Finish on the DRIVER (r9 VERDICT #7 — the old shape was a
+        # repartition(1) single-task union-find + eager localCheckpoint,
+        # a five-job launch chain costing ~1.5 s of fixed latency on
+        # every CC query at local scale). The forest is budget-gated to
+        # <= `budget` (node, root) int64 pairs — 16 MB at the 1M
+        # default, the same scale as a broadcast build side — so one
+        # Arrow fetch of the already-cached forest plus a driver
+        # union-find is the same compute the single task did, minus the
+        # tiny shuffle, the checkpoint job, and the caller's re-read
+        # job (2 jobs total incl. the gate count; A/B in PLANS.md).
+        # Output = (node, global min label) for every distinct node —
+        # exactly the loop's fixpoint: self-rows (node == root) keep
+        # singleton nodes present, and the min-root union order makes
+        # root = component minimum.
+        tbl = stars.toArrow()  # bounded-collect: <= single_task_rows star rows, budget-gated like a broadcast
         stars.unpersist()
-        return out
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(tbl.column("node").to_pylist(),
+                        tbl.column("root").to_pylist()):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        import pyarrow as pa
+
+        nodes = list(parent)
+        res = pa.table(
+            {"doc_id": pa.array(nodes, type=pa.int64()),
+             "cluster_id": pa.array([find(x) for x in nodes],
+                                    type=pa.int64())})
+        # local relation: downstream consumption is a LocalTableScan
+        # (no job, broadcast-eligible), replacing the checkpointed
+        # distributed read of the old shape
+        return pairs.sparkSession.createDataFrame(res)
     sym = stars.select(F.col("node").alias("src"),
                        F.col("root").alias("dst")) \
                .where(F.col("src") != F.col("dst"))
