@@ -63,6 +63,12 @@ import numpy as np
 
 _PARAMS = {1: (3, 6), 2: (4, 14), 4: (5, 25)}
 
+# Streams per rice_decode_batch call are re-chunked so one chunk's
+# decoded pixels stay near this count (~2 MB at int32): keeps the
+# chunk's `ones`/rank infra L2/L3-resident — measured knee on the
+# bench ramp shape (52 MB/s chunked vs 36 MB/s for one 67 MB batch).
+_CHUNK_PIX = 1 << 19
+
 # Rank LUTs (module-level, shared by every decode call):
 # _RANK_LUT[b*8 + s] = number of 1-bits among bits 0..s (MSB-first) of
 # byte value b; _POPCNT[b] = popcount of byte b. With a per-byte
@@ -546,6 +552,32 @@ def rice_decode_batch(payloads: list, n_pixs, bytepix: int = 4,
     lens = np.fromiter((len(p) for p in payloads), np.int64, T)
     if bool(np.any((n_pixs > 0) & (lens < bytepix))):
         raise ValueError("RICE_1 bitstream truncated")
+    # Cache-residency chunking (r10): the shared infra (`ones`, byte
+    # ranks) scales with the WHOLE concatenation, and past a few MB
+    # the header walk's scalar gathers fall out of cache — a 512-tile
+    # (67 MB logical) batch measured 36 MB/s against 52 MB/s chunked
+    # (order-balanced A/B on the bench ramp shape). Split at stream
+    # boundaries so each sub-batch's infra stays cache-sized; streams
+    # are independent and every structure below is per-call, so the
+    # split is semantics-preserving by construction (and covered by
+    # the batch-vs-scalar differential sweep). Matters at 100 TB
+    # scale: a real 128 MB heap partition holds ~1,000 tiles, 30x
+    # past the cache knee the local bench's 32-tile files never hit.
+    if T > 1 and int(n_pixs.sum()) > _CHUNK_PIX * 3 // 2:
+        outs_c: list[np.ndarray] = []
+        start = 0
+        acc = 0
+        for t in range(T):
+            acc += int(n_pixs[t])
+            if acc >= _CHUNK_PIX and t + 1 < T:
+                outs_c.extend(rice_decode_batch(
+                    payloads[start:t + 1], n_pixs[start:t + 1],
+                    bytepix=bytepix, blocksize=blocksize))
+                start, acc = t + 1, 0
+        outs_c.extend(rice_decode_batch(
+            payloads[start:], n_pixs[start:],
+            bytepix=bytepix, blocksize=blocksize))
+        return outs_c
     off = np.zeros(T, dtype=np.int64)
     np.cumsum(lens[:-1], out=off[1:])
     data = b"".join(bytes(p) for p in payloads)

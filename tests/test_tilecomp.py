@@ -499,6 +499,38 @@ def test_rice_batch_matches_per_stream():
         rice.rice_decode_batch([pa_, pb_[:4]], [500, 300])
 
 
+def test_rice_batch_chunking_is_semantics_preserving():
+    """r10: batches past _CHUNK_PIX split at stream boundaries so the
+    shared infra stays cache-resident (the 67 MB single-batch shape
+    measured 36 MB/s vs 52 chunked). Pins that the split changes
+    nothing observable: ragged stream sizes straddling chunk
+    boundaries, a single stream larger than the chunk target (must
+    NOT be split internally), and empty streams interleaved all
+    decode bit-identically to the per-stream decoder."""
+    from spark_fits_spark.fitscore import rice
+
+    rng = np.random.default_rng(1016)
+    sizes = [0, 37, rice._CHUNK_PIX // 3, 1024, 0,
+             rice._CHUNK_PIX + 12345, 64, rice._CHUNK_PIX // 2, 513]
+    arrs = []
+    for k, n in enumerate(sizes):
+        if n == 0:
+            arrs.append(np.empty(0, dtype=np.int64))
+        elif k % 2:
+            arrs.append((np.arange(n, dtype=np.int64) % 1000) + k)
+        else:
+            arrs.append(rng.integers(-4, 5, n).cumsum())
+    pls = [rice.rice_encode(a) for a in arrs]
+    n_pixs = [len(a) for a in arrs]
+    assert sum(n_pixs) > rice._CHUNK_PIX * 3 // 2  # chunk path taken
+    outs = rice.rice_decode_batch(pls, n_pixs)
+    assert len(outs) == len(arrs)
+    for a, pl, o in zip(arrs, pls, outs):
+        ref = rice.rice_decode(pl, len(a))
+        assert np.array_equal(o, ref)
+        assert np.array_equal(o, a)
+
+
 def test_rice_batch_noise_routing_resets_per_stream(monkeypatch):
     """r9 (ADVICE): the noise-routing sampler compares fast pixels
     against the CURRENT stream's pixel count, reset per stream — a
