@@ -584,10 +584,15 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
     Determinism: each (doc, term) BM25 contribution is quantized to
     int64 (×1e6) before the per-doc sum (order-independent); ranking
     ties break by doc id. Returns (id, score6_sum, bm25, rank)."""
-    n_docs_df = df.agg(F.count("*").cast("double").alias("_ndocs"))
     lens = df.select(
         F.col(id_col).alias("_id"), F.size(tokens(text_col)).alias("_len"))
-    avglen_df = lens.agg(F.avg("_len").alias("_avglen"))
+    # corpus size and average length in ONE one-row aggregate: they
+    # share the `lens` subtree, so splitting them into two aggs (as
+    # r5-r9 did) re-derived the input — for a chunked caller like
+    # q98 that meant re-running the whole chunk expansion per stat
+    # job. Same values, one fewer pass over the corpus.
+    stats_df = lens.agg(F.count("*").cast("double").alias("_ndocs"),
+                        F.avg("_len").alias("_avglen"))
 
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
@@ -595,7 +600,7 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
     tf = toks.groupBy("_id", "_tok").agg(F.count("*").alias("_tf"))
     dfreq = tf.groupBy("_tok").agg(F.count("*").cast("double").alias("_df"))
 
-    idf = dfreq.crossJoin(F.broadcast(n_docs_df)).select(
+    idf = dfreq.crossJoin(F.broadcast(stats_df)).select(
         "_tok",
         F.log((F.col("_ndocs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
         .alias("_idf"),
@@ -603,7 +608,7 @@ def bm25_topk(df, text_col: str, id_col: str, terms: tuple[str, ...],
     contrib = (
         tf.join(F.broadcast(idf), "_tok")
         .join(lens, "_id")
-        .crossJoin(F.broadcast(avglen_df))
+        .crossJoin(F.broadcast(stats_df.select("_avglen")))
         .select(
             "_id",
             F.round(

@@ -3440,6 +3440,10 @@ def q98_rag_chunk_retrieval(spark, sf):
     so passages stay scalar-keyed for the driver hash."""
     d = _docs(spark, sf)
     chunks = T.chunk_windows(d, "text", "doc_id", window=32, stride=16)
+    # NOT persisted: the chunk expansion is map-side and pipelines
+    # into each consumer for free, while materializing ~1.5M chunk
+    # strings measured SLOWER than recomputing them (r10 A/B: persist
+    # 3.2-3.5 s vs recompute 2.4-2.5 s at sf0.1)
     keyed = chunks.select(
         (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("chunk_key"),
         "chunk_text")
