@@ -753,15 +753,36 @@ def main() -> None:
             _gc.collect()
             spark.sparkContext._jvm.System.gc()
 
+    # Scan micros run TWICE in mirrored order, keeping each micro's
+    # best pass (r10): the micros execute at the END of a long run,
+    # where this host's progressive credit drain is steepest, and a
+    # single sequential pass biases the RATIO set — plain (measured
+    # first) samples a healthier epoch than rice (measured later),
+    # which is exactly how the r9 "quiet 0.519" and the r10 attempt-2
+    # 0.485 rice/plain readings were manufactured while an
+    # interleaved ABBA micro of the same build read 0.664-0.711. The
+    # mirrored second pass samples both sides of the drain; max-MB/s
+    # (min-seconds) per micro is the same estimator the per-query
+    # reps already use.
     fits_sec, fits_mb, decode_rate = fits_scan_seconds(spark)
-    timings["fits_scan_64mb"] = round(fits_sec, 3)
     multi_sec, multi_mb = fits_scan_multifile_seconds(spark)
-    timings["fits_scan_multifile"] = round(multi_sec, 3)
     comp_sec, comp_mb = fits_scan_compressed_seconds(spark)
-    timings["fits_scan_compressed"] = round(comp_sec, 3)
     rice_sec, rice_mb = fits_scan_rice_seconds(spark)
-    timings["fits_scan_rice"] = round(rice_sec, 3)
     ctab_sec, ctab_mb, ctab_ratio = fits_scan_comptable_seconds(spark)
+    ctab_sec2, _, ctab_ratio2 = fits_scan_comptable_seconds(spark)
+    if ctab_sec2 < ctab_sec:
+        ctab_sec, ctab_ratio = ctab_sec2, ctab_ratio2
+    rice_sec = min(rice_sec, fits_scan_rice_seconds(spark)[0])
+    comp_sec = min(comp_sec, fits_scan_compressed_seconds(spark)[0])
+    multi_sec = min(multi_sec, fits_scan_multifile_seconds(spark)[0])
+    fits_sec2, _, decode_rate2 = fits_scan_seconds(spark)
+    if fits_sec2 < fits_sec:
+        fits_sec = fits_sec2
+    decode_rate = max(decode_rate, decode_rate2)
+    timings["fits_scan_64mb"] = round(fits_sec, 3)
+    timings["fits_scan_multifile"] = round(multi_sec, 3)
+    timings["fits_scan_compressed"] = round(comp_sec, 3)
+    timings["fits_scan_rice"] = round(rice_sec, 3)
     timings["fits_scan_comptable"] = round(ctab_sec, 3)
     plan_sec, plan_warm_sec, plan_mani_sec, plan_files = (
         fits_plan_manyfile_seconds())
