@@ -333,11 +333,58 @@ def minhash_lsh_pairs(
     # _rep = min member id. ONE window shuffle yields both the
     # doc→representative map and (by filtering to _id == _rep) the
     # distinct-set table, so the corpus is tokenized and shuffled once.
-    keyed = tracked_persist(
+    # Lineage-truncated materialization (r10; was tracked_persist).
+    # Downstream, five to seven broadcast sides all derive from
+    # `keyed` (band table, both verify sides, membership twice, group
+    # sizes), plus the probe and expansion subtrees. With a plain
+    # persist, every one of those is planned against the FULL logical
+    # plan and only swapped to the cache by CacheManager plan-matching
+    # — measured at sf0.1: each BroadcastExchange over the cached
+    # table paid ~0.4 s/task deserializing a closure that carries the
+    # cached plan's whole recompute lineage (HOF expression trees,
+    # window, scan), and concurrent AQE stage materialization
+    # sometimes missed exchange reuse and re-ran SEVEN 6-8 s builds —
+    # the bimodal q22/q48 timings (3.5 s vs 20-100+ s, identical code
+    # and data; q48 read 280 s in one full-bench run). An eager
+    # localCheckpoint computes the same one corpus pass into the same
+    # MEMORY_AND_DISK blocks, but downstream plans reference the bare
+    # checkpointed RDD: no cache lookup to race, no lineage in task
+    # closures. Blocks are freed by the ContextCleaner once the
+    # returned DataFrames are dropped (same backstop the CC loop's
+    # checkpoints rely on).
+    # The window exchange is pinned to an EXPLICIT partition count
+    # (r10): repartition(N, _set) satisfies the window's required
+    # distribution (no second exchange), and an explicit-N repartition
+    # is exempt from AQE partition coalescing — without it, AQE saw a
+    # ~50 MB shuffle and coalesced the checkpointed table to ONE
+    # partition, which then serialized every downstream stage that
+    # rides its partitioning (the checkpoint job itself, the bucket
+    # join's probe/candidate map stage, the intra-group expansion and
+    # each broadcast build ran as SINGLE tasks — jstack during a slow
+    # rep: 31 of 32 task threads parked, one runnable). N tracks the
+    # session's parallelism, so the same code keeps full width on a
+    # cluster.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    keyed = tracked_local_checkpoint(
         shingle_sets(df, text_col, id_col, shingle_n, hashed=True)
         .select("_id", F.array_sort("_hashes").alias("_set"))
+        .repartition(n_parts, "_set")
         .withColumn("_rep", F.min("_id").over(Window.partitionBy("_set")))
     )
+
+    # one scalar job yields every gating
+    # number: doc count (membership broadcast), set count (band table
+    # broadcast), and byte estimate (verify-side broadcast)
+    _is_rep = F.col("_id") == F.col("_rep")
+    _sz = keyed.agg(
+        F.count("*").alias("nd"),
+        F.count(F.when(_is_rep, 1)).alias("n"),
+        F.coalesce(F.sum(F.when(_is_rep, F.size("_set"))), F.lit(0))
+        .alias("elems"),
+    ).first()
+    n_docs, n_sets = int(_sz["nd"]), int(_sz["n"])
+    set_bytes = int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
+
     membership = keyed.select("_id", "_rep")
     sets_df = keyed.where(F.col("_id") == F.col("_rep")).select(
         "_id", F.col("_set").alias("_hashes"))
@@ -379,56 +426,54 @@ def minhash_lsh_pairs(
         .alias(f"_p{p}")
         for p in range(bands - 1)
     ]
-    # persisted: both self-join sides (broadcast build + probe) consume
-    # it, and recomputing means running the n_hashes interpreted minhash
-    # transforms over every set twice. Rows are bands+2 scalars per
-    # (set, band) — a sliver of the corpus at any scale.
-    bands_df = tracked_persist(
-        sig.select("_id", F.array(*band_keys).alias("_ak"))
+    # The (id, band-key array) table is materialized eagerly with
+    # truncated lineage BEFORE the posexplode (r10; was persist+count
+    # of the post-explode table). Two reasons, both measured:
+    # (a) both self-join sides (broadcast build + probe) consume it,
+    #     and recomputing means running the n_hashes minhash
+    #     transforms over every set twice — the old persist+count
+    #     protected against a cache-miss race; the checkpoint removes
+    #     the race class instead of dodging it.
+    # (b) checkpointing BEFORE the explode keeps the higher-order
+    #     minhash lambdas (ArrayTransform — CodegenFallback, always
+    #     interpreted) out of every downstream expression: with the
+    #     explode in the same plan, the optimizer's inferred
+    #     generator filter (size(_ak) > 0) inlined the ENTIRE
+    #     band-key/minhash forest into an interpreted per-row
+    #     predicate — jstack caught a single task burning 51 s of CPU
+    #     re-evaluating it (2 s when the JIT was warm — the bimodal
+    #     q22/q48 bench rows). Here the HOFs are evaluated exactly
+    #     once per distinct set; the explode below sees a plain
+    #     column. Rows are _id + bands int64 keys — smaller than the
+    #     exploded form, a sliver of the corpus at any scale.
+    sig_ak = tracked_local_checkpoint(
+        sig.select("_id", F.array(*band_keys).alias("_ak")))
+    bands_df = (
+        sig_ak
         .select("_id", F.posexplode("_ak").alias("_band", "_key"), "_ak")
         .select("_id", "_band", "_key", *prior_cols)
     )
 
-    # one scalar job materializes the persist AND yields every gating
-    # number: doc count (membership broadcast), set count (band table
-    # broadcast), and byte estimate (verify-side broadcast)
-    _is_rep = F.col("_id") == F.col("_rep")
-    _sz = keyed.agg(
-        F.count("*").alias("nd"),
-        F.count(F.when(_is_rep, 1)).alias("n"),
-        F.coalesce(F.sum(F.when(_is_rep, F.size("_set"))), F.lit(0))
-        .alias("elems"),
-    ).first()
-    n_docs, n_sets = int(_sz["nd"]), int(_sz["n"])
-    set_bytes = int(_sz["elems"]) * 8 + int(_sz["n"]) * 24
     # band-row width grows with bands: _id, _band, _key + (bands-1)
     # prior-key columns, ~8 B each plus row envelope
     band_row_bytes = 8 * (bands + 2) + 16
     band_bcast = n_sets * bands * band_row_bytes <= broadcast_max_bytes
-    # materialize the band-table persist NOW (one cheap job over the
-    # cached shingle sets). The bucket self-join reads bands_df on BOTH
-    # sides; whichever side's stage runs first would otherwise compute
-    # the n_hashes minhash transforms from scratch — and in broadcast
-    # mode the probe side is coalesce()d, which does NOT shuffle but
-    # collapses its PARENT stage, so a cache miss there recomputes the
-    # whole pipeline at probe_parts(=4) parallelism. Measured at sf0.1:
-    # 10 s when the scheduler happened to fill the cache first, 50-147 s
-    # when the coalesced probe won the race. count() removes the race.
-    bands_df.count()
     if band_bcast:
         right = F.broadcast(bands_df.alias("r"))
-        # broadcast mode = the table is small; the probe side then runs
-        # one near-empty task per cached partition (the window shuffle's
-        # spark.sql.shuffle.partitions), and with AQE's parallelismFirst
-        # the scheduler won't shrink it. Right-size the probe to ~20k
-        # band rows per task (floor 4 so a hot boilerplate bucket's
-        # quadratic verify still spreads) — at sf0.1 this turns 3x64
-        # near-empty tasks into 3x4, a pure fixed-overhead cut; past the
-        # broadcast gate the shuffle-join path keeps full parallelism.
-        probe_parts = max(4, min(
-            df.sparkSession.sparkContext.defaultParallelism,
-            n_sets * bands // 20_000 + 1))
-        left = bands_df.coalesce(probe_parts).alias("l")
+        # The probe side is NOT coalesced (r10 fix). The r9 shape
+        # coalesce()d it to ~4 tasks to cut near-empty-task scheduling
+        # overhead — but coalesce caps the parallelism of every
+        # operator FUSED DOWNSTREAM of the probe: the broadcast bucket
+        # join, the O(candidates) exact-Jaccard verify, and (in
+        # connectivity mode) the union-find contraction all ride the
+        # probe's tasks, and candidate volume is quadratic in hot
+        # buckets, unknowable at plan time. Measured (event log,
+        # sf0.1 q48): 3.14M candidate pairs verified inside 4 tasks =
+        # 88 s of JVM CPU gated on 4 cores, 23 s wall for a stage
+        # whose other 64 tasks finish in <0.5 s. Full-width probe
+        # spreads the same CPU across every core; the near-empty-task
+        # overhead it re-admits is ~ms per task.
+        left = bands_df.alias("l")
     else:
         right = bands_df.alias("r")
         left = bands_df.alias("l")
@@ -446,6 +491,27 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))
     )
+    if band_bcast:
+        # Redistribute the candidate pairs before the exact-Jaccard
+        # verify (r10). In broadcast mode the bucket join, the verify
+        # joins and everything downstream fuse into ONE whole-stage-
+        # codegen span riding the probe's partitioning, which has two
+        # failure modes measured at sf0.1: (a) hot band buckets make
+        # candidate volume per probe partition wildly skewed (task max
+        # 45 s vs median 1.5 s in one stage), and (b) the fused span's
+        # generated method is large enough that first-wave tasks can
+        # run it JVM-interpreted for their whole lifetime (~45x the
+        # compiled per-row cost; the q48 280 s bench row). Candidates
+        # are two longs per row — hash-repartitioning them is ~16 B/row
+        # (50 MB at 3.1M candidates) and buys an even, fusion-broken,
+        # separately-JITed verify stage. Explicit partition count:
+        # AQE's byte-based coalescing would see a tiny shuffle and
+        # collapse the CPU-heavy verify to one task. Derived from the
+        # session's parallelism, not a constant, so it scales with the
+        # cluster.
+        cand = cand.repartition(
+            2 * df.sparkSession.sparkContext.defaultParallelism,
+            "_ida", "_idb")
 
     sa = sets_df.select(F.col("_id").alias("_ida"), F.col("_hashes").alias("_sa"),
                         F.size("_hashes").alias("_na"))
@@ -518,10 +584,11 @@ def minhash_lsh_pairs(
     y_side = membership.alias("y")
     sz_side = sizes.withColumnRenamed("_ra", "_rep").where(F.col("_n") > 0)
     if mem_bcast:
-        # same small-table probe right-sizing as the bucket join above
-        x_side = membership.coalesce(max(4, min(
-            df.sparkSession.sparkContext.defaultParallelism,
-            n_docs // 20_000 + 1))).alias("x")
+        # probe NOT coalesced (r10 — same reasoning as the bucket
+        # join above): the intra-pair expansion is Σ|group|² rows
+        # generated inside the probe's tasks, so capping the probe to
+        # ~4 tasks serializes the clique expansion on dup-heavy
+        # corpora; full width costs only near-empty-task overhead
         y_side = F.broadcast(y_side)
         sz_side = F.broadcast(sz_side)
     intra = (

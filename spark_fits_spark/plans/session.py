@@ -56,6 +56,25 @@ def build_session(app_name: str = "spark-fits-spark",
         master or f"local[{cpus}]")
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
+    # Backstop: let HotSpot JIT-compile generated methods past its
+    # 8000-bytecode DontCompileHugeMethods limit (r10). The r9 MinHash
+    # plan shape (coalesced probe fusing bucket join + exact-Jaccard
+    # verify into one span) generated such a method and silently ran
+    # the WHOLE span INTERPRETED — measured 42x CPU on identical
+    # rows/plan (q22 verify: 13.7 s vs 576 s of executorCpuTime; q48
+    # read 280 s in a full bench run). The r10 plan restructure keeps
+    # every span small (measured max 1953 bytecode via
+    # CodegenMetrics), so this flag is no longer load-bearing for the
+    # dedup chain; it stays as cheap insurance for any other of the
+    # 154 plans whose fused span crosses the limit — "compiled
+    # eventually" instead of "interpreted forever". Scale-independent
+    # JVM tuning, same flag for cluster executors (defaultJavaOptions
+    # so a user's executor extraJavaOptions still appends). Only
+    # effective at JVM launch; harmless afterwards.
+    builder = builder.config(
+        "spark.driver.defaultJavaOptions", "-XX:-DontCompileHugeMethods")
+    builder = builder.config(
+        "spark.executor.defaultJavaOptions", "-XX:-DontCompileHugeMethods")
     # local mode runs everything in one JVM whose default heap is 1g —
     # far too small for 32 concurrent tasks (cached shingle tables,
     # broadcast sides, sort buffers all GC-thrash). Only effective at
