@@ -304,7 +304,7 @@ def minhash_lsh_pairs(
     shuffles only (band, key, id) tuples, and exact verification joins
     shingle sets back by id.
 
-    Three output-invariant optimizations (results are provably the same
+    Four output-invariant optimizations (results are provably the same
     pair set the naive pipeline produces — pinned by tests):
 
     - **Identical-set collapse.** Web/training corpora are exact-dup
@@ -322,10 +322,16 @@ def minhash_lsh_pairs(
       the join keeps a match only when no earlier band also matched — a
       map-side filter, zero extra shuffle, same unique pair set.
     - **Byte-gated broadcasts.** Both the band table (small: bands ×
-      ~48 B per distinct set) and the shingle table are broadcast when
+      ~56 B per distinct set) and the shingle table are broadcast when
       they fit, making candidate generation and verification map-side;
       past the gate they fall back to shuffle joins (the gates are in
-      BYTES — rows carry int64 arrays, so row counts under-estimate)."""
+      BYTES — rows carry int64 arrays, so row counts under-estimate).
+    - **Size-ratio candidate pruning.** Over distinct sets
+      J ≤ min(|A|,|B|)/max(|A|,|B|), so the bucket join drops pairs
+      whose set sizes are incompatible with ``threshold`` before the
+      exact-Jaccard verify (two int compares vs a hash-set build per
+      candidate); the final ``jaccard ≥ threshold`` filter is
+      unchanged, so the kept pair set is identical."""
 
     rows = n_hashes // bands
     # distinct shingle sets: the partition key is the sorted hash array
@@ -396,7 +402,10 @@ def minhash_lsh_pairs(
         minhash_perm_expr(F.col("_hashes"), s).alias(f"_h{s}")
         for s in range(n_hashes)
     ]
-    sig = sets_df.select("_id", *sig_cols)
+    # _n (distinct-set size) rides the band table into the bucket join:
+    # the size-ratio precheck below needs both sides' sizes, and 8 B/row
+    # here is far cheaper than verifying size-incompatible candidates
+    sig = sets_df.select("_id", F.size("_hashes").alias("_n"), *sig_cols)
 
     band_keys = [
         # compress the band signature to an int64 bucket key (md5 of the
@@ -447,16 +456,17 @@ def minhash_lsh_pairs(
     #     column. Rows are _id + bands int64 keys — smaller than the
     #     exploded form, a sliver of the corpus at any scale.
     sig_ak = tracked_local_checkpoint(
-        sig.select("_id", F.array(*band_keys).alias("_ak")))
+        sig.select("_id", "_n", F.array(*band_keys).alias("_ak")))
     bands_df = (
         sig_ak
-        .select("_id", F.posexplode("_ak").alias("_band", "_key"), "_ak")
-        .select("_id", "_band", "_key", *prior_cols)
+        .select("_id", "_n", F.posexplode("_ak").alias("_band", "_key"),
+                "_ak")
+        .select("_id", "_n", "_band", "_key", *prior_cols)
     )
 
-    # band-row width grows with bands: _id, _band, _key + (bands-1)
+    # band-row width grows with bands: _id, _n, _band, _key + (bands-1)
     # prior-key columns, ~8 B each plus row envelope
-    band_row_bytes = 8 * (bands + 2) + 16
+    band_row_bytes = 8 * (bands + 3) + 16
     band_bcast = n_sets * bands * band_row_bytes <= broadcast_max_bytes
     if band_bcast:
         right = F.broadcast(bands_df.alias("r"))
@@ -481,12 +491,27 @@ def minhash_lsh_pairs(
     for p in range(bands - 1):
         no_earlier_match = no_earlier_match & ~F.col(f"l._p{p}").eqNullSafe(
             F.col(f"r._p{p}"))
+    # Size-ratio necessary condition (r10): over DISTINCT sets,
+    # J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so any pair whose
+    # sizes are incompatible with the threshold can be dropped before
+    # the exact-Jaccard verify ever sees it — two int compares per
+    # probed bucket collision instead of an SQLOpenHashSet build per
+    # candidate (jstack-measured as the verify's hot frame). The 1e-4
+    # slack covers the verify's round(·, 4) boundary: a pair the final
+    # filter would keep has J_rounded ≥ t ⟹ J ≥ t − 5e-5 ⟹
+    # min/max ≥ t − 5e-5 > t − 1e-4, so no kept pair is ever pruned
+    # (output-identical; the final jaccard ≥ t filter is unchanged).
+    size_compatible = (
+        F.least(F.col("l._n"), F.col("r._n"))
+        >= F.lit(threshold - 1e-4) * F.greatest(F.col("l._n"), F.col("r._n"))
+    )
     cand = (
         left.join(
             right,
             (F.col("l._band") == F.col("r._band"))
             & (F.col("l._key") == F.col("r._key"))
             & (F.col("l._id") < F.col("r._id"))
+            & size_compatible
             & no_earlier_match,
         )
         .select(F.col("l._id").alias("_ida"), F.col("r._id").alias("_idb"))

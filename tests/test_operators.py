@@ -958,6 +958,36 @@ def test_minhash_optimizations_equal_naive_pipeline(spark):
     assert len(actual) >= 6 * 5 // 2 + 1  # dup group pairs + permutation pair
 
 
+def test_minhash_size_ratio_boundary_pair_kept(spark):
+    """The size-ratio candidate prune (J ≤ min/max over distinct sets)
+    must never drop a pair the final ``jaccard ≥ threshold`` filter
+    would keep — pinned at the exact boundary: a strict-subset pair
+    with |A|=9, |B|=10 has J = 9/10 = 0.9 AND size ratio 0.9, so at
+    threshold 0.9 it sits precisely on the prune boundary (the 1e-4
+    slack must keep it). An off-by-strictness or missing-slack
+    regression drops exactly this pair."""
+    w = ["alpha", "beta", "gamma", "delta", "epsilon",
+         "zeta", "eta", "theta", "iota", "kappa"]
+    rows = [(0, " ".join(w)),      # 10 distinct tokens
+            (1, " ".join(w[:9])),  # 9-subset: J = 0.9, size ratio 0.9
+            (2, " ".join(w[:8])),  # 8-subset vs 0: J = 0.8, ratio 0.8
+            (3, "totally different words here entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(shingle_n=1, n_hashes=8, bands=2)
+
+    at_09 = dedup.minhash_lsh_pairs(df, "text", "doc_id",
+                                    threshold=0.9, **kw).collect()
+    assert sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                  for r in at_09) == [(0, 1, 0.9)]
+    # same corpus at threshold 0.8: the (0,2) pair now sits on the
+    # boundary (J = ratio = 0.8) and must appear; (1,2) is J = 8/9
+    at_08 = dedup.minhash_lsh_pairs(df, "text", "doc_id",
+                                    threshold=0.8, **kw).collect()
+    assert sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                  for r in at_08) == [(0, 1, 0.9), (0, 2, 0.8),
+                                      (1, 2, 0.8889)]
+
+
 def test_minhash_connectivity_only_same_components(spark):
     """connectivity_only's rep-pair + star subgraph must yield EXACTLY
     the connected_components of the full pair set (same node set, same
