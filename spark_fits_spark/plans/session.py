@@ -33,6 +33,17 @@ def tuned_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
     return conf
 
 
+def jit_jvm_options() -> str:
+    """JVM compilation-policy options applied to driver and executor
+    (see the comment block in :func:`build_session` for the measured
+    rationale). ``SPARK_GRAFT_JIT_BATCH=0`` opts out of synchronous
+    JIT for deployments that prefer background compilation."""
+    opts = "-XX:-DontCompileHugeMethods"
+    if os.environ.get("SPARK_GRAFT_JIT_BATCH", "1") != "0":
+        opts += " -Xbatch"
+    return opts
+
+
 def build_session(app_name: str = "spark-fits-spark",
                   master: str | None = None,
                   shuffle_partitions: int | None = None,
@@ -56,25 +67,39 @@ def build_session(app_name: str = "spark-fits-spark",
         master or f"local[{cpus}]")
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
-    # Backstop: let HotSpot JIT-compile generated methods past its
-    # 8000-bytecode DontCompileHugeMethods limit (r10). The r9 MinHash
+    # Two JVM compilation-policy flags (r10), both output-neutral:
+    #
+    # -XX:-DontCompileHugeMethods — backstop: let HotSpot JIT-compile
+    # generated methods past its 8000-bytecode limit. The r9 MinHash
     # plan shape (coalesced probe fusing bucket join + exact-Jaccard
     # verify into one span) generated such a method and silently ran
     # the WHOLE span INTERPRETED — measured 42x CPU on identical
     # rows/plan (q22 verify: 13.7 s vs 576 s of executorCpuTime; q48
     # read 280 s in a full bench run). The r10 plan restructure keeps
-    # every span small (measured max 1953 bytecode via
-    # CodegenMetrics), so this flag is no longer load-bearing for the
-    # dedup chain; it stays as cheap insurance for any other of the
-    # 154 plans whose fused span crosses the limit — "compiled
-    # eventually" instead of "interpreted forever". Scale-independent
-    # JVM tuning, same flag for cluster executors (defaultJavaOptions
-    # so a user's executor extraJavaOptions still appends). Only
-    # effective at JVM launch; harmless afterwards.
-    builder = builder.config(
-        "spark.driver.defaultJavaOptions", "-XX:-DontCompileHugeMethods")
-    builder = builder.config(
-        "spark.executor.defaultJavaOptions", "-XX:-DontCompileHugeMethods")
+    # every span small (measured max 1953 bytecode via CodegenMetrics);
+    # a 21-rep A/B with the flag on vs off (OPTIMIZATION_r10.md §11)
+    # read total CPU within 8% either way, so the flag is neither
+    # load-bearing nor harmful — kept as cheap insurance.
+    #
+    # -Xbatch (synchronous JIT) — fix for the round's dominant
+    # pathology: interleaving many distinct query plans keeps loading
+    # new generated classes, invalidating JIT-compiled shared call
+    # sites; with background compilation the recompile waits in a
+    # starved compiler queue while all task threads grind the stage
+    # INTERPRETED — measured 10-50x CPU on identical input (q48 reps
+    # of 1,592-1,879 CPU-s against a ~40 CPU-s floor), randomly per
+    # stage-run. Blocking compilation bounds that: the invoking thread
+    # waits for the (fast, small-method) compile instead of an
+    # unbounded interpreted grind. Same 21-rep sequence, same box:
+    # total 5,843 -> 1,552 CPU-s (0.27x), wall 599 -> 286 s, worst
+    # q48 rep 1,592 -> 94 CPU-s, zero control spikes (§11). The cost
+    # is a one-time synchronous-compile wait per hot method (first
+    # reps only). Applies equally to busy cluster executors (compiler
+    # threads compete with task threads there too); opt out with
+    # SPARK_GRAFT_JIT_BATCH=0 if a deployment prefers background JIT.
+    jvm_opts = jit_jvm_options()
+    builder = builder.config("spark.driver.defaultJavaOptions", jvm_opts)
+    builder = builder.config("spark.executor.defaultJavaOptions", jvm_opts)
     # local mode runs everything in one JVM whose default heap is 1g —
     # far too small for 32 concurrent tasks (cached shingle tables,
     # broadcast sides, sort buffers all GC-thrash). Only effective at

@@ -66,3 +66,18 @@ def test_bare_session_runs_pandas_udf_operators(tmp_path):
         f"bare session failed\nstdout:\n{proc.stdout[-3000:]}\n"
         f"stderr:\n{proc.stderr[-3000:]}")
     assert "BARE-SESSION-OK" in proc.stdout
+
+
+def test_jit_jvm_options_composition(monkeypatch):
+    """The session's JVM compilation-policy options (r10): synchronous
+    JIT on by default (bounds the interpreted-grind storms measured in
+    OPTIMIZATION_r10.md §11), opt-out honored, huge-method backstop
+    always present."""
+    from spark_fits_spark.plans.session import jit_jvm_options
+
+    monkeypatch.delenv("SPARK_GRAFT_JIT_BATCH", raising=False)
+    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods -Xbatch"
+    monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", "0")
+    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods"
+    monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", "1")
+    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods -Xbatch"
