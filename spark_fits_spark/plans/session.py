@@ -36,10 +36,17 @@ def tuned_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
 def jit_jvm_options() -> str:
     """JVM compilation-policy options applied to driver and executor
     (see the comment block in :func:`build_session` for the measured
-    rationale). ``SPARK_GRAFT_JIT_BATCH=0`` opts out of synchronous
-    JIT for deployments that prefer background compilation."""
+    rationale). ``SPARK_GRAFT_JIT_BATCH=1`` opts IN to synchronous JIT
+    (``-Xbatch``) — r11 flipped the r10 opt-out default after a
+    committed 4-arm A/B (OPTIMIZATION_r11.md §1) showed the flag does
+    NOT eliminate the CPU-grind pathology it was landed for (q48 reps
+    of 468–1160 CPU-s with the flag ON) while taxing cold-JVM runs,
+    and the only full bench ever captured with it on (the r10 driver
+    artifact) regressed 15/18 rows. Truthy values: 1/true/yes/on,
+    case-insensitive."""
     opts = "-XX:-DontCompileHugeMethods"
-    if os.environ.get("SPARK_GRAFT_JIT_BATCH", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_JIT_BATCH", "").strip().lower() in (
+            "1", "true", "yes", "on"):
         opts += " -Xbatch"
     return opts
 
@@ -67,7 +74,7 @@ def build_session(app_name: str = "spark-fits-spark",
         master or f"local[{cpus}]")
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
-    # Two JVM compilation-policy flags (r10), both output-neutral:
+    # JVM compilation-policy flags, all output-neutral:
     #
     # -XX:-DontCompileHugeMethods — backstop: let HotSpot JIT-compile
     # generated methods past its 8000-bytecode limit. The r9 MinHash
@@ -76,27 +83,20 @@ def build_session(app_name: str = "spark-fits-spark",
     # the WHOLE span INTERPRETED — measured 42x CPU on identical
     # rows/plan (q22 verify: 13.7 s vs 576 s of executorCpuTime; q48
     # read 280 s in a full bench run). The r10 plan restructure keeps
-    # every span small (measured max 1953 bytecode via CodegenMetrics);
-    # a 21-rep A/B with the flag on vs off (OPTIMIZATION_r10.md §11)
-    # read total CPU within 8% either way, so the flag is neither
-    # load-bearing nor harmful — kept as cheap insurance.
+    # every span small (measured max 1953 bytecode via CodegenMetrics),
+    # so the flag is cheap insurance, kept unconditional.
     #
-    # -Xbatch (synchronous JIT) — fix for the round's dominant
-    # pathology: interleaving many distinct query plans keeps loading
-    # new generated classes, invalidating JIT-compiled shared call
-    # sites; with background compilation the recompile waits in a
-    # starved compiler queue while all task threads grind the stage
-    # INTERPRETED — measured 10-50x CPU on identical input (q48 reps
-    # of 1,592-1,879 CPU-s against a ~40 CPU-s floor), randomly per
-    # stage-run. Blocking compilation bounds that: the invoking thread
-    # waits for the (fast, small-method) compile instead of an
-    # unbounded interpreted grind. Same 21-rep sequence, same box:
-    # total 5,843 -> 1,552 CPU-s (0.27x), wall 599 -> 286 s, worst
-    # q48 rep 1,592 -> 94 CPU-s, zero control spikes (§11). The cost
-    # is a one-time synchronous-compile wait per hot method (first
-    # reps only). Applies equally to busy cluster executors (compiler
-    # threads compete with task threads there too); opt out with
-    # SPARK_GRAFT_JIT_BATCH=0 if a deployment prefers background JIT.
+    # -Xbatch (synchronous JIT) — opt-IN via SPARK_GRAFT_JIT_BATCH=1
+    # (r11; was opt-out in r10). The r10 session landed it as a default
+    # citing an uncommitted A/B; the committed r11 4-arm A/B
+    # (OPTIMIZATION_r11.md §1, OFF/ON/ON/OFF, per-rep wall + process
+    # CPU) found the dedup-chain CPU grind it was meant to fix ALIVE
+    # under the flag (q48 reps of 468/1160/988 CPU-s with -Xbatch on),
+    # and the one full bench ever captured with it (the r10 driver
+    # artifact) regressed 15/18 rows — synchronous compile stalls every
+    # task thread at each tiered compile during warmup, which is
+    # exactly the cold-JVM profile the driver measures. Deployments
+    # that prefer blocking compilation can opt in explicitly.
     jvm_opts = jit_jvm_options()
     builder = builder.config("spark.driver.defaultJavaOptions", jvm_opts)
     builder = builder.config("spark.executor.defaultJavaOptions", jvm_opts)

@@ -69,15 +69,19 @@ def test_bare_session_runs_pandas_udf_operators(tmp_path):
 
 
 def test_jit_jvm_options_composition(monkeypatch):
-    """The session's JVM compilation-policy options (r10): synchronous
-    JIT on by default (bounds the interpreted-grind storms measured in
-    OPTIMIZATION_r10.md §11), opt-out honored, huge-method backstop
-    always present."""
+    """The session's JVM compilation-policy options (r11): synchronous
+    JIT is opt-IN (the r10 default was flipped after the committed
+    4-arm A/B in OPTIMIZATION_r11.md §1 showed it neither fixes the
+    CPU grind nor is neutral for cold-JVM runs), truthy values are
+    normalized, and the huge-method backstop is always present."""
     from spark_fits_spark.plans.session import jit_jvm_options
 
     monkeypatch.delenv("SPARK_GRAFT_JIT_BATCH", raising=False)
-    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods -Xbatch"
-    monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", "0")
     assert jit_jvm_options() == "-XX:-DontCompileHugeMethods"
-    monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", "1")
-    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods -Xbatch"
+    for off in ("0", "false", "no", "off", "FALSE", ""):
+        monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", off)
+        assert jit_jvm_options() == "-XX:-DontCompileHugeMethods", off
+    for on in ("1", "true", "YES", "On"):
+        monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", on)
+        assert jit_jvm_options() == \
+            "-XX:-DontCompileHugeMethods -Xbatch", on
