@@ -997,6 +997,47 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
 _CC_SINGLE_TASK_ROWS = 1_000_000
 
 
+def _driver_union_find(src, dst):
+    """Vectorized connected components over int64 edge arrays on the
+    driver (r10 VERDICT #3: the former pure-Python dict union-find was
+    a GIL-bound multi-second stall at the 1M-row budget ceiling).
+
+    Min-label propagation with pointer jumping over a compact index
+    space: ``np.unique`` sorts ascending, so index order == id order
+    and a component's min INDEX is its min ID — the distributed loop's
+    fixpoint (cluster_id = component minimum) carries over exactly.
+    Both edge directions are grouped by target ONCE (edges are static);
+    each round is then a gather + one ``minimum.reduceat`` instead of a
+    ``ufunc.at`` scatter (unbuffered, measured ~15x slower at the 1M
+    ceiling). O((E+N)·log diameter) vectorized ops total.
+
+    Returns ``(nodes, lab)``: sorted distinct node ids and, per node,
+    the INDEX of its component's minimum node (``nodes[lab]`` is the
+    cluster id)."""
+    import numpy as np
+
+    nodes, idx = np.unique(np.concatenate([src, dst]),
+                           return_inverse=True)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    if len(src) and len(nodes):
+        a, b = idx[:len(src)], idx[len(src):]
+        tgt = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        order = np.argsort(tgt, kind="stable")
+        tgt_s, other_s = tgt[order], other[order]
+        starts = np.flatnonzero(np.r_[True, tgt_s[1:] != tgt_s[:-1]])
+        keys = tgt_s[starts]
+        while True:
+            prev = lab.copy()
+            mins = np.minimum.reduceat(lab[other_s], starts)
+            lab[keys] = np.minimum(lab[keys], mins)
+            lab = np.minimum(lab, lab[lab])  # pointer jump ×2 — labels
+            lab = np.minimum(lab, lab[lab])  # are always member indices
+            if np.array_equal(lab, prev):
+                break
+    return nodes, lab
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -1076,34 +1117,17 @@ def connected_components(
         # root = component minimum.
         tbl = stars.toArrow()  # bounded-collect: <= single_task_rows star rows, budget-gated like a broadcast
         stars.unpersist()
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for s, d in zip(tbl.column("node").to_pylist(),
-                        tbl.column("root").to_pylist()):
-            if s not in parent:
-                parent[s] = s
-            if d not in parent:
-                parent[d] = d
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                if rd < rs:
-                    rs, rd = rd, rs
-                parent[rd] = rs
+        import numpy as np
         import pyarrow as pa
 
-        nodes = list(parent)
+        src = tbl.column("node").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64, copy=False)
+        dst = tbl.column("root").to_numpy(zero_copy_only=False) \
+                 .astype(np.int64, copy=False)
+        nodes, lab = _driver_union_find(src, dst)
         res = pa.table(
             {"doc_id": pa.array(nodes, type=pa.int64()),
-             "cluster_id": pa.array([find(x) for x in nodes],
-                                    type=pa.int64())})
+             "cluster_id": pa.array(nodes[lab], type=pa.int64())})
         # local relation: downstream consumption is a LocalTableScan
         # (no job, broadcast-eligible), replacing the checkpointed
         # distributed read of the old shape
