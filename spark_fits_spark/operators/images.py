@@ -240,18 +240,24 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
             # each re-evaluate the whole upstream — cache it for the
             # duration of the detection (released with the scope;
             # MEMORY_AND_DISK spills past memory at cube scale, vs
-            # 1+iters upstream recomputes). The raw-scan path keeps
-            # recompute: its upstream is a plain source scan. A frame
+            # 1+iters upstream recomputes). The raw-scan path instead
+            # rides the with_plane_rows localCheckpoint below. A frame
             # the CALLER already persisted is left alone — persisting
             # it again would hand its cache block to this scope, whose
             # exit would silently evict the caller's cache.
             lvl = rows.storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 rows = tracked_persist(rows)
-            stats_src = rows
-        else:
-            stats_src = df
-        stats = sigma_clipped_plane_stats(stats_src, sigma=sigma,
+        # r11: the stats rounds consume the SAME materialized rows the
+        # bright build reads. The raw-scan path previously pointed them
+        # at the raw `df`, so one detect_sources call decoded the cube
+        # 1 + iters times (the with_plane_rows checkpoint, plus one
+        # full scan per sigma-clip round); the checkpoint already holds
+        # every pixel row, so reading it instead is output-identical
+        # (same multiset, same partitioning, same per-partition order —
+        # the broadcast join streams the probe side) and scans storage
+        # exactly once (guide §1.2: don't compute things twice).
+        stats = sigma_clipped_plane_stats(rows, sigma=sigma,
                                           iters=iters)
         thr = stats.select(
             "ImgIndex",
