@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -714,7 +715,9 @@ def main() -> None:
             _noop_consume(fn(spark, SF_DIR))
             reps.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(reps)
-        medians[name] = sorted(reps)[len(reps) // 2]
+        # true median (ADVICE r10: the upper-middle element was
+        # reported for even rep counts, overstating 2-rep rows)
+        medians[name] = round(statistics.median(reps), 3)
         rep_seconds[name] = reps
         spark.catalog.clearCache()
         # Drop the Python-side plan handles and force one JVM GC every
@@ -744,7 +747,7 @@ def main() -> None:
             _noop_consume(fn(spark, SF_DIR))
             reps.append(round(time.perf_counter() - t0, 3))
         extra_timings[name] = min(reps)
-        extra_medians[name] = sorted(reps)[len(reps) // 2]
+        extra_medians[name] = round(statistics.median(reps), 3)
         extra_rep_seconds[name] = reps
         spark.catalog.clearCache()
         if (q_idx + 1) % 8 == 0:
