@@ -38,25 +38,12 @@ def reassemble_images(df: DataFrame) -> DataFrame:
     )
 
 
-def with_plane_rows(df: DataFrame) -> DataFrame:
-    """Adds ``y`` — each row's 0-based row index WITHIN its plane — to
-    the raw image scan output, WITHOUT shuffling the pixel data.
-
-    Scan partitions emit rows in (file, offset) order, and
-    ``monotonically_increasing_id`` is dense within a partition, so a
-    plane's rows inside one partition carry consecutive ids. The
-    distributed prefix-sum pattern (same as the sequence-packing
-    operators) turns that into global y: aggregate (partition, plane)
-    → (row count, first id) — a map-side-combined shuffle of
-    #partitions·#planes-per-partition ROWS, not pixels — window the
-    tiny table per plane for each partition's starting offset, and
-    broadcast it back: ``y = offset + (id − first id)``. The pixel
-    rows themselves never move; a one-plane 100 GB image no longer
-    collapses onto a single task (which the previous per-plane
-    ``row_number`` window did).
-
-    Must be called on the raw scan output (before reordering), same
-    contract as :func:`reassemble_images`."""
+def _plane_rows_and_source(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """:func:`with_plane_rows` plus its internal pixel-row
+    localCheckpoint, so callers that need a second pass over the raw
+    pixels (e.g. :func:`detect_sources`' sigma-clip stats) can read the
+    SAME materialization instead of re-decoding the source — without
+    paying the y-offset broadcast join those passes don't need."""
     from pyspark.sql.window import Window
 
     from spark_fits_spark.caching import tracked_local_checkpoint
@@ -76,10 +63,33 @@ def with_plane_rows(df: DataFrame) -> DataFrame:
     offsets = per.select(
         "_pid", "ImgIndex",
         F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"), "_p0")
-    return (with_pos
+    rows = (with_pos
             .join(F.broadcast(offsets), ["_pid", "ImgIndex"])
             .withColumn("y", F.col("_off") + (F.col("_pos") - F.col("_p0")))
             .drop("_pos", "_pid", "_off", "_p0"))
+    return rows, with_pos
+
+
+def with_plane_rows(df: DataFrame) -> DataFrame:
+    """Adds ``y`` — each row's 0-based row index WITHIN its plane — to
+    the raw image scan output, WITHOUT shuffling the pixel data.
+
+    Scan partitions emit rows in (file, offset) order, and
+    ``monotonically_increasing_id`` is dense within a partition, so a
+    plane's rows inside one partition carry consecutive ids. The
+    distributed prefix-sum pattern (same as the sequence-packing
+    operators) turns that into global y: aggregate (partition, plane)
+    → (row count, first id) — a map-side-combined shuffle of
+    #partitions·#planes-per-partition ROWS, not pixels — window the
+    tiny table per plane for each partition's starting offset, and
+    broadcast it back: ``y = offset + (id − first id)``. The pixel
+    rows themselves never move; a one-plane 100 GB image no longer
+    collapses onto a single task (which the previous per-plane
+    ``row_number`` window did).
+
+    Must be called on the raw scan output (before reordering), same
+    contract as :func:`reassemble_images`."""
+    return _plane_rows_and_source(df)[0]
 
 
 def aperture_photometry(df: DataFrame, apertures: DataFrame,
@@ -223,7 +233,11 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
     from spark_fits_spark.caching import release_after, tracked_persist
     from spark_fits_spark.operators.dedup import connected_components
 
-    rows = df if prepared else with_plane_rows(df)
+    stats_src = None
+    if prepared:
+        rows = df
+    else:
+        rows, stats_src = _plane_rows_and_source(df)
     if local_background_cell is not None:
         # SExtractor's local-background mode: estimate a BACK_SIZE
         # median mesh, subtract its bilinear interpolation, and run
@@ -248,17 +262,21 @@ def detect_sources(df: DataFrame, threshold_sigma: float = 5.0,
             lvl = rows.storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 rows = tracked_persist(rows)
-        # r11: the stats rounds consume the SAME materialized rows the
-        # bright build reads. The raw-scan path previously pointed them
-        # at the raw `df`, so one detect_sources call decoded the cube
-        # 1 + iters times (the with_plane_rows checkpoint, plus one
-        # full scan per sigma-clip round); the checkpoint already holds
-        # every pixel row, so reading it instead is output-identical
-        # (same multiset, same partitioning, same per-partition order —
-        # the broadcast join streams the probe side) and scans storage
-        # exactly once (guide §1.2: don't compute things twice).
-        stats = sigma_clipped_plane_stats(rows, sigma=sigma,
-                                          iters=iters)
+        # r11: on the raw-scan path the stats rounds consume the
+        # with_plane_rows pixel-row localCheckpoint DIRECTLY (not the
+        # y-joined `rows`, whose offsets broadcast join they would
+        # otherwise re-pay per round, and not the raw `df`, which the
+        # old code re-decoded once per sigma-clip round — 1 + iters
+        # full decodes per detect_sources call). Output-identical:
+        # same pixel multiset, same partitioning, same per-partition
+        # order; the stats are ordering-free anyway. One storage scan
+        # total (guide §1.2: don't compute things twice). Prepared /
+        # local-background inputs keep using the persisted residual
+        # rows — their stats must see the transformed surface.
+        stats = sigma_clipped_plane_stats(
+            stats_src if (stats_src is not None
+                          and local_background_cell is None) else rows,
+            sigma=sigma, iters=iters)
         thr = stats.select(
             "ImgIndex",
             (F.col("bg_median")

@@ -1961,7 +1961,8 @@ def q58_kmeans_assign(spark, sf):
     init -> assign -> mean -> assign in SQL. Per-iteration driver
     traffic is k x dim numbers — parameter-bounded at any corpus
     size."""
-    e = _emb(spark, sf)
+    # shared scan for the fit and assign branches (r11, see q88)
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     cents = similarity.kmeans_fit(
         e, "embedding", "vec_id", k=4, iters=1, quantize=1_000_000)
     return similarity.kmeans_assign(
@@ -2160,7 +2161,8 @@ def q63_hybrid_rrf(spark, sf):
     contributions keep the fused score order-independent; the re-rank
     window partitions by query. Oracle = the two retriever oracles
     verbatim + the same RRF arithmetic."""
-    e = _emb(spark, sf)
+    # shared scan for the two retriever branches (r11, see q88)
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     q = e.where(F.col("vec_id") < 5)
     lsh = similarity.hyperplane_lsh_topk(
         e, q, "embedding", "vec_id", k=10, bits=4, dim=64, seed=7)
@@ -2627,7 +2629,8 @@ def q81_ann_recall(spark, sf):
     drives recall_at_k to 1.0 at proportionally more list work. Both
     retrievers are deterministic, so the oracle replays them verbatim
     and the recall math is a plain join+agg."""
-    e = _emb(spark, sf)
+    # shared scan for the exact and IVF branches (r11, see q88)
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     q = e.where(F.col("vec_id") < 5)
     exact = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
     ivf = similarity.ivf_topk(
@@ -2764,7 +2767,8 @@ def q84_mrl_truncated_recall(spark, sf):
     exact top-10 — the 4× bandwidth/compute cut of prefix-truncated
     embeddings (Kusupati et al. 2022) as a driver-checked number. Both
     retrievers are the same broadcast-query single-corpus-pass plan."""
-    e = _emb(spark, sf)
+    # shared scan for the full-dim and truncated branches (r11, q88)
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     q = e.where(F.col("vec_id") < 5)
     full = similarity.cosine_topk(e, q, "embedding", "vec_id", k=10)
     tr = e.select(
@@ -2943,7 +2947,13 @@ def q88_ivfpq_recall(spark, sf):
     cell + 2 codes + a stored norm — the memory layout that makes
     100 TB ANN feasible; recall quantifies what PQ reconstruction error
     costs at this codebook budget."""
-    e = _emb(spark, sf)
+    # one materialization of the spread embedding scan shared by the
+    # codebook fit, the IVF-PQ probe, and the exact baseline (r11,
+    # r10 VERDICT #5): the three branches re-evaluated the scan ~7x
+    # (pq_fit first()+persist fill, ivfpq first()+corpus, broadcast
+    # query builds, exact corpus). An in-query intermediate, same
+    # class as the dedup chain's checkpoints — no cross-run state.
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     q = e.where(F.col("vec_id") < 5)
     books = similarity.pq_fit(
         e, "embedding", "vec_id", m=2, k=4, iters=1, quantize=1_000_000)
@@ -3499,7 +3509,8 @@ def q99_cluster_balanced_sample(spark, sf):
     semantic regions are downsampled to the cap; rare regions survive
     whole. The oracle composes the q58 training SQL verbatim into the
     q72 selection SQL."""
-    e = _emb(spark, sf)
+    # shared scan for the fit and assign branches (r11, see q88)
+    e = _emb(spark, sf).localCheckpoint(eager=False)
     cents = similarity.kmeans_fit(
         e, "embedding", "vec_id", k=4, iters=1, quantize=1_000_000)
     assigned = similarity.kmeans_assign(
