@@ -33,20 +33,28 @@ def tuned_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
     return conf
 
 
-def jit_jvm_options() -> str:
-    """JVM compilation-policy options applied to driver and executor
-    (see the comment block in :func:`build_session` for the measured
-    rationale). ``SPARK_GRAFT_JIT_BATCH=1`` opts IN to synchronous JIT
-    (``-Xbatch``) — r11 flipped the r10 opt-out default after a
-    committed 4-arm A/B (OPTIMIZATION_r11.md §1) showed the flag does
-    NOT eliminate the CPU-grind pathology it was landed for (q48 reps
-    of 468–1160 CPU-s with the flag ON) while taxing cold-JVM runs,
-    and the only full bench ever captured with it on (the r10 driver
-    artifact) regressed 15/18 rows. Truthy values: 1/true/yes/on,
-    case-insensitive."""
+def jit_jvm_options(master: str | None = None) -> str:
+    """JVM compilation-policy options (see the comment block in
+    :func:`build_session` for the measured rationale).
+
+    ``-Xbatch`` (synchronous JIT) defaults ON only when ``master`` is a
+    ``local[...]`` URL — the many-plans single-JVM profile where the
+    committed full-bench A/B (OPTIMIZATION_r11.md §1) measured it
+    bounding 3–20x CPU-grind inflation across the expression-heavy
+    suite band — and OFF for cluster masters, where synchronous
+    compilation stalls every task thread at each tiered compile during
+    executor warmup (r10 ADVICE). ``SPARK_GRAFT_JIT_BATCH`` overrides
+    either way; 1/true/yes/on and 0/false/no/off are accepted
+    case-insensitively."""
     opts = "-XX:-DontCompileHugeMethods"
-    if os.environ.get("SPARK_GRAFT_JIT_BATCH", "").strip().lower() in (
-            "1", "true", "yes", "on"):
+    v = os.environ.get("SPARK_GRAFT_JIT_BATCH", "").strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        batch = True
+    elif v in ("0", "false", "no", "off"):
+        batch = False
+    else:
+        batch = (master or "").startswith("local")
+    if batch:
         opts += " -Xbatch"
     return opts
 
@@ -86,18 +94,22 @@ def build_session(app_name: str = "spark-fits-spark",
     # every span small (measured max 1953 bytecode via CodegenMetrics),
     # so the flag is cheap insurance, kept unconditional.
     #
-    # -Xbatch (synchronous JIT) — opt-IN via SPARK_GRAFT_JIT_BATCH=1
-    # (r11; was opt-out in r10). The r10 session landed it as a default
-    # citing an uncommitted A/B; the committed r11 4-arm A/B
-    # (OPTIMIZATION_r11.md §1, OFF/ON/ON/OFF, per-rep wall + process
-    # CPU) found the dedup-chain CPU grind it was meant to fix ALIVE
-    # under the flag (q48 reps of 468/1160/988 CPU-s with -Xbatch on),
-    # and the one full bench ever captured with it (the r10 driver
-    # artifact) regressed 15/18 rows — synchronous compile stalls every
-    # task thread at each tiered compile during warmup, which is
-    # exactly the cold-JVM profile the driver measures. Deployments
-    # that prefer blocking compilation can opt in explicitly.
-    jvm_opts = jit_jvm_options()
+    # -Xbatch (synchronous JIT) — LOCAL-MASTER default only (r11,
+    # OPTIMIZATION_r11.md §1/§7). Two committed A/Bs this round:
+    # an 8-query per-rep CPU A/B found the dedup-chain grind alive
+    # under the flag (it is NOT a grind fix), but the full-bench
+    # on/off pair — both probe-gated, host_gate_ok — measured the
+    # expression-heavy suite band (q25-q86: md5 n-grams, HOF dots,
+    # quantize maps) inflating 3-20x with the flag OFF in the
+    # 112-query single-JVM profile, while trivial rows alongside sat
+    # at best-ever values (plans/r11/BENCH_DETAIL_r11_jitbatch_*).
+    # Interleaving hundreds of generated classes churns the tiered
+    # compiler's queue; blocking compilation bounds it. On a CLUSTER
+    # the default is OFF (r10 ADVICE: synchronous JIT stalls every
+    # task thread at each tiered compile during executor warmup);
+    # SPARK_GRAFT_JIT_BATCH=1/0 overrides either way.
+    master_url = master or f"local[{cpus}]"
+    jvm_opts = jit_jvm_options(master_url)
     builder = builder.config("spark.driver.defaultJavaOptions", jvm_opts)
     builder = builder.config("spark.executor.defaultJavaOptions", jvm_opts)
     # local mode runs everything in one JVM whose default heap is 1g —

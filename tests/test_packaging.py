@@ -70,18 +70,24 @@ def test_bare_session_runs_pandas_udf_operators(tmp_path):
 
 def test_jit_jvm_options_composition(monkeypatch):
     """The session's JVM compilation-policy options (r11): synchronous
-    JIT is opt-IN (the r10 default was flipped after the committed
-    4-arm A/B in OPTIMIZATION_r11.md §1 showed it neither fixes the
-    CPU grind nor is neutral for cold-JVM runs), truthy values are
-    normalized, and the huge-method backstop is always present."""
+    JIT defaults ON only for local masters (the full-bench on/off A/B
+    in OPTIMIZATION_r11.md §1/§7 measured the expression-heavy band
+    inflating 3-20x without it in the many-plans single-JVM profile)
+    and OFF for cluster masters (r10 ADVICE: blocking compilation
+    stalls executor warmup); the env override wins either way with
+    normalized truthy/falsy values; the huge-method backstop is always
+    present."""
     from spark_fits_spark.plans.session import jit_jvm_options
 
+    base = "-XX:-DontCompileHugeMethods"
     monkeypatch.delenv("SPARK_GRAFT_JIT_BATCH", raising=False)
-    assert jit_jvm_options() == "-XX:-DontCompileHugeMethods"
-    for off in ("0", "false", "no", "off", "FALSE", ""):
+    assert jit_jvm_options("local[32]") == base + " -Xbatch"
+    assert jit_jvm_options("local[*]") == base + " -Xbatch"
+    for cluster in ("spark://host:7077", "yarn", "k8s://https://x", None):
+        assert jit_jvm_options(cluster) == base, cluster
+    for off in ("0", "false", "no", "off", "FALSE"):
         monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", off)
-        assert jit_jvm_options() == "-XX:-DontCompileHugeMethods", off
+        assert jit_jvm_options("local[32]") == base, off
     for on in ("1", "true", "YES", "On"):
         monkeypatch.setenv("SPARK_GRAFT_JIT_BATCH", on)
-        assert jit_jvm_options() == \
-            "-XX:-DontCompileHugeMethods -Xbatch", on
+        assert jit_jvm_options("yarn") == base + " -Xbatch", on
